@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+  // rejects; read as epoch-nanos LongType (graft.sources.Tables normalizes
+  // back to TimestampType).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.operators.{Transforms, Validation}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-operator parity queries (SURVEY.md §2) expressed over the
+  * driver testdata so the DuckDB oracle can verify them. Each name maps to
+  * a SURVEY §2 inventory row.
+  */
+object CoreQueries {
+
+  import QueryDef.t
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** ISO-8601 string form of a timestamp column — the string-timestamp
+    * data model of the reference (SURVEY.md §1.2). Second precision: the
+    * testdata `events.ts` carries nanoseconds which Spark and DuckDB
+    * truncate differently, so derived strings stop at seconds.
+    */
+  private def isoTs(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A2 — the documented flagship: group-by count (reference README.md:130-131).
+    QueryDef("a2_groupby_count",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // A3 — filtered count over a date predicate (docs/runbook.md:161 shape).
+    QueryDef("a3_filtered_count",
+      (s, dir) => t(s, dir, "events")
+        .filter(isoTs(col("ts")).startsWith("2024-01-0"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%dT%H:%M:%S') LIKE '2024-01-0%'")),
+
+    // A1/V1-V3 — the validator's fused single-pass aggregate (SURVEY.md §2.6):
+    // total rows + null counts + out-of-range counts in ONE scan.
+    QueryDef("a1_validation_fused",
+      (s, dir) => Validation.validationSummary(t(s, dir, "events"),
+        Seq(Validation.NotNull("event_type"), Validation.Between("value", 0.0, 50.0))),
+      Some("""SELECT count(*) AS total_count,
+             |CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_count_event_type,
+             |CAST(coalesce(sum(CASE WHEN value < 0.0 OR value > 50.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS oor_count_value
+             |FROM events""".stripMargin.replace("\n", " "))),
+
+    // P2 — range (theta) predicate filter (transform.py:80-83 shape).
+    QueryDef("p2_range_filter",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5 || col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45 ORDER BY l_orderkey, l_linenumber")),
+
+    // P5 — derived unit conversion, op-for-op the reference formula
+    // round(x * 9/5 + 32, 2) (transform.py:171-173).
+    QueryDef("p5_derived_unit",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          round(col("value") * lit(9.0) / lit(5.0) + lit(32.0), 2).as("value_f"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, round((value * 9.0) / 5.0 + 32.0, 2) AS value_f FROM events ORDER BY event_id")),
+
+    // P6 — event-date via substring on the ISO string, NOT to_date
+    // (transform.py:174-177 semantics).
+    QueryDef("p6_date_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          Transforms.eventDate(isoTs(col("ts"))).as("event_date"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, substring(strftime(ts, '%Y-%m-%dT%H:%M:%S'), 1, 10) AS event_date FROM events ORDER BY event_id")),
+
+    // P7 — three-arm CASE quality score (transform.py:239-251), with
+    // events.value standing in for battery_level (FIXTURES.md §B role map).
+    QueryDef("p7_case_quality",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          Transforms.qualityScore(col("value"), col("value"),
+            col("event_type"), col("user_id")).as("quality_score"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CASE
+             |WHEN value >= 50 AND value IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL THEN 'PASS'
+             |WHEN value >= 20 THEN 'WARN' ELSE 'FAIL' END AS quality_score
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // F1/P4 — sha2 pseudonymization + PII column drop (transform.py:122-130,232-235).
+    QueryDef("f1_pseudonymize",
+      (s, dir) => t(s, dir, "customer")
+        .withColumn("c_name_hash", Transforms.pseudonymize(col("c_name")))
+        .drop("c_name")
+        .select("c_custkey", "c_name_hash")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, sha256(c_name) AS c_name_hash FROM customer ORDER BY c_custkey")),
+
+    // F2 — deterministic sensor-id derivation (stream_generate/lambda_function.py:33-36).
+    QueryDef("f2_sensor_id",
+      (s, dir) => t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          Transforms.sensorId(col("n_name"), col("n_nationkey")).as("sensor_id"))
+        .orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, 'sensor-' || substring(sha256(printf('%s_%03d', lower(replace(n_name, ' ', '_')), n_nationkey)), 1, 12) AS sensor_id FROM nation ORDER BY n_nationkey")),
+
+    // F3 — string normalization for storage keys (batch_ingest/lambda_function.py:82).
+    QueryDef("f3_normalize",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), Transforms.normalizeCity(col("p_name")).as("p_key"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, lower(replace(p_name, ' ', '_')) AS p_key FROM part ORDER BY p_partkey")),
+
+    // F6 — JSON field extraction (the from_json/to_json surface; events.props
+    // is a JSON string per FIXTURES.md §B).
+    QueryDef("f6_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, props->>'k' AS k FROM events ORDER BY event_id")),
+
+    // Q1-shaped pricing summary: the canonical partial+final hash aggregate.
+    // Monetary sums go through DECIMAL(18,2) so the reduction is exact and
+    // order-independent, then back to double for the compare.
+    QueryDef("q1_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The implied-SQL operator surface (SURVEY.md §2.7): the reference exposes
+  * "any SQL over the curated tables" through Athena; these queries exercise
+  * that contract over the star-schema testdata — joins (broadcast + shuffle,
+  * semi/anti), windows, sorts/top-k, set ops, rollup, subqueries.
+  *
+  * Scale notes are attached per query: dimension joins are explicitly
+  * `broadcast()`-hinted (region/nation/supplier/part stay tiny at any SF;
+  * broadcasting removes the shuffle of the 100 TB fact side entirely).
+  */
+object RelationalQueries {
+
+  import QueryDef.t
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Broadcast-hash join chain: fact(customer) ⋈ dims(nation, region).
+    // Both dims broadcast — zero shuffle on the probe side at any scale.
+    QueryDef("j1_broadcast_dim_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"))
+        .agg(count(lit(1)).as("customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+        .orderBy("region_name")
+        .select(col("region_name"), col("customers"), col("total_acctbal")),
+      Some("""SELECT r_name AS region_name, count(*) AS customers,
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY region_name""".stripMargin.replace("\n", " "))),
+
+    // Large-side equi-join: orders ⋈ customer with group-by — the shuffle
+    // join AQE manages; revenue per market segment.
+    QueryDef("j2_fact_join_agg",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("orders_cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS orders_cnt,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
+
+    // Semi join — EXISTS: customers that have at least one 'F'-status order.
+    QueryDef("j3_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') ORDER BY c_custkey")),
+
+    // Anti join — NOT EXISTS: customers with no orders at all.
+    QueryDef("j4_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    // Window — per-partition top-N via row_number (deterministic tiebreak).
+    QueryDef("w1_window_topn",
+      (s, dir) => t(s, dir, "customer")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_mktsegment", "rn"),
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+             |SELECT c_mktsegment, c_custkey, c_acctbal,
+             |row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |FROM customer) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin.replace("\n", " "))),
+
+    // Window — lag + running frame sum over event time per user (cast to
+    // DECIMAL so the running reduction is exact).
+    QueryDef("w2_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, dir, "events")
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("running_value",
+            sum(dec(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double"))
+          .select("user_id", "event_id", "value", "prev_value", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
+    // Sort / top-k — Spark plans TakeOrderedAndProject (no full sort shuffle).
+    QueryDef("s1_topk",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // Set ops — INTERSECT/EXCEPT of user populations by event type.
+    QueryDef("set1_intersect",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("event_type") === "click").select("user_id")
+          .intersect(e.filter(col("event_type") === "error").select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id")),
+
+    QueryDef("set2_except",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.select("user_id").distinct()
+          .except(e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("SELECT DISTINCT user_id FROM events EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id")),
+
+    // Rollup — multi-level aggregate in one pass.
+    QueryDef("g1_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    // Correlated scalar subquery via join-reformulation + CTE shape:
+    // orders above their customer's average order value. The average is
+    // compared as `price * cnt > sum` so both engines decide boundaries on
+    // exact decimal integers (DuckDB's avg() returns double; Spark's stays
+    // decimal — a direct avg compare would diverge on rounding).
+    QueryDef("sub1_above_avg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val per = o.groupBy(col("o_custkey").as("k"))
+          .agg(sum(dec(col("o_totalprice"))).as("sum_price"), count(lit(1)).as("cnt"))
+        o.join(per, col("o_custkey") === col("k"))
+          .filter(dec(col("o_totalprice")) * col("cnt") > col("sum_price"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH per AS (SELECT o_custkey AS k, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price, count(*) AS cnt FROM orders GROUP BY o_custkey)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM orders JOIN per ON o_custkey = k
+             |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt > sum_price ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
+    // Distinct count (exact) + conditional aggregation.
+    QueryDef("a4_distinct_conditional",
+      (s, dir) => t(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("users"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value")),
+      Some("""SELECT count(DISTINCT user_id) AS users,
+             |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             |max(value) AS max_value, min(value) AS min_value FROM events""".stripMargin.replace("\n", " ")))
+  )
+}

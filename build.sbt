@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // rejects; read as epoch-nanos LongType (graft.sources.Tables normalizes
   // back to TimestampType).
   "-Dspark.sql.legacy.parquet.nanosAsLong=true",
+  // Partition keys are STRINGs in the reference catalog DDL
+  // (terraform/modules/glue/main.tf); keep date=YYYY-MM-DD as string on
+  // read-back instead of inferring DateType.
+  "-Dspark.sql.sources.partitionColumnTypeInference.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shuffle shape:
+  *
+  *  - exact: one hash-partitioned groupBy on the dedup key (map-side
+  *    partial aggregation halves the shuffle) — never a window sort.
+  *  - MinHash+LSH: candidate generation is a self-join on (band, bandHash)
+  *    buckets, so the shuffle is O(docs × bands) small fixed-width rows,
+  *    never O(docs²); the quadratic verify runs only inside buckets.
+  *  - SimHash: 64-bit signature; near-dup candidates via banded chunks of
+  *    the signature (Hamming ≤ 3 ⇒ some 16-bit chunk equal, pigeonhole).
+  *  - n-gram Jaccard: exact verify metric, computed on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `keyCol` per distinct `byCol`.
+    * groupBy+min (partial agg, single shuffle) rather than
+    * dropDuplicates (non-deterministic keeper) or a row_number window
+    * (full sort per partition).
+    */
+  def exact(df: DataFrame, byCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(byCol)).agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("copies"))
+
+  /** Exact dedup on a fingerprint (formatting-insensitive). */
+  def exactByFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+
+  /** MinHash signature: `numHashes` independent min-hashes over word
+    * shingles, each h_i = min over shingles of xxhash64(shingle, i). Pure
+    * array expressions — one pass, no explode, no UDF.
+    */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = TextAnalysis.shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** LSH banding of a minhash signature: `bands` rows of `rowsPerBand`
+    * hashes each; docs sharing any (band, bandHash) are candidates.
+    */
+  private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws(",", transform(
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), h => h.cast("string"))), b))
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * Pipeline: signature → explode bands → self-join on (band, hash) →
+    * distinct candidate pairs (a<b) → verify exact shingle Jaccard ≥
+    * `threshold`. The only shuffles are the band-bucket join and the
+    * distinct — both keyed on uniformly-hashed values, so they stay
+    * balanced under skew.
+    */
+  def minhashNearDups(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Shingle ONCE per document — recomputing per candidate pair would be
+    // O(pairs × doc-length), the difference between scan-bound and dead at
+    // scale. The shingle relation is reused for both candidate generation
+    // and verification.
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), shingleK).as("sh"))
+
+    val banded = sh.select(col("doc_id"),
+        posexplode(bandHashes(minhashFromShingles(col("sh"), numHashes), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard", jaccardOfShingleArrays(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Minhash signature from a precomputed shingle array. */
+  def minhashFromShingles(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** Jaccard of two precomputed (distinct) shingle arrays:
+    * |A ∩ B| / |A ∪ B| — integer set sizes, double division at the end.
+    */
+  def jaccardOfShingleArrays(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Exact n-gram Jaccard between two raw texts (convenience form). */
+  def jaccardShingles(a: Column, b: Column, k: Int): Column =
+    jaccardOfShingleArrays(TextAnalysis.shingles(a, k), TextAnalysis.shingles(b, k))
+
+  /** All-pairs n-gram Jaccard above a threshold. Exact but O(n²) pairs —
+    * the verification metric; use minhashNearDups for candidate generation
+    * at scale. Shingles are computed once per doc, not per pair.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), TextAnalysis.shingles(col("text"), k).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard", jaccardOfShingleArrays(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, majority vote of the
+    * tokens' xxhash64 bits. Expressed as one aggregate over the exploded
+    * tokens (64 conditional sums fused in a single pass — the same
+    * single-scan trick as the validation suite).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs whose signatures agree on at least
+    * one of four 16-bit chunks (necessary condition for Hamming ≤ 3), then
+    * filtered to true Hamming distance ≤ `maxHamming` via bit_count(xor).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+    val a = chunked.select(col("chunk"), col("ch"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = chunked.select(col("chunk"), col("ch"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ `threshold`.
+    * Exact form is the O(n²) cross join (verification metric); the scale
+    * path buckets by random-hyperplane LSH first (Similarity.hyperplaneLsh)
+    * so only same-bucket pairs are compared.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95,
+      lsh: Boolean = false, planes: Int = 8): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val withKey =
+      if (lsh) base.withColumn("bucket", Similarity.hyperplaneLsh(col("embedding"), planes))
+      else base.withColumn("bucket", lit(0))
+    val a = withKey.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = withKey.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", Similarity.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table (doc_id, text, lang, source, n_chars). All are pure
+  * codegen'd column expressions — per-row, embarrassingly parallel, no
+  * shuffle, so they stream through 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. Empty/blank text → empty array (a bare
+    * split of "" yields [""], which would miscount).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-boundary regex splitting off punctuation
+    * and digit runs, the usual pre-tokenizer shape. Counted directly from
+    * the regex split — no UDF.
+    */
+  def subwordCount(text: Column): Column = {
+    val pieces = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "[^\\p{L}\\p{N}]+"))
+    size(filter(pieces, p => length(p) > 0))
+  }
+
+  /** Tiny per-language stopword lists for the language-ID heuristic; public
+    * so oracle SQL can be generated from the same source of truth.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+
+  /** Stopword hits for one language's list — the building block of the
+    * n-gram/stopword language-ID heuristic.
+    */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => array_contains(
+      array(stopwords(lang).map(lit): _*), t)))
+
+  /** Language-ID heuristic: most stopword hits wins; ties resolve in fixed
+    * (alphabetical) language order; zero hits everywhere → "und". Integer
+    * comparisons only — no float boundary risk between engines.
+    */
+  def langId(text: Column): Column = {
+    val ordered = stopwords.keys.toSeq.sorted
+    val hits = ordered.map(l => stopwordHits(text, l))
+    val best = hits.reduce((a, b) => greatest(a, b))
+    ordered.zip(hits).foldRight(lit("und")) { case ((l, h), acc) =>
+      when(best > 0 && h === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality signals, integer/exact where possible: char count, token
+    * count, mean token length ×100 (integer), punctuation count, stopword
+    * hit count. A 3-arm verdict mirrors the reference's PASS/WARN/FAIL
+    * quality gate (reference scripts/glue_transform/transform.py:239-251).
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val punct = nChar - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val stop = stopwordHits(text, "en")
+    Seq(
+      "n_chars_calc" -> nChar.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "mean_token_len_x100" ->
+        when(nTok > 0, (length(regexp_replace(trim(text), "\\s+", "")) * 100L / nTok))
+          .otherwise(0L).cast("long"),
+      "punct_count" -> punct.cast("long"),
+      "stopword_hits" -> stop.cast("long"))
+  }
+
+  /** Quality verdict: PASS needs enough tokens and some stopword signal;
+    * WARN for short-but-plausible; FAIL for degenerate rows.
+    */
+  def qualityVerdict(text: Column): Column = {
+    val nTok = size(tokens(text))
+    when(nTok >= 20 && stopwordHits(text, "en") >= 1, lit("PASS"))
+      .when(nTok >= 5, lit("WARN"))
+      .otherwise(lit("FAIL"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, strip
+    * non-alphanumerics). Identical content → identical fingerprint, the
+    * exact-dedup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Word k-shingles (contiguous k-grams joined by a space). Built from
+    * `sequence` + `slice` higher-order functions — no UDF, no explode until
+    * the caller wants one. Fewer than k tokens → empty array.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+}

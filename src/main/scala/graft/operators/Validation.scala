@@ -39,7 +39,7 @@ object Validation {
     private[operators] def aggs(idx: Int): Seq[Column] =
       Seq(sum(when(col(column).isNull, 1L).otherwise(0L)).as(s"e$idx"))
     private[operators] def result(row: Row, offset: Int, total: Long): ExpectationResult = {
-      val nulls = row.getLong(offset)
+      val nulls = if (row.isNullAt(offset)) 0L else row.getLong(offset)
       ExpectationResult(expectationType, nulls == 0L,
         Map("column" -> column, "null_count" -> nulls, "total_count" -> total))
     }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search and sketch-based dedup operators over `embeddings`
+  * and `documents` (SURVEY.md §7.1.8).
+  *
+  * Cosine oracles use an explicit double-precision
+  * list_sum(list_transform(...)) expression: DuckDB's own
+  * list_cosine_similarity computes in FLOAT and diverges from Spark's
+  * double fold at ~1e-7 (verified empirically); the explicit form is
+  * bit-identical to Spark's sequential aggregate.
+  *
+  * MinHash/SimHash queries have no oracle: their bucketing is built on
+  * Spark's xxhash64, which DuckDB cannot reproduce — the driver records a
+  * rows-only check, and the ScalaTest suite asserts their semantics
+  * (candidate recall vs the exact metrics) instead.
+  */
+object SimilarityQueries {
+
+  import QueryDef.t
+
+  private val duckCos =
+    """(list_sum(list_transform(list_zip(a_vec, b_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(a_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |  * sqrt(list_sum(list_transform(b_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+      .stripMargin.replace("\n", " ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force exact cosine top-k: the ANN baseline. Query set (vec_id
+    // < 5) broadcasts against the corpus — the corpus is scanned once and
+    // never shuffled.
+    QueryDef("v1_knn_brute",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 5), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS a_vec FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS b_vec FROM embeddings),
+              |scored AS (SELECT query_id, neighbor_id, $duckCos AS cos FROM q, c WHERE query_id <> neighbor_id),
+              |ranked AS (SELECT query_id, neighbor_id, cos,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+              |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM ranked
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))),
+
+    // Embedding-cosine near-duplicate pairs (exact all-pairs form — the
+    // verification metric for the LSH-bucketed variant).
+    QueryDef("d4_embedding_neardup",
+      (s, dir) => Dedup.embeddingNearDups(
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0), threshold = 0.4)
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+              |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  a.embedding AS a_vec, b.embedding AS b_vec FROM e a, e b WHERE a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, round($duckCos, 6) AS cosine FROM pairs
+              |WHERE $duckCos >= 0.4 ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
+
+    // MinHash+LSH near-dup pairs — the 100 TB candidate-generation path.
+    // No DuckDB oracle (Spark-specific xxhash64); rows-only check +
+    // ScalaTest recall assertions.
+    QueryDef("d5_minhash_lsh",
+      (s, dir) => Dedup.minhashNearDups(
+        t(s, dir, "documents"), shingleK = 3, numHashes = 16, bands = 4, threshold = 0.05)
+        .orderBy("a_id", "b_id"),
+      None),
+
+    // SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures).
+    QueryDef("d6_simhash",
+      (s, dir) => Dedup.simhashNearDups(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 0), maxHamming = 3)
+        .orderBy("a_id", "b_id"),
+      None),
+
+    // IVF-style approximate top-k — the ANN scale path (probes nprobe
+    // cells instead of the full corpus). Deterministic but Spark-specific
+    // ranking internals; rows-only check + recall-vs-brute-force spec.
+    QueryDef("v2_knn_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfKnn(e, e.filter(col("vec_id") < 5), k = 10,
+          numCentroids = 16, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None)
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (SURVEY.md §7.1.8). Oracle SQL is
+  * generated from the same constants as the Spark expressions (stopword
+  * lists, shingle k, thresholds) so the two can't drift.
+  */
+object TextQueries {
+
+  import QueryDef.t
+
+  /** DuckDB tokenization identical to TextAnalysis.tokens. */
+  private val duckToks =
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+
+  private def duckList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+
+  /** DuckDB stopword-hit count for one language. */
+  private def duckHits(lang: String): String =
+    s"len(list_filter(toks, t -> list_contains(${duckList(TextAnalysis.stopwords(lang))}, t)))"
+
+  private val duckLangCase: String = {
+    val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    val arms = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+    s"CASE WHEN $best = 0 THEN 'und' $arms ELSE 'und' END"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish subword pieces.
+    QueryDef("t1_token_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |CAST(len($duckToks) AS BIGINT) AS n_tokens,
+              |CAST(len(list_filter(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '[^\\p{L}\\p{N}]+') END, p -> len(p) > 0)) AS BIGINT) AS n_subwords,
+              |md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Language-ID heuristic: stopword-hit argmax, alphabetical tiebreak.
+    QueryDef("t2_lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |h AS (SELECT doc_id, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok)
+              |SELECT doc_id, $duckLangCase AS lang_id FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Quality scoring: exact integer signals + 3-arm verdict.
+    QueryDef("t3_quality",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val sigs = TextAnalysis.qualitySignals(col("text"))
+        base.select(
+          (col("doc_id") +: sigs.map { case (n, c) => c.as(n) }) :+
+            TextAnalysis.qualityVerdict(col("text")).as("verdict"): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+              |SELECT doc_id,
+              |CAST(length(text) AS BIGINT) AS n_chars_calc,
+              |CAST(len(toks) AS BIGINT) AS n_tokens,
+              |CAST(CASE WHEN len(toks) > 0 THEN floor(length(regexp_replace(trim(text), '\\s+', '', 'g')) * 100 / len(toks)) ELSE 0 END AS BIGINT) AS mean_token_len_x100,
+              |CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_count,
+              |CAST(${duckHits("en")} AS BIGINT) AS stopword_hits,
+              |CASE WHEN len(toks) >= 20 AND ${duckHits("en")} >= 1 THEN 'PASS'
+              | WHEN len(toks) >= 5 THEN 'WARN' ELSE 'FAIL' END AS verdict
+              |FROM tok ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Exact dedup by raw text: groupBy+min, one partial-agg shuffle.
+    QueryDef("d1_dedup_exact",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "copies").orderBy("doc_id"),
+      Some("SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents GROUP BY text ORDER BY doc_id")),
+
+    // Exact dedup by normalized fingerprint (formatting-insensitive).
+    QueryDef("d2_dedup_fingerprint",
+      (s, dir) => Dedup.exactByFingerprint(t(s, dir, "documents"))
+        .select("doc_id", "copies", "fp").orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS copies, fp FROM
+             |(SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents)
+             |GROUP BY fp ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Exact n-gram Jaccard near-dup pairs on a deterministic subset (the
+    // verification metric; LSH below generates candidates at scale).
+    QueryDef("d3_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0), k = 3, threshold = 0.02)
+        .orderBy("a_id", "b_id"),
+      Some("""WITH sub AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks FROM documents WHERE doc_id % 10 = 0),
+             |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM sub),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  len(list_intersect(a.s, b.s)) AS inter, len(list_distinct(list_concat(a.s, b.s))) AS uni
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, round(CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END, 6) AS jaccard
+             |FROM pairs WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.02
+             |ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the training-data-pipeline operators: recall of the LSH
+  * candidate paths against the exact metrics, sketch invariances, and
+  * text-analysis edge cases.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+  private lazy val embs = graft.sources.Tables.load(spark, sfDir, "embeddings")
+
+  test("tokens: blank text yields empty array, not ['']") {
+    val out = Seq("", "  ", "one two").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).as[Int].collect()
+    assert(out.sameElements(Array(0, 0, 2)))
+  }
+
+  test("shingles: fewer than k tokens -> empty; k-grams are distinct") {
+    val out = Seq("a b", "a b c d a b c").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1).toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val d = Seq((1L, "x"), (5L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val got = Dedup.exact(d, "text", "doc_id")
+      .orderBy("doc_id").as[(String, Long, Long)].collect()
+    assert(got.sameElements(Array(("x", 1L, 2L), ("y", 3L, 1L))))
+  }
+
+  test("minhash LSH finds every planted near-dup (recall vs exact jaccard)") {
+    val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, shingleK = 3, numHashes = 16,
+      bands = 4, threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // LSH verifies candidates with the same exact metric, so lsh ⊆ exact,
+    // and high-jaccard pairs collide in some band with near-certainty.
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts get identical signatures; near-dups are close") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(d).orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 3)
+    val pairs = Dedup.simhashNearDups(d, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
+  test("brute-force knn: ranks are exact-cosine descending, self excluded") {
+    val res = Similarity.bruteForceKnn(embs, embs.filter(col("vec_id") < 3), k = 5)
+    val rows = res.orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.length == 15)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sameElements(Array(1, 2, 3, 4, 5)))
+      assert(rs.forall(_._3 != q))
+      assert(rs.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("IVF knn achieves reasonable recall vs brute force") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceKnn(embs, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(embs, q, k = 5, numCentroids = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=4 of 8 cells
+  }
+
+  test("hyperplane LSH buckets identical vectors identically") {
+    val d = embs.limit(4).select(col("vec_id"),
+      Similarity.hyperplaneLsh(col("embedding"), 8).as("b1"),
+      Similarity.hyperplaneLsh(col("embedding"), 8).as("b2"))
+    assert(d.filter(col("b1") =!= col("b2")).count() == 0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val d = Seq(
+      "the cat and the dog went to the park for a walk",
+      "der hund und die katze ist ein tier mit den kindern",
+      "zzz qqq xxx").toDF("text")
+    val out = d.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.sameElements(Array("en", "de", "und")))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Validation
+import graft.operators.Validation._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Semantics of the expectation suite — mirrors the reference's
+  * DataValidator contract (reference scripts/glue_transform/transform.py:51-118):
+  * inclusive between bounds, nulls PASS between but FAIL not_null, strict
+  * row-count, and the exact report structure.
+  */
+class ValidationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", Some(10.0)), ("b", Some(100.0)), ("c", None), (null, Some(50.0))
+  ).toDF("name", "temp")
+
+  test("not_null counts nulls; between passes nulls (3-valued logic)") {
+    val r = Validation.validate(df, "t", Seq(NotNull("name"), NotNull("temp"),
+      Between("temp", 0, 60), RowCountGreaterThan(0)))
+    assert(r.dataset == "t")
+    assert(r.expectationsEvaluated == 4)
+    val byType = r.results.groupBy(_.expectationType)
+    val nn = byType("expect_column_values_to_not_be_null")
+    assert(nn.map(_.details("null_count")) == Seq(1L, 1L))
+    assert(nn.forall(!_.success))
+    // 100.0 is out of [0,60]; the NULL temp row is NOT counted out-of-range
+    val bt = byType("expect_column_values_to_be_between").head
+    assert(bt.details("out_of_range_count") == 1L)
+    assert(!bt.success)
+    assert(byType("expect_table_row_count_to_be_greater_than").head.success)
+    assert(r.expectationsPassed == 1 && r.expectationsFailed == 3 && !r.success)
+  }
+
+  test("between bounds are inclusive") {
+    val d = Seq(0.0, 60.0, 60.000001).toDF("temp")
+    val r = Validation.validate(d, "t", Seq(Between("temp", 0, 60)))
+    assert(r.results.head.details("out_of_range_count") == 1L)
+  }
+
+  test("row count strict greater-than and empty-relation behavior") {
+    val d = Seq.empty[Double].toDF("temp")
+    val r = Validation.validate(d, "t",
+      Seq(RowCountGreaterThan(0), Between("temp", 0, 1), NotNull("temp")))
+    assert(!r.results.head.success)             // 0 > 0 is false
+    assert(r.results(1).success)                // no rows out of range
+    assert(r.results(2).success)                // no null rows
+  }
+
+  test("of_type is a schema-only check (declared but unimplemented in reference)") {
+    val r = Validation.validate(df, "t",
+      Seq(OfType("temp", DoubleType), OfType("name", DoubleType), OfType("missing", StringType)))
+    assert(r.results.map(_.success) == Seq(true, false, false))
+  }
+
+  test("reference suites have the documented shapes") {
+    assert(Validation.weatherSuite.size == 6) // 3 not_null + 2 between + row_count
+    assert(Validation.iotSuite.size == 9)     // 4 not_null + 4 between + row_count
+  }
+}

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused sketch expressions. The built-in formulations
+  * (`transform(sequence(...), i -> array_min(transform(...)))` for minhash,
+  * 64 × `size(filter(...))` for simhash) evaluate an interpreted lambda per
+  * element per hash — O(n·k) closure dispatches and k intermediate arrays
+  * per row. These expressions do the same arithmetic in one JVM loop.
+  * Hash family matches the column formulation: xxhash64(string, seed=42)
+  * base, then xxhash64(longValue, seed=i) per permutation.
+  */
+
+/** MinHash signature of an array<string> shingle set → array<long> of
+  * length `numHashes`. Null input → null; null elements are skipped; empty
+  * array → Long.MaxValue sentinels (array_min of empty is null in the HOF
+  * form — a doc with no shingles matches nothing either way).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val h = XxHash64Function.hash(base, LongType, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of an array<string> token list → long. Per token: base
+  * xxhash64; each of the 64 signature bits is the majority vote of that
+  * bit across token hashes (ties → 0). One loop, no intermediate arrays,
+  * no shuffle — signature computation is map-only at any scale.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var total = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        total += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) * 2 > total) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word k-shingles from an array<string> token list: contiguous
+  * k-grams joined by a single space, first-occurrence order, deduplicated.
+  * Replaces `transform(sequence, i -> concat_ws(slice(...)))` +
+  * `array_distinct` — which allocates a sub-array and an interpreted
+  * lambda frame per position — with one loop and a hash set.
+  * Fewer than k tokens → empty array (matches TextAnalysis.shingles).
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        parts(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SketchFunctions {
+  def word_shingles(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), k))
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+}

@@ -31,14 +31,13 @@ object Dedup {
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
 
   /** MinHash signature: `numHashes` independent min-hashes over word
-    * shingles, each h_i = min over shingles of xxhash64(shingle, i). Pure
-    * array expressions — one pass, no explode, no UDF.
+    * shingles. The shingle strings are hashed ONCE (the expensive part);
+    * the i-th permutation is a cheap 64-bit mix of that base hash
+    * (xor-multiply family), not a fresh string hash — numHashes× less
+    * string hashing for the same LSH behavior.
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles(text, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(sh, s => xxhash64(s, i))))
-  }
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    minhashFromShingles(TextAnalysis.shingles(text, shingleK), numHashes)
 
   /** LSH banding of a minhash signature: `bands` rows of `rowsPerBand`
     * hashes each; docs sharing any (band, bandHash) are candidates.
@@ -84,17 +83,22 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Minhash signature from a precomputed shingle array. */
+  /** Minhash signature from a precomputed shingle array — fused native
+    * expression (graft.functions.MinHashSig): one loop hashing each
+    * shingle string once and mixing per permutation, instead of
+    * numHashes × interpreted transform passes.
+    */
   def minhashFromShingles(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(sh, s => xxhash64(s, i))))
+    graft.functions.SketchFunctions.minhash_sig(sh, numHashes)
 
-  /** Jaccard of two precomputed (distinct) shingle arrays:
-    * |A ∩ B| / |A ∪ B| — integer set sizes, double division at the end.
+  /** Jaccard of two precomputed DISTINCT shingle arrays:
+    * |A ∩ B| / |A ∪ B|, with |A ∪ B| = |A| + |B| − |A ∩ B| (valid because
+    * `TextAnalysis.shingles` deduplicates) — saves materializing the union
+    * array; only the intersection is computed.
     */
   def jaccardOfShingleArrays(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = size(array_union(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
@@ -117,23 +121,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per bit, majority vote of the
-    * tokens' xxhash64 bits. Expressed as one aggregate over the exploded
-    * tokens (64 conditional sums fused in a single pass — the same
-    * single-scan trick as the validation suite).
+    * tokens' xxhash64 bits (ties → 0). Computed entirely per-row by a
+    * fused native expression (graft.functions.SimHash64) — no explode, no
+    * groupBy, ZERO shuffle: at 100 TB the signature pass is map-only and
+    * runs at scan speed; only the candidate join afterwards shuffles (and
+    * that is keyed on 16-bit chunks).
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums: Seq[Column] = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"b$b")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.as("simhash"))
-  }
+  def simhashExpr(text: Column): Column =
+    graft.functions.SketchFunctions.simhash64(TextAnalysis.tokens(text))
+
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhashExpr(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: pairs whose signatures agree on at least
     * one of four 16-bit chunks (necessary condition for Hamming ≤ 3), then

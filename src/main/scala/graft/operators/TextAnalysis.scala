@@ -97,11 +97,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
-  /** Word k-shingles (contiguous k-grams joined by a space). Built from
-    * `sequence` + `slice` higher-order functions — no UDF, no explode until
-    * the caller wants one. Fewer than k tokens → empty array.
+  /** Distinct word k-shingles (contiguous k-grams joined by a space),
+    * computed by the fused native expression graft.functions.WordShingles.
+    * Fewer than k tokens → empty array.
     */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.SketchFunctions.word_shingles(tokens(text), k)
+
+  /** The same shingles via built-in higher-order functions — kept as the
+    * semantic reference the native expression is tested against.
+    */
+  def shinglesHof(text: Column, k: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(array_distinct(transform(

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversion (Spark 4 moved
+  * the Expression-backed Column constructor behind
+  * org.apache.spark.sql.classic.ExpressionUtils). Needed to expose custom
+  * Catalyst expressions (graft.functions.*) through the Column API.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

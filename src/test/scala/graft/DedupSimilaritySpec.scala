@@ -29,6 +29,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1).toSet == Set("a b c", "b c d", "c d a", "d a b"))
   }
 
+  test("native shingles match the HOF reference (same set per doc)") {
+    val mismatch = docs.select(
+        TextAnalysis.shingles(col("text"), 3).as("a"),
+        TextAnalysis.shinglesHof(col("text"), 3).as("b"))
+      .filter(array_size(array_except(col("a"), col("b"))) =!= 0 ||
+        array_size(array_except(col("b"), col("a"))) =!= 0 ||
+        array_size(col("a")) =!= array_size(col("b")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val d = Seq((1L, "x"), (5L, "x"), (3L, "y")).toDF("doc_id", "text")
     val got = Dedup.exact(d, "text", "doc_id")
@@ -80,6 +91,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=4 of 8 cells
+  }
+
+  test("native cosine expression is bit-identical to the HOF fold") {
+    val d = embs.limit(50)
+    val pairs = d.select(col("vec_id"), col("embedding"))
+      .crossJoin(d.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("vec_id") < col("v2"))
+    val diff = pairs.select(
+        Similarity.cosine(col("embedding"), col("e2")).as("a"),
+        Similarity.cosineHof(col("embedding"), col("e2")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native cosine handles nulls, zero vectors, length mismatch") {
+    val d = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f))),
+      (None, Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))))
+      .toDF("a", "b")
+    val out = d.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(2).isNullAt(0))
+    assert(out(3).isNullAt(0))
   }
 
   test("hyperplane LSH buckets identical vectors identically") {

@@ -53,23 +53,18 @@ object Ingest {
     lit(lo) + u * lit(hi - lo)
   }
 
-  /** S11 — synthetic IoT batch: `ticks` readings for `sensorsPerCity`
-    * sensors in each city, value distributions shaped like
-    * scripts/stream_generate/lambda_function.py:39-61 (per-city temperature
-    * base, uniform humidity/battery, 70/20/10 AQI mixture), with the
-    * reference's deterministic sensor ids (F2). Generated distributively
-    * from `spark.range` — no driver-side loop, so it scales to any row
-    * count.
+  /** Shared reading projection for both generator forms (batch
+    * `spark.range` and streaming rate source): expects `id` (long) and
+    * `event_ts` (timestamp) columns; derives sensor identity and readings
+    * shaped like scripts/stream_generate/lambda_function.py:39-61 —
+    * per-city temperature base, uniform humidity/battery, 70/20/10 AQI
+    * mixture, and the reference's deterministic sensor ids (F2).
     */
-  def syntheticIotBatch(spark: SparkSession, cities: Seq[String],
-      sensorsPerCity: Int = 3, ticks: Int = 1,
-      startEpochSec: Long = 1754982000L, tickSeconds: Int = 300): DataFrame = {
-    val nCities = cities.size
-    val perTick = nCities.toLong * sensorsPerCity
+  def readingProjection(base: DataFrame, cities: Seq[String],
+      sensorsPerCity: Int): DataFrame = {
+    val perTick = cities.size.toLong * sensorsPerCity
     val cityArr = array(cities.map(lit): _*)
-
-    val base = spark.range(perTick * ticks)
-      .withColumn("tick", (col("id") / perTick).cast("long"))
+    val slotted = base
       .withColumn("slot", pmod(col("id"), lit(perTick)))
       .withColumn("city", element_at(cityArr, (col("slot") / sensorsPerCity).cast("int") + 1))
       .withColumn("sensor_index", pmod(col("slot"), lit(sensorsPerCity.toLong)).cast("int"))
@@ -77,12 +72,10 @@ object Ingest {
     val cityBase = lit(15.0) + uniform(col("city"), "citybase", 0, 30) // base in [15,45)
     val aqiU = uniform(col("id"), "aqisel", 0, 1)
 
-    base.select(
+    slotted.select(
       Transforms.sensorId(col("city"), col("sensor_index")).as("sensor_id"),
       col("city"),
-      date_format(
-        timestamp_seconds(lit(startEpochSec) + col("tick") * tickSeconds),
-        "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
+      date_format(col("event_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
       round(cityBase + uniform(col("id"), "tjit", -9, 9), 1).as("temperature_c"),
       round(uniform(col("id"), "hum", 20, 95), 1).as("humidity_pct"),
       round(
@@ -90,6 +83,20 @@ object Ingest {
           .when(aqiU < 0.9, uniform(col("id"), "aqi2", 51, 100))
           .otherwise(uniform(col("id"), "aqi3", 101, 200)), 1).as("aqi"),
       round(uniform(col("id"), "batt", 15, 100), 1).as("battery_level"))
+  }
+
+  /** S11 — synthetic IoT batch: `ticks` readings for `sensorsPerCity`
+    * sensors in each city. Generated distributively from `spark.range` —
+    * no driver-side loop, so it scales to any row count.
+    */
+  def syntheticIotBatch(spark: SparkSession, cities: Seq[String],
+      sensorsPerCity: Int = 3, ticks: Int = 1,
+      startEpochSec: Long = 1754982000L, tickSeconds: Int = 300): DataFrame = {
+    val perTick = cities.size.toLong * sensorsPerCity
+    val base = spark.range(perTick * ticks)
+      .withColumn("event_ts",
+        timestamp_seconds(lit(startEpochSec) + (col("id") / perTick).cast("long") * tickSeconds))
+    readingProjection(base, cities, sensorsPerCity)
   }
 
   /** Open-Meteo-shaped synthetic response rows (one per city) for

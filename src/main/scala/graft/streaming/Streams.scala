@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.operators.{Ingest, Transforms}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+/** Structured-Streaming slice of the reference architecture (SURVEY.md
+  * §2.8): a producer fires every 5 minutes into Firehose, which buffers
+  * 60 s / 5 MB and lands arrival-time-partitioned NDJSON under
+  * `raw/iot-sensors/year=/month=/day=/`
+  * (reference scripts/stream_generate/lambda_function.py:64-98,
+  * terraform/modules/kinesis/main.tf:38-42); failed deliveries go to a
+  * `firehose-errors/` prefix. The curated transform stays batch — it
+  * re-sweeps the full raw prefix each run (transform.py:198-203) — so
+  * exactly-once comes from overwrite idempotence, not stream state.
+  *
+  * Beyond strict parity, the event-time operators a lake at scale needs:
+  * watermarked windowed aggregation and per-key state
+  * (mapGroupsWithState), both over the same reading schema.
+  */
+object Streams {
+
+  /** S11 (stream form) — rate source → synthetic sensor readings. Same
+    * deterministic projection as the batch generator (Ingest), keyed by
+    * the rate source's monotonically increasing `value`.
+    */
+  def syntheticIotStream(spark: SparkSession, cities: Seq[String],
+      sensorsPerCity: Int = 3, rowsPerSecond: Int = 100): DataFrame = {
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    Ingest.readingProjection(
+      src.select(col("value").as("id"), col("timestamp").as("event_ts")),
+      cities, sensorsPerCity)
+  }
+
+  /** S10 — Firehose-analog landing sink: micro-batched NDJSON appended
+    * under arrival-time partitions year=/month=/day= (zero-padded strings,
+    * like the Firehose prefix `!{timestamp:yyyy/MM/dd}`), 60 s trigger by
+    * default. Batches that fail to land are written to `errorPath`
+    * (`firehose-errors/` analog) instead of killing the stream.
+    */
+  def startRawLandingSink(readings: DataFrame, path: String, checkpoint: String,
+      errorPath: String, trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    readings.writeStream
+      .outputMode("append")
+      .queryName("raw-iot-landing")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stamped = batch
+          .withColumn("year", date_format(current_timestamp(), "yyyy"))
+          .withColumn("month", date_format(current_timestamp(), "MM"))
+          .withColumn("day", date_format(current_timestamp(), "dd"))
+        try
+          stamped.write.mode("append")
+            .partitionBy("year", "month", "day").json(path)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[graft] batch $batchId failed, dead-lettering: ${e.getMessage}")
+            stamped.write.mode("append").json(s"$errorPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Event-time windowed aggregation with a watermark: per-city stats over
+    * tumbling windows, tolerating `lateness` of out-of-order data. The
+    * reference has no watermark (late rows are folded in by the next
+    * hourly overwrite sweep); this is the streaming-native equivalent.
+    */
+  def windowedCityStats(readings: DataFrame, window_ : String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    readings
+      .withColumn("event_time", to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), window_), col("city"))
+      .agg(
+        count(lit(1)).as("readings"),
+        avg(col("temperature_c")).as("avg_temp_c"),
+        max(col("aqi")).as("max_aqi"))
+
+  final case class Reading(sensor_id: String, city: String, timestamp: String,
+      temperature_c: Double, humidity_pct: Double, aqi: Double, battery_level: Double)
+
+  final case class SensorHealth(sensor_id: String, readings: Long,
+      last_battery: Double, min_battery: Double, low_battery: Boolean)
+
+  /** Custom per-key state via mapGroupsWithState: rolling battery health
+    * per sensor — the KeyValueGroupedDataset stateful surface
+    * (SURVEY.md §2.9 UDAF/state row). State lives in the state store,
+    * scales with distinct sensors, not readings.
+    */
+  def sensorHealth(readings: Dataset[Reading]): Dataset[SensorHealth] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.sensor_id)
+      .mapGroupsWithState[SensorHealth, SensorHealth](GroupStateTimeout.NoTimeout) {
+        (sensorId: String, rows: Iterator[Reading], state: GroupState[SensorHealth]) =>
+          val prev = state.getOption.getOrElse(
+            SensorHealth(sensorId, 0L, 100.0, Double.MaxValue, low_battery = false))
+          val updated = rows.foldLeft(prev) { (acc, r) =>
+            SensorHealth(sensorId, acc.readings + 1, r.battery_level,
+              math.min(acc.min_battery, r.battery_level),
+              r.battery_level < 20.0)
+          }
+          state.update(updated)
+          updated
+      }
+  }
+}

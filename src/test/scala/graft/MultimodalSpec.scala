@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Multimodal plumbing: binary round-trip, partition layout, feature
+  * batch shape, corrupt-payload handling, metadata-only pruning.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("binary payloads round-trip through partitioned parquet") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mmspec").toString
+    val media = Multimodal.syntheticMedia(spark, 20)
+    Multimodal.writeMedia(media, s"$root/media")
+    val back = spark.read.parquet(s"$root/media").as[Multimodal.MediaItem]
+    assert(back.count() == 20)
+    val orig = media.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(back.collect().forall(m => orig(m.media_id) == m.payload.toSeq))
+    assert(new java.io.File(s"$root/media/kind=image").exists)
+  }
+
+  test("feature extraction is deterministic, fixed-dim, and flags corrupt payloads") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.sha256).sameElements(f2.map(_.sha256)))
+    assert(f1.forall(_.feature.length == Multimodal.FakeCodec.featureDim))
+    assert(f1.forall(_.decode_ok))
+
+    val corrupt = Seq(Multimodal.MediaItem(99L, "image", "jpeg", 1, 1, 0, Array[Byte](1, 2)))
+      .toDS()
+    val cf = Multimodal.extractFeatures(corrupt).collect().head
+    assert(!cf.decode_ok && cf.feature.isEmpty)
+  }
+
+  test("resize updates metadata and payload passes through the stub") {
+    val media = Multimodal.syntheticMedia(spark, 5)
+    val out = Multimodal.resize(media, 8, 8).collect()
+    assert(out.forall(m => m.width == 8 && m.height == 8))
+    assert(out.forall(m => m.payload.length <= 64))
+  }
+
+  test("metadata-only projection prunes the binary column at the scan") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mmspec").toString
+    Multimodal.writeMedia(Multimodal.syntheticMedia(spark, 5), s"$root/media")
+    val scan = Multimodal.metadataScan(spark, s"$root/media")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), s"payload should be pruned from:\n$plan")
+    assert(scan.count() == 5)
+  }
+}

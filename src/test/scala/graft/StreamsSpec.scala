@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Reading
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming slice: landing sink layout, watermarked windowed aggregation,
+  * and mapGroupsWithState sensor health — driven through MemoryStream.
+  */
+class StreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def reading(id: String, ts: String, battery: Double, temp: Double = 25.0) =
+    Reading(id, "Tokyo", ts, temp, 50.0, 40.0, battery)
+
+  test("raw landing sink writes arrival-partitioned NDJSON (Firehose layout)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "streamspec").toString
+    mem.addData(
+      reading("s1", "2026-08-12T06:00:00+00:00", 80.0),
+      reading("s2", "2026-08-12T06:00:10+00:00", 15.0))
+    val q = Streams.startRawLandingSink(mem.toDF(), s"$root/raw",
+      s"$root/chk", s"$root/errors", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val back = spark.read
+      .schema(graft.sources.Schemas.rawIot.add("year", "string")
+        .add("month", "string").add("day", "string"))
+      .json(s"$root/raw")
+    assert(back.count() == 2)
+    // arrival-time partition columns are zero-padded strings
+    val parts = back.select("year", "month", "day").distinct().collect().head
+    assert(parts.getString(0).length == 4 && parts.getString(1).length == 2
+      && parts.getString(2).length == 2)
+    // the landing zone feeds the SAME batch transform as the reference
+    val outcome = graft.operators.Pipeline.transformIot(spark, s"$root/raw", s"$root/curated")
+    assert(outcome.rowsWritten == 2)
+  }
+
+  test("windowed aggregation with watermark groups by event time") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    mem.addData(
+      reading("s1", "2026-08-12T06:01:00+00:00", 80.0, temp = 20.0),
+      reading("s2", "2026-08-12T06:02:00+00:00", 60.0, temp = 30.0),
+      reading("s1", "2026-08-12T06:07:00+00:00", 79.0, temp = 40.0))
+    val q = Streams.windowedCityStats(mem.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("win_stats")
+      .select(col("window.start").cast("string").as("start"),
+        col("readings"), col("avg_temp_c"))
+      .orderBy("start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 25.0)
+    assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 40.0)
+  }
+
+  test("mapGroupsWithState tracks per-sensor battery health across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.sensorHealth(mem.toDS())
+      .writeStream.format("memory").queryName("health")
+      .outputMode("update").trigger(Trigger.ProcessingTime("1 second")).start()
+    mem.addData(reading("s1", "t1", 50.0), reading("s1", "t2", 30.0))
+    q.processAllAvailable()
+    mem.addData(reading("s1", "t3", 10.0)) // second batch: state carries over
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("health").filter(col("sensor_id") === "s1")
+      .orderBy(col("readings").desc).collect().head
+    assert(last.getAs[Long]("readings") == 3)       // state survived the batch boundary
+    assert(last.getAs[Double]("min_battery") == 10.0)
+    assert(last.getAs[Boolean]("low_battery"))
+  }
+
+  test("synthetic stream projection matches the batch generator schema") {
+    val batch = graft.operators.Ingest.syntheticIotBatch(spark, Seq("A", "B"), 2, 1)
+    assert(batch.columns.sameElements(Array("sensor_id", "city", "timestamp",
+      "temperature_c", "humidity_pct", "aqi", "battery_level")))
+  }
+}

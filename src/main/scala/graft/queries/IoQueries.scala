@@ -66,6 +66,37 @@ object IoQueries {
       },
       Some("SELECT event_type, event_id, value FROM events ORDER BY event_id")),
 
+    // S5/S6/S7 — catalog serving path: external-table DDL over a
+    // partitioned layout + MSCK REPAIR + query through spark.table with a
+    // partition-pruning predicate. Counts must match DuckDB on the raw
+    // relation, proving registration and repair lose nothing.
+    QueryDef("s7_catalog_table",
+      (s, dir) => {
+        val out = qtmp("s7")
+        val events = t(s, dir, "events")
+          .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+        IO.writeCuratedParquet(events, out)
+        IO.createExternalTable(s, "graft_events_cat", "PARQUET",
+          events.schema, Seq("date"), out)
+        s.table("graft_events_cat")
+          .filter(col("date") >= "2024-01-15") // partition-pruned scan
+          .groupBy("date").agg(count(lit(1)).as("cnt"))
+          .orderBy("date")
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15' GROUP BY 1 ORDER BY date")),
+
+    // Skew mitigation — two-phase salted aggregation; result identical to
+    // the direct groupBy so the oracle verifies the rewrite.
+    QueryDef("k1_salted_groupby",
+      (s, dir) => graft.operators.Skew.saltedGroupAgg(
+        t(s, dir, "events"), "user_id",
+        col("value").cast("decimal(18,2)"), col("event_id"), salts = 16)
+        .select(col("user_id"), col("cnt"), col("total").cast("double").as("total"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS cnt,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // Multimodal feature extraction (rows-only: binary payloads are not a
     // DuckDB-comparable surface; MultimodalSpec covers the semantics).
     QueryDef("m1_media_features",

@@ -155,6 +155,60 @@ object RelationalQueries {
              |SELECT o_orderkey, o_custkey, o_totalprice FROM orders JOIN per ON o_custkey = k
              |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt > sum_price ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
 
+    // Left outer join: parts with their lineitem usage counts, keeping
+    // never-ordered parts (NULL-extending side verified by the oracle).
+    QueryDef("j5_left_outer",
+      (s, dir) => t(s, dir, "part")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_outer")
+        .groupBy("p_partkey")
+        .agg(sum(when(col("l_orderkey").isNotNull, 1L).otherwise(0L)).as("uses"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, CAST(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS uses
+             |FROM part LEFT OUTER JOIN lineitem ON p_partkey = l_partkey
+             |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin.replace("\n", " "))),
+
+    // Cube: all grouping-set combinations in one pass.
+    QueryDef("g2_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+
+    // UNION ALL across differently-filtered branches.
+    QueryDef("set3_union_all",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("event_type") === "click").select(col("event_id"), lit("c").as("tag"))
+          .union(e.filter(col("value") > 90).select(col("event_id"), lit("v").as("tag")))
+          .orderBy("event_id", "tag")
+      },
+      Some("""SELECT event_id, 'c' AS tag FROM events WHERE event_type = 'click'
+             |UNION ALL SELECT event_id, 'v' AS tag FROM events WHERE value > 90
+             |ORDER BY event_id, tag""".stripMargin.replace("\n", " "))),
+
+    // The serving layer itself (SURVEY.md §3.4): ANSI SQL text over
+    // registered tables via spark.sql — the Athena-equivalent surface.
+    QueryDef("sql1_serving",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""SELECT n_name, count(*) AS suppliers, min(s_acctbal) AS min_bal
+                |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some("SELECT n_name, count(*) AS suppliers, min(s_acctbal) AS min_bal FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name")),
+
+    // Approximate distinct (HLL++): order-insensitive sketch, so the
+    // result is deterministic under any partitioning — but DuckDB's
+    // approx_distinct is a different sketch, so this is a rows-only check;
+    // the spec asserts relative error against the exact count.
+    QueryDef("a5_approx_distinct",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
     // Distinct count (exact) + conditional aggregation.
     QueryDef("a4_distinct_conditional",
       (s, dir) => t(s, dir, "events")

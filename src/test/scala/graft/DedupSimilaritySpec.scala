@@ -126,6 +126,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(d.filter(col("b1") =!= col("b2")).count() == 0)
   }
 
+  test("approx_count_distinct stays within HLL++ error bounds of exact") {
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+    val row = e.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq(
       "the cat and the dog went to the park for a walk",

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so any session started with
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  * (or `.withExtensions(new GraftExtensions)`) can call them from SQL:
+  *
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT minhash_sig(word_shingles(tokens, 3), 16) ...
+  *   SELECT simhash64(tokens) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), intArg(exprs(1), "minhash_sig numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs(0), intArg(exprs(1), "word_shingles k"))))
+  }
+}

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to an existing
+    * session's registry (what SparkSession.builder does at build time;
+    * `registerFunctions` is private[sql]).
+    */
+  def registerExtensionFunctions(ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SQL-surface registration of the custom expressions through
+  * SparkSessionExtensions. A shared test session already exists, so the
+  * extension is applied to its function registry via the same
+  * `registerFunctions` path SparkSession.builder uses at build time.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from SQL via GraftExtensions") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.GraftSqlBridge.registerExtensionFunctions(
+      ext, spark.sessionState.functionRegistry)
+
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |  simhash64(array('a', 'b', 'a')) AS sh,
+        |  size(minhash_sig(array('x y z'), 16)) AS mh_len,
+        |  word_shingles(array('a', 'b', 'c'), 2) AS shingles
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getLong(1) != 0L)
+    assert(row.getInt(2) == 16)
+    assert(row.getSeq[String](3) == Seq("a b", "b c"))
+  }
+}

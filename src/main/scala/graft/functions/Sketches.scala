@@ -143,9 +143,56 @@ case class WordShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Jaccard similarity |A∩B| / |A∪B| of two DISTINCT string arrays,
+  * computed as one membership loop over the smaller set — no intersection
+  * or union array is materialized (the `array_intersect` route builds a
+  * hash set AND a result array per pair). Union size uses
+  * |A|+|B|−|A∩B| (valid for distinct inputs). Null input → null;
+  * both empty → 0.0.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim expects two array<string>, got ${l.sql} / ${r.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var a = l.asInstanceOf[ArrayData]
+    var b = r.asInstanceOf[ArrayData]
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val na = a.numElements(); val nb = b.numElements()
+    if (na + nb == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      if (!b.isNullAt(i) && set.contains(b.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
   def word_shingles(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), k))
+
+  def jaccard_sim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSim(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), numHashes))

@@ -91,16 +91,20 @@ object Dedup {
   def minhashFromShingles(sh: Column, numHashes: Int): Column =
     graft.functions.SketchFunctions.minhash_sig(sh, numHashes)
 
-  /** Jaccard of two precomputed DISTINCT shingle arrays:
-    * |A ∩ B| / |A ∪ B|, with |A ∪ B| = |A| + |B| − |A ∩ B| (valid because
-    * `TextAnalysis.shingles` deduplicates) — saves materializing the union
-    * array; only the intersection is computed.
+  /** Jaccard of two precomputed DISTINCT shingle arrays — fused native
+    * expression (graft.functions.JaccardSim): one membership loop, no
+    * intersect/union array materialization.
     */
-  def jaccardOfShingleArrays(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = (size(sa) + size(sb)).cast("double") - inter
-    when(union === 0, lit(0.0)).otherwise(inter / union)
-  }
+  def jaccardOfShingleArrays(sa: Column, sb: Column): Column =
+    graft.functions.SketchFunctions.jaccard_sim(sa, sb)
+
+  /** Size-ratio prefilter: for distinct sets, jaccard ≤ min/max of the two
+    * set sizes, so pairs with min < threshold·max can never reach the
+    * threshold — skip their membership loop entirely. Semantics-preserving.
+    */
+  private def sizeRatioMayReach(sa: Column, sb: Column, threshold: Double): Column =
+    size(sa).cast("double") >= lit(threshold) * size(sb) &&
+      size(sb).cast("double") >= lit(threshold) * size(sa)
 
   /** Exact n-gram Jaccard between two raw texts (convenience form). */
   def jaccardShingles(a: Column, b: Column, k: Int): Column =
@@ -115,6 +119,7 @@ object Dedup {
     val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(sizeRatioMayReach(col("a_sh"), col("b_sh"), threshold))
       .withColumn("jaccard", jaccardOfShingleArrays(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))

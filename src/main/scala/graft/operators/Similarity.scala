@@ -48,22 +48,35 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
+  /** Top-k per key via the bounded-heap aggregate
+    * (graft.functions.TopKAgg): map-side partial top-k means each mapper
+    * ships at most k skinny rows per key — unlike a row_number window,
+    * which shuffles and sorts EVERY scored row. Output: (key, rank, id,
+    * score), rank 1 = best, ordered score DESC then id ASC.
+    */
+  def topKPerKey(scored: DataFrame, keyCol: String, score: Column, id: Column,
+      k: Int): DataFrame =
+    scored.groupBy(col(keyCol))
+      .agg(graft.functions.TopKFunctions.top_k(score, id, k).as("__tk"))
+      .select(col(keyCol), posexplode(col("__tk")))
+      .select(col(keyCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"))
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); the corpus is
-    * only scanned, never shuffled. Self-matches excluded when ids collide.
+    * scanned once, and only ≤k rows per (query, mapper) reach the shuffle
+    * thanks to the partial top-k aggregate. Self-matches excluded.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    topKPerKey(scored, "query_id", col("cosine"), col("neighbor_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("score"), 6).as("cosine"))
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of `planes` deterministic
@@ -83,11 +96,13 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** IVF-style ANN: k-means-free variant using `centroids` rows sampled
-    * deterministically from the corpus (every `stride`-th vector). Each
-    * corpus vector is assigned to its nearest centroid (one broadcast
-    * join + TakeOrdered per vector); each query probes the `nprobe`
-    * nearest cells and ranks only those cells' members.
+  /** IVF-style ANN: k-means-free variant using centroid rows sampled
+    * deterministically from the corpus. Cell assignment scores each vector
+    * against the broadcast centroids and keeps the best cells via the
+    * bounded-heap top-k — the shuffle carries (id, cell) pairs, never the
+    * embedding arrays; vectors re-join their cells afterwards. Each query
+    * probes its `nprobe` nearest cells and ranks only those cells'
+    * members.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -95,32 +110,29 @@ object Similarity {
       corpus.orderBy("vec_id").limit(numCentroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_vec")))
 
-    def assign(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(
-        cosine(col(vecCol), col("cent_vec")).desc, col("centroid_id"))
-      df.crossJoin(centroids)
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("cent_vec", "cell_rank")
-    }
+    def cells(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame =
+      topKPerKey(
+        df.crossJoin(centroids)
+          .select(col(idCol), col("centroid_id"),
+            cosine(col(vecCol), col("cent_vec")).as("cs")),
+        idCol, col("cs"), col("centroid_id"), keep)
+        .select(col(idCol), col("id").as("cell"))
 
-    val assigned = assign(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec")),
-      "neighbor_id", "c_vec", keep = 1)
-      .withColumnRenamed("centroid_id", "cell")
-    val probed = assign(
-      broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
-      "query_id", "q_vec", keep = nprobe)
-      .withColumnRenamed("centroid_id", "cell")
+    val corpusV = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val queriesV = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
+
+    val assigned = cells(corpusV, "neighbor_id", "c_vec", keep = 1)
+      .join(corpusV, "neighbor_id")
+    val probed = cells(queriesV, "query_id", "q_vec", keep = nprobe)
+      .join(queriesV, "query_id")
 
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    topKPerKey(scored, "query_id", col("cosine"), col("neighbor_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("score"), 6).as("cosine"))
   }
 }

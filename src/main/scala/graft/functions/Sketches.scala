@@ -186,9 +186,100 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+  * Rabin-Karp hash over character k-grams of the normalized text, then the
+  * minimum hash of each sliding window of `w` consecutive k-gram hashes
+  * (rightmost minimum on ties). Guarantees any shared substring of length
+  * ≥ k + w − 1 produces at least one common fingerprint — the classic
+  * MOSS-style containment detector, here one fused per-row loop emitting a
+  * distinct sorted array<long>. Map-only; pairs join on exploded
+  * fingerprints downstream.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fingerprints expects string, got ${t.sql}")
+  }
+
+  private val B = 1000000007L // Rabin-Karp base (odd, fits mixing in 64-bit wrap)
+
+  override def nullSafeEval(input: Any): Any = {
+    // normalize: lowercase, collapse non-alphanumerics to single spaces
+    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val sb = new java.lang.StringBuilder(raw.length)
+    var prevSpace = true
+    var ci = 0
+    while (ci < raw.length) {
+      val c = raw.charAt(ci)
+      if (Character.isLetterOrDigit(c)) { sb.append(c); prevSpace = false }
+      else if (!prevSpace) { sb.append(' '); prevSpace = true }
+      ci += 1
+    }
+    val s = sb.toString.trim
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+
+    // rolling hashes of all k-grams (wrapping 64-bit arithmetic)
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var pow = 1L
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow *= B; i += 1 }
+    hashes(0) = finalMix(h)
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = finalMix(h)
+      i += 1
+    }
+
+    // winnow: rightmost minimum of each window of w hashes
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var minIdx = 0
+      i = 1
+      while (i < m) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
+      out.add(hashes(minIdx))
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var minIdx = start
+        i = start + 1
+        while (i < start + w) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
+        out.add(hashes(minIdx))
+        start += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** xorshift-multiply avalanche so nearby k-grams don't get nearby hashes. */
+  private def finalMix(x: Long): Long = {
+    var z = x + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   def word_shingles(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), k))
+
+  def winnow_fingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(text), k, w))
 
   def jaccard_sim(a: Column, b: Column): Column =
     GraftSqlBridge.column(JaccardSim(

@@ -159,6 +159,41 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Winnowing-based containment candidates: documents sharing at least
+    * `minShared` winnowing fingerprints. Fingerprinting is map-only; the
+    * pair generation is a self-join keyed on the exploded fingerprint
+    * values (uniform 64-bit hashes → balanced shuffle), never O(docs²).
+    */
+  def winnowingNearDups(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minContainment: Double = 0.5, maxDocFreq: Int = 50): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(TextAnalysis.winnowingFingerprints(col("text"), k, w)).as("fp"))
+    // Frequency cap: a fingerprint present in more than `maxDocFreq` docs
+    // is boilerplate, not evidence of copying — and it is exactly what
+    // makes the pair join quadratic (a fp shared by d docs yields d²
+    // pairs). Dropping hot fps bounds every fp's pair fan-out; fps are
+    // distinct per doc, so count(*) per fp IS document frequency.
+    val rare = exploded.groupBy("fp")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val kept = exploded.join(rare, "fp")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    val f = kept.join(sizes, "doc_id")
+    // containment = shared / |smaller surviving fp set| — robust to length
+    // asymmetry (detects a document embedded inside a larger one)
+    f.select(col("fp"), col("doc_id").as("a_id"), col("n_fps").as("a_n"))
+      .join(f.select(col("fp"), col("doc_id").as("b_id"), col("n_fps").as("b_n")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_fps"),
+        first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+      .withColumn("containment",
+        col("shared_fps").cast("double") / least(col("a_n"), col("b_n")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("shared_fps"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ `threshold`.
     * Exact form is the O(n²) cross join (verification metric); the scale
     * path buckets by random-hyperplane LSH first (Similarity.hyperplaneLsh)

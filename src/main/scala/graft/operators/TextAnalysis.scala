@@ -97,6 +97,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Winnowing fingerprints (rolling Rabin-Karp over char k-grams, window
+    * minima) — graft.functions.WinnowFingerprints. Any shared substring of
+    * length ≥ k+w−1 yields at least one common fingerprint; the
+    * containment-detection primitive (MOSS).
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.SketchFunctions.winnow_fingerprints(text, k, w)
+
   /** Distinct word k-shingles (contiguous k-grams joined by a space),
     * computed by the fused native expression graft.functions.WordShingles.
     * Fewer than k tokens → empty array.

@@ -101,6 +101,19 @@ object RelationalQueries {
              |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
              |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
+    // Tumbling event-time window over a batch relation — the batch face of
+    // the streaming windowed aggregation (same window() semantics).
+    QueryDef("w3_tumbling_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .orderBy("day", "event_type"),
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+             |event_type, count(*) AS cnt FROM events
+             |GROUP BY 1, event_type ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
+
     // Sort / top-k — Spark plans TakeOrderedAndProject (no full sort shuffle).
     QueryDef("s1_topk",
       (s, dir) => t(s, dir, "orders")

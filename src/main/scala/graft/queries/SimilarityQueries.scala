@@ -74,6 +74,15 @@ object SimilarityQueries {
         .orderBy("a_id", "b_id"),
       None),
 
+    // Winnowing (rolling-hash) fingerprint containment candidates. No
+    // DuckDB oracle (engine-specific hash family); rows-only check +
+    // guarantee-based spec (shared substring ⇒ shared fingerprint).
+    QueryDef("d7_winnowing",
+      (s, dir) => Dedup.winnowingNearDups(
+        t(s, dir, "documents"), k = 5, w = 4, minContainment = 0.6)
+        .orderBy("a_id", "b_id"),
+      None),
+
     // IVF-style approximate top-k — the ANN scale path (probes nprobe
     // cells instead of the full corpus). Deterministic but Spark-specific
     // ranking internals; rows-only check + recall-vs-brute-force spec.

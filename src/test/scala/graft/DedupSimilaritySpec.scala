@@ -126,6 +126,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(d.filter(col("b1") =!= col("b2")).count() == 0)
   }
 
+  test("winnowing: identical text -> identical fingerprints; shared substring guarantee") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"totally different beginning $shared and another ending"),
+      (3L, "unrelated content with no overlap whatsoever in this document text"),
+      (4L, s"prefix one $shared suffix alpha")).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprints(col("text"), 5, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(4L)) // identical text
+    // winnowing guarantee: shared substring of length >= k+w-1 -> common fp
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    val pairs = Dedup.winnowingNearDups(d, 5, 4, minContainment = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("approx_count_distinct stays within HLL++ error bounds of exact") {
     val e = graft.sources.Tables.load(spark, sfDir, "events")
     val row = e.agg(

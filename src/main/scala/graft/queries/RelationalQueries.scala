@@ -101,6 +101,34 @@ object RelationalQueries {
              |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
              |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
+    // As-of (backward) join: latest event per user at or before each
+    // order's date — Spark lacks the operator; graft.operators.AsOf
+    // implements the union/carry-forward pattern (one shuffle, no pair
+    // blow-up). Timestamps compare as epoch micros on both engines
+    // (DuckDB epoch_us truncates ns exactly like the loader's ts DIV 1000).
+    QueryDef("j6_asof_join",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val events = t(s, dir, "events")
+        graft.operators.AsOf.joinBackward(
+          orders.select("o_orderkey", "o_custkey", "o_orderdate"), events,
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftTs = unix_micros(col("o_orderdate").cast("timestamp")), rightTs = unix_micros(col("ts")),
+          payload = Seq("event_id", "value"), tiebreak = col("event_id"))
+          .select("o_orderkey", "event_id", "value")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id AS k, epoch_us(ts) AS uts, 1 AS is_r, event_id AS tb, event_id, value, NULL::BIGINT AS o_orderkey FROM events
+             |  UNION ALL
+             |  SELECT o_custkey, epoch_us(o_orderdate), 0, NULL, NULL, NULL, o_orderkey FROM orders),
+             |w AS (SELECT *,
+             |  last_value(event_id IGNORE NULLS) OVER win AS carry_eid,
+             |  last_value(CASE WHEN is_r = 1 THEN value END IGNORE NULLS) OVER win AS carry_val
+             |  FROM u WINDOW win AS (PARTITION BY k ORDER BY uts ASC, is_r DESC, tb ASC NULLS FIRST ROWS UNBOUNDED PRECEDING))
+             |SELECT o_orderkey, carry_eid AS event_id, carry_val AS value FROM w WHERE is_r = 0 ORDER BY o_orderkey"""
+        .stripMargin.replace("\n", " "))),
+
     // Tumbling event-time window over a batch relation — the batch face of
     // the streaming windowed aggregation (same window() semantics).
     QueryDef("w3_tumbling_window",

@@ -27,6 +27,28 @@ object IO {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** S1 variant with corrupt-record capture: malformed JSON lines don't
+    * poison the scan (PERMISSIVE mode) — they surface in a
+    * `_corrupt_record` column and are split off to a dead-letter frame,
+    * the batch-scan analog of the Firehose `firehose-errors/` prefix
+    * (reference terraform/modules/kinesis/main.tf:39).
+    * Returns (clean rows, corrupt raw lines).
+    */
+  def readNdjsonWithCorrupt(spark: SparkSession, schema: StructType,
+      path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val df = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // required: corrupt-record column cannot be filtered from an uncached json scan twice
+    val clean = df.filter(df.col("_corrupt_record").isNull).drop("_corrupt_record")
+    val corrupt = df.filter(df.col("_corrupt_record").isNotNull)
+      .select(df.col("_corrupt_record").as("raw_line"))
+    (clean, corrupt)
+  }
+
   /** S9 — NDJSON writer for the raw zone, Hive-partitioned like the batch
     * ingest lambda's `raw/weather/date=YYYY-MM-DD/` layout
     * (scripts/batch_ingest/lambda_function.py:76-93). File-per-partition
@@ -47,12 +69,20 @@ object IO {
     * that survives: an hourly sweep rewrites hours, not history.
     */
   def writeCuratedParquet(df: DataFrame, path: String,
-      partitionCols: Seq[String] = Seq("date"), dynamic: Boolean = true): Unit =
-    df.write.mode("overwrite")
+      partitionCols: Seq[String] = Seq("date"), dynamic: Boolean = true,
+      compact: Boolean = false): Unit = {
+    // compact=true repartitions on the partition columns first, so each
+    // output partition is written by one task — one file per partition
+    // instead of files-per-task-per-partition. Costs a shuffle; the cure
+    // for the reference's small-file problem (Firehose 60 s flushes +
+    // file-per-city ingest) when a partition's data fits one task.
+    val src = if (compact) df.repartition(partitionCols.map(df.col): _*) else df
+    src.write.mode("overwrite")
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy(partitionCols: _*)
       .option("compression", "snappy")
       .parquet(path)
+  }
 
   /** S7 — external-table DDL, the Spark equivalent of the four Glue catalog
     * declarations (terraform/modules/glue/main.tf:37-290).

@@ -72,6 +72,31 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/curated").exists)
   }
 
+  test("corrupt NDJSON lines are dead-lettered, clean rows survive") {
+    val root = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/raw"))
+    Files.write(java.nio.file.Paths.get(s"$root/raw/mixed.json"),
+      (iotLines.take(2) :+ "{not valid json at all" :+ "\"scalar\"").mkString("\n").getBytes)
+    val (clean, corrupt) = IO.readNdjsonWithCorrupt(spark, Schemas.rawIot, s"$root/raw")
+    assert(clean.count() == 2)
+    assert(corrupt.count() == 2)
+    assert(corrupt.collect().map(_.getString(0)).exists(_.startsWith("{not valid")))
+  }
+
+  test("compacted curated write produces one file per partition") {
+    val root = tmp()
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"k$i", f"2026-08-${i % 2 + 1}%02d")).toDF("k", "date")
+      .repartition(8) // many tasks -> would write 8 files per partition uncompacted
+    IO.writeCuratedParquet(df, s"$root/curated", compact = true)
+    Seq("2026-08-01", "2026-08-02").foreach { d =>
+      val files = new java.io.File(s"$root/curated/date=$d")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"expected 1 compacted file for $d, got $files")
+    }
+    assert(spark.read.parquet(s"$root/curated").count() == 100)
+  }
+
   test("ndjson round-trip preserves values") {
     val root = tmp()
     import spark.implicits._

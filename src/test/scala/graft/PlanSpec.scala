@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (pushdown, pruning, broadcast, partial aggregation, top-k without full
+  * sort) asserted against the actual optimized plans, so a refactor that
+  * silently loses one fails the build.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("range filter reaches the parquet scan as a pushed filter") {
+    val plan = q("p2_range_filter").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or(LessThan(l_quantity,5.0),GreaterThan(l_quantity,45.0))]"),
+      s"missing pushdown in:\n$plan")
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val plan = q("f1_pseudonymize").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan not pruned in:\n$plan")
+  }
+
+  test("dimension joins broadcast; no shuffle join appears") {
+    val plan = q("j1_broadcast_dim_join").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, s"expected 2 BHJ in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join must not SMJ:\n$plan")
+  }
+
+  test("aggregation is partial+final (map-side combine present)") {
+    val plan = q("q1_pricing_summary").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"missing partial aggregation in:\n$plan")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = q("s1_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("knn top-k uses the bounded-heap aggregate, not a window sort") {
+    val plan = q("v1_knn_brute").queryExecution.executedPlan.toString
+    assert(plan.contains("top_k"), s"expected top_k aggregate in:\n$plan")
+    assert(!plan.contains("row_number"), s"knn must not rank via window in:\n$plan")
+  }
+
+  test("partition-pruned catalog scan only lists matching partitions") {
+    q("s7_catalog_table").collect() // materializes table + repair
+    val pruned = spark.table("graft_events_cat")
+      .filter(col("date") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(date"), s"no partition filter in:\n$scan")
+  }
+}

@@ -102,6 +102,27 @@ object Multimodal {
         else java.util.Arrays.copyOf(m.payload, math.min(m.payload.length, w * h))))
   }
 
+  final case class MediaFrame(media_id: Long, frame_index: Int, frame: Array[Byte])
+
+  /** Frame sampling (STUB codec): every `stride`-th fixed-size chunk of
+    * the payload stands in for a decoded video frame. The real surface —
+    * one media row fanning out to N frame rows, batch-iterated per
+    * partition, order-stable — is exactly what a JavaCV-backed version
+    * would keep.
+    */
+  def frameSample(media: Dataset[MediaItem], frameBytes: Int = 16,
+      stride: Int = 2): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val p = if (m.payload == null) Array.empty[Byte] else m.payload
+      val nFrames = p.length / frameBytes
+      (0 until nFrames by stride).map { i =>
+        MediaFrame(m.media_id, i,
+          java.util.Arrays.copyOfRange(p, i * frameBytes, (i + 1) * frameBytes))
+      }
+    }
+  }
+
   /** Write the media table: binary payload column in parquet, partitioned
     * by kind — large blobs stay out of the dictionary-encoded path and
     * scans that only need metadata never touch payload bytes (columnar

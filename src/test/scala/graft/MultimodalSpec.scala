@@ -44,6 +44,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(m => m.payload.length <= 64))
   }
 
+  test("frame sampling fans one media row into ordered frame rows") {
+    val media = Multimodal.syntheticMedia(spark, 3)
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 2).collect()
+    val byId = frames.groupBy(_.media_id)
+    byId.foreach { case (id, fs) =>
+      val payloadLen = media.filter(col("media_id") === id)
+        .collect().head.payload.length
+      assert(fs.map(_.frame_index).sorted.toSeq ==
+        (0 until payloadLen / 16 by 2).toSeq)
+      assert(fs.forall(_.frame.length == 16))
+    }
+  }
+
   test("metadata-only projection prunes the binary column at the scan") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "mmspec").toString

@@ -13,10 +13,16 @@ object Bench {
     // Warmup: JIT + codegen + parquet-reader init on the smallest SF, so
     // whichever query happens to run first isn't charged session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Best-of-N per query (default 2): the first run pays page-cache and
+    // codegen warmup; the min reflects steady-state engine cost.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,6 +25,17 @@ object Dedup {
   def exact(df: DataFrame, byCol: String, keyCol: String): DataFrame =
     df.groupBy(col(byCol)).agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("copies"))
 
+  /** Exact dedup returning the FULL surviving rows (the row holding the
+    * smallest `keyCol` per `byCol` value): groupBy+min then a semi-join on
+    * (byCol, keyCol) — still one partial-agg shuffle plus one join keyed
+    * the same way, no window sort, deterministic keeper.
+    */
+  def exactRows(df: DataFrame, byCol: String, keyCol: String): DataFrame =
+    df.join(
+      df.groupBy(col(byCol)).agg(min(col(keyCol)).as(keyCol)),
+      Seq(byCol, keyCol), "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*) // using-join puts keys first; restore order
+
   /** Exact dedup on a fingerprint (formatting-insensitive). */
   def exactByFingerprint(docs: DataFrame): DataFrame =
     docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))

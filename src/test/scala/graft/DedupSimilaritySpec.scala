@@ -47,6 +47,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.sameElements(Array(("x", 1L, 2L), ("y", 3L, 1L))))
   }
 
+  test("exactRows returns the full surviving row per duplicate group") {
+    val d = Seq((1L, "x", "keep"), (5L, "x", "drop"), (3L, "y", "only"))
+      .toDF("doc_id", "text", "extra")
+    val got = Dedup.exactRows(d, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, String, String)].collect()
+    assert(got.sameElements(Array((1L, "x", "keep"), (3L, "y", "only"))))
+  }
+
   test("minhash LSH finds every planted near-dup (recall vs exact jaccard)") {
     val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

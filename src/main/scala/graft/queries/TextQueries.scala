@@ -92,6 +92,31 @@ object TextQueries {
              |(SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents)
              |GROUP BY fp ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Deterministic train/val/test split: membership is a pure function of
+    // md5(id||salt) — reproducible across partitioning, engines, and runs
+    // (DuckDB recomputes the identical assignment).
+    QueryDef("samp1_deterministic_split",
+      (s, dir) => graft.operators.Sampling.assignSplit(
+        t(s, dir, "events").select("event_id"), "event_id", 80, 10)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CASE
+             |WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT event_id, ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 100 AS b FROM events)
+             |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // Per-group cap: keep the n longest docs per source via the
+    // bounded-heap top-k (map-side partial, no window sort).
+    QueryDef("samp2_cap_per_group",
+      (s, dir) => graft.operators.Sampling.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", col("n_chars"), "doc_id", n = 5)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id, n_chars FROM (
+             |SELECT source, doc_id, n_chars,
+             |row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             |FROM documents) WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin.replace("\n", " "))),
+
     // Exact n-gram Jaccard near-dup pairs on a deterministic subset (the
     // verification metric; LSH below generates candidates at scale).
     QueryDef("d3_ngram_jaccard",

@@ -163,6 +163,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("deterministic split is invariant to partitioning and roughly proportioned") {
+    val e = graft.sources.Tables.load(spark, sfDir, "events").select("event_id")
+    val a = graft.operators.Sampling.assignSplit(e, "event_id", 80, 10)
+      .as[(Long, String)].collect().toMap
+    val b = graft.operators.Sampling.assignSplit(e.repartition(13), "event_id", 80, 10)
+      .as[(Long, String)].collect().toMap
+    assert(a == b) // membership is a pure function of the id, not layout
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train=${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.04)
+    assert(math.abs(frac("test") - 0.1) < 0.04)
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq(
       "the cat and the dog went to the park for a walk",

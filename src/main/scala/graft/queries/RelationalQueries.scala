@@ -129,6 +129,31 @@ object RelationalQueries {
              |SELECT o_orderkey, carry_eid AS event_id, carry_val AS value FROM w WHERE is_r = 0 ORDER BY o_orderkey"""
         .stripMargin.replace("\n", " "))),
 
+    // Sessionization: per-user session ids from event-time gaps > 30 min —
+    // lag to detect session starts, running sum to number them. The batch
+    // face of session windows; one shuffle on the user key.
+    QueryDef("w4_sessionize",
+      (s, dir) => {
+        val uts = unix_micros(col("ts"))
+        val w = Window.partitionBy("user_id").orderBy(uts, col("event_id"))
+        t(s, dir, "events")
+          .withColumn("new_session",
+            when(uts - lag(uts, 1).over(w) > 1800L * 1000000L, 1L)
+              .when(lag(uts, 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select("user_id", "event_id", "session_id")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS uts FROM events),
+             |g AS (SELECT user_id, event_id, uts,
+             |  CASE WHEN lag(uts, 1) OVER win IS NULL THEN 1
+             |       WHEN uts - lag(uts, 1) OVER win > 1800000000 THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY uts, event_id))
+             |SELECT user_id, event_id,
+             |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY uts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM g ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // Tumbling event-time window over a batch relation — the batch face of
     // the streaming windowed aggregation (same window() semantics).
     QueryDef("w3_tumbling_window",

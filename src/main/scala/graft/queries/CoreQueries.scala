@@ -52,8 +52,10 @@ object CoreQueries {
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_quantity") < 5 || col("l_quantity") > 45)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45 ORDER BY l_orderkey, l_linenumber")),
+        // (orderkey, linenumber) is NOT unique in the testdata — the
+        // quantity tiebreak makes the ordering total on both engines
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity")),
 
     // P5 — derived unit conversion, op-for-op the reference formula
     // round(x * 9/5 + 32, 2) (transform.py:171-173).

@@ -18,10 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(rows):
-    out = []
-    for r in rows:
-        out.append(tuple("NULL" if v is None else repr(v) for v in r))
-    return sorted(out)
+    # Order-sensitive: every query carries a total ORDER BY on both sides,
+    # so results must match row-for-row (stricter than the driver needs —
+    # an order-only diff is reported distinctly below).
+    return [tuple("NULL" if v is None else repr(v) for v in r) for r in rows]
 
 
 def main(sf_dir, out_dir):
@@ -49,9 +49,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
             n_fail += 1
         elif spark_rows != duck_rows:
-            diffs = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
-            print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}"
-                  f" first-diffs={diffs[:3]}")
+            if sorted(spark_rows) == sorted(duck_rows):
+                print(f"FAIL {name}: ORDER-ONLY mismatch (same multiset; "
+                      f"ORDER BY is not a total order)")
+            else:
+                diffs = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
+                print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}"
+                      f" first-diffs={diffs[:3]}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")

@@ -80,11 +80,54 @@ object Streams {
         avg(col("temperature_c")).as("avg_temp_c"),
         max(col("aqi")).as("max_aqi"))
 
+  /** Session windows: per-city activity sessions closed by a `gap` of
+    * event-time silence — the built-in session_window aggregation
+    * (dynamic-length windows, watermark-evicted state).
+    */
+  def sessionStats(readings: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    readings
+      .withColumn("event_time", to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col("city"))
+      .agg(count(lit(1)).as("readings"), min(col("battery_level")).as("min_battery"))
+
   final case class Reading(sensor_id: String, city: String, timestamp: String,
       temperature_c: Double, humidity_pct: Double, aqi: Double, battery_level: Double)
 
   final case class SensorHealth(sensor_id: String, readings: Long,
       last_battery: Double, min_battery: Double, low_battery: Boolean)
+
+  final case class BatteryAlert(sensor_id: String, battery_level: Double,
+      previous_level: Double)
+
+  /** flatMapGroupsWithState: emit 0..n alert rows per group per batch —
+    * one alert each time a sensor's battery falls below `threshold` from
+    * at-or-above it (edge-triggered, so a flat low battery doesn't spam).
+    * State per sensor is just the last seen level.
+    */
+  def batteryAlerts(readings: Dataset[Reading], threshold: Double = 20.0)
+      : Dataset[BatteryAlert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.sensor_id)
+      .flatMapGroupsWithState[Double, BatteryAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (sensorId: String, rows: Iterator[Reading], state: GroupState[Double]) =>
+          var last = state.getOption.getOrElse(Double.MaxValue)
+          val alerts = rows.toSeq.sortBy(_.timestamp).flatMap { r =>
+            val fired =
+              if (last >= threshold && r.battery_level < threshold)
+                Some(BatteryAlert(sensorId, r.battery_level, last))
+              else None
+            last = r.battery_level
+            fired
+          }
+          state.update(last)
+          alerts.iterator
+      }
+  }
 
   /** Custom per-key state via mapGroupsWithState: rolling battery health
     * per sensor — the KeyValueGroupedDataset stateful surface

@@ -81,6 +81,45 @@ class StreamsSpec extends SparkSpec {
     assert(last.getAs[Boolean]("low_battery"))
   }
 
+  test("session windows close after the event-time gap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    mem.addData(
+      reading("s1", "2026-08-12T06:00:00+00:00", 80.0),
+      reading("s1", "2026-08-12T06:10:00+00:00", 70.0),  // same session (gap 10m < 30m)
+      reading("s1", "2026-08-12T07:30:00+00:00", 60.0))  // new session (gap 80m)
+    val q = Streams.sessionStats(mem.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess_stats")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_stats")
+      .select(col("session_window.start").cast("string").as("start"),
+        col("readings"), col("min_battery"))
+      .orderBy("start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 70.0)
+    assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 60.0)
+  }
+
+  test("flatMapGroupsWithState emits edge-triggered battery alerts") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.batteryAlerts(mem.toDS(), threshold = 20.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    mem.addData(
+      reading("s1", "t1", 50.0), reading("s1", "t2", 15.0), // crossing -> alert
+      reading("s1", "t3", 12.0))                            // still low -> no alert
+    q.processAllAvailable()
+    mem.addData(reading("s1", "t4", 60.0), reading("s1", "t5", 5.0)) // recross -> alert
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("alerts")
+      .orderBy("battery_level").collect()
+    assert(alerts.length == 2)
+    assert(alerts.map(_.getAs[Double]("battery_level")).toSeq == Seq(5.0, 15.0))
+  }
+
   test("synthetic stream projection matches the batch generator schema") {
     val batch = graft.operators.Ingest.syntheticIotBatch(spark, Seq("A", "B"), 2, 1)
     assert(batch.columns.sameElements(Array("sensor_id", "city", "timestamp",

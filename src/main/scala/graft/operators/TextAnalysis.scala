@@ -97,6 +97,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Corpus-level term statistics: term frequency per (doc, term) and
+    * document frequency per term — the TF-IDF building blocks, kept as
+    * exact integers (a float idf would hit libm log() differences across
+    * engines). Shuffles once on the term key for DF, once on doc for the
+    * per-doc ranking; both partial-aggregated map-side.
+    */
+  def termStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term").select("doc_id", "term", "tf", "df")
+  }
+
+  /** Top-n most distinctive terms per document: highest tf, ties broken
+    * by rarest (lowest df) then term text — a pure-integer ordering, so
+    * both engines rank identically.
+    */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    termStats(docs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+  }
+
   /** Winnowing fingerprints (rolling Rabin-Karp over char k-grams, window
     * minima) — graft.functions.WinnowFingerprints. Any shared substring of
     * length ≥ k+w−1 yields at least one common fingerprint; the

@@ -92,6 +92,21 @@ object TextQueries {
              |(SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents)
              |GROUP BY fp ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Corpus term statistics: top-3 distinctive terms per doc by exact
+    // integer (tf DESC, df ASC, term) ranking — the TF-IDF surface without
+    // float-log cross-engine risk.
+    QueryDef("t4_distinctive_terms",
+      (s, dir) => TextAnalysis.distinctiveTerms(t(s, dir, "documents"), 3)
+        .select("doc_id", "rn", "term", "tf", "df")
+        .orderBy("doc_id", "rn"),
+      Some(s"""WITH terms AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+              |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+              |ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              |  row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+              |  FROM tf JOIN df USING (term))
+              |SELECT doc_id, rn, term, tf, df FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin.replace("\n", " "))),
+
     // Deterministic train/val/test split: membership is a pure function of
     // md5(id||salt) — reproducible across partitioning, engines, and runs
     // (DuckDB recomputes the identical assignment).

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency: names unique, every query either carries
+  * a DuckDB oracle or is on the explicit rows-only allowlist (each entry
+  * there has a documented reason and a covering spec).
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("query names are unique and SQL-safe") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("rows-only queries are exactly the documented allowlist") {
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    val allowed = Set(
+      "d5_minhash_lsh",    // Spark xxhash64 not reproducible in DuckDB; recall spec
+      "d6_simhash",        // same hash family; identity/Hamming specs
+      "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
+      "v2_knn_ivf",        // approximate; recall-vs-brute-force spec
+      "a5_approx_distinct",// DuckDB uses a different sketch; error-bound spec
+      "m1_media_features") // binary payloads; MultimodalSpec
+    assert(rowsOnly == allowed,
+      s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -275,6 +275,35 @@ object RelationalQueries {
         .orderBy("event_type"),
       None),
 
+    // Exact continuous percentiles (same (1-g)*a + g*b interpolation on
+    // both engines — verified to the last bit on this data).
+    QueryDef("a6_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50_value"),
+          expr("percentile(value, 0.9)").as("p90_value"),
+          expr("percentile(value, 0.99)").as("p99_value")),
+      Some("""SELECT quantile_cont(value, 0.5) AS p50_value,
+             |quantile_cont(value, 0.9) AS p90_value,
+             |quantile_cont(value, 0.99) AS p99_value FROM events""".stripMargin.replace("\n", " "))),
+
+    // Edit distance (levenshtein) — the fuzzy string-matching primitive;
+    // all nation-name pairs, exact integer output.
+    QueryDef("f7_levenshtein",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        n.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
+          .crossJoin(n.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name")))
+          .filter(col("a_key") < col("b_key"))
+          .select(col("a_key"), col("b_key"),
+            levenshtein(col("a_name"), col("b_name")).as("dist"))
+          .orderBy("a_key", "b_key")
+      },
+      Some("""SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+             |CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+             |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+             |ORDER BY a_key, b_key""".stripMargin.replace("\n", " "))),
+
     // Distinct count (exact) + conditional aggregation.
     QueryDef("a4_distinct_conditional",
       (s, dir) => t(s, dir, "events")

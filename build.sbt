@@ -34,5 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (terraform/modules/glue/main.tf); keep date=YYYY-MM-DD as string on
   // read-back instead of inferring DateType.
   "-Dspark.sql.sources.partitionColumnTypeInference.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 concurrent local tasks share this heap; 16g keeps GC pressure low
+  // through a 50+-query bench session (machine has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -16,18 +16,29 @@ object Bench {
     // Best-of-N per query (default 2): the first run pays page-cache and
     // codegen warmup; the min reflects steady-state engine cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        // A crashing query reports -1, never its elapsed-to-crash time —
+        // failures must be distinguishable from fast passes in BENCH output.
+        // GC between queries so a query is never charged the allocation
+        // debt (dead broadcasts, codegen classes, agg buffers) of the 50+
+        // queries before it — without this, late-running queries measure
+        // the session's garbage, not their own cost.
+        System.gc()
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
-      name -> times.min
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

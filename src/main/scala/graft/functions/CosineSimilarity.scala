@@ -77,6 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val nn = ctx.freshName("nn")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -85,9 +87,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double x = ${getter(ta, a, i)};
-         |    double y = ${getter(tb, b, i)};
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    double $x = ${getter(ta, a, i)};
+         |    double $y = ${getter(tb, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

@@ -104,9 +104,14 @@ object TopKAgg {
     * (score DESC, id ASC), so the root is the first entry to evict.
     */
   final class Heap(k: Int) {
-    // worse = smaller score, or equal score with larger id
-    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    // worse = smaller score, or equal score with larger id. Scores are
+    // compared with Double.compare, which totally orders NaN greater than
+    // every other double — identical to Spark's window sort order, so the
+    // heap stays equivalent to the row_number formulation even on NaN.
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
     private val pq = new java.util.PriorityQueue[(Double, Long)](k,
       (a: (Double, Long), b: (Double, Long)) =>

@@ -76,7 +76,11 @@ object Dedup {
     val sh = docs.select(col("doc_id"),
       TextAnalysis.shingles(col("text"), shingleK).as("sh"))
 
-    val banded = sh.select(col("doc_id"),
+    // Docs too short to produce a shingle would all share the sentinel
+    // signature and collide in every band — a self-inflicted hot bucket
+    // (O(shortDocs²) candidates that exact-Jaccard then discards). They
+    // can never reach any threshold > 0, so drop them before banding.
+    val banded = sh.filter(size(col("sh")) > 0).select(col("doc_id"),
         posexplode(bandHashes(minhashFromShingles(col("sh"), numHashes), bands, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
@@ -124,10 +128,16 @@ object Dedup {
   /** All-pairs n-gram Jaccard above a threshold. Exact but O(n²) pairs —
     * the verification metric; use minhashNearDups for candidate generation
     * at scale. Shingles are computed once per doc, not per pair.
+    *
+    * The streamed side is repartitioned to the session's default
+    * parallelism first: a small doc subset otherwise sits in one input
+    * split, and the nested-loop join runs its n²/2 Jaccard evaluations on
+    * a single core while the rest of the cluster idles.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val sh = docs.select(col("doc_id"), TextAnalysis.shingles(col("text"), k).as("sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val a = sh.repartition(par).select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .filter(sizeRatioMayReach(col("a_sh"), col("b_sh"), threshold))
@@ -189,15 +199,20 @@ object Dedup {
       .select("fp")
     val kept = exploded.join(rare, "fp")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
-    val f = kept.join(sizes, "doc_id")
-    // containment = shared / |smaller surviving fp set| — robust to length
-    // asymmetry (detects a document embedded inside a larger one)
-    f.select(col("fp"), col("doc_id").as("a_id"), col("n_fps").as("a_n"))
-      .join(f.select(col("fp"), col("doc_id").as("b_id"), col("n_fps").as("b_n")), "fp")
+    // Pair generation ships only (fp, doc_id) — the per-doc fp counts join
+    // in AFTER the pair aggregation (two joins against the small per-doc
+    // relation) instead of riding every exploded pair row through the
+    // self-join shuffle and being first()'d back out.
+    val shared = kept.select(col("fp"), col("doc_id").as("a_id"))
+      .join(kept.select(col("fp"), col("doc_id").as("b_id")), "fp")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("shared_fps"),
-        first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+      .agg(count(lit(1)).as("shared_fps"))
+    // containment = shared / |smaller surviving fp set| — robust to length
+    // asymmetry (detects a document embedded inside a larger one)
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_fps").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_fps").as("b_n")), "b_id")
       .withColumn("containment",
         col("shared_fps").cast("double") / least(col("a_n"), col("b_n")))
       .filter(col("containment") >= minContainment)

@@ -42,9 +42,17 @@ object Sampling {
     * (ties → smallest `idCol`). Runs on the bounded-heap top-k aggregate —
     * map-side partial top-k, never a per-partition window sort — then
     * semi-joins the surviving ids back to recover full rows.
+    *
+    * `idCol` must be integral (the heap keys on long, and the semi-join
+    * equates the long back to the original column): a non-numeric id would
+    * cast to null and silently drop every row, so it is rejected here.
     */
   def capPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
       idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(df.schema(idCol).dataType),
+      s"capPerGroup requires an integral id column; '$idCol' is ${df.schema(idCol).dataType.sql}")
     val keep = Similarity.topKPerKey(
       df.select(col(groupCol), scoreCol.cast("double").as("__score"),
         col(idCol).cast("long").as("__id")),

@@ -97,34 +97,41 @@ object Similarity {
   }
 
   /** IVF-style ANN: k-means-free variant using centroid rows sampled
-    * deterministically from the corpus. Cell assignment scores each vector
-    * against the broadcast centroids and keeps the best cells via the
-    * bounded-heap top-k — the shuffle carries (id, cell) pairs, never the
-    * embedding arrays; vectors re-join their cells afterwards. Each query
-    * probes its `nprobe` nearest cells and ranks only those cells'
-    * members.
+    * deterministically from the corpus. The centroid "model" is tiny by
+    * construction, so it is collected once and re-enters the plan as
+    * literals: corpus cell assignment becomes a MAP-ONLY argmax over the
+    * broadcast centroids — no crossJoin, no aggregation, and the corpus
+    * embeddings are never shuffled for assignment. Each query probes its
+    * `nprobe` nearest cells and ranks only those cells' members.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy("vec_id").limit(numCentroids)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_vec")))
-
-    def cells(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame =
-      topKPerKey(
-        df.crossJoin(centroids)
-          .select(col(idCol), col("centroid_id"),
-            cosine(col(vecCol), col("cent_vec")).as("cs")),
-        idCol, col("cs"), col("centroid_id"), keep)
-        .select(col(idCol), col("id").as("cell"))
+    require(numCentroids >= 2, "need at least 2 centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Float])] = corpus.orderBy("vec_id").limit(numCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
 
     val corpusV = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
     val queriesV = broadcast(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
 
-    val assigned = cells(corpusV, "neighbor_id", "c_vec", keep = 1)
-      .join(corpusV, "neighbor_id")
-    val probed = cells(queriesV, "query_id", "q_vec", keep = nprobe)
+    // max of struct(score, -id) == (score DESC, id ASC) — identical
+    // ordering to the top-1 bounded heap the query side uses.
+    val argmaxCell = -greatest(cents.map { case (cid, v) =>
+      struct(cosine(col("c_vec"), typedlit(v)).as("cs"), lit(-cid).as("neg_id")) }: _*)
+      .getField("neg_id")
+    val assigned = corpusV.withColumn("cell", argmaxCell)
+
+    val centroids = broadcast(
+      cents.toDF("centroid_id", "cent_vec"))
+    val probed = topKPerKey(
+      queriesV.crossJoin(centroids)
+        .select(col("query_id"), col("centroid_id"),
+          cosine(col("q_vec"), col("cent_vec")).as("cs")),
+      "query_id", col("cs"), col("centroid_id"), nprobe)
+      .select(col("query_id"), col("id").as("cell"))
       .join(queriesV, "query_id")
 
     val scored = probed.join(assigned, Seq("cell"))

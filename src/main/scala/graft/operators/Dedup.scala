@@ -220,6 +220,80 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise matches into dedup clusters (keep one representative
+    * per component). Each round every vertex adopts the smallest label
+    * among (its own, its neighbors', its label's label) — min-label
+    * propagation plus pointer jumping. The jump is what makes long chains
+    * cheap: propagation alone needs diameter rounds (a 230-vertex chainy
+    * component measured 18), with jumping label paths halve every round —
+    * O(log diameter). Each round is two id-keyed joins + one
+    * partial-aggregated groupBy, nothing ever O(V²).
+    *
+    * Two things make the loop viable: the edge relation is persisted once
+    * (or an expensive upstream pair generator re-executes every round),
+    * and each round's labels are materialized through an RDD round-trip
+    * (localCheckpoint + createDataFrame), which BOTH truncates lineage
+    * AND resets plan statistics. Plain persist leaves the logical plan
+    * growing a round deeper every iteration; `Dataset.localCheckpoint`
+    * truncates the plan but REWRITES the old plan's stats into the new
+    * leaf — and since each round's plan references the label relation
+    * several times, the size-in-bytes estimate is raised to a power every
+    * round: double-exponential growth that ends with Catalyst multiplying
+    * megabit-long BigIntegers on the driver (measured: the loop went from
+    * seconds to never-terminating around round 10). The RDD round-trip
+    * pins stats at the default leaf estimate instead. On a cluster,
+    * prefer a reliable `checkpoint` directory to survive executor loss.
+    *
+    * Output: (id, comp) where comp = smallest vertex id in the component;
+    * vertices absent from `edges` keep comp = id.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      idCol: String = "doc_id", aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // materialize: truncate lineage AND reset plan stats (see Scaladoc)
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = materialize(
+      vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+      // pointer jumps: resolve each label through the current mapping
+      // twice — a chain a→b→c→d collapses to a→d within one round. The
+      // extra join is stages inside the SAME job; in a loop whose cost is
+      // per-round job overhead, trading a join for fewer rounds wins.
+      val jump1 = labels.select(col("id").as("m1"), col("comp").as("j1"))
+      val jump2 = labels.select(col("id").as("m2"), col("comp").as("j2"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .withColumn("m1", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
+        .join(jump1, Seq("m1"), "left")
+        .withColumn("m2", least(col("m1"), coalesce(col("j1"), col("m1"))))
+        .join(jump2, Seq("m2"), "left")
+        .withColumn("newcomp", least(col("m2"), coalesce(col("j2"), col("m2"))))
+        .select(col("id"), col("newcomp").as("comp"),
+          (col("newcomp") < col("comp")).as("ch"))
+      val nextMat = materialize(next)
+      changed = nextMat.filter(col("ch")).count()
+      labels = nextMat.select("id", "comp")
+      it += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("id").as(idCol), col("comp"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ `threshold`.
     * Exact form is the O(n²) cross join (verification metric); the scale
     * path buckets by random-hyperplane LSH first (Similarity.hyperplaneLsh)

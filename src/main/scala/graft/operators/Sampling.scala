@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from md5(id || salt) — md5 (not
-    * xxhash64) so external systems (and the DuckDB oracle) can reproduce
-    * membership exactly.
+  /** Stable 32-bit hash value from md5(id || salt) — md5 (not xxhash64) so
+    * external systems (and the DuckDB oracle) can reproduce it exactly.
     */
-  def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
+  def hashValue(id: Column, salt: String): Column =
     conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long") % buckets
+      .cast("long")
+
+  /** Stable bucket in [0, buckets) from md5(id || salt). */
+  def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
+    hashValue(id, salt) % buckets
 
   /** Keep ~pct% of rows, deterministically. */
   def deterministicSample(df: DataFrame, idCol: String, pct: Int,
@@ -36,6 +39,20 @@ object Sampling {
       when(b < trainPct, "train")
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
+  }
+
+  /** Deterministic "reservoir" of `n` rows per group: the n rows with the
+    * smallest md5(id || salt) — equivalent in distribution to uniform
+    * sampling without replacement, but a pure function of the ids, so the
+    * same rows are chosen under any partitioning, engine, or cluster size.
+    * Runs on the bounded-heap top-k (map-side partial), never a window
+    * sort over the full group.
+    */
+  def reservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    // smallest hash wins → negate for the keep-the-highest heap
+    val score = -hashValue(col(idCol), salt).cast("double")
+    capPerGroup(df, groupCol, score, idCol, n)
   }
 
   /** Keep at most `n` rows per group, preferring the highest `scoreCol`

@@ -123,6 +123,46 @@ object TextAnalysis {
       .filter(col("rn") <= n)
   }
 
+  /** Per-document repetition statistics — the boilerplate/spam signal a
+    * training-data pipeline filters on: total tokens, distinct tokens, and
+    * the highest single-token frequency. All exact integers (no float
+    * ratio boundary risk across engines); the caller derives ratios.
+    * One explode + two partial-aggregated shuffles keyed on doc_id.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val agg = tf.groupBy("doc_id").agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("tf")).as("top_tf"))
+    // zero-token docs never reach the explode — restore them with zeros
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_tf"), lit(0L)).as("top_tf"))
+  }
+
+  /** PII scrubbing: redact emails, IPv4 addresses, and phone-shaped digit
+    * runs with typed placeholders. Patterns stay in the common
+    * Java-regex/RE2 subset (no backrefs, no lookaround) so the DuckDB
+    * oracle applies the byte-identical rewrite. Order matters: IPs are
+    * redacted before phones so a dotted quad is never half-eaten as a
+    * phone number. Map-only — scrubbing streams at scan speed.
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhoneRe = "\\+?\\d[0-9 -]{7,}\\d"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiIpRe, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+
   /** Winnowing fingerprints (rolling Rabin-Karp over char k-grams, window
     * minima) — graft.functions.WinnowFingerprints. Any shared substring of
     * length ≥ k+w−1 yields at least one common fingerprint; the

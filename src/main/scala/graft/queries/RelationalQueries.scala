@@ -304,6 +304,66 @@ object RelationalQueries {
              |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
              |ORDER BY a_key, b_key""".stripMargin.replace("\n", " "))),
 
+    // Pivot: long→wide per-user event-type counts (explicit value list so
+    // the schema is static — the scalable form; discovery-pivot needs an
+    // extra distinct pass).
+    QueryDef("p9_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, dir, "events")
+          .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+        p.select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // Unpivot: wide→long melt of lineitem metrics (map-only, no shuffle).
+    // (orderkey, linenumber) is not unique in the testdata; value joins
+    // the ORDER BY so identical-row ties are the only ambiguity.
+    QueryDef("u1_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey % 10 = 0
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey % 10 = 0
+             |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin.replace("\n", " "))),
+
+    // Range (interval-point) join via the bucketed reformulation — clicks
+    // within one hour after each signup. The oracle states the naive theta
+    // join; the engine must produce identical counts from the bucketed
+    // equi-join plan (graft.operators.RangeJoin).
+    QueryDef("r1_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val hourUs = 3600L * 1000000L
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("event_id"), unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + hourUs).as("hi"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(unix_micros(col("ts")).as("t"))
+        graft.operators.RangeJoin.intervalPointCount(signups, "event_id", clicks, "t", hourUs)
+          .select(col("event_id"), col("matches").as("clicks_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT s.event_id, count(c.ts) AS clicks_1h
+             |FROM events s LEFT JOIN events c ON c.event_type = 'click'
+             |AND epoch_us(c.ts) >= epoch_us(s.ts) AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+             |WHERE s.event_type = 'signup'
+             |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin.replace("\n", " "))),
+
     // Distinct count (exact) + conditional aggregation.
     QueryDef("a4_distinct_conditional",
       (s, dir) => t(s, dir, "events")

@@ -22,6 +22,17 @@ object TextQueries {
 
   private val langs = TextAnalysis.stopwords.keys.toSeq.sorted
 
+  /** Shared DuckDB CTE chain: word 3-shingles and all-pairs intersection/
+    * union sizes over the deterministic doc subset (doc_id % 10 = 0) —
+    * used by both the pair query (d3) and the clustering query (c1).
+    */
+  private val duckShPairs =
+    """sub AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks FROM documents WHERE doc_id % 10 = 0),
+      |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM sub),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) AS inter, len(list_distinct(list_concat(a.s, b.s))) AS uni
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)""".stripMargin.replace("\n", " ")
+
   /** DuckDB stopword-hit count for one language. */
   private def duckHits(lang: String): String =
     s"len(list_filter(toks, t -> list_contains(${duckList(TextAnalysis.stopwords(lang))}, t)))"
@@ -138,13 +149,80 @@ object TextQueries {
       (s, dir) => Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0), k = 3, threshold = 0.02)
         .orderBy("a_id", "b_id"),
-      Some("""WITH sub AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks FROM documents WHERE doc_id % 10 = 0),
-             |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM sub),
-             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  len(list_intersect(a.s, b.s)) AS inter, len(list_distinct(list_concat(a.s, b.s))) AS uni
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      Some(s"""WITH $duckShPairs
              |SELECT a_id, b_id, round(CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END, 6) AS jaccard
              |FROM pairs WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.02
-             |ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")))
+             |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
+
+    // Dedup clustering: connected components over the exact-Jaccard pair
+    // list — pairwise matches become clusters labeled by their smallest
+    // member (the representative a dedup pass would keep). Oracle: DuckDB
+    // recursive CTE computing the reachability closure's min label.
+    QueryDef("c1_dedup_clusters",
+      (s, dir) => {
+        val sub = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        val edges = Dedup.ngramJaccardPairs(sub, k = 3, threshold = 0.02)
+          .select("a_id", "b_id")
+        Dedup.connectedComponents(edges, sub.select("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckShPairs,
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02
+             |  UNION ALL SELECT b_id, a_id FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02),
+             |reach(id, r) AS (SELECT doc_id, doc_id FROM sub
+             |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+             |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Repetition statistics: exact integer boilerplate/spam signals
+    // (token count, distinct tokens, highest single-token frequency).
+    QueryDef("t5_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             |trm AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM trm GROUP BY doc_id, term),
+             |agg AS (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_distinct, max(tf) AS top_tf FROM tf GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |CAST(coalesce(agg.n_distinct, 0) AS BIGINT) AS n_distinct,
+             |CAST(coalesce(agg.top_tf, 0) AS BIGINT) AS top_tf
+             |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // PII scrubbing: emails / IPv4s / phone-shaped digit runs redacted
+    // with typed placeholders. PII is planted deterministically on both
+    // sides (the corpus itself is synthetic and clean), then scrubbed with
+    // the same regex family; outputs must match byte-for-byte.
+    QueryDef("f8_pii_scrub",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").withColumn("ptext",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com from 10.0.0."), (col("doc_id") % 255).cast("string"),
+              lit(" tel +1 555 000 1234")))
+            .otherwise(col("text")))
+        planted.select(col("doc_id"),
+          TextAnalysis.scrubPii(col("ptext")).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (SELECT doc_id,
+             |CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) || ' tel +1 555 000 1234' ELSE text END AS ptext
+             |FROM documents)
+             |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(ptext,
+             |'${TextAnalysis.piiEmailRe}', '<EMAIL>', 'g'),
+             |'${TextAnalysis.piiIpRe}', '<IP>', 'g'),
+             |'${TextAnalysis.piiPhoneRe}', '<PHONE>', 'g') AS scrubbed
+             |FROM planted ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Deterministic per-group reservoir: the n rows with the smallest
+    // md5(id||salt) per group — uniform-without-replacement in
+    // distribution, reproducible under any partitioning or engine.
+    QueryDef("samp3_reservoir",
+      (s, dir) => graft.operators.Sampling.reservoirPerGroup(
+        t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", n = 3)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+             |SELECT source, doc_id,
+             |row_number() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT, doc_id) AS rn
+             |FROM documents) WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -92,6 +92,20 @@ object Streams {
       .groupBy(session_window(col("event_time"), gap), col("city"))
       .agg(count(lit(1)).as("readings"), min(col("battery_level")).as("min_battery"))
 
+  /** Streaming exact dedup: drop redeliveries of the same key arriving
+    * within the watermark horizon — the step that turns the Firehose-style
+    * at-least-once landing into exactly-once curated rows.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`, which
+    * retains every key seen FOREVER) evicts key state once the watermark
+    * passes it, so state is bounded by arrival rate × lateness, not by
+    * stream history — the only form that survives an unbounded stream.
+    */
+  def dedupStream(readings: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String, lateness: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Reading(sensor_id: String, city: String, timestamp: String,
       temperature_c: Double, humidity_pct: Double, aqi: Double, battery_level: Double)
 

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Dedup, RangeJoin, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-2 pipeline operators: dedup clustering (connected components),
+  * bucketed range join, deterministic reservoir sampling, PII scrubbing,
+  * and repetition statistics.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connectedComponents labels chains, cliques, and isolated vertices") {
+    // components: {1,2,3,4} (a chain), {10,11} (an edge), {99} (isolated)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, vertices)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connectedComponents matches brute-force closure on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val pairs = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Dedup.connectedComponents(
+      pairs.toDF("a_id", "b_id"), (0L until n.toLong).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    // brute-force union-find on the driver
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map { v =>
+      val root = find(v)
+      val minLabel = (0 until n).filter(find(_) == root).min
+      v.toLong -> minLabel.toLong
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("bucketed range join == naive theta join, across bucket widths") {
+    val rnd = new scala.util.Random(11)
+    val intervals = (0L until 80L).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i, lo, lo + 1 + rnd.nextInt(500))
+    }.toDF("id", "lo", "hi")
+    val points = Seq.fill(600)(rnd.nextInt(11000).toLong).toDF("t")
+    val naive = RangeJoin.intervalPointCountNaive(intervals, "id", points, "t")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    for (w <- Seq(7L, 256L, 5000L)) {
+      val bucketed = RangeJoin.intervalPointCount(intervals, "id", points, "t", w)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(bucketed == naive, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("range join bounds are half-open [lo, hi)") {
+    val intervals = Seq((1L, 10L, 20L)).toDF("id", "lo", "hi")
+    val points = Seq(9L, 10L, 19L, 20L).toDF("t")
+    val got = RangeJoin.intervalPointCount(intervals, "id", points, "t", 4L)
+      .as[(Long, Long)].collect().head
+    assert(got == (1L, 2L)) // 10 and 19 in; 9 and 20 out
+  }
+
+  test("reservoirPerGroup: caps size, deterministic, partitioning-invariant") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
+    val a = Sampling.reservoirPerGroup(df, "source", "doc_id", 5)
+      .orderBy("source", "doc_id").as[(Long, String)].collect().toSeq
+    assert(a.groupBy(_._2).forall(_._2.size == 5))
+    val b = Sampling.reservoirPerGroup(df.repartition(13, col("doc_id")), "source", "doc_id", 5)
+      .orderBy("source", "doc_id").as[(Long, String)].collect().toSeq
+    assert(a == b) // pure function of (id, salt): layout must not matter
+    val c = Sampling.reservoirPerGroup(df, "source", "doc_id", 5, salt = "other")
+      .orderBy("source", "doc_id").as[(Long, String)].collect().toSeq
+    assert(a != c) // different salt draws a different sample
+  }
+
+  test("scrubPii redacts emails, IPs, and phone runs; clean text untouched") {
+    val got = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "from 192.168.0.1 port 443",
+      "call +1 555 010 1234 today",
+      "clean text, nothing here 12.5")
+      .toDF("text").select(TextAnalysis.scrubPii(col("text"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "from <IP> port 443")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "clean text, nothing here 12.5")
+  }
+
+  test("repetitionStats: exact counts incl. zero-token docs") {
+    val docs = Seq((1L, "a a a b"), (2L, ""), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, 3L), (2L, 0L, 0L, 0L), (3L, 3L, 3L, 1L)))
+  }
+}

@@ -120,6 +120,27 @@ class StreamsSpec extends SparkSpec {
     assert(alerts.map(_.getAs[Double]("battery_level")).toSeq == Seq(5.0, 15.0))
   }
 
+  test("dedupStream drops within-watermark redeliveries, keeps distinct keys") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    mem.addData(
+      reading("s1", "2026-08-12T06:00:00+00:00", 80.0),
+      reading("s1", "2026-08-12T06:00:00+00:00", 80.0), // redelivery -> dropped
+      reading("s2", "2026-08-12T06:00:30+00:00", 70.0),
+      reading("s1", "2026-08-12T06:05:00+00:00", 79.0)) // same key, new event time -> kept
+    val deduped = Streams.dedupStream(
+      mem.toDF().withColumn("event_time",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX")),
+      Seq("sensor_id", "event_time"), "event_time", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("dedup_stream")
+      .select("sensor_id", "timestamp").orderBy("timestamp", "sensor_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2", "s1"))
+  }
+
   test("synthetic stream projection matches the batch generator schema") {
     val batch = graft.operators.Ingest.syntheticIotBatch(spark, Seq("A", "B"), 2, 1)
     assert(batch.columns.sameElements(Array("sensor_id", "city", "timestamp",

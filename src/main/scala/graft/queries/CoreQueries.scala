@@ -120,6 +120,51 @@ object CoreQueries {
         .orderBy("event_id"),
       Some("SELECT event_id, props->>'k' AS k FROM events ORDER BY event_id")),
 
+    // F-family breadth: the string-function surface the open SQL contract
+    // implies (SURVEY.md §2.3 "date / math / array functions beyond the
+    // above — all native") — one query exercising the common set with
+    // byte-identical cross-engine output.
+    QueryDef("f10_string_funcs",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          split(col("c_name"), "#").getItem(1).as("name_num"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS uname,
+             |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+             |split_part(c_name, '#', 2) AS name_num,
+             |reverse(c_mktsegment) AS seg_rev,
+             |translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+             |CAST(length(c_name) AS BIGINT) AS name_len,
+             |concat_ws('|', c_mktsegment, c_name) AS joined
+             |FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // Date/time-function breadth: truncation, month-end, day arithmetic,
+    // ISO week, day name — emitted as strings/ints both engines agree on.
+    QueryDef("f11_date_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          date_format(col("o_orderdate"), "EEEE").as("dow_name"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             |CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+             |CAST(extract('week' FROM o_orderdate) AS BIGINT) AS iso_week,
+             |dayname(o_orderdate) AS dow_name
+             |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
     // Q1-shaped pricing summary: the canonical partial+final hash aggregate.
     // Monetary sums go through DECIMAL(18,2) so the reduction is exact and
     // order-independent, then back to double for the compare.

@@ -364,6 +364,56 @@ object RelationalQueries {
              |WHERE s.event_type = 'signup'
              |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin.replace("\n", " "))),
 
+    // Full outer join: both null-extending sides non-empty (filters
+    // engineer the asymmetry — in this data every customer has orders).
+    QueryDef("j7_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_custkey") < 500)
+          .select(col("c_custkey").as("ck"), col("c_name"))
+        val o = t(s, dir, "orders").filter(col("o_custkey") > 300)
+          .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("orders_cnt"))
+        c.join(o, col("ck") === col("ok"), "full_outer")
+          .select(coalesce(col("ck"), col("ok")).as("custkey"),
+            coalesce(col("c_name"), lit("")).as("c_name"),
+            coalesce(col("orders_cnt"), lit(0L)).as("orders_cnt"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT coalesce(ck, ok) AS custkey, coalesce(c_name, '') AS c_name,
+             |CAST(coalesce(orders_cnt, 0) AS BIGINT) AS orders_cnt FROM
+             |(SELECT c_custkey AS ck, c_name FROM customer WHERE c_custkey < 500) c
+             |FULL OUTER JOIN
+             |(SELECT o_custkey AS ok, count(*) AS orders_cnt FROM orders WHERE o_custkey > 300 GROUP BY o_custkey) o
+             |ON ck = ok ORDER BY custkey""".stripMargin.replace("\n", " "))),
+
+    // Ranking window family: rank/dense_rank/percent_rank over a
+    // TIES-heavy ordering (status has 3 values) — exercises gap vs no-gap
+    // rank semantics; ntile/row_number need the fully tiebroken order.
+    QueryDef("w5_ranks",
+      (s, dir) => {
+        val wTies = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_orderstatus"))
+        val wTotal = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(wTies).cast("long").as("rnk"),
+            dense_rank().over(wTies).cast("long").as("drnk"),
+            percent_rank().over(wTies).as("prnk"),
+            row_number().over(wTotal).cast("long").as("rn"),
+            ntile(4).over(wTotal).cast("long").as("quartile"))
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |CAST(rank() OVER wt AS BIGINT) AS rnk,
+             |CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+             |percent_rank() OVER wt AS prnk,
+             |CAST(row_number() OVER wo AS BIGINT) AS rn,
+             |CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus),
+             |wo AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus, o_orderkey)
+             |ORDER BY o_orderpriority, rn""".stripMargin.replace("\n", " "))),
+
     // Distinct count (exact) + conditional aggregation.
     QueryDef("a4_distinct_conditional",
       (s, dir) => t(s, dir, "events")

@@ -83,6 +83,28 @@ object SimilarityQueries {
         .orderBy("a_id", "b_id"),
       None),
 
+    // Per-label centroid support: element-wise sums of the embedding
+    // vectors per label (the reduction behind k-means / class prototypes).
+    // Elements are fixed-point scaled (floor(v·1e9) — floor has no
+    // rounding-mode ambiguity, unlike double→decimal casts where Spark
+    // rounds HALF_UP and DuckDB half-even) and summed as exact integers:
+    // the reduction is associative and identical under any partitioning
+    // or engine — how a distributed float reduction is made reproducible.
+    // Long form (label, pos) keeps the oracle compare total-ordered.
+    QueryDef("v3_label_centroids",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("col").cast("double") * lit(1e9)).cast("long")).as("sum_scaled"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("sum_scaled"), col("n"))
+        .orderBy("label", "pos"),
+      Some("""SELECT CAST(label AS BIGINT) AS label, CAST(u.i AS BIGINT) AS pos,
+             |CAST(sum(CAST(floor(CAST(u.v AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS sum_scaled,
+             |count(*) AS n
+             |FROM (SELECT label, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings)
+             |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin.replace("\n", " "))),
+
     // IVF-style approximate top-k — the ANN scale path (probes nprobe
     // cells instead of the full corpus). Deterministic but Spark-specific
     // ranking internals; rows-only check + recall-vs-brute-force spec.

@@ -92,6 +92,24 @@ object Streams {
       .groupBy(session_window(col("event_time"), gap), col("city"))
       .agg(count(lit(1)).as("readings"), min(col("battery_level")).as("min_battery"))
 
+  /** Stream-stream interval join: attribute each right-stream event to
+    * the left-stream events of the same key it follows within `horizon`
+    * (the streaming face of operators.RangeJoin). Both sides carry
+    * watermarks, so Spark bounds the join state to the horizon — an
+    * un-watermarked stream-stream join buffers both streams FOREVER,
+    * which is the difference between a production operator and a demo.
+    * Column names are taken from the inputs: `left`(leftKey, leftTs, …),
+    * `right`(rightKey, rightTs, …); key and time columns must be named
+    * differently across the two sides.
+    */
+  def streamIntervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      horizon: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, horizon)
+      .join(right.withWatermark(rightTs, horizon),
+        expr(s"$rightKey = $leftKey AND " +
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $horizon"))
+
   /** Streaming exact dedup: drop redeliveries of the same key arriving
     * within the watermark horizon — the step that turns the Firehose-style
     * at-least-once landing into exactly-once curated rows.

@@ -141,6 +141,29 @@ class StreamsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2", "s1"))
   }
 
+  test("stream-stream interval join attributes clicks within the horizon") {
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 06:$m%02d:00")
+    signups.addData((1L, ts(0)), (2L, ts(5)))
+    clicks.addData(
+      (1L, ts(30)),  // within 1h of user 1's signup -> joined
+      (1L, ts(59)),  // also within -> joined
+      (2L, ts(4)),   // BEFORE user 2's signup -> dropped
+      (3L, ts(10)))  // no signup for user 3 -> dropped
+    val joined = Streams.streamIntervalJoin(
+      signups.toDF().toDF("s_user", "s_time"), "s_user", "s_time",
+      clicks.toDF().toDF("c_user", "c_time"), "c_user", "c_time", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("attrib")
+      .select("s_user", "c_time").orderBy("c_time").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L))
+  }
+
   test("synthetic stream projection matches the batch generator schema") {
     val batch = graft.operators.Ingest.syntheticIotBatch(spark, Seq("A", "B"), 2, 1)
     assert(batch.columns.sameElements(Array("sensor_id", "city", "timestamp",

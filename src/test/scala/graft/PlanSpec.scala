@@ -46,6 +46,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("row_number"), s"knn must not rank via window in:\n$plan")
   }
 
+  test("bucketed range join plans a hash join, never a nested loop") {
+    val plan = q("r1_range_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join fell back to NLJ in:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin"), s"no join found in:\n$plan")
+  }
+
+  test("string/date function queries are scan+project only (no shuffle)") {
+    for (name <- Seq("f10_string_funcs", "f11_date_funcs")) {
+      // ignore the final presentation ORDER BY's exchange: check up to Sort
+      val plan = q(name).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+        s"$name should be a pure projection in:\n$plan")
+    }
+  }
+
+  test("label centroids aggregate partially map-side") {
+    val plan = q("v3_label_centroids").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"missing partial aggregation in:\n$plan")
+  }
+
   test("partition-pruned catalog scan only lists matching partitions") {
     q("s7_catalog_table").collect() // materializes table + repair
     val pruned = spark.table("graft_events_cat")

@@ -18,10 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * base, then xxhash64(longValue, seed=i) per permutation.
   */
 
-/** MinHash signature of an array<string> shingle set → array<long> of
-  * length `numHashes`. Null input → null; null elements are skipped; empty
-  * array → Long.MaxValue sentinels (array_min of empty is null in the HOF
-  * form — a doc with no shingles matches nothing either way).
+/** MinHash signature of a shingle set → array<long> of length
+  * `numHashes`. Accepts array<string> (shingles hashed here with
+  * xxhash64 seed 42) OR array<long> (shingles already hashed by
+  * [[WordShingleHashes]] with the SAME family — signatures are
+  * bit-identical, but the per-element string hash is skipped). Null
+  * input → null; null elements are skipped; empty array →
+  * Long.MaxValue sentinels (array_min of empty is null in the HOF form —
+  * a doc with no shingles matches nothing either way).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -29,8 +33,14 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got ${t.sql}")
+    case ArrayType(StringType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string> or array<long>, got ${t.sql}")
+  }
+
+  private lazy val prehashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -40,8 +50,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val base = XxHash64Function.hash(s, StringType, 42L)
+        val base =
+          if (prehashed) arr.getLong(i)
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var k = 0
         while (k < numHashes) {
           val h = XxHash64Function.hash(base, LongType, k.toLong)
@@ -143,10 +154,10 @@ case class WordShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Jaccard similarity |A∩B| / |A∪B| of two DISTINCT string arrays,
-  * computed as one membership loop over the smaller set — no intersection
-  * or union array is materialized (the `array_intersect` route builds a
-  * hash set AND a result array per pair). Union size uses
+/** Jaccard similarity |A∩B| / |A∪B| of two DISTINCT arrays — both
+  * array<string> (membership loop over a hash set, no intersection/union
+  * array materialized) or both array<long> (pre-hashed shingles: copy,
+  * sort, merge-count — primitive longs, zero boxing). Union size uses
   * |A|+|B|−|A∩B| (valid for distinct inputs). Null input → null;
   * both empty → 0.0.
   */
@@ -158,8 +169,14 @@ case class JaccardSim(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sim expects two array<string>, got ${l.sql} / ${r.sql}")
+      s"jaccard_sim expects two array<string> or two array<long>, got ${l.sql} / ${r.sql}")
+  }
+
+  private lazy val onLongs = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -168,14 +185,29 @@ case class JaccardSim(left: Expression, right: Expression)
     if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
     val na = a.numElements(); val nb = b.numElements()
     if (na + nb == 0) return 0.0
-    val set = new java.util.HashSet[UTF8String](na * 2)
-    var i = 0
-    while (i < na) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
     var inter = 0
-    i = 0
-    while (i < nb) {
-      if (!b.isNullAt(i) && set.contains(b.getUTF8String(i))) inter += 1
-      i += 1
+    if (onLongs) {
+      val xs = new Array[Long](na); val ys = new Array[Long](nb)
+      var i = 0
+      while (i < na) { xs(i) = a.getLong(i); i += 1 }
+      i = 0
+      while (i < nb) { ys(i) = b.getLong(i); i += 1 }
+      java.util.Arrays.sort(xs); java.util.Arrays.sort(ys)
+      var j = 0; i = 0
+      while (i < na && j < nb) {
+        if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+        else if (xs(i) < ys(j)) i += 1
+        else j += 1
+      }
+    } else {
+      val set = new java.util.HashSet[UTF8String](na * 2)
+      var i = 0
+      while (i < na) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
+      i = 0
+      while (i < nb) {
+        if (!b.isNullAt(i) && set.contains(b.getUTF8String(i))) inter += 1
+        i += 1
+      }
     }
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
@@ -184,6 +216,54 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Distinct word k-shingles as 64-bit hashes (xxhash64 seed 42 of the
+  * space-joined k-gram — the exact family [[MinHashSig]] applies to
+  * string shingles, so the two paths produce identical signatures).
+  * For pipelines that only compare shingle SETS (LSH banding +
+  * Jaccard verification), carrying 8-byte hashes instead of ~25-byte
+  * strings cuts the verify join's shuffle ~3× and skips re-hashing
+  * every shingle downstream. Fewer than k tokens → empty array.
+  */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    // TreeSet → the output array is SORTED, so downstream merge-joins
+    // (JaccardSim's long-merge) see presorted input
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        parts(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(XxHash64Function.hash(UTF8String.concatWs(space, parts: _*), StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
@@ -277,6 +357,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object SketchFunctions {
   def word_shingles(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), k))
+
+  def word_shingle_hashes(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(WordShingleHashes(GraftSqlBridge.expression(tokens), k))
 
   def winnow_fingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(text), k, w))

@@ -51,12 +51,17 @@ object Dedup {
     minhashFromShingles(TextAnalysis.shingles(text, shingleK), numHashes)
 
   /** LSH banding of a minhash signature: `bands` rows of `rowsPerBand`
-    * hashes each; docs sharing any (band, bandHash) are candidates.
+    * hashes each; docs sharing any (band, bandHash) are candidates. The
+    * band key is xxhash64 over the band's long values directly (plus the
+    * band index) — candidacy is still exactly "equal band slice", but
+    * without materializing a comma-joined string per band per doc
+    * through interpreted lambdas.
     */
   private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(concat_ws(",", transform(
-        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), h => h.cast("string"))), b))
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1))): _*)
+    }: _*)
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
@@ -72,9 +77,12 @@ object Dedup {
     // Shingle ONCE per document — recomputing per candidate pair would be
     // O(pairs × doc-length), the difference between scan-bound and dead at
     // scale. The shingle relation is reused for both candidate generation
-    // and verification.
+    // and verification, and carries 64-bit shingle HASHES, not strings:
+    // signatures are bit-identical (same xxhash64 family) while the
+    // verify join — the measured bottleneck at 10⁶ docs — ships a ~3×
+    // narrower payload and compares primitive longs.
     val sh = docs.select(col("doc_id"),
-      TextAnalysis.shingles(col("text"), shingleK).as("sh"))
+      TextAnalysis.shingleHashes(col("text"), shingleK).as("sh"))
 
     // Docs too short to produce a shingle would all share the sentinel
     // signature and collide in every band — a self-inflicted hot bucket

@@ -178,6 +178,13 @@ object TextAnalysis {
   def shingles(text: Column, k: Int): Column =
     graft.functions.SketchFunctions.word_shingles(tokens(text), k)
 
+  /** Distinct word k-shingles as 64-bit xxhash64 values — the
+    * set-comparison form of `shingles` (identical minhash signatures,
+    * ~3× narrower shuffle payload; see functions.WordShingleHashes).
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.SketchFunctions.word_shingle_hashes(tokens(text), k)
+
   /** The same shingles via built-in higher-order functions — kept as the
     * semantic reference the native expression is tested against.
     */

@@ -40,6 +40,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("hashed-shingle path == string-shingle path (signatures and jaccard)") {
+    val sigMismatch = docs.select(
+        Dedup.minhashFromShingles(TextAnalysis.shingles(col("text"), 3), 16).as("a"),
+        Dedup.minhashFromShingles(TextAnalysis.shingleHashes(col("text"), 3), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(sigMismatch == 0, "minhash signatures diverge between string and hashed shingles")
+    val self = docs.limit(50).select(col("doc_id"), col("text"))
+    val pairs = self.select(col("doc_id").as("i"), col("text").as("ta"))
+      .crossJoin(self.select(col("doc_id").as("j"), col("text").as("tb")))
+      .filter(col("i") < col("j"))
+    val jacMismatch = pairs.select(
+        Dedup.jaccardOfShingleArrays(
+          TextAnalysis.shingles(col("ta"), 3), TextAnalysis.shingles(col("tb"), 3)).as("js"),
+        Dedup.jaccardOfShingleArrays(
+          TextAnalysis.shingleHashes(col("ta"), 3), TextAnalysis.shingleHashes(col("tb"), 3)).as("jh"))
+      .filter(col("js") =!= col("jh")).count()
+    assert(jacMismatch == 0, "jaccard diverges between string and hashed shingles")
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val d = Seq((1L, "x"), (5L, "x"), (3L, "y")).toDF("doc_id", "text")
     val got = Dedup.exact(d, "text", "doc_id")

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, JaccardSim, MinHashSig, SimHash64,
+  WinnowFingerprints, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -41,5 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         WordShingles(exprs(0), intArg(exprs(1), "word_shingles k"))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (exprs: Seq[Expression]) =>
+        WordShingleHashes(exprs(0), intArg(exprs(1), "word_shingle_hashes k"))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (exprs: Seq[Expression]) => JaccardSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
+        intArg(exprs(1), "winnow_fingerprints k"), intArg(exprs(2), "winnow_fingerprints w"))))
   }
 }

@@ -20,11 +20,18 @@ class ExtensionsSpec extends SparkSpec {
         |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
         |  simhash64(array('a', 'b', 'a')) AS sh,
         |  size(minhash_sig(array('x y z'), 16)) AS mh_len,
-        |  word_shingles(array('a', 'b', 'c'), 2) AS shingles
+        |  word_shingles(array('a', 'b', 'c'), 2) AS shingles,
+        |  jaccard_sim(array('a b', 'b c'), array('a b', 'c d')) AS jac,
+        |  jaccard_sim(word_shingle_hashes(array('a','b','c'), 2),
+        |              word_shingle_hashes(array('a','b','d'), 2)) AS jac_h,
+        |  size(winnow_fingerprints('the quick brown fox', 5, 4)) AS n_fps
         |""".stripMargin).head()
     assert(row.getDouble(0) == 1.0)
     assert(row.getLong(1) != 0L)
     assert(row.getInt(2) == 16)
     assert(row.getSeq[String](3) == Seq("a b", "b c"))
+    assert(row.getDouble(4) == 1.0 / 3.0)
+    assert(row.getDouble(5) == 1.0 / 3.0) // {a b} shared; {b c} vs {b d} differ
+    assert(row.getInt(6) > 0)
   }
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Index of the centroid most cosine-similar to the input vector, ties →
+  * smallest index. The centroid matrix rides INSIDE the expression as a
+  * plain Scala array — it is shipped once per task via closure
+  * serialization (broadcast-by-construction) and scored in one tight
+  * loop per row.
+  *
+  * This exists because the expression-composition alternative —
+  * `greatest(struct(cosine(v, lit(c0)), …), struct(…), …)` — builds an
+  * expression tree LINEAR in the number of centroids: fine at 16, but at
+  * the ~√n centroids a real IVF index wants (1000+ for 10⁶ vectors) the
+  * generated code blows past JVM method limits and planning time
+  * explodes. A loop over a matrix is O(1) plan nodes regardless of
+  * centroid count — the difference between an ANN index that scales and
+  * one that stops at toy size.
+  *
+  * Semantics: elements widened to double; a zero-norm vector or centroid
+  * scores 0.0; ties take the smallest index (matching the top-1
+  * bounded-heap and the struct-max formulations). Null input → null.
+  */
+case class CentroidArgmax(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"centroid_argmax expects a numeric array, got ${child.dataType.sql}")
+
+  @transient private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => throw new IllegalStateException("unreachable")
+  }
+
+  @transient private lazy val centNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    var vn = 0.0
+    while (i < n) {
+      val x = elemType match {
+        case FloatType => v.getFloat(i).toDouble
+        case DoubleType => v.getDouble(i)
+        case IntegerType => v.getInt(i).toDouble
+        case LongType => v.getLong(i).toDouble
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      vec(i) = x; vn += x * x
+      i += 1
+    }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var score = 0.0
+      if (cent.length == n) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += vec(j) * cent(j); j += 1 }
+        val nn = vn * centNorms(c)
+        score = if (nn == 0.0) 0.0 else dot / nn
+      } else score = Double.NegativeInfinity // dim mismatch: never chosen
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "centroid_argmax"
+}
+
+object CentroidArgmax {
+  def argmax(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(CentroidArgmax(GraftSqlBridge.expression(vec), centroids))
+}

@@ -96,45 +96,72 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** IVF-style ANN: k-means-free variant using centroid rows sampled
-    * deterministically from the corpus. The centroid "model" is tiny by
-    * construction, so it is collected once and re-enters the plan as
-    * literals: corpus cell assignment becomes a MAP-ONLY argmax over the
-    * broadcast centroids — no crossJoin, no aggregation, and the corpus
-    * embeddings are never shuffled for assignment. Each query probes its
-    * `nprobe` nearest cells and ranks only those cells' members.
+  /** An IVF index: the corpus with a cell id per vector, plus the
+    * centroid "model". `assigned` can be persisted/written once and
+    * served to any number of query batches — amortizing the O(n ×
+    * centroids) assignment, which is the entire point of IVF.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+  final case class IvfIndex(assigned: DataFrame, cents: Seq[(Long, Seq[Float])])
+
+  /** Build the IVF index: centroid rows sampled deterministically from
+    * the corpus, collected once (the model is tiny by construction), and
+    * a MAP-ONLY cell assignment — no crossJoin, no aggregation, and the
+    * corpus embeddings are never shuffled. The argmax is a loop over the
+    * centroid matrix riding inside one expression (ties → smallest
+    * index == smallest centroid id, identical to a top-1 bounded heap):
+    * O(1) plan nodes however many centroids, where a
+    * greatest(struct(cosine…),…) chain grows the plan and the generated
+    * code linearly and dies near ~1000 centroids
+    * (graft.functions.CentroidArgmax).
+    */
+  def ivfIndex(corpus: DataFrame, numCentroids: Int): IvfIndex = {
     require(numCentroids >= 2, "need at least 2 centroids")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents: Seq[(Long, Seq[Float])] = corpus.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id"), col("embedding"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-
     val corpusV = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val centMatrix = cents.map(_._2.map(_.toDouble).toArray).toArray
+    val centIds = cents.map(_._1)
+    val idx = graft.functions.CentroidArgmax.argmax(col("c_vec"), centMatrix)
+    IvfIndex(
+      corpusV.withColumn("cell",
+        element_at(array(centIds.map(lit): _*), idx + 1)),
+      cents)
+  }
+
+  /** Query an IVF index: each query probes its `nprobe` nearest cells
+    * and ranks only those cells' members. The probe relation (queries ×
+    * nprobe rows) broadcasts against the index, so the indexed corpus is
+    * scanned once and never shuffled; compared pairs shrink by
+    * ~cells/nprobe vs brute force. With `pruneCells` (default), the
+    * probed cell ids — a few thousand values for any sane query batch —
+    * are collected and pushed as an IN filter on the index: over an
+    * index WRITTEN `partitionBy("cell")`, that becomes partition pruning
+    * and the scan physically reads only the probed cells, not the
+    * corpus.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      pruneCells: Boolean = true): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
     val queriesV = broadcast(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
-
-    // max of struct(score, -id) == (score DESC, id ASC) — identical
-    // ordering to the top-1 bounded heap the query side uses.
-    val argmaxCell = -greatest(cents.map { case (cid, v) =>
-      struct(cosine(col("c_vec"), typedlit(v)).as("cs"), lit(-cid).as("neg_id")) }: _*)
-      .getField("neg_id")
-    val assigned = corpusV.withColumn("cell", argmaxCell)
-
-    val centroids = broadcast(
-      cents.toDF("centroid_id", "cent_vec"))
-    val probed = topKPerKey(
+    val centroids = broadcast(index.cents.toDF("centroid_id", "cent_vec"))
+    val probed = broadcast(topKPerKey(
       queriesV.crossJoin(centroids)
         .select(col("query_id"), col("centroid_id"),
           cosine(col("q_vec"), col("cent_vec")).as("cs")),
       "query_id", col("cs"), col("centroid_id"), nprobe)
       .select(col("query_id"), col("id").as("cell"))
-      .join(queriesV, "query_id")
+      .join(queriesV, "query_id"))
 
-    val scored = probed.join(assigned, Seq("cell"))
+    val indexSide =
+      if (!pruneCells) index.assigned
+      else {
+        val cells = probed.select("cell").distinct().as[Long].collect()
+        index.assigned.filter(col("cell").isin(cells: _*))
+      }
+    val scored = probed.join(indexSide, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))
@@ -142,4 +169,9 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         round(col("score"), 6).as("cosine"))
   }
+
+  /** One-shot IVF ANN (index build + query). */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfQuery(ivfIndex(corpus, numCentroids), queries, k, nprobe)
 }

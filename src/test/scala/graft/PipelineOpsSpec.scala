@@ -94,6 +94,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3) == "clean text, nothing here 12.5")
   }
 
+  test("CentroidArgmax picks the max-cosine centroid, smallest index on ties") {
+    val cents = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0),
+      Array(2.0, 0.0)) // same direction as centroid 0 -> tie, index 0 wins
+    val got = Seq(
+      Seq(0.9f, 0.1f),   // closest to +x -> 0 (tie with 3 -> 0)
+      Seq(0.1f, 5.0f),   // +y -> 1
+      Seq(-3.0f, 0.0f),  // -x -> 2
+      Seq(0.0f, 0.0f))   // zero vector: all cosines 0.0, first wins -> 0
+      .toDF("v")
+      .select(graft.functions.CentroidArgmax.argmax(col("v"), cents))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 1, 2, 0))
+  }
+
+  test("ivfQuery over a cell-partitioned written index equals the inline path") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val inline = graft.operators.Similarity.ivfKnn(e, q, k = 5, numCentroids = 8, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val ix = graft.operators.Similarity.ivfIndex(e, 8)
+    val dir = "target/ivf_spec_index"
+    ix.assigned.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val served = ix.copy(assigned = spark.read.parquet(dir)
+      .select(col("neighbor_id"), col("c_vec"), col("cell"))) // restore column order
+    val fromDisk = graft.operators.Similarity.ivfQuery(served, q, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(inline == fromDisk)
+  }
+
   test("repetitionStats: exact counts incl. zero-token docs") {
     val docs = Seq((1L, "a a a b"), (2L, ""), (3L, "x y z"))
       .toDF("doc_id", "text")

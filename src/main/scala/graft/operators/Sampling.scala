@@ -41,6 +41,22 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Stratified deterministic sample: a different keep-percentage per
+    * stratum (e.g. downsample boilerplate-heavy sources hard, keep rare
+    * ones whole — the standard training-mixture operation). Membership
+    * is still a pure function of (id, salt): map-only, no shuffle,
+    * reproducible anywhere; strata missing from `pctByStratum` keep
+    * `defaultPct`.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int,
+      salt: String = "graft"): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < pct)
+  }
+
   /** Deterministic "reservoir" of `n` rows per group: the n rows with the
     * smallest md5(id || salt) — equivalent in distribution to uniform
     * sampling without replacement, but a pure function of the ids, so the

@@ -212,6 +212,21 @@ object TextQueries {
              |'${TextAnalysis.piiPhoneRe}', '<PHONE>', 'g') AS scrubbed
              |FROM planted ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Stratified deterministic sampling: per-source keep rates (the
+    // training-mixture operation), membership a pure function of
+    // (doc_id, salt) on both engines.
+    QueryDef("samp4_stratified",
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id",
+        Map("src0" -> 100, "src1" -> 50, "src2" -> 10), defaultPct = 25)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |SELECT doc_id, source,
+             |('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 100 AS b,
+             |CASE source WHEN 'src2' THEN 10 WHEN 'src1' THEN 50 WHEN 'src0' THEN 100 ELSE 25 END AS pct
+             |FROM documents) WHERE b < pct ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Deterministic per-group reservoir: the n rows with the smallest
     // md5(id||salt) per group — uniform-without-replacement in
     // distribution, reproducible under any partitioning or engine.

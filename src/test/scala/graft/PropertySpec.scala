@@ -66,4 +66,57 @@ class PropertySpec extends SparkSpec {
       assert(got(s) == expected)
     }
   }
+
+  test("scrubPii is idempotent over arbitrary text") {
+    import graft.operators.TextAnalysis
+    val gen = Gen.listOfN(120, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const("mail a.b@c.org and 10.0.0.1 and +44 123 456 7890"),
+      Gen.const("digits 123456789012 spread 1 2 3 4 5 6 7 8 9 0")))
+    val ss = sample(gen, 11L)
+    val rows = ss.toDF("t")
+      .select(TextAnalysis.scrubPii(col("t")).as("once"))
+      .select(col("once"), TextAnalysis.scrubPii(col("once")).as("twice"))
+      .as[(String, String)].collect()
+    rows.foreach { case (once, twice) =>
+      assert(once == twice, s"not idempotent: $once")
+    }
+  }
+
+  test("stratifiedSample: membership respects per-stratum rates and is a subset") {
+    import graft.operators.Sampling
+    val df = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+    val rates = Map("s0" -> 100, "s1" -> 0, "s2" -> 50)
+    val kept = Sampling.stratifiedSample(df, "stratum", "id", rates, defaultPct = 25)
+      .as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum.getOrElse("s0", 0) == 500)   // 100% of 500
+    assert(!byStratum.contains("s1"))             // 0%
+    val s2 = byStratum.getOrElse("s2", 0)         // ~50% of 500
+    assert(s2 > 200 && s2 < 300, s"s2=$s2")
+    val s3 = byStratum.getOrElse("s3", 0)         // default ~25% of 500
+    assert(s3 > 80 && s3 < 170, s"s3=$s3")
+    // sub-sampling at a lower rate is a SUBSET of the higher rate (nested
+    // samples - the property that makes rate changes auditable)
+    val tighter = Sampling.stratifiedSample(df, "stratum", "id",
+      Map("s2" -> 20), defaultPct = 0).as[(Long, String)].collect().map(_._1).toSet
+    val wider = kept.filter(_._2 == "s2").map(_._1).toSet
+    assert(tighter.subsetOf(wider))
+  }
+
+  test("connectedComponents is idempotent: re-clustering cluster edges is stable") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(40)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val verts = (0L until 50L).toDF("doc_id")
+    val first = Dedup.connectedComponents(edges.toDF("a_id", "b_id"), verts)
+      .as[(Long, Long)].collect().toMap
+    // edges rewritten as (member -> its component representative)
+    val starEdges = first.toSeq.filter { case (id, c) => id != c }
+      .toDF("a_id", "b_id")
+    val second = Dedup.connectedComponents(starEdges, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(first == second)
+  }
 }

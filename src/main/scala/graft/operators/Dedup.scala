@@ -258,7 +258,7 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       idCol: String = "doc_id", aCol: String = "a_id", bCol: String = "b_id",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, loopShufflePartitions: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     // materialize: truncate lineage AND reset plan stats (see Scaladoc)
     def materialize(df: DataFrame): DataFrame = {
@@ -272,32 +272,53 @@ object Dedup {
       .persist()
     var labels = materialize(
       vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
+    // The loop's relations are label tables, orders of magnitude smaller
+    // than the corpus that produced the edges — running its joins at the
+    // session's corpus-sized shuffle width burns a fixed per-round
+    // scheduling cost that dominates the whole operator. Scope the width
+    // down for the loop (explicit param wins; else a label-count
+    // heuristic), restore afterwards.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth =
+      if (loopShufflePartitions > 0) loopShufflePartitions
+      else math.max(1, math.min(prevShuffle.toInt,
+        (labels.count() / 250000L).toInt + 1))
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
-      // pointer jumps: resolve each label through the current mapping
-      // twice — a chain a→b→c→d collapses to a→d within one round. The
-      // extra join is stages inside the SAME job; in a loop whose cost is
-      // per-round job overhead, trading a join for fewer rounds wins.
-      val jump1 = labels.select(col("id").as("m1"), col("comp").as("j1"))
-      val jump2 = labels.select(col("id").as("m2"), col("comp").as("j2"))
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .withColumn("m1", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
-        .join(jump1, Seq("m1"), "left")
-        .withColumn("m2", least(col("m1"), coalesce(col("j1"), col("m1"))))
-        .join(jump2, Seq("m2"), "left")
-        .withColumn("newcomp", least(col("m2"), coalesce(col("j2"), col("m2"))))
-        .select(col("id"), col("newcomp").as("comp"),
-          (col("newcomp") < col("comp")).as("ch"))
-      val nextMat = materialize(next)
-      changed = nextMat.filter(col("ch")).count()
-      labels = nextMat.select("id", "comp")
-      it += 1
-    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+      while (changed > 0 && it < maxIter) {
+        val neighborMin = sym
+          .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+        // pointer jumps: resolve each label through the current mapping
+        // twice — a chain a→b→c→d collapses to a→d within one round. The
+        // extra join is stages inside the SAME job; in a loop whose cost
+        // is per-round job overhead, trading a join for fewer rounds wins.
+        val jump1 = labels.select(col("id").as("m1"), col("comp").as("j1"))
+        val jump2 = labels.select(col("id").as("m2"), col("comp").as("j2"))
+        val next = labels
+          .join(neighborMin, Seq("id"), "left")
+          .withColumn("m1", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
+          .join(jump1, Seq("m1"), "left")
+          .withColumn("m2", least(col("m1"), coalesce(col("j1"), col("m1"))))
+          .join(jump2, Seq("m2"), "left")
+          .withColumn("newcomp", least(col("m2"), coalesce(col("j2"), col("m2"))))
+          .select(col("id"), col("newcomp").as("comp"),
+            (col("newcomp") < col("comp")).as("ch"))
+        // one job per round: the changed-row tally rides the
+        // materialization pass as an accumulator instead of a second
+        // count. Task retries can only OVERcount a non-zero tally (a
+        // zero stays zero), so the convergence exit is never premature.
+        val acc = spark.sparkContext.longAccumulator("cc_changed")
+        val rdd = next.rdd.map { r => if (r.getBoolean(2)) acc.add(1L); r }
+        rdd.localCheckpoint()
+        rdd.count()
+        changed = acc.value
+        labels = spark.createDataFrame(rdd, next.schema).select("id", "comp")
+        it += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     sym.unpersist(blocking = false)
     labels.select(col("id").as(idCol), col("comp"))
   }

@@ -23,38 +23,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name expects an integer literal, got $other")
   }
 
+  /** Positional indexing without an arity check turns a mis-called SQL
+    * function into an IndexOutOfBoundsException; fail with the expected
+    * signature instead.
+    */
+  private def arity(exprs: Seq[Expression], n: Int, sig: String): Seq[Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"wrong argument count: expected $sig, got ${exprs.length} argument(s)")
+    exprs
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "cosine_sim(vec1, vec2)")
+        CosineSimilarity(e(0), e(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) =>
-        MinHashSig(exprs(0), intArg(exprs(1), "minhash_sig numHashes"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "minhash_sig(shingles, numHashes)")
+        MinHashSig(e(0), intArg(e(1), "minhash_sig numHashes"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 1, "simhash64(tokens)")
+        SimHash64(e(0))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) =>
-        WordShingles(exprs(0), intArg(exprs(1), "word_shingles k"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "word_shingles(tokens, k)")
+        WordShingles(e(0), intArg(e(1), "word_shingles k"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
-      (exprs: Seq[Expression]) =>
-        WordShingleHashes(exprs(0), intArg(exprs(1), "word_shingle_hashes k"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "word_shingle_hashes(tokens, k)")
+        WordShingleHashes(e(0), intArg(e(1), "word_shingle_hashes k"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
-      (exprs: Seq[Expression]) => JaccardSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "jaccard_sim(set1, set2)")
+        JaccardSim(e(0), e(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
-      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
-        intArg(exprs(1), "winnow_fingerprints k"), intArg(exprs(2), "winnow_fingerprints w"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 3, "winnow_fingerprints(text, k, w)")
+        WinnowFingerprints(e(0),
+          intArg(e(1), "winnow_fingerprints k"), intArg(e(2), "winnow_fingerprints w"))
+      }))
   }
 }

@@ -60,7 +60,9 @@ case class CentroidArgmax(child: Expression, centroids: Array[Array[Double]])
     var i = 0
     var vn = 0.0
     while (i < n) {
-      val x = elemType match {
+      // null elements contribute 0.0 — checked explicitly, because
+      // reading a null slot from unsafe array data is undefined
+      val x = if (v.isNullAt(i)) 0.0 else elemType match {
         case FloatType => v.getFloat(i).toDouble
         case DoubleType => v.getDouble(i)
         case IntegerType => v.getInt(i).toDouble

@@ -186,15 +186,19 @@ case class JaccardSim(left: Expression, right: Expression)
     val na = a.numElements(); val nb = b.numElements()
     if (na + nb == 0) return 0.0
     var inter = 0
+    // null elements are SKIPPED on both paths (SQL-registered, so
+    // array<long> with containsNull can reach the long path too — a null
+    // slot must not read as 0 and fake an intersection hit)
+    var ca = 0; var cb = 0
     if (onLongs) {
       val xs = new Array[Long](na); val ys = new Array[Long](nb)
       var i = 0
-      while (i < na) { xs(i) = a.getLong(i); i += 1 }
+      while (i < na) { if (!a.isNullAt(i)) { xs(ca) = a.getLong(i); ca += 1 }; i += 1 }
       i = 0
-      while (i < nb) { ys(i) = b.getLong(i); i += 1 }
-      java.util.Arrays.sort(xs); java.util.Arrays.sort(ys)
+      while (i < nb) { if (!b.isNullAt(i)) { ys(cb) = b.getLong(i); cb += 1 }; i += 1 }
+      java.util.Arrays.sort(xs, 0, ca); java.util.Arrays.sort(ys, 0, cb)
       var j = 0; i = 0
-      while (i < na && j < nb) {
+      while (i < ca && j < cb) {
         if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
         else if (xs(i) < ys(j)) i += 1
         else j += 1
@@ -202,14 +206,17 @@ case class JaccardSim(left: Expression, right: Expression)
     } else {
       val set = new java.util.HashSet[UTF8String](na * 2)
       var i = 0
-      while (i < na) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
+      while (i < na) { if (!a.isNullAt(i)) { set.add(a.getUTF8String(i)); ca += 1 }; i += 1 }
       i = 0
       while (i < nb) {
-        if (!b.isNullAt(i) && set.contains(b.getUTF8String(i))) inter += 1
+        if (!b.isNullAt(i)) {
+          if (set.contains(b.getUTF8String(i))) inter += 1
+          cb += 1
+        }
         i += 1
       }
     }
-    val union = na + nb - inter
+    val union = ca + cb - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 

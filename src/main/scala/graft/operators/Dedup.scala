@@ -260,34 +260,37 @@ object Dedup {
       idCol: String = "doc_id", aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 50, loopShufflePartitions: Int = 0): DataFrame = {
     val spark = edges.sparkSession
+    // The loop's relations are label tables, orders of magnitude smaller
+    // than the corpus that produced the edges — running its joins at the
+    // session's corpus-sized shuffle width burns a fixed per-round
+    // scheduling cost that dominates the whole operator. The loop runs in
+    // a CHILD session (same SparkContext, its own SQLConf) with the width
+    // scoped down (explicit param wins; else a label-count heuristic) —
+    // mutating the caller's session conf would silently re-plan any
+    // concurrent query on it at the scoped-down width.
+    val loop = spark.newSession()
     // materialize: truncate lineage AND reset plan stats (see Scaladoc)
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       rdd.localCheckpoint()
       rdd.count()
-      spark.createDataFrame(rdd, df.schema)
+      loop.createDataFrame(rdd, df.schema)
     }
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val symSrc = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+    val symRdd = symSrc.rdd.persist()
+    val sym = loop.createDataFrame(symRdd, symSrc.schema)
     var labels = materialize(
       vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
-    // The loop's relations are label tables, orders of magnitude smaller
-    // than the corpus that produced the edges — running its joins at the
-    // session's corpus-sized shuffle width burns a fixed per-round
-    // scheduling cost that dominates the whole operator. Scope the width
-    // down for the loop (explicit param wins; else a label-count
-    // heuristic), restore afterwards.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val loopWidth =
       if (loopShufflePartitions > 0) loopShufflePartitions
-      else math.max(1, math.min(prevShuffle.toInt,
+      else math.max(1, math.min(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
         (labels.count() / 250000L).toInt + 1))
+    loop.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
     var changed = 1L
     var it = 0
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
-      while (changed > 0 && it < maxIter) {
+    while (changed > 0 && it < maxIter) {
         val neighborMin = sym
           .join(labels.select(col("id").as("dst"), col("comp")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
@@ -315,12 +318,14 @@ object Dedup {
         rdd.localCheckpoint()
         rdd.count()
         changed = acc.value
-        labels = spark.createDataFrame(rdd, next.schema).select("id", "comp")
+        labels = loop.createDataFrame(rdd, next.schema).select("id", "comp")
         it += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    sym.unpersist(blocking = false)
-    labels.select(col("id").as(idCol), col("comp"))
+    }
+    symRdd.unpersist(blocking = false)
+    // hand the result back as a DataFrame of the CALLER's session (the
+    // checkpointed label RDD underneath is session-independent)
+    val out = labels.select(col("id").as(idCol), col("comp"))
+    spark.createDataFrame(out.rdd, out.schema)
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ `threshold`.

@@ -28,11 +28,13 @@ object RangeJoin {
   def intervalPointCount(intervals: DataFrame, idCol: String,
       points: DataFrame, tCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val w = lit(bucketWidth)
-    // positive longs: integer division == floor division
+    // non-negative longs: `DIV` is true integer division == floor division.
+    // (`col / w` would be DOUBLE division — its rounding can shift a bucket
+    // id by one once values approach 2^53, silently dropping matches
+    // because the exact recheck never sees the pair.)
     val ib = intervals.withColumn("__bucket",
-      explode(sequence((col("lo") / w).cast("long"), ((col("hi") - 1) / w).cast("long"))))
-    val pb = points.select((col(tCol) / w).cast("long").as("__bucket"), col(tCol).as("__t"))
+      explode(sequence(expr(s"lo DIV $bucketWidth"), expr(s"(hi - 1) DIV $bucketWidth"))))
+    val pb = points.select(expr(s"`$tCol` DIV $bucketWidth").as("__bucket"), col(tCol).as("__t"))
     val counts = ib.join(pb, "__bucket")
       .filter(col("__t") >= col("lo") && col("__t") < col("hi"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("matches"))

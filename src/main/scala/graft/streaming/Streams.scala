@@ -108,7 +108,10 @@ object Streams {
     left.withWatermark(leftTs, horizon)
       .join(right.withWatermark(rightTs, horizon),
         expr(s"$rightKey = $leftKey AND " +
-          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $horizon"))
+          // half-open [leftTs, leftTs + horizon) — same bound semantics as
+          // the batch RangeJoin this is the streaming face of, so an event
+          // exactly at the horizon boundary is attributed in neither
+          s"$rightTs >= $leftTs AND $rightTs < $leftTs + INTERVAL $horizon"))
 
   /** Streaming exact dedup: drop redeliveries of the same key arriving
     * within the watermark horizon — the step that turns the Firehose-style

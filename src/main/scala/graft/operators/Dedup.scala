@@ -346,4 +346,95 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Non-overlapping `words`-word passages of a document (CCNet-style
+    * units). Whitespace tokens, lowercased; the last passage may be
+    * shorter; an empty/whitespace-only document has no passages.
+    */
+  def passages(text: Column, words: Int): Column = {
+    require(words >= 1, "passage width must be >= 1")
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        // int operands stay well under 2^53, so the double division
+        // truncates exactly; floor makes the intent explicit anyway
+        sequence(lit(0), floor((size(toks) - 1) / lit(words)).cast("int")),
+        i => array_join(slice(toks, i * words + 1, lit(words)), " ")))
+  }
+
+  /** Passage-level exact dedup (the CCNet/Gopher paragraph-dedup shape,
+    * over word windows since the corpus has no paragraph marks): split
+    * every document into non-overlapping `words`-word passages, keep only
+    * the corpus-wide FIRST occurrence of each distinct passage (ordered
+    * by (doc id, passage index)), and reassemble each document from its
+    * surviving passages.
+    *
+    * Shuffle shape at scale: one partial-aggregated groupBy keyed on the
+    * passage text (uniformly distributed — boilerplate passages collapse
+    * map-side), one co-keyed join back, one groupBy on doc id to
+    * reassemble. Nothing is ever O(docs²) and no window sort over the
+    * corpus. At 100 TB, key the first-occurrence groupBy on
+    * xxhash64(passage) instead of the string to cut the shuffle width
+    * ~4×; the string form is kept here for cross-engine verifiability.
+    *
+    * Output: (idCol, n_passages, n_kept, clean_text) for EVERY input
+    * document — a fully-deduplicated doc keeps 0 passages and an empty
+    * clean_text.
+    */
+  def passageDedup(docs: DataFrame, words: Int = 25,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = docs.select(col(idCol),
+      posexplode(passages(col(textCol), words)).as(Seq("p_idx", "passage")))
+    // first occurrence = min (doc, idx) pair under struct ordering —
+    // partial-aggregated, unlike a row_number window over the corpus
+    val first = ex.groupBy("passage")
+      .agg(min(struct(col(idCol), col("p_idx"))).as("f"))
+    val kept = ex.join(first, "passage")
+      .filter(col(idCol) === col(s"f.$idCol") && col("p_idx") === col("f.p_idx"))
+      .select(col(idCol), col("p_idx"), col("passage"))
+    val perDoc = ex.groupBy(idCol).agg(count(lit(1)).as("n_passages"))
+    val keptAgg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("p_idx"), col("passage")))),
+        x => x.getField("passage")), " ").as("clean_text"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Benchmark decontamination report (the GPT-3/PaLM eval-overlap
+    * check): for each training document, the number of distinct word
+    * `k`-grams it shares with ANY benchmark document. Only contaminated
+    * docs appear (n_shared ≥ 1).
+    *
+    * Scale shape: the benchmark side is always tiny next to a training
+    * corpus, so its distinct shingle set is BROADCAST — the 100 TB side
+    * is scanned map-only (shingle, hash-probe, discard), and the only
+    * shuffle is the per-doc count over the few rows that actually hit.
+    * At 100 TB carry `TextAnalysis.shingleHashes` instead of shingle
+    * strings (identical join semantics, ~3× narrower rows).
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tsh = train.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+    val bsh = bench.select(explode(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+      .distinct()
+    tsh.join(broadcast(bsh), "sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Drop every training document sharing at least one word `k`-gram with
+    * the benchmark set (anti-join against [[contaminationReport]]).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    train.join(contaminationReport(train, bench, k, idCol, textCol)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -94,4 +94,26 @@ object Sampling {
     df.join(keep, Seq(groupCol, idCol), "left_semi")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Deterministic weighted reservoir of `n` rows per group
+    * (Efraimidis–Spirakis A-ES): each row draws u = md5-uniform(0, 1]
+    * from its id and competes with key u^(1/weight); the n largest keys
+    * win, so inclusion probability is proportional to weight, without
+    * replacement. Like [[reservoirPerGroup]] this is a pure function of
+    * (id, salt): the same rows are chosen under any partitioning, engine,
+    * or cluster size, and it runs on the bounded-heap top-k aggregate
+    * (map-side partial) — never a window sort over the group.
+    *
+    * `weightCol` must be strictly positive.
+    */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: Column, n: Int,
+      salt: String = "graft"): DataFrame = {
+    // +1 keeps u away from 0 (u = 0 would give key 0^(1/w) for every
+    // weight — a deterministic loser, biasing against that id)
+    val u = (hashValue(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    capPerGroup(df, groupCol, pow(u, lit(1.0) / weightCol.cast("double")),
+      idCol, n)
+  }
 }

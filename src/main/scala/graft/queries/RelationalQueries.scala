@@ -287,6 +287,20 @@ object RelationalQueries {
              |quantile_cont(value, 0.9) AS p90_value,
              |quantile_cont(value, 0.99) AS p99_value FROM events""".stripMargin.replace("\n", " "))),
 
+    // Grouped exact percentiles — the per-key distribution profile; one
+    // partial-aggregated shuffle on the group key.
+    QueryDef("a7_group_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50_value"),
+          expr("percentile(value, 0.9)").as("p90_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50_value,
+             |quantile_cont(value, 0.9) AS p90_value, count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     // Edit distance (levenshtein) — the fuzzy string-matching primitive;
     // all nation-name pairs, exact integer output.
     QueryDef("f7_levenshtein",

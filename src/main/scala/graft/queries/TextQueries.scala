@@ -238,6 +238,52 @@ object TextQueries {
       Some("""SELECT source, doc_id FROM (
              |SELECT source, doc_id,
              |row_number() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT, doc_id) AS rn
-             |FROM documents) WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents) WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin.replace("\n", " "))),
+
+    // Deterministic weighted reservoir (A-ES): per source, the 5 docs with
+    // the largest u^(1/n_chars) — inclusion probability ∝ length, chosen
+    // by the bounded-heap top-k, reproducible under any partitioning.
+    QueryDef("samp5_weighted_reservoir",
+      (s, dir) => graft.operators.Sampling.weightedReservoirPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", col("n_chars"), n = 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+             |SELECT source, doc_id,
+             |row_number() OVER (PARTITION BY source ORDER BY pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT + 1) / 4294967296.0, 1.0 / n_chars) DESC, doc_id) AS rn
+             |FROM documents) WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin.replace("\n", " "))),
+
+    // Passage-level exact dedup: corpus-wide first occurrence of every
+    // 25-word passage survives; documents reassembled from survivors.
+    QueryDef("c2_passage_dedup",
+      (s, dir) => Dedup.passageDedup(
+        t(s, dir, "documents").select("doc_id", "text"), words = 25)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |ti AS (SELECT doc_id, u.w AS w, u.i AS i FROM tok, unnest(list_transform(toks, (x, j) -> struct_pack(w := x, i := j - 1))) AS t(u)),
+              |ch AS (SELECT doc_id, i // 25 AS p_idx, string_agg(w, ' ' ORDER BY i) AS passage FROM ti GROUP BY doc_id, i // 25),
+              |rn AS (SELECT doc_id, p_idx, passage, row_number() OVER (PARTITION BY passage ORDER BY doc_id, p_idx) AS rn FROM ch),
+              |keptagg AS (SELECT doc_id, count(*) AS n_kept, string_agg(passage, ' ' ORDER BY p_idx) AS clean_text FROM rn WHERE rn = 1 GROUP BY doc_id),
+              |perdoc AS (SELECT doc_id, count(*) AS n_passages FROM ch GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(p.n_passages, 0) AS n_passages, coalesce(k.n_kept, 0) AS n_kept, coalesce(k.clean_text, '') AS clean_text
+              |FROM documents d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN keptagg k USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // Benchmark decontamination: training docs sharing any word 8-gram
+    // with the (broadcast) benchmark subset, with shared-shingle counts.
+    QueryDef("d8_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 17 =!= 3),
+          docs.filter(col("doc_id") % 17 === 3), k = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |sh8 AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) END AS s FROM tok),
+              |tsh AS (SELECT doc_id, unnest(s) AS sh FROM sh8 WHERE doc_id % 17 <> 3),
+              |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM sh8 WHERE doc_id % 17 = 3)
+              |SELECT t.doc_id, count(*) AS n_shared FROM tsh t JOIN bsh b USING (sh)
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " ")))
   )
 }

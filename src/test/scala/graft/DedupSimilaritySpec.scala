@@ -204,4 +204,84 @@ class DedupSimilaritySpec extends SparkSpec {
     val out = d.select(TextAnalysis.langId(col("text"))).as[String].collect()
     assert(out.sameElements(Array("en", "de", "und")))
   }
+
+  test("passageDedup keeps the first occurrence of each passage and reassembles") {
+    // 3-word passages; doc 1's second passage repeats doc 0's first; doc 2
+    // is entirely doc 0's text (fully deduplicated away); doc 3 unique.
+    val docs = Seq(
+      (0L, "a b c d e f"),          // passages: "a b c", "d e f"
+      (1L, "x y z a b c"),          // "x y z" kept, "a b c" duplicate
+      (2L, "a b c"),                // fully duplicate -> 0 kept
+      (3L, "q r")                   // short tail passage, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, words = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((0L, 2L, 2L, "a b c d e f")))
+    assert(out(1) == ((1L, 2L, 1L, "x y z")))
+    assert(out(2) == ((2L, 1L, 0L, "")))
+    assert(out(3) == ((3L, 1L, 1L, "q r")))
+  }
+
+  test("passageDedup: duplicate passage inside ONE doc is dropped; blank doc has none") {
+    val docs = Seq(
+      (0L, "a b c a b c a b c"),    // same 3-gram thrice -> keep one
+      (1L, "   ")                    // whitespace-only -> no passages
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, words = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((0L, 3L, 1L, "a b c")))
+    assert(out(1) == ((1L, 0L, 0L, "")))
+  }
+
+  test("decontaminate drops exactly the docs sharing a k-gram with the benchmark") {
+    val train = Seq(
+      (0L, "one two three four five six seven eight nine"), // contains bench 8-gram
+      (1L, "totally unrelated words that share nothing with anything else here"),
+      (2L, "one two three four five SIX seven eight nine")  // case diff normalizes -> contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "zz one two three four five six seven eight yy"))
+      .toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(train, bench, k = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(report.map(_._1).sameElements(Array(0L, 2L)))
+    assert(report.forall(_._2 >= 1L))
+    val clean = Dedup.decontaminate(train, bench, k = 8)
+      .select("doc_id").as[Long].collect()
+    assert(clean.sameElements(Array(1L)))
+  }
+
+  test("weighted reservoir membership is partitioning-invariant and weight-sensitive") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val pick = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Sampling.weightedReservoirPerGroup(
+        df, "source", "doc_id", col("n_chars"), n = 3)
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val a = pick(docs)
+    val b = pick(docs.repartition(17))
+    assert(a == b) // pure function of (id, salt), not layout
+    // every group contributes at most n rows, and members exist
+    assert(a.nonEmpty)
+    assert(a.groupBy(_._1).values.forall(_.size <= 3))
+    // weight sensitivity: with weights swept to ~0 for even ids (key
+    // u^(1/w) underflows to 0), an even doc can only be picked when its
+    // group has fewer than n odd docs left to fill the reservoir
+    val skewed = docs.withColumn("w",
+      when(col("doc_id") % 2 === 0, lit(1e-9)).otherwise(col("n_chars")))
+    val picked = graft.operators.Sampling.weightedReservoirPerGroup(
+      skewed, "source", "doc_id", col("w"), n = 3)
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val oddBySource = docs.select("source", "doc_id").as[(String, Long)]
+      .collect().filter(_._2 % 2 == 1L)
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    picked.foreach { case (src, ids) =>
+      val evensPicked = ids.count(_ % 2 == 0L)
+      val oddsAvailable = oddBySource.getOrElse(src, 0)
+      assert(evensPicked == math.max(0, 3 - math.min(3, oddsAvailable)),
+        s"source=$src picked=$ids oddsAvailable=$oddsAvailable")
+    }
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
-import graft.functions.{CosineSimilarity, JaccardSim, MinHashSig, SimHash64,
-  WinnowFingerprints, WordShingleHashes, WordShingles}
+import graft.functions.{CosineSimilarity, HeavyHittersAgg, JaccardSim,
+  MinHashSig, SimHash64, TDigestAgg, WinnowFingerprints, WordShingleHashes,
+  WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -21,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name expects an integer literal, got $other")
+  }
+
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    // SQL `0.5` parses as a DECIMAL literal, not DOUBLE
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name expects a numeric literal, got $other")
   }
 
   /** Positional indexing without an arity check turns a mis-called SQL
@@ -83,6 +93,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val e = arity(exprs, 3, "winnow_fingerprints(text, k, w)")
         WinnowFingerprints(e(0),
           intArg(e(1), "winnow_fingerprints k"), intArg(e(2), "winnow_fingerprints w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "heavy_hitters(item, k)")
+        HeavyHittersAgg(e(0), intArg(e(1), "heavy_hitters k"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tdigest_quantile"),
+      new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest_quantile"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "tdigest_quantile(value, p)")
+        TDigestAgg(e(0), Seq(doubleArg(e(1), "tdigest_quantile p")))
+          .toAggregateExpression()
       }))
   }
 }

@@ -301,6 +301,34 @@ object RelationalQueries {
              |quantile_cont(value, 0.9) AS p90_value, count(*) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Mergeable t-digest sketch: constant-memory tail quantiles per group
+    // (estimates are merge-order dependent → rows-only check; the error
+    // bound vs exact percentile is pinned by SketchAggSpec).
+    QueryDef("a8_tdigest",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.TDigestFunctions.tdigest_quantiles(
+          col("value"), Seq(0.5, 0.9, 0.99)).as("q"))
+        .select(col("event_type"),
+          element_at(col("q"), 1).as("p50_est"),
+          element_at(col("q"), 2).as("p90_est"),
+          element_at(col("q"), 3).as("p99_est"))
+        .orderBy("event_type"),
+      None),
+
+    // Misra-Gries heavy hitters: with k ≥ distinct items the summary is
+    // exact (no decrements fire), so the bounded-memory aggregate is
+    // oracle-checkable against plain groupBy counts here.
+    QueryDef("a9_heavy_hitters",
+      (s, dir) => t(s, dir, "documents")
+        .agg(graft.functions.HeavyHittersFunctions.heavy_hitters(
+          col("source"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), col("item")),
+      Some("""SELECT source AS item, count(*) AS cnt FROM documents
+             |GROUP BY source ORDER BY cnt DESC, item""".stripMargin.replace("\n", " "))),
+
     // Edit distance (levenshtein) — the fuzzy string-matching primitive;
     // all nation-name pairs, exact integer output.
     QueryDef("f7_levenshtein",

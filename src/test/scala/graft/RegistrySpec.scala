@@ -22,6 +22,7 @@ class RegistrySpec extends AnyFunSuite {
       "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
       "v2_knn_ivf",        // approximate; recall-vs-brute-force spec
       "a5_approx_distinct",// DuckDB uses a different sketch; error-bound spec
+      "a8_tdigest",        // merge-order-dependent estimate; SketchAggSpec error bound
       "m1_media_features") // binary payloads; MultimodalSpec
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")

@@ -230,13 +230,121 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise matches into dedup clusters (keep one representative
-    * per component). Each round every vertex adopts the smallest label
-    * among (its own, its neighbors', its label's label) — min-label
-    * propagation plus pointer jumping. The jump is what makes long chains
-    * cheap: propagation alone needs diameter rounds (a 230-vertex chainy
-    * component measured 18), with jumping label paths halve every round —
-    * O(log diameter). Each round is two id-keyed joins + one
-    * partial-aggregated groupBy, nothing ever O(V²).
+    * per component).
+    *
+    * Two execution paths, chosen by the size of the EDGE list (never the
+    * corpus): near-dup edges are a small fraction of the corpus that
+    * produced them, and only edge-touched vertices need any graph work at
+    * all — every other vertex is its own singleton component, labeled by
+    * one final map-side-prunable left join.
+    *
+    *  - edge count ≤ `localEdgeThreshold`: single-task union-find over the
+    *    persisted edge list (`coalesce(1).mapPartitions`). One job, no
+    *    loop — the same small-graph finish GraphFrames performs after
+    *    contraction. 10⁶ edges is a few tens of MB of hash-map state.
+    *  - above the threshold: the distributed min-label-propagation loop
+    *    below, seeded with edge-touched vertices only. Each round every
+    *    vertex adopts the smallest label among (its own, its neighbors',
+    *    its label's label) — propagation plus pointer jumping. The jump is
+    *    what makes long chains cheap: propagation alone needs diameter
+    *    rounds (a 230-vertex chainy component measured 18), with jumping
+    *    label paths halve every round — O(log diameter). Each round is two
+    *    id-keyed joins + one partial-aggregated groupBy, nothing ever
+    *    O(V²).
+    *
+    * Precondition (both paths, matching the DuckDB closure oracle): edge
+    * endpoints are drawn from `vertices` — true for every dedup pair list,
+    * which is generated from the corpus itself.
+    *
+    * Output: (id, comp) where comp = smallest vertex id in the component;
+    * vertices absent from `edges` keep comp = id.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      idCol: String = "doc_id", aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 50, loopShufflePartitions: Int = 0,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val eSrc = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val eRdd = eSrc.rdd.persist()
+    val eCount = eRdd.count()
+    val idType = eSrc.schema.head.dataType
+    val ord = idOrdering(idType)
+    val small = eCount <= localEdgeThreshold && ord.isDefined
+    val touched: DataFrame = // (id, comp) for edge-touched vertices only
+      if (small) localUnionFind(eRdd, idType, ord.get, spark)
+      else labelPropagation(eRdd, idType, spark, maxIter, loopShufflePartitions)
+    eRdd.unpersist(blocking = false)
+    // Everything not in an edge is a singleton. The label table is
+    // RDD-backed (default stats — never auto-broadcast), so hint it
+    // explicitly on the small path: the corpus side then stays a single
+    // map-only pass. Above the threshold it shuffle-joins keyed on id.
+    val labelSide = {
+      val t = touched.withColumnRenamed("id", idCol)
+      if (small) broadcast(t) else t
+    }
+    vertices.select(col(idCol))
+      .join(labelSide, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+  }
+
+  /** Orderings for min-label id types (mirrors Spark's `least`/`min`
+    * ordering on these types). Unsupported id types fall back to the
+    * distributed loop, which orders via Spark itself.
+    */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case ShortType   => Some(Ordering.by[Any, Short](_.asInstanceOf[Short]))
+      case StringType  => Some(Ordering.by[Any, String](_.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Small-graph path: union-find over the whole edge list in ONE task
+    * (`coalesce(1)` on the persisted edge RDD — no shuffle, the task
+    * pulls each upstream partition). Path-halving keeps finds near-O(1);
+    * roots are the component minima by construction (union always points
+    * the larger root at the smaller). Returns (id, comp) for every vertex
+    * appearing in an edge.
+    */
+  private def localUnionFind(eRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType, ord: Ordering[Any],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val out = eRdd.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        if (!parent.containsKey(x0)) { parent.put(x0, x0); x0 }
+        else {
+          var x = x0
+          var p = parent.get(x)
+          while (p != x) { // path halving
+            val gp = parent.get(p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x)
+          }
+          x
+        }
+      }
+      it.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val keys = parent.keySet().toArray
+      keys.iterator.map(k => Row(k, find(k)))
+    }
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("id", idType), StructField("comp", idType))))
+  }
+
+  /** Distributed path: min-label propagation + pointer jumping over the
+    * edge-touched vertex set.
     *
     * Two things make the loop viable: the edge relation is persisted once
     * (or an expensive upstream pair generator re-executes every round),
@@ -252,14 +360,12 @@ object Dedup {
     * seconds to never-terminating around round 10). The RDD round-trip
     * pins stats at the default leaf estimate instead. On a cluster,
     * prefer a reliable `checkpoint` directory to survive executor loss.
-    *
-    * Output: (id, comp) where comp = smallest vertex id in the component;
-    * vertices absent from `edges` keep comp = id.
     */
-  def connectedComponents(edges: DataFrame, vertices: DataFrame,
-      idCol: String = "doc_id", aCol: String = "a_id", bCol: String = "b_id",
-      maxIter: Int = 50, loopShufflePartitions: Int = 0): DataFrame = {
-    val spark = edges.sparkSession
+  private def labelPropagation(eRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession,
+      maxIter: Int, loopShufflePartitions: Int): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     // The loop's relations are label tables, orders of magnitude smaller
     // than the corpus that produced the edges — running its joins at the
     // session's corpus-sized shuffle width burns a fixed per-round
@@ -269,19 +375,19 @@ object Dedup {
     // mutating the caller's session conf would silently re-plan any
     // concurrent query on it at the scoped-down width.
     val loop = spark.newSession()
+    val eSchema = StructType(Seq(
+      StructField("src", idType), StructField("dst", idType)))
+    val half = loop.createDataFrame(eRdd, eSchema)
+    val sym = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     // materialize: truncate lineage AND reset plan stats (see Scaladoc)
-    def materialize(df: DataFrame): DataFrame = {
+    var labels = {
+      val df = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
       val rdd = df.rdd
       rdd.localCheckpoint()
       rdd.count()
       loop.createDataFrame(rdd, df.schema)
     }
-    val symSrc = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val symRdd = symSrc.rdd.persist()
-    val sym = loop.createDataFrame(symRdd, symSrc.schema)
-    var labels = materialize(
-      vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
     val loopWidth =
       if (loopShufflePartitions > 0) loopShufflePartitions
       else math.max(1, math.min(
@@ -321,11 +427,9 @@ object Dedup {
         labels = loop.createDataFrame(rdd, next.schema).select("id", "comp")
         it += 1
     }
-    symRdd.unpersist(blocking = false)
     // hand the result back as a DataFrame of the CALLER's session (the
     // checkpointed label RDD underneath is session-independent)
-    val out = labels.select(col("id").as(idCol), col("comp"))
-    spark.createDataFrame(out.rdd, out.schema)
+    spark.createDataFrame(labels.rdd, labels.schema)
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ `threshold`.

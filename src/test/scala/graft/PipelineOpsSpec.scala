@@ -44,6 +44,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connectedComponents: distributed loop path == local union-find path") {
+    val rnd = new scala.util.Random(31)
+    val pairs = Seq.fill(120)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2)
+    val edges = pairs.toDF("a_id", "b_id")
+    val verts = (0L until 150L).toDF("doc_id")
+    val local = Dedup.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    // localEdgeThreshold = -1 forces every edge count onto the loop path
+    val looped = Dedup.connectedComponents(edges, verts, localEdgeThreshold = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == looped)
+  }
+
+  test("connectedComponents handles string vertex ids on the local path") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("x", "z")).toDF("a_id", "b_id")
+    val verts = Seq("a", "b", "c", "x", "z", "solo").toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, verts)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "z" -> "x", "solo" -> "solo"))
+  }
+
   test("bucketed range join == naive theta join, across bucket widths") {
     val rnd = new scala.util.Random(11)
     val intervals = (0L until 80L).map { i =>

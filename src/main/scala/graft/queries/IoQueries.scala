@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.Multimodal
-import graft.sources.IO
+import graft.sources.{IO, Lakehouse, Layout, SkipIndex}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -96,6 +96,103 @@ object IoQueries {
       Some("""SELECT user_id, count(*) AS cnt,
              |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // Lakehouse keyed upsert: CDC change set (updates + inserts derived
+    // deterministically from events) applied via anti-join + union; the
+    // oracle recomputes the same merge in SQL.
+    QueryDef("l1_upsert",
+      (s, dir) => {
+        val target = t(s, dir, "events").select("event_id", "event_type", "value")
+        val updates = target.filter(col("event_id") % 97 === 0)
+          .select(col("event_id"), lit("updated").as("event_type"),
+            (col("value") * 2).as("value"))
+        val inserts = target.filter(col("event_id") % 101 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            lit("new").as("event_type"), col("value"))
+        Lakehouse.upsert(target, updates.unionByName(inserts), Seq("event_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id, 'updated' AS event_type, value*2 AS value FROM events WHERE event_id % 97 = 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, 'new', value FROM events WHERE event_id % 101 = 0)
+             |SELECT event_id, event_type, value FROM (
+             |  SELECT e.event_id, e.event_type, e.value FROM events e
+             |  WHERE e.event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT event_id, event_type, value FROM src)
+             |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // Copy-on-write merge into a date-partitioned parquet table: only the
+    // change set's partitions are rewritten (LakehouseSpec pins the
+    // untouched-files property); the oracle recomputes the merged table.
+    QueryDef("l4_cow_merge",
+      (s, dir) => {
+        val out = qtmp("l4")
+        val events = t(s, dir, "events")
+          .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+          .select("event_id", "event_type", "value", "date")
+        IO.writeCuratedParquet(events, out)
+        val changes = events.filter(col("event_id") % 53 === 0)
+          .withColumn("value", lit(-1.0))
+        Lakehouse.mergeIntoParquet(s, out, changes, Seq("event_id"), "date")
+        s.read.parquet(out)
+          .groupBy(col("date").cast("string").as("date"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("date")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS cnt,
+             |CAST(sum(CAST(CASE WHEN event_id % 53 = 0 THEN -1.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY date""".stripMargin.replace("\n", " "))),
+
+    // File-level min/max skipping index: footer-stats index over a
+    // range-clustered layout, scan reads only envelope-intersecting files.
+    // Result must equal a full scan + filter (the oracle's view).
+    QueryDef("l2_skipindex_scan",
+      (s, dir) => {
+        val out = qtmp("l2")
+        val events = t(s, dir, "events").select("event_id", "event_type", "value")
+        Layout.linearWrite(events, out, "event_id", numFiles = 16)
+        val idx = SkipIndex.build(s, out, Seq("event_id"))
+        val (scan, _, _) = SkipIndex.rangeScan(s, out, idx, "event_id", 2000L, 3000L)
+        scan.orderBy("event_id")
+      },
+      Some("SELECT event_id, event_type, value FROM events WHERE event_id BETWEEN 2000 AND 3000 ORDER BY event_id")),
+
+    // Z-order layout: multi-dimensional clustering on (user_id, value),
+    // then an index-pruned scan on user_id — pruning on a dimension a
+    // linear layout cannot skip on. Row-identical to a plain filter.
+    QueryDef("l3_zorder_scan",
+      (s, dir) => {
+        val out = qtmp("l3")
+        val events = t(s, dir, "events").select("event_id", "user_id", "value")
+        Layout.zorderWrite(events, out, Seq("user_id", "value"), numFiles = 16)
+        val idx = SkipIndex.build(s, out, Seq("user_id", "value"))
+        val (scan, _, _) = SkipIndex.rangeScan(s, out, idx, "user_id", 100L, 200L)
+        scan.groupBy("user_id").agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS cnt,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events WHERE user_id BETWEEN 100 AND 200 GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // CSV source/sink round-trip with explicit schema (quoting, embedded
+    // delimiters, shortest-round-trip doubles).
+    QueryDef("s10_csv_roundtrip",
+      (s, dir) => {
+        val out = qtmp("s10")
+        val proj = t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"))
+        IO.writeCsv(proj, out)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_iso", StringType)))
+        IO.readCsv(s, schema, out).orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type, value, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso FROM events ORDER BY event_id")),
 
     // Multimodal feature extraction (rows-only: binary payloads are not a
     // DuckDB-comparable surface; MultimodalSpec covers the semantics).

@@ -116,6 +116,18 @@ object IO {
     if (partitionCols.nonEmpty) repairPartitions(spark, table)
   }
 
+  /** CSV scan with a pinned schema (inference re-reads the data and can
+    * drift between runs — always declare). `header=true` and RFC-4180
+    * quoting; timestamps must be pre-formatted to strings by the writer
+    * so the round-trip is byte-stable.
+    */
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** CSV sink (header, RFC-4180 quoting, one file per task). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
   /** S5 — `MSCK REPAIR TABLE` after every write (transform.py:188,268). */
   def repairPartitions(spark: SparkSession, table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE `$table`")

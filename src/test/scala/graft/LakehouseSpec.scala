@@ -1,0 +1,119 @@
+package graft
+
+import graft.sources.{IO, Lakehouse, Layout, SkipIndex}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-layer features: keyed upsert/delete/merge, copy-on-write
+  * partition-scoped merge, footer-stats skipping index, and Z-order
+  * layout.
+  */
+class LakehouseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String) = s"target/test-lakehouse/$name"
+
+  test("upsert replaces matched keys and appends new ones") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    val source = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "v")
+    val got = Lakehouse.upsert(target, source, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("delete drops exactly the tombstoned keys") {
+    val target = (1L to 6L).map(i => (i, i * 1.5)).toDF("id", "v")
+    val got = Lakehouse.delete(target, Seq(2L, 5L, 99L).toDF("id"), Seq("id"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got == Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("mergeUpdate updates only mapped columns, keeps the rest, inserts nothing extra") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v")
+    val source = Seq((2L, 5.0)).toDF("id", "delta")
+    val got = Lakehouse.mergeUpdate(target, source, Seq("id"),
+      Map("v" -> (col("v") + col("src_delta"))))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b", 25.0)))
+  }
+
+  test("mergeIntoParquet rewrites only the change set's partitions") {
+    val path = tmp("cow")
+    val base = (0L until 300L).map(i => (i, s"d${i % 3}", i.toDouble))
+      .toDF("id", "date", "v")
+    IO.writeCuratedParquet(base, path, Seq("date"))
+    // capture the untouched partition's file set before the merge
+    def d2Files: Set[String] = new java.io.File(s"$path/date=d2")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = d2Files
+    val changes = Seq((1L, "d0", -1.0), (9000L, "d1", 42.0)).toDF("id", "date", "v")
+    val stats = Lakehouse.mergeIntoParquet(spark, path, changes, Seq("id"), "date")
+    assert(stats.rewrittenPartitions == Seq("d0", "d1"))
+    val after = spark.read.parquet(path)
+    assert(after.count() == 301)
+    assert(after.filter(col("id") === 1L).select("v").as[Double].head() == -1.0)
+    assert(after.filter(col("id") === 9000L).count() == 1)
+    // d2 files untouched (same names ⇒ never rewritten; writes get fresh UUIDs)
+    assert(d2Files == filesBefore)
+  }
+
+  test("skip index: rangeScan equals full filter and prunes files") {
+    val path = tmp("skip")
+    val df = (0L until 20000L).map(i => (i, (i % 7).toString, i.toDouble / 3))
+      .toDF("id", "k", "v")
+    // range-layout on id ⇒ tight per-file id envelopes
+    Layout.linearWrite(df, path, "id", numFiles = 16)
+    val idx = SkipIndex.build(spark, path, Seq("id", "v"))
+    assert(idx.count() == 16)
+    val (scan, read, total) = SkipIndex.rangeScan(spark, path, idx, "id", 5000L, 6000L)
+    val expected = spark.read.parquet(path)
+      .filter(col("id") >= 5000L && col("id") <= 6000L)
+    assert(scan.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      expected.orderBy("id").as[(Long, String, Double)].collect().toSeq)
+    assert(total == 16 && read <= 3, s"expected <=3 of 16 files, read $read")
+  }
+
+  test("skip index: string column stats and empty-result scan") {
+    val path = tmp("skipstr")
+    val df = (0 until 1000).map(i => (i.toLong, f"key$i%04d")).toDF("id", "k")
+    Layout.linearWrite(df, path, "k", numFiles = 8)
+    val idx = SkipIndex.build(spark, path, Seq("k"))
+    val (scan, read, total) = SkipIndex.rangeScan(spark, path, idx, "k", "key0100", "key0199")
+    assert(scan.count() == 100 && read < total)
+    val (empty, readNone, _) = SkipIndex.rangeScan(spark, path, idx, "k", "zzz", "zzzz")
+    assert(empty.count() == 0 && readNone == 0)
+  }
+
+  test("z-order prunes on BOTH dimensions where linear layout prunes on one") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(20000)((rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong))
+      .toDF("x", "y")
+    val zPath = tmp("zorder")
+    val lPath = tmp("linear")
+    Layout.zorderWrite(df, zPath, Seq("x", "y"), numFiles = 16)
+    Layout.linearWrite(df, lPath, "x", numFiles = 16)
+    val zIdx = SkipIndex.build(spark, zPath, Seq("x", "y"))
+    val lIdx = SkipIndex.build(spark, lPath, Seq("x", "y"))
+    // narrow y-range query: x-sorted layout keeps ~every file
+    val zKeepY = SkipIndex.candidateFiles(zIdx, "y", 1000L, 1500L).size
+    val lKeepY = SkipIndex.candidateFiles(lIdx, "y", 1000L, 1500L).size
+    assert(zKeepY < lKeepY, s"zorder $zKeepY vs linear $lKeepY files for y-range")
+    assert(lKeepY == 16) // linear layout cannot skip on y at all
+    // and the z layout still skips on x too
+    val zKeepX = SkipIndex.candidateFiles(zIdx, "x", 1000L, 1500L).size
+    assert(zKeepX < 16, s"zorder kept $zKeepX files for x-range")
+    // layout changes bytes, never rows
+    assert(spark.read.parquet(zPath).count() == 20000)
+  }
+
+  test("csv round-trip preserves rows, types, and embedded delimiters") {
+    val path = tmp("csv")
+    val df = Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0))
+      .toDF("id", "s", "v")
+    IO.writeCsv(df, path)
+    val got = IO.readCsv(spark, df.schema, path)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0)))
+  }
+}

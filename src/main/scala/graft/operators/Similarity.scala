@@ -114,11 +114,25 @@ object Similarity {
     * code linearly and dies near ~1000 centroids
     * (graft.functions.CentroidArgmax).
     */
-  def ivfIndex(corpus: DataFrame, numCentroids: Int): IvfIndex = {
+  def ivfIndex(corpus: DataFrame, numCentroids: Int): IvfIndex =
+    indexWith(corpus, sampleCentroids(corpus, numCentroids))
+
+  /** Deterministic centroid seed: the first `numCentroids` corpus rows by
+    * vec_id. Cheap and reproducible; refine with [[refineCentroids]] when
+    * cell balance matters (a skewed seed makes hot cells, and a hot cell
+    * is exactly what IVF probing is supposed to avoid).
+    */
+  def sampleCentroids(corpus: DataFrame, numCentroids: Int): Seq[(Long, Seq[Float])] = {
     require(numCentroids >= 2, "need at least 2 centroids")
-    val cents: Seq[(Long, Seq[Float])] = corpus.orderBy("vec_id").limit(numCentroids)
+    corpus.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id"), col("embedding"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+  }
+
+  /** Assemble an [[IvfIndex]] from explicit centroids (map-only cell
+    * assignment; see [[ivfIndex]]).
+    */
+  def indexWith(corpus: DataFrame, cents: Seq[(Long, Seq[Float])]): IvfIndex = {
     val corpusV = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
     val centMatrix = cents.map(_._2.map(_.toDouble).toArray).toArray
     val centIds = cents.map(_._1)
@@ -128,6 +142,74 @@ object Similarity {
         element_at(array(centIds.map(lit): _*), idx + 1)),
       cents)
   }
+
+  /** Spherical k-means (Lloyd) refinement of IVF centroids. Each round:
+    * map-only argmax assignment (centroid matrix inside one expression),
+    * then per-(cell, dimension) mean via posexplode + one
+    * partial-aggregated groupBy — the shuffle ships n×d skinny rows,
+    * never embeddings, and nothing is ever O(n²). The per-round driver
+    * state is k×d doubles.
+    *
+    * Vectors are unit-normalized ONCE up front: cosine assignment is
+    * scale-invariant, but the centroid update is not — the mean of
+    * normalized members is the direction maximizing the cell's summed
+    * cosine (the spherical k-means M-step), which makes the objective
+    * monotone non-decreasing round over round.
+    *
+    * Dimension sums use fixed-point longs (×10⁹) so the refined model is
+    * bit-identical under any partitioning — double summation order would
+    * otherwise leak into centroid bits and, through argmax ties, into
+    * cell assignments. Unit coordinates are ≤ 1, so overflow needs 10⁹
+    * rows in one cell — persist-count guard unnecessary at any realistic
+    * cell size.
+    *
+    * Cells that lose all members keep their previous centroid. Centroid
+    * ids are stable across refinement (they remain the seed row ids).
+    */
+  def refineCentroids(corpus: DataFrame, init: Seq[(Long, Seq[Float])],
+      iters: Int): Seq[(Long, Seq[Float])] = {
+    if (iters <= 0) return init
+    val nrm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    val unit = corpus.select(col("vec_id"),
+      when(nrm === 0, asDouble(col("embedding")))
+        .otherwise(transform(col("embedding"), x => x.cast("double") / nrm)).as("u"))
+      .persist()
+    var cents: Seq[(Long, Array[Double])] =
+      init.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    try {
+      for (_ <- 0 until iters) {
+        val matrix = cents.map(_._2).toArray
+        val agg = unit
+          .withColumn("c", graft.functions.CentroidArgmax.argmax(col("u"), matrix))
+          .select(col("c"), posexplode(col("u")))
+          .groupBy("c", "pos")
+          .agg(sum(floor(col("col") * 1e9).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val byCell = agg.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case ((id, old), ci) =>
+          byCell.get(ci) match {
+            case Some(rows) =>
+              val vec = new Array[Double](old.length)
+              rows.foreach { r =>
+                vec(r.getInt(1)) = r.getLong(2).toDouble / 1e9 / r.getLong(3)
+              }
+              (id, vec)
+            case None => (id, old)
+          }
+        }
+      }
+    } finally unit.unpersist(blocking = false)
+    cents.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+  }
+
+  /** IVF index with k-means-refined centroids: deterministic seed,
+    * `iters` Lloyd rounds, then the usual map-only assignment.
+    */
+  def ivfIndexKmeans(corpus: DataFrame, numCentroids: Int, iters: Int = 4): IvfIndex =
+    indexWith(corpus, refineCentroids(corpus, sampleCentroids(corpus, numCentroids), iters))
 
   /** Query an IVF index: each query probes its `nprobe` nearest cells
     * and ranks only those cells' members. The probe relation (queries ×

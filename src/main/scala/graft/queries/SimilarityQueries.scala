@@ -115,6 +115,19 @@ object SimilarityQueries {
           numCentroids = 16, nprobe = 4)
           .orderBy("query_id", "rank")
       },
+      None),
+
+    // IVF with k-means-refined centroids (rows-only: approximate index;
+    // DedupSimilaritySpec pins objective monotonicity, determinism, and
+    // planted-cluster recovery).
+    QueryDef("v4_kmeans_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfQuery(
+          Similarity.ivfIndexKmeans(e, numCentroids = 16, iters = 3),
+          e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
       None)
   )
 }

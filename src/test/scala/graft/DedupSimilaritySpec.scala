@@ -120,6 +120,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=4 of 8 cells
   }
 
+  // --- k-means centroid refinement -------------------------------------
+
+  /** Clustered synthetic corpus: `perCluster` vectors around each of 3
+    * well-separated axis directions in 8-d, with small deterministic
+    * jitter. Seeded so the first k rows (the deterministic centroid
+    * sample) all come from cluster 0 — the worst seed for IVF.
+    */
+  private def clustered(perCluster: Int) = {
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until perCluster
+    } yield {
+      val rnd = new scala.util.Random(c * 100003 + i)
+      val v = dirs(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+      // ids ordered so vec_id < perCluster ⇔ cluster 0
+      ((c * perCluster + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def objective(corpus: Seq[Array[Double]], cents: Seq[Array[Double]]): Double = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    corpus.map(v => cents.map(c => cos(v, c)).max).sum / corpus.size
+  }
+
+  test("refineCentroids: deterministic, objective non-decreasing, beats the raw seed") {
+    val corpus = clustered(40)
+    val vecs = corpus.orderBy("vec_id").as[(Long, Seq[Float])].collect()
+      .map(_._2.map(_.toDouble).toArray).toSeq
+    val init = Similarity.sampleCentroids(corpus, 6) // all from cluster 0
+    def asArrays(cs: Seq[(Long, Seq[Float])]) = cs.map(_._2.map(_.toDouble).toArray)
+    val objs = (0 to 3).map { it =>
+      objective(vecs, asArrays(Similarity.refineCentroids(corpus, init, it)))
+    }
+    objs.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-9, s"objective fell: $objs") }
+    assert(objs.last > objs.head + 1e-3, s"refinement never improved: $objs")
+    // bit-identical across runs (fixed-point sums ⇒ partitioning-invariant)
+    val r1 = Similarity.refineCentroids(corpus, init, 3)
+    val r2 = Similarity.refineCentroids(corpus.repartition(7), init, 3)
+    assert(r1 == r2)
+  }
+
+  test("ivfIndexKmeans: refined cells recover planted clusters from a degenerate seed") {
+    val corpus = clustered(40)
+    val refined = Similarity.ivfIndexKmeans(corpus, numCentroids = 6, iters = 5)
+    // every planted cluster maps to exactly one refined cell
+    val cellsPerCluster = refined.assigned
+      .select((col("neighbor_id") / 40).cast("int").as("cluster"), col("cell"))
+      .distinct().groupBy("cluster").count()
+      .as[(Int, Long)].collect().toMap
+    assert(cellsPerCluster.values.forall(_ == 1L), s"split clusters: $cellsPerCluster")
+    // and distinct clusters land in distinct cells
+    val distinctCells = refined.assigned.select("cell").distinct().count()
+    assert(distinctCells == 3L, s"got $distinctCells cells for 3 clusters")
+  }
+
   test("native cosine expression is bit-identical to the HOF fold") {
     val d = embs.limit(50)
     val pairs = d.select(col("vec_id"), col("embedding"))

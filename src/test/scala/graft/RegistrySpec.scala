@@ -23,6 +23,7 @@ class RegistrySpec extends AnyFunSuite {
       "v2_knn_ivf",        // approximate; recall-vs-brute-force spec
       "a5_approx_distinct",// DuckDB uses a different sketch; error-bound spec
       "a8_tdigest",        // merge-order-dependent estimate; SketchAggSpec error bound
+      "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
       "m1_media_features") // binary payloads; MultimodalSpec
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")

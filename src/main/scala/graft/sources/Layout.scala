@@ -28,14 +28,16 @@ object Layout {
     require(bitsPerCol >= 1 && bitsPerCol <= 16, "bitsPerCol must be in [1,16]")
     val nBuckets = 1 << bitsPerCol
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val buckets: Seq[Column] = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-      // bucket = #boundaries strictly below the value — a codegen'd loop
-      // over a literal array, no join, no window
-      aggregate(
-        lit(bounds),
-        lit(0),
-        (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
+    // ONE stats pass learns every column's boundaries together
+    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val buckets: Seq[Column] = cols.zip(allBounds).map { case (c, raw) =>
+      val bounds = raw.distinct.sorted
+      // bucket = #boundaries strictly below the value — binary search
+      // inside one native expression (graft.functions.QuantileBucket);
+      // nulls land in bucket 0
+      coalesce(
+        graft.functions.QuantileBucket.bucket(col(c).cast("double"), bounds),
+        lit(0))
     }
     val n = cols.size
     val terms = for {

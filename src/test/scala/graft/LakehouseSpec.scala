@@ -107,6 +107,21 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == 20000)
   }
 
+  test("quantile_bucket: binary search matches linear count, null and NaN handled") {
+    import graft.functions.QuantileBucket
+    val bounds = Array(1.0, 3.0, 3.0, 7.5) // duplicates tolerated
+    val vals = Seq[java.lang.Double](0.0, 1.0, 2.0, 3.0, 5.0, 7.5, 100.0,
+      null, Double.NaN)
+    val got = vals.toDF("v")
+      .select(QuantileBucket.bucket(col("v"), bounds.distinct.sorted).as("b"))
+      .as[Option[Int]].collect().toSeq
+    // linear reference: #bounds strictly below v (distinct bounds: 1,3,7.5)
+    val distinctB = bounds.distinct.sorted
+    def ref(v: Double) = distinctB.count(b => java.lang.Double.compare(b, v) < 0)
+    assert(got == Seq(Some(ref(0)), Some(ref(1)), Some(ref(2)), Some(ref(3)),
+      Some(ref(5)), Some(ref(7.5)), Some(ref(100)), None, Some(3)))
+  }
+
   test("csv round-trip preserves rows, types, and embedded delimiters") {
     val path = tmp("csv")
     val df = Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0))

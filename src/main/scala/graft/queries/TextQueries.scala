@@ -284,6 +284,22 @@ object TextQueries {
               |tsh AS (SELECT doc_id, unnest(s) AS sh FROM sh8 WHERE doc_id % 17 <> 3),
               |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM sh8 WHERE doc_id % 17 = 3)
               |SELECT t.doc_id, count(*) AS n_shared FROM tsh t JOIN bsh b USING (sh)
-              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " ")))
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "))),
+
+    // Sequence packing: docs → fixed-token-budget training sequences via
+    // distributed prefix-sum (quantile range groups, never a global
+    // window). The oracle recomputes the assignment with a SQL window.
+    QueryDef("pack1_sequence_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        val packed = graft.operators.Packing.packByOffset(
+          docs, "n_tok", "doc_id", budget = 2000, numPartitions = 8)
+        graft.operators.Packing.packSummary(packed, "n_tok").orderBy("pack_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents),
+              |off AS (SELECT n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS s FROM toks)
+              |SELECT CAST(floor(s / 2000) AS BIGINT) AS pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -202,17 +202,23 @@ object Dedup {
     // makes the pair join quadratic (a fp shared by d docs yields d²
     // pairs). Dropping hot fps bounds every fp's pair fan-out; fps are
     // distinct per doc, so count(*) per fp IS document frequency.
-    val rare = exploded.groupBy("fp")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-      .select("fp")
-    val kept = exploded.join(rare, "fp")
+    val dfByFp = exploded.groupBy("fp").agg(count(lit(1)).as("df"))
+    val kept = exploded.join(dfByFp.filter(col("df") <= maxDocFreq).select("fp"), "fp")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
     // Pair generation ships only (fp, doc_id) — the per-doc fp counts join
     // in AFTER the pair aggregation (two joins against the small per-doc
     // relation) instead of riding every exploded pair row through the
-    // self-join shuffle and being first()'d back out.
-    val shared = kept.select(col("fp"), col("doc_id").as("a_id"))
-      .join(kept.select(col("fp"), col("doc_id").as("b_id")), "fp")
+    // self-join shuffle and being first()'d back out. The self-join's
+    // input keeps only fps with 2 ≤ df ≤ cap: a df=1 fp can't form a
+    // pair, and in a mostly-unique corpus df=1 is the overwhelming mass
+    // of the relation — the containment denominator (sizes above) still
+    // counts them. (An earlier mapPartitions rewrite assumed the
+    // rare-fp join's output was hash-partitioned by fp; AQE broadcasts
+    // that join, which voids the co-location — don't resurrect it.)
+    val pairable = exploded.join(
+      dfByFp.filter(col("df") >= 2 && col("df") <= maxDocFreq).select("fp"), "fp")
+    val shared = pairable.select(col("fp"), col("doc_id").as("a_id"))
+      .join(pairable.select(col("fp"), col("doc_id").as("b_id")), "fp")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared_fps"))

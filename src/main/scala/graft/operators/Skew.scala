@@ -29,4 +29,33 @@ object Skew {
     phase1.groupBy(col(key))
       .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as("total"))
   }
+
+  /** Salted equi-join for a skewed FACT side against a dimension too big
+    * to broadcast: the fact side gets a per-row salt in [0, salts), the
+    * dimension side is replicated `salts`× (explode of a literal range),
+    * and the join runs on (key, salt) — a hot fact key's rows spread over
+    * `salts` reducers instead of one. Row-identical to the plain join;
+    * costs dimension-side replication, so size `salts` to the skew
+    * factor, not higher.
+    *
+    * Prefer AQE's runtime skew-join splitting when it applies
+    * (spark.sql.adaptive.skewJoin handles sort-merge joins); this is the
+    * explicit form for when it doesn't — e.g. a join feeding directly
+    * into a co-keyed aggregation, or pinned non-SMJ strategies.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltCol: Column, salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    // fact-side-preserving join types only: an unmatched REPLICATED dim
+    // row would surface `salts` times under right/full outer semantics
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltCol), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

@@ -194,6 +194,25 @@ object IoQueries {
       },
       Some("SELECT event_id, user_id, event_type, value, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso FROM events ORDER BY event_id")),
 
+    // Skew mitigation — salted equi-join: the fact side (10k rows over 5
+    // event types — every key hot) joins a non-broadcast dim on
+    // (key, salt) with the dim replicated; result must be row-identical
+    // to the plain join the oracle computes.
+    QueryDef("k2_salted_join",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val dim = events.groupBy("event_type")
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("type_total"))
+        graft.operators.Skew.saltedJoin(
+          events.select("event_id", "event_type"), dim, "event_type",
+          saltCol = col("event_id"), salts = 8)
+          .select("event_id", "event_type", "type_total")
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS type_total FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, d.type_total FROM events e JOIN dim d USING (event_type)
+             |ORDER BY e.event_id""".stripMargin.replace("\n", " "))),
+
     // Multimodal feature extraction (rows-only: binary payloads are not a
     // DuckDB-comparable surface; MultimodalSpec covers the semantics).
     QueryDef("m1_media_features",

@@ -113,6 +113,45 @@ object Streams {
           // exactly at the horizon boundary is attributed in neither
           s"$rightTs >= $leftTs AND $rightTs < $leftTs + INTERVAL $horizon"))
 
+  /** Streaming CDC upsert sink: each micro-batch is MERGED into the
+    * partitioned Parquet table at `path` by key — intra-batch
+    * redeliveries collapse to the latest row first (max orderCol per
+    * key), then `Lakehouse.mergeIntoParquet` rewrites only the
+    * partitions the batch touches. The result is an always-current
+    * keyed table maintained by a stream, the lakehouse CDC pattern —
+    * where the reference's Firehose sink only ever appends raw events
+    * (kinesis/main.tf:31-41) and leaves compaction to the batch layer.
+    *
+    * At scale the cost per trigger is O(batch + touched partitions),
+    * not O(table). Exactly-once: the merge is idempotent for a replayed
+    * batch (same keys ⇒ same rewrite), which is the foreachBatch
+    * contract's requirement on retries.
+    */
+  def startCdcUpsertSink(changes: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], partitionCol: String, orderCol: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .queryName("cdc-upsert")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch.join(
+          batch.groupBy(keys.map(col): _*).agg(max(col(orderCol)).as(orderCol)),
+          keys :+ orderCol, "left_semi")
+          // a key redelivered with the SAME orderCol twice survives the
+          // semi-join twice; arbitrary-but-deterministic final tiebreak
+          .dropDuplicates(keys)
+        val spark = batch.sparkSession
+        if (!new java.io.File(path).exists()) {
+          graft.sources.IO.writeCuratedParquet(latest, path, Seq(partitionCol))
+        } else {
+          graft.sources.Lakehouse.mergeIntoParquet(spark, path, latest, keys, partitionCol)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop redeliveries of the same key arriving
     * within the watermark horizon — the step that turns the Firehose-style
     * at-least-once landing into exactly-once curated rows.

@@ -122,6 +122,23 @@ class LakehouseSpec extends SparkSpec {
       Some(ref(5)), Some(ref(7.5)), Some(ref(100)), None, Some(3)))
   }
 
+  test("saltedJoin == plain join for inner/left/semi/anti; rejects dim-preserving types") {
+    import graft.operators.Skew
+    val fact = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz")).toDF("id", "k")
+    val dim = Seq(("a", 10.0), ("b", 20.0), ("c", 30.0)).toDF("k", "v")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = fact.join(dim, Seq("k"), jt).columns.toSeq
+      val saltedDf = Skew.saltedJoin(fact, dim, "k", col("id"), salts = 4, joinType = jt)
+      val expected = fact.join(dim, Seq("k"), jt)
+        .select(plain.map(col): _*).orderBy("id").collect().toSeq
+      val got = saltedDf.select(plain.map(col): _*).orderBy("id").collect().toSeq
+      assert(got == expected, s"joinType=$jt diverged")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", col("id"), joinType = "full_outer")
+    }
+  }
+
   test("csv round-trip preserves rows, types, and embedded delimiters") {
     val path = tmp("csv")
     val df = Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0))

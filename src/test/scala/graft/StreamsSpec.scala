@@ -43,6 +43,31 @@ class StreamsSpec extends SparkSpec {
     assert(outcome.rowsWritten == 2)
   }
 
+  test("CDC upsert sink keeps the latest row per key across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Double)] // key, part, seq, v
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cdcspec").toString
+    val df = mem.toDF().toDF("id", "part", "seq", "v")
+    def run(): Unit = {
+      val q = Streams.startCdcUpsertSink(df, s"$root/table", s"$root/chk",
+        Seq("id"), "part", "seq", Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    // batch 1: two keys, one intra-batch redelivery (seq 2 wins for id 1)
+    mem.addData((1L, "p0", 1L, 10.0), (1L, "p0", 2L, 11.0), (2L, "p1", 1L, 20.0))
+    run()
+    val t1 = spark.read.parquet(s"$root/table")
+      .select("id", "seq", "v").as[(Long, Long, Double)].collect().toSet
+    assert(t1 == Set((1L, 2L, 11.0), (2L, 1L, 20.0)))
+    // batch 2: update id 2, insert id 3; id 1's partition untouched
+    mem.addData((2L, "p1", 5L, 21.0), (3L, "p0", 1L, 30.0))
+    run()
+    val t2 = spark.read.parquet(s"$root/table")
+      .select("id", "seq", "v").as[(Long, Long, Double)].collect().toSet
+    assert(t2 == Set((1L, 2L, 11.0), (2L, 5L, 21.0), (3L, 1L, 30.0)))
+  }
+
   test("windowed aggregation with watermark groups by event time") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]

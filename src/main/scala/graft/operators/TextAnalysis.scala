@@ -80,6 +80,26 @@ object TextAnalysis {
       "stopword_hits" -> stop.cast("long"))
   }
 
+  /** Broadcast linear quality model: a fixed-point integer score
+    * `Σ wᵢ·signalᵢ + bias` over the integer [[qualitySignals]] — the
+    * fastText-style learned-filter shape (model weights ride in the plan
+    * as literals; scoring is map-only at scan speed, no shuffle, no
+    * UDF). Integer weights over integer features keep the score exactly
+    * reproducible across engines and partitionings, unlike a float
+    * dot-product + sigmoid (the sigmoid is monotone, so thresholding the
+    * linear score IS thresholding the probability). Unknown weight names
+    * are rejected rather than silently ignored.
+    */
+  def qualityModelScore(text: Column, weights: Map[String, Long], bias: Long): Column = {
+    val sigs = qualitySignals(text)
+    val names = sigs.map(_._1).toSet
+    val unknown = weights.keySet -- names
+    require(unknown.isEmpty, s"unknown signal names: ${unknown.mkString(", ")}")
+    sigs.collect { case (n, c) if weights.getOrElse(n, 0L) != 0L =>
+      c * lit(weights(n))
+    }.foldLeft(lit(bias).cast("long"))(_ + _)
+  }
+
   /** Quality verdict: PASS needs enough tokens and some stopword signal;
     * WARN for short-but-plausible; FAIL for degenerate rows.
     */

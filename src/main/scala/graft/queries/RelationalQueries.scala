@@ -456,6 +456,31 @@ object RelationalQueries {
              |wo AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus, o_orderkey)
              |ORDER BY o_orderpriority, rn""".stripMargin.replace("\n", " "))),
 
+    // Sliding-frame window aggregation (moving sum/min/max over the last
+    // 4 rows per user): decimal sums keep the frame reduction exact and
+    // associative in both engines.
+    QueryDef("w6_moving_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-3, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("mv_sum"),
+            min(col("value")).over(w).as("mv_min"),
+            max(col("value")).over(w).as("mv_max"),
+            count(lit(1)).over(w).as("mv_n"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mv_sum,
+             |min(value) OVER w AS mv_min,
+             |max(value) OVER w AS mv_max,
+             |count(*) OVER w AS mv_n
+             |FROM events WHERE user_id < 50
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // Distinct count (exact) + conditional aggregation.
     QueryDef("a4_distinct_conditional",
       (s, dir) => t(s, dir, "events")

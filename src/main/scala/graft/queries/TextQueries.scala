@@ -300,6 +300,22 @@ object TextQueries {
       Some(s"""WITH toks AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents),
               |off AS (SELECT n_tok, sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS s FROM toks)
               |SELECT CAST(floor(s / 2000) AS BIGINT) AS pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-              |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin.replace("\n", " ")))
+              |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin.replace("\n", " "))),
+
+    // Broadcast linear quality model: fixed-point integer score over the
+    // quality signals, thresholded to a keep decision — learned-filter
+    // inference as a map-only scan; the oracle recomputes the same
+    // integer dot product.
+    QueryDef("t6_quality_model",
+      (s, dir) => {
+        val w = Map("n_tokens" -> 2L, "punct_count" -> -3L, "stopword_hits" -> 50L)
+        t(s, dir, "documents").select(col("doc_id"),
+            TextAnalysis.qualityModelScore(col("text"), w, bias = -100L).as("score"))
+          .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+              |sc AS (SELECT doc_id, CAST(-100 + 2*len(toks) - 3*(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) + 50*(${duckHits("en")}) AS BIGINT) AS score FROM tok)
+              |SELECT doc_id, score, CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -132,7 +132,10 @@ object IoQueries {
           .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
           .select("event_id", "event_type", "value", "date")
         IO.writeCuratedParquet(events, out)
-        val changes = events.filter(col("event_id") % 53 === 0)
+        // change set confined to a few dates: the merge rewrites ONLY
+        // those partitions (the partition-scoped path, not a full rewrite)
+        val changes = events
+          .filter(col("event_id") % 53 === 0 && col("date") < "2024-01-10")
           .withColumn("value", lit(-1.0))
         Lakehouse.mergeIntoParquet(s, out, changes, Seq("event_id"), "date")
         s.read.parquet(out)
@@ -142,7 +145,7 @@ object IoQueries {
           .orderBy("date")
       },
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS cnt,
-             |CAST(sum(CAST(CASE WHEN event_id % 53 = 0 THEN -1.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |CAST(sum(CAST(CASE WHEN event_id % 53 = 0 AND strftime(ts, '%Y-%m-%d') < '2024-01-10' THEN -1.0 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY date""".stripMargin.replace("\n", " "))),
 
     // File-level min/max skipping index: footer-stats index over a

@@ -73,4 +73,23 @@ class PlanSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(date"), s"no partition filter in:\n$scan")
   }
+
+  test("connected components small path broadcasts labels onto the corpus") {
+    val plan = q("c1_dedup_clusters").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftOuter, BuildRight".r
+      .findFirstIn(plan).isDefined,
+      s"label join must broadcast in:\n$plan")
+  }
+
+  test("upsert anti-join broadcasts a small change set") {
+    val plan = q("l1_upsert").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+  }
+
+  test("quality-model scoring adds no hash exchange (map-only before the sort)") {
+    val plan = q("t6_quality_model").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"model scoring must not shuffle:\n$plan")
+  }
 }

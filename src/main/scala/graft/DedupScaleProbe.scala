@@ -34,21 +34,32 @@ object DedupScaleProbe {
     }
 
     // group template token: word w<hash(group, i) % 5000>; per-doc
-    // mutation replaces ~5% of positions with doc-unique words
-    val docs: DataFrame = spark.range(nDocs)
+    // mutation replaces ~5% of positions with doc-unique words.
+    // dupPct controls how many 5-doc groups share a template (the rest
+    // are unique docs) — 100 is the dup-dense worst case, 10 the
+    // realistic mostly-unique dedup regime.
+    def corpus(dupPct: Int): DataFrame = spark.range(nDocs)
       .select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(99)), i => {
-          val group = expr("doc_id DIV 5") // integer division: `/` on longs is DOUBLE division
+          val rawGroup = expr("doc_id DIV 5") // integer division: `/` on longs is DOUBLE division
+          // undup'd groups fall back to a per-doc template seed
+          val group = when(pmod(xxhash64(rawGroup, lit(7)), lit(100)) < dupPct, rawGroup)
+            .otherwise(col("doc_id") + nDocs)
           val base = concat(lit("w"), pmod(xxhash64(group, i), lit(5000)))
           val mutated = concat(lit("m"), pmod(xxhash64(col("doc_id"), i, lit(1)), lit(100000)))
           when(pmod(xxhash64(col("doc_id"), i), lit(20)) === 0, mutated).otherwise(base)
         })).as("text"))
 
+    val docs = corpus(100)
     val n = timed(s"generate+count ($nDocs docs)")(docs.count())
     require(n == nDocs)
     val mat = timed("materialize corpus to parquet") {
       docs.write.mode("overwrite").parquet("target/dedup_probe_corpus")
       spark.read.parquet("target/dedup_probe_corpus")
+    }
+    val mat10 = timed("materialize 10%-dup corpus") {
+      corpus(10).write.mode("overwrite").parquet("target/dedup_probe_corpus10")
+      spark.read.parquet("target/dedup_probe_corpus10")
     }
 
     timed("exact fingerprint dedup") {
@@ -58,11 +69,14 @@ object DedupScaleProbe {
     timed("simhash signatures (map-only)") {
       Dedup.simhash(mat).write.mode("overwrite").parquet("target/dedup_probe_sims")
     }
-    timed("minhash LSH near-dups (threshold 0.6)") {
-      val pairs = Dedup.minhashNearDups(mat, shingleK = 3, numHashes = 16,
-        bands = 4, threshold = 0.6).count()
-      // each 5-doc group contributes up to C(5,2)=10 same-group pairs
-      println(s"[dedup-probe]   near-dup pairs: $pairs (groups*10 = ${nDocs / 5 * 10})")
+    for ((label, m, prune) <- Seq(
+        ("dup-dense, pruned", mat, true), ("dup-dense, unpruned", mat, false),
+        ("10%-dup, pruned", mat10, true), ("10%-dup, unpruned", mat10, false))) {
+      timed(s"minhash LSH ($label)") {
+        val pairs = Dedup.minhashNearDups(m, shingleK = 3, numHashes = 16,
+          bands = 4, threshold = 0.6, pruneSingletonBuckets = prune).count()
+        println(s"[dedup-probe]   near-dup pairs: $pairs")
+      }
     }
     timed("winnowing fingerprint candidates") {
       val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,

@@ -72,7 +72,8 @@ object Dedup {
     * balanced under skew.
     */
   def minhashNearDups(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.6,
+      pruneSingletonBuckets: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Shingle ONCE per document — recomputing per candidate pair would be
     // O(pairs × doc-length), the difference between scan-bound and dead at
@@ -91,8 +92,24 @@ object Dedup {
     val banded = sh.filter(size(col("sh")) > 0).select(col("doc_id"),
         posexplode(bandHashes(minhashFromShingles(col("sh"), numHashes), bands, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+    // Optional singleton-bucket prefilter: buckets holding one doc can't
+    // produce a pair, and on a mostly-unique corpus they are most of the
+    // band relation. MEASURED OFF-BY-DEFAULT: unlike the winnowing df≥2
+    // prefilter (which pays because the exploded fp relation is huge and
+    // reused), `banded` here is cheap to ship but EXPENSIVE TO COMPUTE
+    // (the minhash pass), and the prefilter adds a third computation of
+    // it — 1M-doc probe: 25→40s dup-dense, 19→33s at 10% dup rate. Turn
+    // it on only when `docs` is already materialized cheap (e.g. sigs
+    // persisted) AND the corpus is dominated by singletons. Results are
+    // identical either way.
+    val pairable =
+      if (!pruneSingletonBuckets) banded
+      else banded.join(
+        banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("band", "bh"),
+        Seq("band", "bh"))
+    val candidates = pairable.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      .join(pairable.select(col("band"), col("bh"), col("doc_id").as("b_id")),
         Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")

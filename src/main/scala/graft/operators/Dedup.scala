@@ -564,4 +564,30 @@ object Dedup {
     train.join(contaminationReport(train, bench, k, idCol, textCol)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Bloom-filter decontamination — the scale path for benchmark sets
+    * too large to broadcast as an exact shingle set (1e9 distinct
+    * 8-grams ≈ 60+ GB of strings; the Bloom filter at the same
+    * cardinality and fpp=1e-3 is ~1.7 GB of bits, and smaller benches
+    * shrink proportionally). The filter is built DISTRIBUTED over the
+    * bench side (`stat.bloomFilter` tree-aggregates partial filters),
+    * then probes ride the training scan as a per-row bit test — the
+    * 100 TB side stays map-only with no join at all.
+    *
+    * Guarantee: NO false negatives — every truly contaminated document
+    * is dropped; an ~fpp fraction of clean documents is dropped with
+    * them (the conservative direction for decontamination). The exact
+    * [[decontaminate]] is the verification metric.
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, k: Int = 8,
+      fpp: Double = 0.001, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bsh = bench.select(
+      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("h")).distinct()
+    val expected = math.max(1L, bsh.count())
+    val bloom = bsh.stat.bloomFilter("h", expected, fpp)
+    val probe = graft.functions.BloomMightContain.mightContain _
+    train.filter(!exists(
+      TextAnalysis.shingleHashes(col(textCol), k), h => probe(h, bloom)))
+  }
 }

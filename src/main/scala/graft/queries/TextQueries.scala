@@ -286,6 +286,23 @@ object TextQueries {
               |SELECT t.doc_id, count(*) AS n_shared FROM tsh t JOIN bsh b USING (sh)
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Bloom-filter decontamination — the scale path for benchmark sets
+    // too large to broadcast exactly: the filter is tree-aggregated over
+    // the benchmark shingles, then the training scan is a map-only
+    // per-row bit probe (no join). False positives only, so the kept set
+    // is a subset of d8's exact keep set (rows-only: a Bloom probe is
+    // not SQL-expressible; the spec asserts no-false-negative containment
+    // against the exact path).
+    QueryDef("d9_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") % 17 =!= 3),
+          docs.filter(col("doc_id") % 17 === 3), k = 8, fpp = 0.001)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     // Sequence packing: docs → fixed-token-budget training sequences via
     // distributed prefix-sum (quantile range groups, never a global
     // window). The oracle recomputes the assignment with a SQL window.

@@ -120,6 +120,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=4 of 8 cells
   }
 
+  test("decontaminateBloom: never keeps a truly contaminated doc, few false drops") {
+    val bench = docs.filter(col("doc_id") % 17 === 3)
+    val train = docs.filter(col("doc_id") % 17 =!= 3)
+    val exactKept = Dedup.decontaminate(train, bench, k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomKept = Dedup.decontaminateBloom(train, bench, k = 8, fpp = 0.001)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: bloom keeps only docs the exact path keeps
+    assert(bloomKept.subsetOf(exactKept))
+    // false-positive drops bounded (fpp=1e-3 over ~100 shingles/doc)
+    val falseDrops = exactKept -- bloomKept
+    assert(falseDrops.size <= math.max(2, exactKept.size / 20),
+      s"${falseDrops.size} false drops of ${exactKept.size} kept")
+  }
+
   // --- k-means centroid refinement -------------------------------------
 
   /** Clustered synthetic corpus: `perCluster` vectors around each of 3

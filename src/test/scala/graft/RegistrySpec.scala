@@ -24,7 +24,8 @@ class RegistrySpec extends AnyFunSuite {
       "a5_approx_distinct",// DuckDB uses a different sketch; error-bound spec
       "a8_tdigest",        // merge-order-dependent estimate; SketchAggSpec error bound
       "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
-      "m1_media_features") // binary payloads; MultimodalSpec
+      "m1_media_features", // binary payloads; MultimodalSpec
+      "d9_decontaminate_bloom") // Bloom probe not SQL-expressible; containment spec
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -50,12 +50,17 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        // XXH64.hashLong/hashUTF8String are the exact routines
+        // XxHash64Function.hash dispatches to — called directly because
+        // the dispatch (a runtime match over every supported type) costs
+        // more than the hash itself in this n·numHashes inner loop (the
+        // measured majority of the whole LSH pipeline).
         val base =
           if (prehashed) arr.getLong(i)
-          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
         var k = 0
         while (k < numHashes) {
-          val h = XxHash64Function.hash(base, LongType, k.toLong)
+          val h = XXH64.hashLong(base, k.toLong)
           if (h < mins(k)) mins(k) = h
           k += 1
         }
@@ -91,7 +96,7 @@ case class SimHash64(child: Expression)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
         var b = 0
         while (b < 64) {
           votes(b) += ((h >>> b) & 1L).toInt
@@ -260,7 +265,7 @@ case class WordShingleHashes(child: Expression, k: Int)
         parts(j) = if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i + j)
         j += 1
       }
-      seen.add(XxHash64Function.hash(UTF8String.concatWs(space, parts: _*), StringType, 42L))
+      seen.add(XXH64.hashUTF8String(UTF8String.concatWs(space, parts: _*), 42L))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -95,6 +95,42 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic source-mixture sampling — the training-mixture
+    * operation stated as TARGET PROPORTIONS instead of per-source rates:
+    * given weights (e.g. web 0.5 / books 0.3 / wiki 0.2), downsample each
+    * source so the output follows the weights exactly in expectation,
+    * keeping as much data as feasible — the binding source (smallest
+    * nₛ/wₛ) is kept whole and every other source is thinned to match.
+    *
+    * Sources absent from `weights` are dropped; weighted sources absent
+    * from the data are ignored (the mixture re-normalizes over what
+    * exists). Membership is a pure function of (id, salt) like every
+    * sampler here.
+    *
+    * Scale shape: one partial-aggregated count per source (a few rows to
+    * the driver), then the corpus scan is MAP-ONLY — per-source keep
+    * rates ride the plan as literals; no join, no second shuffle.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    require(weights.values.forall(_ > 0.0), "mixture weights must be positive")
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false))
+    // max feasible total preserving the proportions: T = min nₛ/wₛ;
+    // keep rate per source = wₛ·T/nₛ (exactly 1 for the binding source)
+    val feasibleTotal = present.map { case (s, w) => counts(s).toDouble / w }.min
+    val rate = present.foldLeft(lit(Double.NaN)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w * feasibleTotal / counts(s))).otherwise(acc)
+    }
+    // u ∈ [0,1) with 2⁻³² granularity — rate 1.0 keeps every row
+    val u = hashValue(col(idCol), salt).cast("double") / lit(4294967296.0)
+    df.filter(col(sourceCol).isin(present.keys.toSeq: _*) && u < rate)
+  }
+
   /** Deterministic weighted reservoir of `n` rows per group
     * (Efraimidis–Spirakis A-ES): each row draws u = md5-uniform(0, 1]
     * from its id and competes with key u^(1/weight); the n largest keys

@@ -183,6 +183,58 @@ object TextAnalysis {
         piiIpRe, "<IP>"),
       piiPhoneRe, "<PHONE>")
 
+  /** Overlapping token chunks (the RAG / context-window chunking shape):
+    * chunk i covers tokens [i·stride, i·stride + width). Chunks are
+    * emitted until one reaches the end of the document — a final chunk
+    * fully contained in its predecessor is never produced (so a doc with
+    * n ≤ width tokens yields exactly one chunk, and an empty doc none).
+    * Pure per-row expression: chunking streams at scan speed, no
+    * shuffle, no UDF.
+    */
+  def tokenChunks(text: Column, width: Int, stride: Int): Column = {
+    require(width >= 1, "chunk width must be >= 1")
+    require(stride >= 1 && stride <= width,
+      "stride must be in [1, width] (stride > width would drop tokens)")
+    val toks = tokens(text)
+    val n = size(toks)
+    // number of chunks: 1 while n <= width, else ceil((n-width)/stride)+1
+    // (int operands stay far below 2^53, so the double ceil is exact)
+    val k = when(n <= lit(width), lit(1))
+      .otherwise(ceil((n - lit(width)).cast("double") / lit(stride)).cast("int") + 1)
+    // sequence(0, k-1) would count DOWN for k = 0 — guard the empty doc
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(width)), " ")))
+  }
+
+  /** Vocabulary-coverage statistics — the OOV-rate quality filter: per
+    * document, total token occurrences and how many fall inside the
+    * corpus's `topK`-term vocabulary (by corpus frequency, ties to the
+    * lexicographically smaller term — a total order, so the vocabulary
+    * is deterministic).
+    *
+    * Scale shape: term frequencies are partial-aggregated per (doc,
+    * term); the vocabulary is a groupBy over the tiny term relation and
+    * is BROADCAST into the coverage join — the corpus side never
+    * shuffles on the term key a second time. All counts are exact
+    * integers (no float ratio drift across engines); callers derive
+    * oov_rate = n_oov / n_tokens.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, "vocabulary size must be >= 1")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+      .orderBy(col("cf").desc, col("term").asc).limit(topK).select("term")
+    val hits = tf.join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy("doc_id").agg(sum(col("tf")).as("n_in_vocab"))
+    docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        (col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"))
+  }
+
   /** Winnowing fingerprints (rolling Rabin-Karp over char k-grams, window
     * minima) — graft.functions.WinnowFingerprints. Any shared substring of
     * length ≥ k+w−1 yields at least one common fingerprint; the

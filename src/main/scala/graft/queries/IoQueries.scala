@@ -197,6 +197,24 @@ object IoQueries {
       },
       Some("SELECT event_id, user_id, event_type, value, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso FROM events ORDER BY event_id")),
 
+    // ORC source/sink round-trip with explicit schema — the lake's
+    // second columnar format (same vectorized-read + pushdown story as
+    // parquet; proves the storage path is lossless).
+    QueryDef("s11_orc_roundtrip",
+      (s, dir) => {
+        val out = qtmp("s11")
+        val proj = t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"))
+        IO.writeOrc(proj, out)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_iso", StringType)))
+        IO.readOrc(s, schema, out).orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type, value, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso FROM events ORDER BY event_id")),
+
     // Skew mitigation — salted equi-join: the fact side (10k rows over 5
     // event types — every key hot) joins a non-broadcast dim on
     // (key, salt) with the dim replicated; result must be row-identical

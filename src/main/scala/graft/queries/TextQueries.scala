@@ -286,6 +286,62 @@ object TextQueries {
               |SELECT t.doc_id, count(*) AS n_shared FROM tsh t JOIN bsh b USING (sh)
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Overlapping token chunking (RAG / context-window prep): width-40
+    // chunks every 25 tokens; a chunk fully inside its predecessor is
+    // never emitted. Map-only — the chunker streams at scan speed.
+    QueryDef("c3_chunk_overlap",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          posexplode(TextAnalysis.tokenChunks(col("text"), width = 40, stride = 25)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          least(lit(40L), col("n_tokens") - col("pos").cast("long") * 25L).as("n_chunk_tokens"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |nc AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+              |CASE WHEN len(toks) = 0 THEN 0 WHEN len(toks) <= 40 THEN 1
+              |ELSE CAST(ceil((len(toks) - 40) / CAST(25 AS DOUBLE)) AS BIGINT) + 1 END AS k FROM tok)
+              |SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
+              |least(CAST(40 AS BIGINT), n - u*25) AS n_chunk_tokens,
+              |array_to_string(toks[u*25+1 : u*25+40], ' ') AS chunk
+              |FROM nc, unnest(range(0, k)) AS t(u)
+              |ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "))),
+
+    // Vocabulary-coverage / OOV-rate quality signal: occurrences inside
+    // the corpus's top-50 vocabulary (broadcast) per document — exact
+    // integers; the oracle rebuilds the same vocabulary.
+    QueryDef("t7_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 50)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |tf AS (SELECT doc_id, u AS term, CAST(count(*) AS BIGINT) AS tf FROM tok, unnest(toks) AS t(u) GROUP BY 1, 2),
+              |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+              |vocab AS (SELECT term FROM (SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rn FROM cf) WHERE rn <= 50),
+              |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_in_vocab FROM tf JOIN vocab USING (term) GROUP BY 1)
+              |SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens,
+              |CAST(coalesce(h.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+              |CAST(len(k.toks) - coalesce(h.n_in_vocab, 0) AS BIGINT) AS n_oov
+              |FROM tok k LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Deterministic source-mixture sampling: target proportions 0.5 /
+    // 0.3 / 0.2 over three sources; the binding source keeps every row,
+    // the others thin to match; membership is md5(id)-deterministic and
+    // the scan is map-only (rates ride as literals). The oracle
+    // recomputes the identical rates in SQL.
+    QueryDef("samp6_source_mixture",
+      (s, dir) => graft.operators.Sampling.mixtureSample(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             |CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END AS w
+             |FROM documents WHERE source IN ('src0','src1','src2') GROUP BY source),
+             |rt AS (SELECT source, w * (SELECT min(n / w) FROM cnt) / n AS rate FROM cnt)
+             |SELECT d.doc_id, d.source FROM documents d JOIN rt USING (source)
+             |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT) / 4294967296.0 < rate
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Bloom-filter decontamination — the scale path for benchmark sets
     // too large to broadcast exactly: the filter is tree-aggregated over
     // the benchmark shingles, then the training scan is a map-only

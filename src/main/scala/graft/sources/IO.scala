@@ -128,6 +128,19 @@ object IO {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC scan with a pinned schema — the second columnar format of the
+    * lake (row-group stats, predicate pushdown, and vectorized reads all
+    * work as with parquet; Spark's reader is native).
+    */
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink (snappy, matching the parquet sink's codec choice). */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "snappy")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** S5 — `MSCK REPAIR TABLE` after every write (transform.py:188,268). */
   def repairPartitions(spark: SparkSession, table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE `$table`")

@@ -113,6 +113,21 @@ object Streams {
           // exactly at the horizon boundary is attributed in neither
           s"$rightTs >= $leftTs AND $rightTs < $leftTs + INTERVAL $horizon"))
 
+  /** Stream-static enrichment join: decorate each streaming event with
+    * dimension attributes from a static (batch) table — the standard
+    * "enrich the firehose with reference data" pattern. The static side
+    * is explicitly `broadcast()`: every micro-batch then plans a
+    * BroadcastHashJoin, the stream side is never shuffled, and NO join
+    * state accumulates (unlike a stream-stream join, a stream-static
+    * join is stateless — the static side is re-resolved per batch, so
+    * an updated dimension table is picked up on the next trigger).
+    * Left join: an event with no dimension row passes through
+    * null-extended rather than silently dropping.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming CDC upsert sink: each micro-batch is MERGED into the
     * partitioned Parquet table at `path` by key — intra-batch
     * redeliveries collapse to the latest row first (max orderCol per

@@ -155,4 +155,49 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 0L, 0L, 0L), (3L, 3L, 3L, 1L)))
   }
+
+  test("tokenChunks: stride offsets, last chunk reaches the end, edge docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 4 chunks
+      (2L, "a b c"),                                  // n < width -> 1 chunk
+      (3L, ""),                                       // empty -> none
+      (4L, "p q r s")).toDF("doc_id", "text")         // n == width -> 1 chunk
+    val got = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokenChunks(col("text"), 4, 2)))
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w3 w4 w5 w6"),
+      (1L, 2, "w5 w6 w7 w8"), (1L, 3, "w7 w8 w9 w10"),
+      (2L, 0, "a b c"), (4L, 0, "p q r s")))
+  }
+
+  test("vocabCoverage: exact counts against a hand-built vocabulary") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // the x2 in vocab
+      (2L, "dog dog dog zebra"),      // dog x3 in vocab
+      (3L, "")).toDF("doc_id", "text")
+    // corpus freq: dog 3, the 2, rest 1 -> top-2 vocab = {dog, the}
+    val got = TextAnalysis.vocabCoverage(docs, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 2L, 4L), (2L, 4L, 3L, 1L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("mixtureSample: binding source kept whole, others thinned to the target mix") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+      Map("s0" -> 0.6, "s1" -> 0.2, "s2" -> 0.1)) // s3 unweighted -> dropped
+    val by = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 750 rows/source; T = min(750/0.6, 750/0.2, 750/0.1) = 1250 -> s0 is
+    // binding (rate 1.0); target counts w*T: s1 = 250, s2 = 125
+    // (md5-uniform sampling, ~4 sigma bounds)
+    assert(by("s0") == 750L)
+    assert(math.abs(by("s1") - 250.0) < 55, s"s1=${by("s1")}")
+    assert(math.abs(by("s2") - 125.0) < 42, s"s2=${by("s2")}")
+    assert(!by.contains("s3"))
+    // membership is a pure function of the id: partitioning-invariant
+    val again = Sampling.mixtureSample(df.repartition(7), "source", "doc_id",
+      Map("s0" -> 0.6, "s1" -> 0.2, "s2" -> 0.1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
 }

@@ -189,6 +189,24 @@ class StreamsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L))
   }
 
+  test("stream-static enrichment join decorates events from a broadcast dim") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val dim = Seq(("click", 1.0), ("view", 2.0)).toDF("event_type", "weight")
+    mem.addData((1L, "click"), (2L, "view"), (3L, "scroll"))
+    val enriched = Streams.enrichWithDim(
+      mem.toDF().toDF("id", "event_type"), dim, Seq("event_type"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("enriched")
+      .select("id", "weight").orderBy("id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    // left join: the unmatched event passes through null-extended
+    assert(got == Seq(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+  }
+
   test("synthetic stream projection matches the batch generator schema") {
     val batch = graft.operators.Ingest.syntheticIotBatch(spark, Seq("A", "B"), 2, 1)
     assert(batch.columns.sameElements(Array("sensor_id", "city", "timestamp",

@@ -565,6 +565,31 @@ object Dedup {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Incremental exact dedup — the daily-batch shape of [[exactByFingerprint]]:
+    * from a new `batch`, keep only rows that are (a) the first occurrence
+    * of their normalized fingerprint WITHIN the batch and (b) novel
+    * against the already-curated `corpus`. The curated table never gets
+    * rewritten and never re-deduplicates itself — each increment costs
+    * O(batch) work plus one anti-join against the corpus fingerprints.
+    *
+    * Scale shape: the intra-batch dedup is a partial-aggregated groupBy
+    * on the (uniform) md5 key; the anti-join shuffles batch and corpus
+    * on that same key — balanced under any skew, and in production the
+    * corpus side is the STORED fingerprint column of the curated table
+    * (a narrow index scan), not a re-fingerprinting of 100 TB of text.
+    */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bfp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val firstInBatch = bfp.join(
+      bfp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+      Seq("__fp", idCol), "left_semi")
+    firstInBatch
+      .join(corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Bloom-filter decontamination — the scale path for benchmark sets
     * too large to broadcast as an exact shingle set (1e9 distinct
     * 8-grams ≈ 60+ GB of strings; the Bloom filter at the same

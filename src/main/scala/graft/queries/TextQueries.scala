@@ -286,6 +286,25 @@ object TextQueries {
               |SELECT t.doc_id, count(*) AS n_shared FROM tsh t JOIN bsh b USING (sh)
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Incremental batch-vs-corpus dedup (daily-crawl shape): of the
+    // doc_id % 5 = 0 batch, survivors are first-in-batch by fingerprint
+    // AND novel against the rest of the corpus; each increment is
+    // O(batch) + one fp-keyed anti-join, never a corpus rewrite.
+    QueryDef("d10_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalNew(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0))
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH fps AS (SELECT doc_id, source, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents),
+             |b AS (SELECT doc_id, source, fp FROM fps WHERE doc_id % 5 = 0),
+             |f AS (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY fp)
+             |SELECT b.doc_id, b.source FROM b JOIN f ON b.fp = f.fp AND b.doc_id = f.doc_id
+             |WHERE b.fp NOT IN (SELECT fp FROM fps WHERE doc_id % 5 <> 0)
+             |ORDER BY b.doc_id""".stripMargin.replace("\n", " "))),
+
     // Overlapping token chunking (RAG / context-window prep): width-40
     // chunks every 25 tokens; a chunk fully inside its predecessor is
     // never emitted. Map-only — the chunker streams at scan speed.

@@ -156,6 +156,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 0L, 0L, 0L), (3L, 3L, 3L, 1L)))
   }
 
+  test("incrementalNew keeps only first-in-batch AND corpus-novel docs") {
+    val corpus = Seq((1L, "Hello World"), (2L, "old news"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "HELLO    world"), // fingerprint-dup of corpus doc 1 -> dropped
+      (11L, "fresh content"),  // novel -> kept
+      (12L, "Fresh   CONTENT"),// intra-batch dup of 11 (normalized) -> dropped
+      (13L, "another one"))    // novel -> kept
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(corpus, batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
   test("tokenChunks: stride offsets, last chunk reaches the end, edge docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 4 chunks

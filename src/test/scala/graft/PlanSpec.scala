@@ -92,4 +92,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"model scoring must not shuffle:\n$plan")
   }
+
+  test("vocab coverage joins the vocabulary by broadcast, never a shuffle join") {
+    val plan = q("t7_vocab_coverage").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"vocabulary must broadcast-semi-join in:\n$plan")
+  }
+
+  test("mixture sampling scans map-only (rates are literals, no join)") {
+    val plan = q("samp6_source_mixture").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"mixture sample must not join:\n$plan")
+    val phys = q("samp6_source_mixture").queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange hashpartitioning"),
+      s"mixture sample must not hash-shuffle:\n$phys")
+  }
+
+  test("bloom decontamination is a map-only filter (no join in the probe pass)") {
+    val plan = q("d9_decontaminate_bloom").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"bloom probe must not join:\n$plan")
+  }
 }

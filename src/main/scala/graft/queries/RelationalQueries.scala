@@ -490,6 +490,77 @@ object RelationalQueries {
           min(col("value")).as("min_value")),
       Some("""SELECT count(DISTINCT user_id) AS users,
              |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-             |max(value) AS max_value, min(value) AS min_value FROM events""".stripMargin.replace("\n", " ")))
+             |max(value) AS max_value, min(value) AS min_value FROM events""".stripMargin.replace("\n", " "))),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): the hand-picked
+    // combinations (type), (type, bucket), and grand total — one pass,
+    // one shuffle, same as any grouped aggregate.
+    QueryDef("g3_grouping_sets",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""SELECT event_type, user_id % 10 AS user_bucket,
+                |count(*) AS cnt,
+                |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM events
+                |GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 10), ())
+                |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT event_type, user_id % 10 AS user_bucket, count(*) AS cnt,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 10), ())
+             |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin.replace("\n", " "))),
+
+    // Correlated EXISTS subquery (decorrelated by Catalyst into a semi
+    // join): customers with at least one urgent order but no account
+    // balance above their nation's maximum.
+    QueryDef("sub2_exists",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                |WHERE EXISTS (SELECT 1 FROM orders
+                |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+                |  AND NOT EXISTS (SELECT 1 FROM orders
+                |                  WHERE o_custkey = c_custkey AND o_totalprice > 500000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 500000)
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // Time-series gap filling with last-observation-carried-forward: a
+    // sparse user subset's daily totals, densified over each user's own
+    // [min_day, max_day] calendar (sequence + explode — generated, not
+    // stored), then LOCF via a running last(ignoreNulls) window. The
+    // calendar generation is per-group and shuffle-free; only the final
+    // window sorts, partitioned by user.
+    QueryDef("w7_gap_fill",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("user_id") % 500 === 7)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("day_total"))
+        val calendar = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        calendar.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("day_total").isNotNull, 1L).otherwise(0L).as("observed"),
+            last(col("day_total"), ignoreNulls = true).over(w).cast("double").as("filled"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(CAST(value AS DECIMAL(18,2))) AS day_total
+             |FROM events WHERE user_id % 500 = 7 GROUP BY 1, 2),
+             |cal AS (SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+             |FROM daily GROUP BY user_id)
+             |SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+             |CAST(CASE WHEN d.day_total IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+             |CAST(last_value(d.day_total IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+             |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+             |ORDER BY c.user_id, day""".stripMargin.replace("\n", " ")))
   )
 }

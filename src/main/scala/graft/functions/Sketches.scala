@@ -73,6 +73,75 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused MinHash + LSH banding: shingle set → array<long> of `bands`
+  * band keys, where band b's key hashes the b-th `numHashes/bands`-slice
+  * of the minhash signature. Bit-identical to
+  * `bandHashes(MinHashSig(sh))` formulated as columns —
+  * xxhash64(lit(b), sig(b·r+1..b·r+r)) with seed 42 — but ONE pass:
+  * the column form is a correctness trap as well as an overhead, because
+  * CollapseProject inlines the signature alias into every element_at,
+  * evaluating the full minhash loop numHashes times per row (measured:
+  * the majority of the d5 pipeline).
+  */
+case class LshBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+    "numHashes must be a positive multiple of bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bands expects array<string> or array<long>, got ${t.sql}")
+  }
+
+  private lazy val prehashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base =
+          if (prehashed) arr.getLong(i)
+          else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashLong(base, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val rowsPerBand = numHashes / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      // same fold as the column form `xxhash64(lit(b), sig…)`: seed 42,
+      // int literal first (hashInt), then each signature long in order
+      var h = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(mins(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lsh_bands"
+}
+
 /** 64-bit SimHash of an array<string> token list → long. Per token: base
   * xxhash64; each of the 64 signature bits is the majority vote of that
   * bit across token hashes (ties → 0). One loop, no intermediate arrays,
@@ -382,6 +451,9 @@ object SketchFunctions {
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), numHashes))
+
+  def lsh_bands(shingles: Column, numHashes: Int, bands: Int): Column =
+    GraftSqlBridge.column(LshBands(GraftSqlBridge.expression(shingles), numHashes, bands))
 
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))

@@ -56,8 +56,15 @@ object Dedup {
     * band index) — candidacy is still exactly "equal band slice", but
     * without materializing a comma-joined string per band per doc
     * through interpreted lambdas.
+    *
+    * KEPT AS THE SEMANTIC REFERENCE ONLY (spec-tested bit-identical to
+    * the fused path): feeding it `minhashFromShingles(...)` through an
+    * alias is a trap — CollapseProject inlines the signature into every
+    * `element_at`, re-running the whole minhash loop numHashes times per
+    * row. The pipeline uses [[graft.functions.LshBands]], which fuses
+    * signature + banding into one pass.
     */
-  private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  private[graft] def bandHashesColumns(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
         element_at(sig, b * rowsPerBand + r + 1))): _*)
@@ -90,7 +97,7 @@ object Dedup {
     // (O(shortDocs²) candidates that exact-Jaccard then discards). They
     // can never reach any threshold > 0, so drop them before banding.
     val banded = sh.filter(size(col("sh")) > 0).select(col("doc_id"),
-        posexplode(bandHashes(minhashFromShingles(col("sh"), numHashes), bands, rowsPerBand)))
+        posexplode(graft.functions.SketchFunctions.lsh_bands(col("sh"), numHashes, bands)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     // Optional singleton-bucket prefilter: buckets holding one doc can't
     // produce a pair, and on a mostly-unique corpus they are most of the

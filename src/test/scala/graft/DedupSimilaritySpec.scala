@@ -199,6 +199,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distinctCells == 3L, s"got $distinctCells cells for 3 clusters")
   }
 
+  test("fused lsh_bands is bit-identical to the banded column formulation") {
+    val sh = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // materialize the signature FIRST (collect) so the column-form band
+    // hash is computed over the true signature, not re-inlined per element
+    val sig = sh.select(col("doc_id"),
+      Dedup.minhashFromShingles(col("sh"), 16).as("sig"))
+    val colForm = sig.select(col("doc_id"),
+      Dedup.bandHashesColumns(col("sig"), 4, 4).as("bh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = sh.select(col("doc_id"),
+      graft.functions.SketchFunctions.lsh_bands(col("sh"), 16, 4).as("bh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == colForm)
+  }
+
   test("native cosine expression is bit-identical to the HOF fold") {
     val d = embs.limit(50)
     val pairs = d.select(col("vec_id"), col("embedding"))

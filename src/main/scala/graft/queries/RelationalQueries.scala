@@ -529,6 +529,40 @@ object RelationalQueries {
              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 500000)
              |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
 
+    // Sequential funnel (view → click → purchase, strictly ordered per
+    // user): each stage is a filtered min-aggregate joined forward, all
+    // three shuffles co-keyed on user_id. Timestamps compare as epoch
+    // MICROS on both engines (Spark's native precision — the parquet ns
+    // payload must never be compared raw).
+    QueryDef("w8_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        def stage(typ: String) = e.filter(col("event_type") === typ)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val tv = stage("view").groupBy("user_id").agg(min(col("us")).as("t_view"))
+        val tc = stage("click").join(tv, "user_id")
+          .filter(col("us") > col("t_view"))
+          .groupBy("user_id").agg(min(col("us")).as("t_click"))
+        val tp = stage("purchase").join(tc, "user_id")
+          .filter(col("us") > col("t_click"))
+          .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+        tv.join(tc.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+          .join(tp.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t_purchase").isNotNull, 3L)
+              .when(col("t_click").isNotNull, 2L).otherwise(1L).as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+             |tc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click FROM events e JOIN tv USING (user_id)
+             |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t_view GROUP BY 1),
+             |tp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase FROM events e JOIN tc USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t_click GROUP BY 1)
+             |SELECT tv.user_id, CAST(CASE WHEN tp.user_id IS NOT NULL THEN 3
+             |WHEN tc.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+             |FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // Time-series gap filling with last-observation-carried-forward: a
     // sparse user subset's daily totals, densified over each user's own
     // [min_day, max_day] calendar (sequence + explode — generated, not

@@ -33,6 +33,37 @@ object Lakehouse {
     target.join(source.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(source)
 
+  /** Schema-evolution read: reconcile the schemas of every parquet file
+    * under `path` (columns added by newer writers surface as nulls on
+    * files written before them). Plain `spark.read.parquet` trusts ONE
+    * random footer — after an additive evolution that silently drops the
+    * new column on old-file-first listings. The cost is one footer read
+    * per file at planning (same metadata the skip index uses), nothing
+    * at scan time — on a 100 TB table, pin the merged schema in the
+    * catalog instead of re-merging per query.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Additive schema evolution on append: new columns may appear (old
+    * files keep returning null for them); dropping or retyping existing
+    * columns is rejected here — a silent type change would corrupt every
+    * downstream reader of the old files.
+    */
+  def appendEvolved(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    if (new java.io.File(path).exists()) {
+      val existing = readEvolved(spark, path).schema
+      val incoming = batch.schema
+      existing.fields.foreach { f =>
+        incoming.fields.find(_.name == f.name).foreach { g =>
+          require(g.dataType == f.dataType,
+            s"column '${f.name}' would change type ${f.dataType.sql} -> ${g.dataType.sql}")
+        }
+      }
+    }
+    batch.write.mode("append").parquet(path)
+  }
+
   /** Keyed delete: drop target rows whose key appears in `tombstones`. */
   def delete(target: DataFrame, tombstones: DataFrame, keys: Seq[String]): DataFrame =
     target.join(tombstones.select(keys.map(col): _*), keys, "left_anti")

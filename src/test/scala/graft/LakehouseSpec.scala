@@ -139,6 +139,28 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("additive schema evolution: old files null-extend; retypes rejected") {
+    val path = tmp("evolve")
+    // append-mode writes accumulate across JVM runs — start clean
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Lakehouse.appendEvolved(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // additive append: new column `score`
+    Lakehouse.appendEvolved(spark, path,
+      Seq((3L, "c", 0.5)).toDF("id", "s", "score"))
+    val got = Lakehouse.readEvolved(spark, path)
+      .select("id", "s", "score").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // a plain single-footer read is exactly the trap readEvolved avoids:
+    // it may or may not see `score` depending on which footer wins
+    assert(Lakehouse.readEvolved(spark, path).schema.fieldNames.contains("score"))
+    // retype rejected
+    intercept[IllegalArgumentException] {
+      Lakehouse.appendEvolved(spark, path, Seq((9L, 7L, 0.1)).toDF("id", "s", "score"))
+    }
+  }
+
   test("csv round-trip preserves rows, types, and embedded delimiters") {
     val path = tmp("csv")
     val df = Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0))

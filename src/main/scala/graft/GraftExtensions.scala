@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{CosineSimilarity, HeavyHittersAgg, JaccardSim,
-  MinHashSig, SimHash64, TDigestAgg, WinnowFingerprints, WordShingleHashes,
-  WordShingles}
+  LshBands, MinHashSig, SimHash64, TDigestAgg, WinnowFingerprints,
+  WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 2, "minhash_sig(shingles, numHashes)")
         MinHashSig(e(0), intArg(e(1), "minhash_sig numHashes"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getName, "lsh_bands"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 3, "lsh_bands(shingles, numHashes, bands)")
+        LshBands(e(0), intArg(e(1), "lsh_bands numHashes"),
+          intArg(e(2), "lsh_bands bands"))
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

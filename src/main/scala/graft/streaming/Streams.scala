@@ -80,6 +80,32 @@ object Streams {
         avg(col("temperature_c")).as("avg_temp_c"),
         max(col("aqi")).as("max_aqi"))
 
+  /** Streaming materialized view: the windowed aggregation appended to
+    * parquet in `append` output mode — a window's row is written exactly
+    * ONCE, after the watermark passes its end (no retractions, no
+    * rewrites), so the parquet table is an ever-growing, query-ready
+    * aggregate the batch serving layer reads directly. Contrast
+    * `complete` mode (rewrites the whole result per trigger — O(history)
+    * per batch, the same cost shape as the reference's hourly
+    * full-overwrite sweep) — append keeps each trigger O(closed windows).
+    */
+  def startWindowedParquetSink(readings: DataFrame, path: String,
+      checkpoint: String, window_ : String = "5 minutes",
+      lateness: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    windowedCityStats(readings, window_, lateness)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("city"), col("readings"), col("avg_temp_c"), col("max_aqi"))
+      .writeStream
+      .outputMode("append")
+      .queryName("windowed-mv")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+      .start()
+
   /** Session windows: per-city activity sessions closed by a `gap` of
     * event-time silence — the built-in session_window aggregation
     * (dynamic-length windows, watermark-evicted state).

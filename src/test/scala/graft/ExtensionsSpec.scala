@@ -24,7 +24,8 @@ class ExtensionsSpec extends SparkSpec {
         |  jaccard_sim(array('a b', 'b c'), array('a b', 'c d')) AS jac,
         |  jaccard_sim(word_shingle_hashes(array('a','b','c'), 2),
         |              word_shingle_hashes(array('a','b','d'), 2)) AS jac_h,
-        |  size(winnow_fingerprints('the quick brown fox', 5, 4)) AS n_fps
+        |  size(winnow_fingerprints('the quick brown fox', 5, 4)) AS n_fps,
+        |  size(lsh_bands(word_shingle_hashes(array('a','b','c','d'), 2), 16, 4)) AS n_bands
         |""".stripMargin).head()
     assert(row.getDouble(0) == 1.0)
     assert(row.getLong(1) != 0L)
@@ -33,5 +34,6 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(4) == 1.0 / 3.0)
     assert(row.getDouble(5) == 1.0 / 3.0) // {a b} shared; {b c} vs {b d} differ
     assert(row.getInt(6) > 0)
+    assert(row.getInt(7) == 4)
   }
 }

@@ -21,6 +21,41 @@ class PipelineSpec extends SparkSpec {
     // battery<20 -> FAIL; null temperature -> not_null failure
     """{"sensor_id":"s3","city":"Berlin","timestamp":"2026-08-13T06:05:00+00:00","temperature_c":null,"humidity_pct":50.0,"aqi":20.0,"battery_level":10.0}""")
 
+  test("backfill rewrites only the targeted date partitions") {
+    val root = tmp()
+    val rawPath = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(rawPath))
+    Files.write(java.nio.file.Paths.get(s"$rawPath/part-0.json"),
+      iotLines.mkString("\n").getBytes)
+    Pipeline.transformIot(spark, rawPath, s"$root/curated")
+
+    def files(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/curated/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before12 = files("2026-08-12")
+    val before13 = files("2026-08-13")
+
+    // a late row lands for 2026-08-13; backfill ONLY that date
+    Files.write(java.nio.file.Paths.get(s"$rawPath/part-1.json"),
+      """{"sensor_id":"s9","city":"Berlin","timestamp":"2026-08-13T09:00:00+00:00","temperature_c":22.0,"humidity_pct":40.0,"aqi":15.0,"battery_level":90.0}"""
+        .getBytes)
+    Thread.sleep(1100) // mtime granularity
+    val outcome = Pipeline.backfillIot(spark, rawPath, s"$root/curated",
+      Seq("2026-08-13"))
+    assert(outcome.rowsWritten == 2) // old 08-13 row + the late one
+
+    // untouched partition: identical file set AND mtimes
+    assert(files("2026-08-12") == before12)
+    // targeted partition: rewritten (different files or newer mtimes)
+    assert(files("2026-08-13") != before13)
+    val curated = spark.read.parquet(s"$root/curated")
+    assert(curated.count() == 4)
+    assert(curated.filter(
+      org.apache.spark.sql.functions.col("date") === "2026-08-13").count() == 2)
+  }
+
   test("iot transform: validate -> pseudonymize -> score -> partitioned write") {
     val root = tmp()
     val rawPath = s"$root/raw"

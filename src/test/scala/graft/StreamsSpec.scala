@@ -189,6 +189,38 @@ class StreamsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L))
   }
 
+  test("windowed parquet sink appends a window exactly once, after watermark close") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "winsink").toString
+    def run(): Unit = {
+      val q = Streams.startWindowedParquetSink(mem.toDF(), s"$root/mv",
+        s"$root/chk", "5 minutes", "10 minutes", Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    // batch 1: two readings inside the 06:00-06:05 window; watermark
+    // (max event - 10 min) has not passed the window end -> nothing emitted
+    mem.addData(
+      reading("s1", "2026-08-12T06:01:00+00:00", 80.0, temp = 20.0),
+      reading("s1", "2026-08-12T06:04:00+00:00", 80.0, temp = 30.0))
+    run()
+    // schema-pinned read: the sink directory may hold no data files yet
+    val mvSchema = "window_start timestamp, window_end timestamp," +
+      "city string, readings long, avg_temp_c double, max_aqi double"
+    assert(spark.read.schema(mvSchema).parquet(s"$root/mv").count() == 0,
+      "window must not be emitted before the watermark closes it")
+    // batch 2: a reading at 06:20 pushes the watermark to 06:10 > 06:05 —
+    // the first window is finalized and appended exactly once
+    mem.addData(reading("s2", "2026-08-12T06:20:00+00:00", 70.0))
+    run()
+    val rows = spark.read.parquet(s"$root/mv").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("readings") == 2L)
+    assert(r.getAs[Double]("avg_temp_c") == 25.0)
+  }
+
   test("stream-static enrichment join decorates events from a broadcast dim") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // jaccard_sim(A,B) >= t over provably-distinct sets gains a cheap
+    // size-ratio prefilter (see the rule's soundness guards)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -234,6 +234,31 @@ object IoQueries {
              |SELECT e.event_id, e.event_type, d.type_total FROM events e JOIN dim d USING (event_type)
              |ORDER BY e.event_id""".stripMargin.replace("\n", " "))),
 
+    // CTAS + view serving path (the Athena "CREATE TABLE AS" workflow):
+    // aggregate into a managed parquet table, expose a filtered VIEW,
+    // query through the view. The catalog is in-memory per JVM while the
+    // warehouse directory persists — clear the location before CTAS, the
+    // same stale-location hazard CboSpec pins.
+    QueryDef("s12_ctas_view",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("DROP TABLE IF EXISTS graft_ctas_summary")
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(wh, "graft_ctas_summary"))
+        s.sql("""CREATE TABLE graft_ctas_summary USING PARQUET AS
+                |SELECT event_type, count(*) AS cnt,
+                |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM events GROUP BY event_type""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_big_types AS
+                |SELECT * FROM graft_ctas_summary WHERE cnt >= 100""".stripMargin)
+        s.sql("SELECT event_type, cnt, total FROM graft_big_types ORDER BY event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY event_type HAVING count(*) >= 100
+             |ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     // Multimodal feature extraction (rows-only: binary payloads are not a
     // DuckDB-comparable surface; MultimodalSpec covers the semantics).
     QueryDef("m1_media_features",

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the operators of this
+  * engine composed in their canonical order (the CCNet/Gopher/LLM-corpus
+  * shape). Every stage is one of the individually-verified operators;
+  * this object fixes the ORDER and the data handed between them:
+  *
+  *   1. language filter        (map-only; cheapest first, biggest cut)
+  *   2. quality filter         (map-only integer signals)
+  *   3. exact dedup            (fingerprint groupBy, keep smallest id)
+  *   4. near-dup clustering    (MinHash-LSH pairs → connected components
+  *                              → keep each cluster's representative)
+  *   5. decontamination        (anti-join against benchmark k-grams)
+  *   6. source-mixture sample  (target proportions, map-only rates)
+  *
+  * Stage order matters at 100 TB: the map-only filters run at scan speed
+  * and shrink the corpus BEFORE anything shuffles; exact dedup halves
+  * typical crawl volume before the (costlier) near-dup pass; the
+  * benchmark anti-join and the mixture sampler touch only survivors.
+  *
+  * Each stage is optional (None/empty config skips it) so ablations and
+  * incremental rollouts reuse the same entry point.
+  */
+object Curation {
+
+  final case class Config(
+      languages: Set[String] = Set("en"),
+      minTokens: Int = 20,
+      dedupExact: Boolean = true,
+      nearDupThreshold: Option[Double] = Some(0.8),
+      benchmark: Option[DataFrame] = None,
+      contaminationK: Int = 8,
+      mixture: Map[String, Double] = Map.empty)
+
+  final case class StageCount(stage: String, rows: Long)
+
+  /** Run the pipeline; returns the curated corpus. When `audit` is set,
+    * per-stage row counts are appended to it — the lineage record a
+    * production pipeline publishes next to the output (each count forces
+    * one extra action; leave it None to keep the plan fully lazy).
+    */
+  def curate(docs: DataFrame, config: Config,
+      audit: Option[scala.collection.mutable.Buffer[StageCount]] = None): DataFrame = {
+    def note(stage: String, df: DataFrame): DataFrame = {
+      audit.foreach(_ += StageCount(stage, df.count()))
+      df
+    }
+    val langed =
+      if (config.languages.isEmpty) docs
+      else note("language", docs.filter(
+        TextAnalysis.langId(col("text")).isin(config.languages.toSeq: _*)))
+    val qualified =
+      if (config.minTokens <= 0) langed
+      else note("quality", langed.filter(
+        TextAnalysis.tokenCount(col("text")) >= config.minTokens))
+    val exact =
+      if (!config.dedupExact) qualified
+      else note("exact_dedup", Dedup.exactRows(
+        qualified.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
+        "__fp", "doc_id").drop("__fp"))
+    val nearDeduped = config.nearDupThreshold match {
+      case None => exact
+      case Some(t) =>
+        val pairs = Dedup.minhashNearDups(exact, shingleK = 3,
+          numHashes = 16, bands = 4, threshold = t)
+        val comps = Dedup.connectedComponents(
+          pairs, exact.select("doc_id"))
+        // keep each cluster's representative = the component label
+        // (smallest doc_id in the cluster); singletons keep themselves
+        note("near_dedup", exact.join(
+          comps.filter(col("doc_id") === col("comp")).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    }
+    val clean = config.benchmark match {
+      case None => nearDeduped
+      case Some(bench) =>
+        note("decontaminate", Dedup.decontaminate(
+          nearDeduped, bench, k = config.contaminationK))
+    }
+    if (config.mixture.isEmpty) clean
+    else note("mixture", Sampling.mixtureSample(
+      clean, "source", "doc_id", config.mixture))
+  }
+}

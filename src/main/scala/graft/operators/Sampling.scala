@@ -115,6 +115,8 @@ object Sampling {
       weights: Map[String, Double], salt: String = "graft"): DataFrame = {
     require(weights.nonEmpty, "mixture weights must be non-empty")
     require(weights.values.forall(_ > 0.0), "mixture weights must be positive")
+    require(df.schema(sourceCol).dataType == org.apache.spark.sql.types.StringType,
+      s"mixture source column must be string; '$sourceCol' is ${df.schema(sourceCol).dataType.sql}")
     val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

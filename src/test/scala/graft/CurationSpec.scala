@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline: each stage drops exactly the planted
+  * offender, the audit trail records the shrinking corpus, and the
+  * survivors are the intended representatives.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "the cat and the dog walked to the park and it was " +
+    "a fine day for every one of them to play"
+
+  test("curate: language -> quality -> exact -> near-dup -> decontaminate") {
+    val docs = Seq(
+      (1L, base, "s0"),                                    // survives
+      (2L, "der hund und die katze sind mit den kindern zu dem haus " +
+        "gelaufen und das war ein guter tag", "s0"),       // german -> language
+      (3L, "the end", "s0"),                               // short -> quality
+      (4L, base, "s0"),                                    // exact dup of 1
+      (5L, base.replace("play", "rest"), "s0"),            // near dup of 1
+      (6L, "this sentence contains the secret benchmark overlap eight gram " +
+        "sequence right here in the middle of it and some extra words " +
+        "to pad the length out", "s0"),                    // contaminated
+      (7L, "a quick brown fox jumped over a lazy dog near the river bank " +
+        "where children were playing games in the bright afternoon sun", "s0"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq(
+      (100L, "the secret benchmark overlap eight gram sequence right"))
+      .toDF("doc_id", "text")
+
+    val audit = scala.collection.mutable.Buffer.empty[Curation.StageCount]
+    val out = Curation.curate(docs, Curation.Config(
+      languages = Set("en"), minTokens = 20, dedupExact = true,
+      nearDupThreshold = Some(0.7), benchmark = Some(bench)),
+      audit = Some(audit))
+
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+    assert(audit.map(s => s.stage -> s.rows).toList == List(
+      "language" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
+      "near_dedup" -> 3L, "decontaminate" -> 2L))
+    // survivors keep their full rows
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+  }
+
+  test("curate: disabled stages are identity; mixture stage composes") {
+    val docs = (0L until 400L)
+      .map(i => (i, s"the unique document number $i has plenty of words " +
+        s"in it to pass the quality gate for token count reasons", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.curate(docs, Curation.Config(
+      languages = Set.empty, minTokens = 0, dedupExact = false,
+      nearDupThreshold = None, benchmark = None,
+      mixture = Map("s0" -> 0.8, "s1" -> 0.2)))
+    val by = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 200 per source; T = 200/0.8 = 250 -> s0 whole, s1 ~ 0.2*250 = 50
+    assert(by("s0") == 200L)
+    assert(math.abs(by("s1") - 50.0) < 30, s"s1=${by("s1")}")
+  }
+}

@@ -587,13 +587,17 @@ object Dedup {
     */
   def incrementalNew(corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bfp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    // NULL text -> NULL fingerprint would fail BOTH equi-joins below and
+    // silently drop the row; fold it into the empty-text fingerprint so
+    // null/empty documents dedup against each other like any other value
+    def fp(c: org.apache.spark.sql.Column) =
+      TextAnalysis.fingerprint(coalesce(c, lit("")))
+    val bfp = batch.withColumn("__fp", fp(col(textCol)))
     val firstInBatch = bfp.join(
       bfp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
       Seq("__fp", idCol), "left_semi")
     firstInBatch
-      .join(corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")),
-        Seq("__fp"), "left_anti")
+      .join(corpus.select(fp(col(textCol)).as("__fp")), Seq("__fp"), "left_anti")
       .select(batch.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -619,7 +623,11 @@ object Dedup {
     val expected = math.max(1L, bsh.count())
     val bloom = bsh.stat.bloomFilter("h", expected, fpp)
     val probe = graft.functions.BloomMightContain.mightContain _
-    train.filter(!exists(
-      TextAnalysis.shingleHashes(col(textCol), k), h => probe(h, bloom)))
+    // coalesce: a NULL text yields a NULL shingle array -> NULL exists()
+    // -> filter would silently DROP the row, where the exact path's
+    // explode produces no rows and KEEPS it. No shingles = no overlap.
+    train.filter(!coalesce(exists(
+      TextAnalysis.shingleHashes(col(textCol), k), h => probe(h, bloom)),
+      lit(false)))
   }
 }

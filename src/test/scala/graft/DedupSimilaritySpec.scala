@@ -135,6 +135,21 @@ class DedupSimilaritySpec extends SparkSpec {
       s"${falseDrops.size} false drops of ${exactKept.size} kept")
   }
 
+  test("decontaminateBloom keeps null/short texts exactly like the exact path") {
+    val train = Seq((1L, None: Option[String]), (2L, Some("tiny")),
+      (3L, Some((1 to 20).map(i => s"t$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, bench, k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(train, bench, k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 3 is contaminated; null-text doc 1 and sub-k doc 2 must survive BOTH
+    assert(exact == Set(1L, 2L))
+    assert(bloom == Set(1L, 2L))
+  }
+
   // --- k-means centroid refinement -------------------------------------
 
   /** Clustered synthetic corpus: `perCluster` vectors around each of 3

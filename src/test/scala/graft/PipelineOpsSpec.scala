@@ -170,6 +170,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set(11L, 13L))
   }
 
+  test("incrementalNew: null text folds into the empty fingerprint, never silently dropped") {
+    val corpus = Seq((1L, Some("kept doc"))).toDF("doc_id", "text")
+    val batch = Seq((10L, None: Option[String]), (11L, Some("")),
+      (12L, Some("real content here"))).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(corpus, batch)
+      .select("doc_id").as[Long].collect().toSet
+    // null and "" share a fingerprint -> first (10) survives, 11 is its dup
+    assert(got == Set(10L, 12L))
+  }
+
   test("tokenChunks: stride offsets, last chunk reaches the end, edge docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 4 chunks

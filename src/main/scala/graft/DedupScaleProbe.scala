@@ -83,6 +83,12 @@ object DedupScaleProbe {
         minContainment = 0.6, maxDocFreq = 50).count()
       println(s"[dedup-probe]   winnowing pairs: $pairs")
     }
+    timed("winnowing (scratch-materialized fps)") {
+      val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
+        minContainment = 0.6, maxDocFreq = 50,
+        scratchDir = Some("target/dedup_probe_fps")).count()
+      println(s"[dedup-probe]   winnowing pairs: $pairs")
+    }
     spark.stop()
   }
 }

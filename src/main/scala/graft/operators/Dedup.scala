@@ -218,9 +218,27 @@ object Dedup {
     * values (uniform 64-bit hashes → balanced shuffle), never O(docs²).
     */
   def winnowingNearDups(docs: DataFrame, k: Int = 5, w: Int = 4,
-      minContainment: Double = 0.5, maxDocFreq: Int = 50): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
+      minContainment: Double = 0.5, maxDocFreq: Int = 50,
+      scratchDir: Option[String] = None): DataFrame = {
+    val explodedRaw = docs.select(col("doc_id"),
       explode(TextAnalysis.winnowingFingerprints(col("text"), k, w)).as("fp"))
+    // The exploded (doc, fp) relation is consumed FOUR times (document
+    // frequencies, per-doc sizes, both self-join sides) and Spark has no
+    // cross-consumer subplan reuse without materialization — without a
+    // scratch dir the rolling-hash fingerprinting re-runs per consumer.
+    // `scratchDir` checkpoints the relation to parquet once; the caller
+    // owns cleanup. MEASURED OFF-BY-DEFAULT (1M docs, local[32]): the
+    // 150M-row write costs MORE than the recomputes it saves (51→69 s)
+    // because fingerprinting streams from page-cached source parquet.
+    // Reach for it only when the upstream `docs` is itself expensive
+    // (a join/filter pipeline, cold object storage). Results identical
+    // either way (spec-pinned).
+    val exploded = scratchDir match {
+      case Some(dir) =>
+        explodedRaw.write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None => explodedRaw
+    }
     // Frequency cap: a fingerprint present in more than `maxDocFreq` docs
     // is boilerplate, not evidence of copying — and it is exactly what
     // makes the pair join quadratic (a fp shared by d docs yields d²

@@ -135,6 +135,16 @@ class DedupSimilaritySpec extends SparkSpec {
       s"${falseDrops.size} false drops of ${exactKept.size} kept")
   }
 
+  test("winnowing with a scratch dir is row-identical to the recompute path") {
+    val subset = docs.limit(120)
+    val a = Dedup.winnowingNearDups(subset, k = 5, w = 4, minContainment = 0.6)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    val b = Dedup.winnowingNearDups(subset, k = 5, w = 4, minContainment = 0.6,
+        scratchDir = Some("target/winnow_scratch_spec"))
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("decontaminateBloom keeps null/short texts exactly like the exact path") {
     val train = Seq((1L, None: Option[String]), (2L, Some("tiny")),
       (3L, Some((1 to 20).map(i => s"t$i").mkString(" "))))

@@ -56,7 +56,7 @@ object CurationScaleProbe {
     val single = (System.nanoTime() - t0) / 1e9
     println(f"[curation-probe] single-pass curate ($nDocs docs -> $n rows): $single%.1f s")
 
-    // the audited shape: each stage count is an extra action that
+    // the eager-audit shape: each stage count is an extra action that
     // re-evaluates its prefix of the pipeline — the lineage-report cost
     val audit = scala.collection.mutable.Buffer.empty[Curation.StageCount]
     val t1 = System.nanoTime()
@@ -64,7 +64,17 @@ object CurationScaleProbe {
     val audited = (System.nanoTime() - t1) / 1e9
     audit.foreach(s => println(f"[curation-probe]   ${s.stage}%-14s ${s.rows}%9d rows"))
     println(f"[curation-probe]   final          $n2%9d rows")
-    println(f"[curation-probe] audited curate: $audited%.1f s")
+    println(f"[curation-probe] eager-audited curate: $audited%.1f s")
+
+    // the observed shape: the same counts collected DURING the single
+    // action via Dataset.observe — audit at single-pass cost
+    val t2 = System.nanoTime()
+    val (outObs, stageCounts) = Curation.curateObserved(mat, config)
+    val n3 = outObs.count()
+    val observed = (System.nanoTime() - t2) / 1e9
+    stageCounts().foreach(s =>
+      println(f"[curation-probe]   ${s.stage}%-14s ${s.rows}%9d rows (observed)"))
+    println(f"[curation-probe] observed-audit curate ($n3%d rows): $observed%.1f s")
     spark.stop()
   }
 }

@@ -44,6 +44,14 @@ class CurationSpec extends SparkSpec {
       "near_dedup" -> 3L, "decontaminate" -> 2L))
     // survivors keep their full rows
     assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+
+    // the observed variant: same survivors, same counts, zero extra actions
+    val (outObs, stageCounts) = Curation.curateObserved(docs, Curation.Config(
+      languages = Set("en"), minTokens = 20, dedupExact = true,
+      nearDupThreshold = Some(0.7), benchmark = Some(bench)))
+    assert(outObs.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+    assert(stageCounts().map(s => s.stage -> s.rows).toList ==
+      audit.map(s => s.stage -> s.rows).toList)
   }
 
   test("curate: disabled stages are identity; mixture stage composes") {

@@ -239,6 +239,39 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
   }
 
+  test("health listener records progress and raises error alerts (monitoring analog)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val listener = graft.streaming.Monitoring.attach(spark, slowBatchMs = 3600000L)
+    try {
+      // healthy query: progress recorded, no alerts
+      val ok = MemoryStream[Long]
+      ok.addData(1L, 2L, 3L)
+      val q1 = ok.toDF().writeStream.format("memory").queryName("mon_ok")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination(60000)
+      // failing query: foreachBatch throws -> terminated-with-exception alert
+      val bad = MemoryStream[Long]
+      bad.addData(7L)
+      val q2 = bad.toDF().writeStream.queryName("mon_bad")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("synthetic failure")
+        }.start()
+      intercept[Exception] { q2.awaitTermination(60000) }
+      // listener bus is async — wait for both signals
+      val deadline = System.currentTimeMillis() + 30000
+      while ((listener.alerts.isEmpty ||
+          !listener.progress.exists(_.query == "mon_ok")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val okProg = listener.progress.filter(_.query == "mon_ok")
+      assert(okProg.nonEmpty && okProg.map(_.numInputRows).sum == 3L)
+      assert(listener.alerts.exists(a => a.kind == "error"),
+        s"expected an error alert, got ${listener.alerts}")
+      assert(!listener.alerts.exists(_.kind == "slow"))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("synthetic stream projection matches the batch generator schema") {
     val batch = graft.operators.Ingest.syntheticIotBatch(spark, Seq("A", "B"), 2, 1)
     assert(batch.columns.sameElements(Array("sensor_id", "city", "timestamp",

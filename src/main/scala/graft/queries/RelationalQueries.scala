@@ -492,6 +492,55 @@ object RelationalQueries {
              |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
              |max(value) AS max_value, min(value) AS min_value FROM events""".stripMargin.replace("\n", " "))),
 
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicities — a different operator than the distinct forms of
+    // set1/set2, with its own counted-intersection physical shape).
+    QueryDef("set4_intersect_all",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("user_id") < 300).select("event_type")
+          .intersectAll(e.filter(col("value") > 50).select("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type FROM (
+             |SELECT event_type FROM events WHERE user_id < 300
+             |INTERSECT ALL
+             |SELECT event_type FROM events WHERE value > 50)
+             |ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    QueryDef("set5_except_all",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("user_id") < 300).select("event_type")
+          .exceptAll(e.filter(col("value") > 50).select("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type FROM (
+             |SELECT event_type FROM events WHERE user_id < 300
+             |EXCEPT ALL
+             |SELECT event_type FROM events WHERE value > 50)
+             |ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // Correlated LATERAL subquery: per region, its top-2 nations by
+    // customer count — the correlated-derived-table surface (Catalyst
+    // decorrelates into a ranked join).
+    QueryDef("sub3_lateral",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""SELECT r_name, n_name, cnt FROM region,
+                |LATERAL (SELECT n_name, count(*) AS cnt
+                |         FROM nation JOIN customer ON c_nationkey = n_nationkey
+                |         WHERE n_regionkey = r_regionkey
+                |         GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) l
+                |ORDER BY r_name, cnt DESC, n_name""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name, cnt FROM region,
+             |LATERAL (SELECT n_name, count(*) AS cnt
+             |FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |WHERE n_regionkey = r_regionkey
+             |GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) l
+             |ORDER BY r_name, cnt DESC, n_name""".stripMargin.replace("\n", " "))),
+
     // Explicit GROUPING SETS (beyond rollup/cube): the hand-picked
     // combinations (type), (type, bucket), and grand total — one pass,
     // one shuffle, same as any grouped aggregate.

@@ -161,6 +161,29 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("versioned snapshots: time travel, pointer commit, vacuum keeps committed") {
+    import graft.sources.Versioned
+    val root = tmp("versioned")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    val v0 = Versioned.write(Seq((1L, "a")).toDF("id", "s"), root)
+    val v1 = Versioned.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    assert((v0, v1) == (0L, 1L))
+    assert(Versioned.latest(root).contains(1L))
+    assert(Versioned.readLatest(spark, root).count() == 2)
+    // time travel to the first snapshot
+    assert(Versioned.read(spark, root, 0L).count() == 1)
+
+    // an uncommitted orphan above the pointer (simulated crash mid-write)
+    Seq((9L, "x")).toDF("id", "s").write.parquet(s"$root/v=2")
+    assert(Versioned.latest(root).contains(1L)) // readers unaffected
+
+    val removed = Versioned.vacuum(root, keepLast = 1)
+    assert(removed == Seq(0L))
+    assert(Versioned.readLatest(spark, root).count() == 2) // committed intact
+    assert(Versioned.versions(root) == Seq(1L, 2L)) // orphan not vacuumed
+  }
+
   test("csv round-trip preserves rows, types, and embedded delimiters") {
     val path = tmp("csv")
     val df = Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0))

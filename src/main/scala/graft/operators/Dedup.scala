@@ -636,8 +636,13 @@ object Dedup {
   def decontaminateBloom(train: DataFrame, bench: DataFrame, k: Int = 8,
       fpp: Double = 0.001, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // NO distinct before the build: Bloom insertion is idempotent, so
+    // deduplicating first would only add a full shuffle of the shingle
+    // set. Sizing by the raw occurrence count (≥ the distinct count)
+    // over-provisions bits — the realized fpp is at most the requested
+    // one. Both passes over the bench side stay shuffle-free.
     val bsh = bench.select(
-      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("h")).distinct()
+      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("h"))
     val expected = math.max(1L, bsh.count())
     val bloom = bsh.stat.bloomFilter("h", expected, fpp)
     val probe = graft.functions.BloomMightContain.mightContain _

@@ -111,4 +111,15 @@ class PlanSpec extends SparkSpec {
     val plan = q("d9_decontaminate_bloom").queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), s"bloom probe must not join:\n$plan")
   }
+
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // the engine deliberately leans on AQE for runtime re-planning: a
+    // small aggregate under a wide static shuffle width must coalesce
+    // instead of scheduling empty reducers
+    val df = q("a2_groupby_count")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
+      s"expected AQE shuffle coalescing in final plan:\n$finalPlan")
+  }
 }

@@ -521,6 +521,22 @@ object RelationalQueries {
              |SELECT event_type FROM events WHERE value > 50)
              |ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // LATERAL VIEW explode (the Hive-dialect generator syntax — the SQL
+    // face of the G1 zip-flatten): split each comment into words, count
+    // word occurrences per region.
+    QueryDef("sql2_lateral_view",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""SELECT doc_id, w, count(*) AS cnt
+                |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+                |WHERE doc_id < 10 AND w <> '' GROUP BY doc_id, w
+                |ORDER BY doc_id, w""".stripMargin)
+      },
+      Some("""SELECT doc_id, u.w AS w, count(*) AS cnt
+             |FROM documents, unnest(string_split(text, ' ')) AS u(w)
+             |WHERE doc_id < 10 AND u.w <> '' GROUP BY doc_id, u.w
+             |ORDER BY doc_id, w""".stripMargin.replace("\n", " "))),
+
     // Correlated LATERAL subquery: per region, its top-2 nations by
     // customer count — the correlated-derived-table surface (Catalyst
     // decorrelates into a ranked join).

@@ -139,6 +139,37 @@ object Streams {
           // exactly at the horizon boundary is attributed in neither
           s"$rightTs >= $leftTs AND $rightTs < $leftTs + INTERVAL $horizon"))
 
+  /** Incremental raw-zone sweep: the reference re-reads the ENTIRE raw
+    * prefix every hour and overwrites curated
+    * (reference scripts/glue_transform/transform.py:198-203,259-265) —
+    * O(history) per sweep. This is the same transform as a FILE-SOURCE
+    * STREAM: Spark's file source tracks processed files in the
+    * checkpoint, so each trigger reads only NEW landing files —
+    * O(new data) per sweep — and `maxFilesPerTrigger` bounds a batch
+    * (backpressure for a backlog: a cold start over a year of landing
+    * files proceeds in bounded increments instead of one giant job).
+    * The derive logic is byte-identical to the batch path
+    * (Transforms.deriveIot); the sink appends date-partitioned parquet.
+    */
+  def startIncrementalIotSweep(spark: SparkSession, rawPath: String,
+      curatedPath: String, checkpoint: String, maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(graft.sources.Schemas.rawIot)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawPath)
+    graft.operators.Transforms.deriveIot(raw)
+      .writeStream
+      .outputMode("append")
+      .queryName("incremental-sweep")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", curatedPath)
+      .partitionBy("date")
+      .start()
+  }
+
   /** Stream-static enrichment join: decorate each streaming event with
     * dimension attributes from a static (batch) table — the standard
     * "enrich the firehose with reference data" pattern. The static side

@@ -239,6 +239,36 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
   }
 
+  test("incremental sweep processes only NEW landing files, bounded per trigger") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sweep").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/raw"))
+    def land(name: String, id: String, day: Int): Unit =
+      Files.write(java.nio.file.Paths.get(s"$root/raw/$name"),
+        (s"""{"sensor_id":"$id","city":"Tokyo","timestamp":"2026-08-${day}T06:00:00+00:00",""" +
+          """"temperature_c":20.0,"humidity_pct":50.0,"aqi":30.0,"battery_level":80.0}""").getBytes)
+    def sweep(): Long = {
+      val q = Streams.startIncrementalIotSweep(spark, s"$root/raw",
+        s"$root/curated", s"$root/chk", maxFilesPerTrigger = 1,
+        Trigger.AvailableNow())
+      q.awaitTermination(60000)
+      val done = q.recentProgress.count(_.numInputRows > 0)
+      done.toLong
+    }
+    land("a.json", "s1", 10); land("b.json", "s2", 11)
+    // 2 files, maxFilesPerTrigger=1 -> two 1-file micro-batches
+    assert(sweep() == 2L)
+    assert(spark.read.parquet(s"$root/curated").count() == 2)
+    // second run with one NEW file: only it is processed (checkpointed
+    // file tracking — the O(new data) sweep, not the reference's O(all))
+    land("c.json", "s3", 12)
+    assert(sweep() == 1L)
+    val curated = spark.read.parquet(s"$root/curated")
+    assert(curated.count() == 3)
+    // event-date partitions derived exactly like the batch path
+    assert(new java.io.File(s"$root/curated/date=2026-08-12").exists())
+  }
+
   test("health listener records progress and raises error alerts (monitoring analog)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

@@ -69,25 +69,32 @@ object DedupScaleProbe {
     timed("simhash signatures (map-only)") {
       Dedup.simhash(mat).write.mode("overwrite").parquet("target/dedup_probe_sims")
     }
-    for ((label, m, prune) <- Seq(
-        ("dup-dense, pruned", mat, true), ("dup-dense, unpruned", mat, false),
-        ("10%-dup, pruned", mat10, true), ("10%-dup, unpruned", mat10, false))) {
-      timed(s"minhash LSH ($label)") {
+    // Alternate the two pair strategies across repeated runs: JVM warm-up
+    // and page-cache effects are larger than the strategy delta, so a
+    // single-shot comparison flips between runs. Compare per-strategy MINs.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
+    for (rep <- 1 to reps;
+         (label, m, selfJoin) <- Seq(
+        ("dup-dense, group-pairs", mat, false), ("dup-dense, self-join", mat, true),
+        ("10%-dup, group-pairs", mat10, false), ("10%-dup, self-join", mat10, true))) {
+      timed(s"minhash LSH ($label) #$rep") {
         val pairs = Dedup.minhashNearDups(m, shingleK = 3, numHashes = 16,
-          bands = 4, threshold = 0.6, pruneSingletonBuckets = prune).count()
+          bands = 4, threshold = 0.6, selfJoinPairs = selfJoin).count()
         println(s"[dedup-probe]   near-dup pairs: $pairs")
       }
     }
-    timed("winnowing fingerprint candidates") {
-      val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
-        minContainment = 0.6, maxDocFreq = 50).count()
-      println(s"[dedup-probe]   winnowing pairs: $pairs")
-    }
-    timed("winnowing (scratch-materialized fps)") {
-      val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
-        minContainment = 0.6, maxDocFreq = 50,
-        scratchDir = Some("target/dedup_probe_fps")).count()
-      println(s"[dedup-probe]   winnowing pairs: $pairs")
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_SKIP_WINNOW")) {
+      timed("winnowing fingerprint candidates") {
+        val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
+          minContainment = 0.6, maxDocFreq = 50).count()
+        println(s"[dedup-probe]   winnowing pairs: $pairs")
+      }
+      timed("winnowing (scratch-materialized fps)") {
+        val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
+          minContainment = 0.6, maxDocFreq = 50,
+          scratchDir = Some("target/dedup_probe_fps")).count()
+        println(s"[dedup-probe]   winnowing pairs: $pairs")
+      }
     }
     spark.stop()
   }

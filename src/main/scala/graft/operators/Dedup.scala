@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   *
   *  - exact: one hash-partitioned groupBy on the dedup key (map-side
   *    partial aggregation halves the shuffle) — never a window sort.
-  *  - MinHash+LSH: candidate generation is a self-join on (band, bandHash)
-  *    buckets, so the shuffle is O(docs × bands) small fixed-width rows,
+  *  - MinHash+LSH: candidate generation groups docs by (band, bandHash)
+  *    bucket, so the shuffle is O(docs × bands) small fixed-width rows,
   *    never O(docs²); the quadratic verify runs only inside buckets.
   *  - SimHash: 64-bit signature; near-dup candidates via banded chunks of
   *    the signature (Hamming ≤ 3 ⇒ some 16-bit chunk equal, pigeonhole).
@@ -72,15 +72,19 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
-    * Pipeline: signature → explode bands → self-join on (band, hash) →
-    * distinct candidate pairs (a<b) → verify exact shingle Jaccard ≥
-    * `threshold`. The only shuffles are the band-bucket join and the
-    * distinct — both keyed on uniformly-hashed values, so they stay
-    * balanced under skew.
+    * Pipeline: signature → explode bands → group by (band, hash) bucket →
+    * emit in-bucket ordered pairs → distinct candidate pairs (a<b) →
+    * verify exact shingle Jaccard ≥ `threshold`. The only shuffles are the
+    * bucket groupBy and the distinct — both keyed on uniformly-hashed
+    * values, so they stay balanced under skew. (`selfJoinPairs = true`
+    * switches candidate generation to the textbook bucket self-join —
+    * identical output, kept as the semantic reference; it plans the
+    * signature pass twice, one per join side.)
     */
   def minhashNearDups(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.6,
-      pruneSingletonBuckets: Boolean = false): DataFrame = {
+      pruneSingletonBuckets: Boolean = false,
+      selfJoinPairs: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Shingle ONCE per document — recomputing per candidate pair would be
     // O(pairs × doc-length), the difference between scan-bound and dead at
@@ -115,12 +119,32 @@ object Dedup {
         banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
           .filter(col("n") >= 2).select("band", "bh"),
         Seq("band", "bh"))
-    val candidates = pairable.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-      .join(pairable.select(col("band"), col("bh"), col("doc_id").as("b_id")),
-        Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
+    // Candidate pairs via ONE shuffle: group each (band, bucket) to its
+    // sorted member list, then emit ordered pairs in-row. The textbook
+    // formulation is a bucket-keyed SELF-JOIN, but a self-join plans the
+    // band relation — i.e. the whole minhash pass, the expensive part —
+    // TWICE (the two exchange subtrees canonicalize differently once AQE
+    // wraps them, so ReuseExchange never fires), plus a third shuffle for
+    // the pair distinct. Grouping runs the signature pass once and
+    // replaces join+distinct with groupBy+distinct. Per-bucket work is
+    // still the unavoidable O(n²) pair emission, spread across tasks by
+    // the uniform bucket key; the posexplode keeps peak memory at O(n)
+    // per row rather than materializing an n² pair array per bucket.
+    val candidates = (if (selfJoinPairs) {
+      pairable.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+        .join(pairable.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+          Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+    } else {
+      val buckets = pairable.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+      buckets
+        .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+        .select(col("a_id"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("b_id"))
+    }).dropDuplicates("a_id", "b_id")
 
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")

@@ -84,6 +84,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // LSH verifies candidates with the same exact metric, so lsh ⊆ exact,
     // and high-jaccard pairs collide in some band with near-certainty.
     assert(lsh == exact)
+    // The bucket-groupBy pair generation (default) and the reference
+    // bucket self-join must produce identical pair sets.
+    val viaJoin = Dedup.minhashNearDups(docs, shingleK = 3, numHashes = 16,
+      bands = 4, threshold = 0.8, selfJoinPairs = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaJoin == lsh)
   }
 
   test("simhash: identical texts get identical signatures; near-dups are close") {

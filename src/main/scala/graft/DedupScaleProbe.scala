@@ -84,15 +84,20 @@ object DedupScaleProbe {
       }
     }
     if (!sys.env.contains("SPARK_GRAFT_PROBE_SKIP_WINNOW")) {
-      timed("winnowing fingerprint candidates") {
+      timed("winnowing (grouped pairs)") {
         val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
           minContainment = 0.6, maxDocFreq = 50).count()
         println(s"[dedup-probe]   winnowing pairs: $pairs")
       }
-      timed("winnowing (scratch-materialized fps)") {
+      timed("winnowing (grouped + scratch)") {
         val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
           minContainment = 0.6, maxDocFreq = 50,
           scratchDir = Some("target/dedup_probe_fps")).count()
+        println(s"[dedup-probe]   winnowing pairs: $pairs")
+      }
+      timed("winnowing (self-join reference)") {
+        val pairs = Dedup.winnowingNearDups(mat, k = 5, w = 4,
+          minContainment = 0.6, maxDocFreq = 50, selfJoinPairs = true).count()
         println(s"[dedup-probe]   winnowing pairs: $pairs")
       }
     }

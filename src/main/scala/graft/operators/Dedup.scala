@@ -237,50 +237,89 @@ object Dedup {
   }
 
   /** Winnowing-based containment candidates: documents sharing at least
-    * `minShared` winnowing fingerprints. Fingerprinting is map-only; the
-    * pair generation is a self-join keyed on the exploded fingerprint
-    * values (uniform 64-bit hashes → balanced shuffle), never O(docs²).
+    * `minShared` winnowing fingerprints. Fingerprinting is map-only; pair
+    * generation groups the exploded (doc, fp) relation by fingerprint
+    * value (uniform 64-bit hashes → balanced shuffle) and emits in-bucket
+    * pairs, never O(docs²).
     */
   def winnowingNearDups(docs: DataFrame, k: Int = 5, w: Int = 4,
       minContainment: Double = 0.5, maxDocFreq: Int = 50,
-      scratchDir: Option[String] = None): DataFrame = {
+      scratchDir: Option[String] = None,
+      selfJoinPairs: Boolean = false): DataFrame = {
+    if (selfJoinPairs)
+      return winnowingNearDupsSelfJoin(docs, k, w, minContainment, maxDocFreq, scratchDir)
+    val exploded = docs.select(col("doc_id"),
+      explode(TextAnalysis.winnowingFingerprints(col("text"), k, w)).as("fp"))
+    // ONE shuffle keyed on fp groups each fingerprint to its sorted
+    // member list; everything downstream (document frequency = list
+    // size, per-doc surviving-fp counts, in-bucket pair emission)
+    // derives from this relation, so the rolling-hash fingerprint pass
+    // runs twice (once per consumer below) instead of the ~6 leaf
+    // occurrences the df-join + fp self-join formulation plans (Spark
+    // has no cross-consumer subplan reuse, and AQE-wrapped exchanges
+    // never canonicalize equal). Fingerprints are distinct per doc, so
+    // size(ids) IS document frequency; a fp in more than `maxDocFreq`
+    // docs is boilerplate, not evidence of copying — and exactly what
+    // would make pair emission quadratic (d docs → d² pairs), so the
+    // cap also bounds every bucket's fan-out.
+    val groupedRaw = exploded.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+    // `scratchDir` materializes the grouped relation to parquet once —
+    // then the fingerprint pass runs ONCE total; the caller owns
+    // cleanup. MEASURED OFF-BY-DEFAULT (1M docs, local[32]): writing the
+    // ~150M-row grouped relation costs more than the one recompute it
+    // saves (22→60 s) because fingerprinting streams from page-cached
+    // source parquet; reach for it only when upstream `docs` is itself
+    // expensive (a join/filter pipeline, cold object storage). Results
+    // identical either way (spec-pinned).
+    val grouped = scratchDir match {
+      case Some(dir) =>
+        groupedRaw.write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None => groupedRaw
+    }
+    // containment denominator: how many sub-cap fps each doc kept
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    // ordered in-bucket pairs, then count shared fps per pair; the
+    // posexplode keeps per-row memory at O(bucket), never O(bucket²)
+    val shared = grouped.filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_fps"))
+    // containment = shared / |smaller surviving fp set| — robust to length
+    // asymmetry (detects a document embedded inside a larger one)
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_fps").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_fps").as("b_n")), "b_id")
+      .withColumn("containment",
+        col("shared_fps").cast("double") / least(col("a_n"), col("b_n")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("shared_fps"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** The df-join + fp self-join formulation — kept as the spec-tested
+    * semantic reference for the grouped path above. Plans the fingerprint
+    * pass once per leaf occurrence (~6×).
+    */
+  private def winnowingNearDupsSelfJoin(docs: DataFrame, k: Int, w: Int,
+      minContainment: Double, maxDocFreq: Int,
+      scratchDir: Option[String]): DataFrame = {
     val explodedRaw = docs.select(col("doc_id"),
       explode(TextAnalysis.winnowingFingerprints(col("text"), k, w)).as("fp"))
-    // The exploded (doc, fp) relation is consumed FOUR times (document
-    // frequencies, per-doc sizes, both self-join sides) and Spark has no
-    // cross-consumer subplan reuse without materialization — without a
-    // scratch dir the rolling-hash fingerprinting re-runs per consumer.
-    // `scratchDir` checkpoints the relation to parquet once; the caller
-    // owns cleanup. MEASURED OFF-BY-DEFAULT (1M docs, local[32]): the
-    // 150M-row write costs MORE than the recomputes it saves (51→69 s)
-    // because fingerprinting streams from page-cached source parquet.
-    // Reach for it only when the upstream `docs` is itself expensive
-    // (a join/filter pipeline, cold object storage). Results identical
-    // either way (spec-pinned).
     val exploded = scratchDir match {
       case Some(dir) =>
         explodedRaw.write.mode("overwrite").parquet(dir)
         docs.sparkSession.read.parquet(dir)
       case None => explodedRaw
     }
-    // Frequency cap: a fingerprint present in more than `maxDocFreq` docs
-    // is boilerplate, not evidence of copying — and it is exactly what
-    // makes the pair join quadratic (a fp shared by d docs yields d²
-    // pairs). Dropping hot fps bounds every fp's pair fan-out; fps are
-    // distinct per doc, so count(*) per fp IS document frequency.
     val dfByFp = exploded.groupBy("fp").agg(count(lit(1)).as("df"))
     val kept = exploded.join(dfByFp.filter(col("df") <= maxDocFreq).select("fp"), "fp")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
-    // Pair generation ships only (fp, doc_id) — the per-doc fp counts join
-    // in AFTER the pair aggregation (two joins against the small per-doc
-    // relation) instead of riding every exploded pair row through the
-    // self-join shuffle and being first()'d back out. The self-join's
-    // input keeps only fps with 2 ≤ df ≤ cap: a df=1 fp can't form a
-    // pair, and in a mostly-unique corpus df=1 is the overwhelming mass
-    // of the relation — the containment denominator (sizes above) still
-    // counts them. (An earlier mapPartitions rewrite assumed the
-    // rare-fp join's output was hash-partitioned by fp; AQE broadcasts
-    // that join, which voids the co-location — don't resurrect it.)
     val pairable = exploded.join(
       dfByFp.filter(col("df") >= 2 && col("df") <= maxDocFreq).select("fp"), "fp")
     val shared = pairable.select(col("fp"), col("doc_id").as("a_id"))
@@ -288,8 +327,6 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared_fps"))
-    // containment = shared / |smaller surviving fp set| — robust to length
-    // asymmetry (detects a document embedded inside a larger one)
     shared
       .join(sizes.select(col("doc_id").as("a_id"), col("n_fps").as("a_n")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_fps").as("b_n")), "b_id")

@@ -329,6 +329,43 @@ object RelationalQueries {
       Some("""SELECT source AS item, count(*) AS cnt FROM documents
              |GROUP BY source ORDER BY cnt DESC, item""".stripMargin.replace("\n", " "))),
 
+    // Second-moment statistics per group (corr / covariance / stddev /
+    // variance) — one partial-aggregated shuffle; the merge step combines
+    // per-partition (n, mean, M2, C2) summaries, so the reduction is
+    // single-pass and constant-memory per group at any scale. The
+    // combine order differs between engines, so results agree to ~1e-12
+    // relative, not bitwise — both sides round to 6 decimals.
+    QueryDef("stat1_moments",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"),
+          round(covar_pop(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
+          round(stddev_samp(col("value")), 6).as("sd_value"),
+          round(var_pop(col("value")), 6).as("var_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+             |ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+             |ROUND(stddev_samp(value), 6) AS sd_value,
+             |ROUND(var_pop(value), 6) AS var_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // Fixed-width histogram: bucket by pure arithmetic (floor of the
+    // scaled value), never a sort — one partial-aggregated shuffle keyed
+    // on the bucket id. The double division is op-for-op identical on
+    // both engines; null measures are excluded explicitly because the
+    // engines order a null bucket differently.
+    QueryDef("h1_histogram",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy((floor(col("value") / 10.0) * 10).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket_lo"),
+      Some("""SELECT CAST(FLOOR(value / 10.0) * 10 AS BIGINT) AS bucket_lo, count(*) AS n
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1 ORDER BY bucket_lo""".stripMargin.replace("\n", " "))),
+
     // Edit distance (levenshtein) — the fuzzy string-matching primitive;
     // all nation-name pairs, exact integer output.
     QueryDef("f7_levenshtein",

@@ -58,6 +58,18 @@ object SimilarityQueries {
               |SELECT a_id, b_id, round($duckCos, 6) AS cosine FROM pairs
               |WHERE $duckCos >= 0.4 ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
 
+    // LSH-bucketed embedding near-dup — the scale path for d4: random-
+    // hyperplane buckets make the quadratic compare run per bucket
+    // (expected bucket size n/2^planes), so the pair count is O(n²/2^p)
+    // instead of O(n²). Bucket ids come from Spark-side hashing that
+    // DuckDB cannot reproduce → rows-only check; the recall-vs-exact
+    // subset property is pinned by DedupSimilaritySpec.
+    QueryDef("v5_lsh_neardup",
+      (s, dir) => Dedup.embeddingNearDups(
+        t(s, dir, "embeddings"), threshold = 0.98, lsh = true, planes = 4)
+        .orderBy("a_id", "b_id"),
+      None),
+
     // MinHash+LSH near-dup pairs — the 100 TB candidate-generation path.
     // No DuckDB oracle (Spark-specific xxhash64); rows-only check +
     // ScalaTest recall assertions.

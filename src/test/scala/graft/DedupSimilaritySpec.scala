@@ -92,6 +92,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaJoin == lsh)
   }
 
+  test("LSH-bucketed embedding near-dup is a subset of exact; same-bucket pairs exact-identical") {
+    val exact = Dedup.embeddingNearDups(embs, threshold = 0.98)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(embs, threshold = 0.98, lsh = true, planes = 4)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    // LSH only PRUNES candidate pairs (different-bucket pairs are never
+    // compared); every surviving pair carries the identical exact cosine.
+    assert(lsh.subsetOf(exact))
+    // Identical vectors always share a bucket (deterministic sign bits),
+    // so pairs at cosine == 1 are found with certainty.
+    val exactOnes = exact.filter(_._3 >= 0.999999)
+    assert(exactOnes.subsetOf(lsh) || exactOnes.isEmpty)
+  }
+
   test("simhash: identical texts get identical signatures; near-dups are close") {
     val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
@@ -149,6 +163,11 @@ class DedupSimilaritySpec extends SparkSpec {
         scratchDir = Some("target/winnow_scratch_spec"))
       .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
     assert(a == b)
+    // and the grouped pair generation matches the self-join reference
+    val c = Dedup.winnowingNearDups(subset, k = 5, w = 4, minContainment = 0.6,
+        selfJoinPairs = true)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    assert(a == c)
   }
 
   test("decontaminateBloom keeps null/short texts exactly like the exact path") {

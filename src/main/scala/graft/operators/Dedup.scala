@@ -347,10 +347,13 @@ object Dedup {
     * all — every other vertex is its own singleton component, labeled by
     * one final map-side-prunable left join.
     *
-    *  - edge count ≤ `localEdgeThreshold`: single-task union-find over the
-    *    persisted edge list (`coalesce(1).mapPartitions`). One job, no
-    *    loop — the same small-graph finish GraphFrames performs after
-    *    contraction. 10⁶ edges is a few tens of MB of hash-map state.
+    *  - edge count ≤ `localEdgeThreshold`: union-find ON THE DRIVER over
+    *    the collected edge list — the same small-graph finish GraphFrames
+    *    performs after contraction. 10⁶ edges is a few tens of MB, well
+    *    inside any driver. The label table comes back as a LocalRelation,
+    *    so the final corpus join broadcasts it without running a job, and
+    *    downstream actions re-evaluate a driver-local array instead of
+    *    re-running the (possibly expensive) edge generator per action.
     *  - above the threshold: the distributed min-label-propagation loop
     *    below, seeded with edge-touched vertices only. Each round every
     *    vertex adopts the smallest label among (its own, its neighbors',
@@ -383,10 +386,10 @@ object Dedup {
       if (small) localUnionFind(eRdd, idType, ord.get, spark)
       else labelPropagation(eRdd, idType, spark, maxIter, loopShufflePartitions)
     eRdd.unpersist(blocking = false)
-    // Everything not in an edge is a singleton. The label table is
-    // RDD-backed (default stats — never auto-broadcast), so hint it
-    // explicitly on the small path: the corpus side then stays a single
-    // map-only pass. Above the threshold it shuffle-joins keyed on id.
+    // Everything not in an edge is a singleton. On the small path the
+    // label table is a LocalRelation (driver array) — broadcast it so the
+    // corpus side stays a single map-only pass. Above the threshold it
+    // shuffle-joins keyed on id.
     val labelSide = {
       val t = touched.withColumnRenamed("id", idCol)
       if (small) broadcast(t) else t
@@ -411,44 +414,45 @@ object Dedup {
     }
   }
 
-  /** Small-graph path: union-find over the whole edge list in ONE task
-    * (`coalesce(1)` on the persisted edge RDD — no shuffle, the task
-    * pulls each upstream partition). Path-halving keeps finds near-O(1);
-    * roots are the component minima by construction (union always points
-    * the larger root at the smaller). Returns (id, comp) for every vertex
-    * appearing in an edge.
+  /** Small-graph path: union-find over the collected edge list ON THE
+    * DRIVER (one collect job from the persisted edge RDD; ≤ the 10⁶-edge
+    * threshold = tens of MB). Path-halving keeps finds near-O(1); roots
+    * are the component minima by construction (union always points the
+    * larger root at the smaller). Returns a LocalRelation of (id, comp)
+    * for every vertex appearing in an edge — re-evaluating it downstream
+    * costs nothing, unlike a task-side formulation whose union-find (and
+    * the whole edge generator above it) re-runs on every action.
     */
   private def localUnionFind(eRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       idType: org.apache.spark.sql.types.DataType, ord: Ordering[Any],
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
-    val out = eRdd.coalesce(1).mapPartitions { it =>
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x0: Any): Any = {
-        if (!parent.containsKey(x0)) { parent.put(x0, x0); x0 }
-        else {
-          var x = x0
-          var p = parent.get(x)
-          while (p != x) { // path halving
-            val gp = parent.get(p)
-            parent.put(x, gp)
-            x = gp
-            p = parent.get(x)
-          }
-          x
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      if (!parent.containsKey(x0)) { parent.put(x0, x0); x0 }
+      else {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { // path halving
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
         }
+        x
       }
-      it.foreach { r =>
-        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
-        if (ra != rb) {
-          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val keys = parent.keySet().toArray
-      keys.iterator.map(k => Row(k, find(k)))
     }
-    spark.createDataFrame(out,
+    eRdd.collect().foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val rows = new java.util.ArrayList[Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); rows.add(Row(k, find(k))) }
+    spark.createDataFrame(rows,
       StructType(Seq(StructField("id", idType), StructField("comp", idType))))
   }
 

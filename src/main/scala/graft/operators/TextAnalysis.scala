@@ -235,6 +235,58 @@ object TextAnalysis {
         (col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"))
   }
 
+  /** Corpus bigram language model + per-document predictability scores —
+    * the CCNet/KenLM-style "perplexity filter" shape: train n-gram counts
+    * on the corpus itself, score each document by how predictable its
+    * token transitions are. Boilerplate scores high, rare/garbled text
+    * scores low; a curation pipeline drops both tails.
+    *
+    * Two scores per document:
+    *  - `mean_prob_x1e6` — mean conditional bigram probability
+    *    p(w2|w1) = c(w1 w2)/c(w1), fixed-point ×10⁶ per occurrence via
+    *    INTEGER division, then an integer mean. Exact across engines
+    *    (the DuckDB oracle reproduces it bit-for-bit) — the same
+    *    libm-divergence dodge as [[termStats]]' integer ranking.
+    *  - `xent` — the conventional float cross-entropy
+    *    −mean ln p(w2|w1) (spec-tested; kept OUT of oracle-compared
+    *    projections because ln is libm-dependent).
+    *
+    * Scale shape: bigrams are generated per-row (map-only transform, no
+    * self-join); the model is two partial-aggregated count shuffles
+    * (unigram + bigram vocab); scoring joins each bigram occurrence to
+    * its two counts — N:1 hash joins keyed on uniformly-hashed terms,
+    * hot keys (stopword bigrams) handled by AQE skew splitting — then
+    * one per-doc aggregation. Long arithmetic: 10⁶·c(bigram) stays under
+    * 2⁶³ while the corpus holds < ~9·10¹² occurrences of any single
+    * bigram — beyond that, scale the fixed point down.
+    */
+  def bigramLm(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+    val uni = base.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+    // c(w1 w2) ≤ c(w1-as-first) ≤ c(w1), so p ∈ (0, 1] and the model never
+    // needs smoothing on its own training corpus.
+    val scored = bg.join(big, "b").join(uni, "w1")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * c2) DIV c1")).as("psum"),
+        sum(log(col("c1")) - log(col("c2"))).as("nll_sum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("psum DIV n_bigrams")).as("mean_prob_x1e6"),
+        when(col("n_bigrams") > 0, col("nll_sum") / col("n_bigrams")).as("xent"))
+  }
+
   /** Winnowing fingerprints (rolling Rabin-Karp over char k-grams, window
     * minima) — graft.functions.WinnowFingerprints. Any shared substring of
     * length ≥ k+w−1 yields at least one common fingerprint; the

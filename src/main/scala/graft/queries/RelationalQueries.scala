@@ -697,6 +697,37 @@ object RelationalQueries {
              |CAST(CASE WHEN d.day_total IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
              |CAST(last_value(d.day_total IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
-             |ORDER BY c.user_id, day""".stripMargin.replace("\n", " ")))
+             |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
+
+    // Blocked fuzzy join (record linkage): a dirty probe set — customer
+    // names with a deterministically deleted character — re-linked to
+    // the master by suffix blocking + thresholded-Levenshtein verify.
+    // Blocking turns the O(probe×master) distance cross join into an
+    // equi-join whose quadratic verify runs only inside bounded blocks;
+    // matches include each probe's true source (lev=1) plus realistic
+    // accidental near-collisions the verify keeps honest.
+    QueryDef("er1_fuzzy_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val probe = cust.filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey").as("d_key"),
+            concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)")).as("d_name"))
+          .withColumn("blk", graft.operators.EntityResolution.suffixBlock(col("d_name"), 4))
+        val master = cust
+          .select(col("c_custkey").as("m_key"), col("c_name").as("m_name"))
+          .withColumn("blk", graft.operators.EntityResolution.suffixBlock(col("m_name"), 4))
+        graft.operators.EntityResolution.fuzzyJoin(
+          probe, master, "blk", "d_name", "m_name", maxDist = 1)
+          .select(col("d_key"), col("m_key"), col("lev").cast("long").as("lev"))
+          .orderBy("d_key", "m_key")
+      },
+      Some("""WITH probe AS (SELECT c_custkey AS d_key,
+             |substr(c_name, 1, 9) || substr(c_name, 11) AS d_name, right(substr(c_name, 1, 9) || substr(c_name, 11), 4) AS blk
+             |FROM customer WHERE c_custkey % 50 = 0),
+             |master AS (SELECT c_custkey AS m_key, c_name AS m_name, right(c_name, 4) AS blk FROM customer)
+             |SELECT d_key, m_key, CAST(levenshtein(d_name, m_name) AS BIGINT) AS lev
+             |FROM probe JOIN master USING (blk)
+             |WHERE levenshtein(d_name, m_name) <= 1
+             |ORDER BY d_key, m_key""".stripMargin.replace("\n", " ")))
   )
 }

@@ -408,6 +408,25 @@ object TextQueries {
       },
       Some(s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
               |sc AS (SELECT doc_id, CAST(-100 + 2*len(toks) - 3*(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) + 50*(${duckHits("en")}) AS BIGINT) AS score FROM tok)
-              |SELECT doc_id, score, CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |SELECT doc_id, score, CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Corpus bigram LM predictability (the CCNet/KenLM perplexity-filter
+    // shape): conditional bigram probabilities from corpus-trained
+    // counts, fixed-point ×1e6 integer mean per doc — exact across
+    // engines; the float cross-entropy twin column stays spec-only (ln
+    // is libm-dependent).
+    QueryDef("t8_bigram_lm",
+      (s, dir) => TextAnalysis.bigramLm(t(s, dir, "documents"))
+        .select("doc_id", "n_bigrams", "mean_prob_x1e6")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b FROM tok WHERE len(toks) >= 2),
+              |bgw AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1 FROM bg),
+              |uni AS (SELECT u AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tok, unnest(toks) AS t(u) GROUP BY 1),
+              |c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bgw GROUP BY 1),
+              |sc AS (SELECT doc_id, (1000000 * c2.c2) // uni.c1 AS p FROM bgw JOIN c2 USING (b) JOIN uni USING (w1)),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS mean_prob_x1e6 FROM sc GROUP BY 1)
+              |SELECT t.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.mean_prob_x1e6
+              |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -224,4 +224,48 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("bigramLm: hand-computed fixed-point scores and cross-entropy") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (2L, "a b"),
+      (3L, "x"),       // one token -> no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    // corpus: c1(a)=3, c1(b)=3, c1(x)=1; c2("a b")=3, c2("b a")=1
+    val got = TextAnalysis.bigramLm(docs).orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSeq
+    // doc1: p x1e6 = (1e6*3/3, 1e6*1/3, 1e6*3/3) = (1000000, 333333, 1000000)
+    //   mean = 2333333 DIV 3 = 777777; xent = ln(3)/3
+    assert(got(0) == ((1L, 3L, Some(777777L), got(0)._4)))
+    assert(math.abs(got(0)._4.get - math.log(3.0) / 3) < 1e-12)
+    assert(got(1) == ((2L, 1L, Some(1000000L), Some(0.0))))
+    assert(got(2) == ((3L, 0L, None, None)))
+    assert(got(3) == ((4L, 0L, None, None)))
+  }
+
+  test("fuzzyJoin: blocked match within threshold, prefilter keeps true pairs") {
+    import graft.operators.EntityResolution
+    val master = Seq(
+      (1L, "alpha-001"), (2L, "beta-001"), (3L, "alpha-002"))
+      .toDF("m_key", "m_name")
+      .withColumn("blk", EntityResolution.suffixBlock(col("m_name"), 3))
+    val probe = Seq(
+      (10L, "alph-001"), // deletion of 'a': lev 1 to alpha-001, 4 to beta-001
+      (11L, "ala-002"))  // two deletions: lev 2 to alpha-002 (len gap 2 also
+      .toDF("d_key", "d_name") // exercises the length prefilter at maxDist 1)
+      .withColumn("blk", EntityResolution.suffixBlock(col("d_name"), 3))
+    val got1 = EntityResolution.fuzzyJoin(probe, master, "blk", "d_name", "m_name", 1)
+      .select("d_key", "m_key", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(got1 == Set((10L, 1L, 1)))
+    // widening the threshold admits the 2-edit pair
+    val got2 = EntityResolution.fuzzyJoin(probe, master, "blk", "d_name", "m_name", 2)
+      .select("d_key", "m_key", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(got2 == Set((10L, 1L, 1), (11L, 3L, 2)))
+    // exact duplicates survive at maxDist 0
+    val got0 = EntityResolution.fuzzyJoin(
+      master.select(col("m_key").as("d_key"), col("m_name").as("d_name"), col("blk")),
+      master, "blk", "d_name", "m_name", 0)
+      .select("d_key", "m_key", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(got0 == Set((1L, 1L, 0), (2L, 2L, 0), (3L, 3L, 0)))
+  }
 }

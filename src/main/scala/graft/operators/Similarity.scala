@@ -256,4 +256,42 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame =
     ivfQuery(ivfIndex(corpus, numCentroids), queries, k, nprobe)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus. Exact all-pairs cosine is
+    * O(n²) — the paper's observation is that k-means clustering first
+    * makes it tractable: near-duplicates land in the same cluster with
+    * high probability, so the quadratic compare runs only within
+    * clusters (expected cost Σ cluster², ~n²/k for balanced cells).
+    *
+    * Pipeline: spherical-k-means cell assignment (map-only argmax over a
+    * broadcast centroid matrix — the embeddings never shuffle for
+    * assignment) → in-cell pairs with cosine ≥ `threshold` (one
+    * cell-keyed self-join; per-cell quadratic, spread by the cell key) →
+    * connected components over the sparse duplicate edges → keep the
+    * smallest vec_id per semantic group (a deterministic representative;
+    * the paper keeps the member least similar to the centroid — swap the
+    * keeper rule if diversity-at-the-margin matters more than
+    * reproducibility).
+    *
+    * Output: (vec_id, rep_id, kept) for EVERY corpus row — `kept` marks
+    * the representative; filtering `kept` yields the deduplicated
+    * corpus. Like all cluster-pruned dedup, misses pairs split across
+    * cells (raise `numCentroids` refinement iters, or lower k, to trade
+    * recall vs cost).
+    */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.95,
+      numCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    val idx = ivfIndexKmeans(corpus, numCentroids, iters)
+    val a = idx.assigned.select(col("cell"), col("neighbor_id").as("a_id"),
+      col("c_vec").as("a_vec"))
+    val b = idx.assigned.select(col("cell"), col("neighbor_id").as("b_id"),
+      col("c_vec").as("b_vec"))
+    val edges = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_vec"), col("b_vec")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(edges, corpus.select(col("vec_id")), idCol = "vec_id")
+      .select(col("vec_id"), col("comp").as("rep_id"),
+        (col("vec_id") === col("comp")).as("kept"))
+  }
 }

@@ -140,6 +140,20 @@ object SimilarityQueries {
           e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
           .orderBy("query_id", "rank")
       },
+      None),
+
+    // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
+    // compare; connected components pick one representative per semantic
+    // group. Rows-only (k-means float model is engine-specific); the
+    // spec pins duplicate collapse, no-false-dedup, and partitioning
+    // invariance.
+    QueryDef("sem1_semdedup",
+      (s, dir) => Similarity.semDedup(
+        // 0.4 matches d4's exact near-dup threshold — the testdata
+        // embeddings are near-orthogonal random vectors, so higher
+        // thresholds have nothing to collapse
+        t(s, dir, "embeddings"), threshold = 0.4, numCentroids = 8, iters = 2)
+        .orderBy("vec_id"),
       None)
   )
 }

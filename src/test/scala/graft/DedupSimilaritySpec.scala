@@ -235,6 +235,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("semDedup: exact duplicates collapse, distinct directions all kept") {
+    // three planted clusters plus exact duplicates of two members
+    val base = clustered(20)
+    val dups = base.filter(col("vec_id").isin(3L, 25L))
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.union(dups)
+    val out = Similarity.semDedup(corpus, threshold = 0.999999,
+      numCentroids = 3, iters = 4)
+    val rows = out.as[(Long, Long, Boolean)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // each exact duplicate links to its original (smaller id = representative)
+    assert(byId(1003L) == ((1003L, 3L, false)))
+    assert(byId(1025L) == ((1025L, 25L, false)))
+    assert(byId(3L)._3 && byId(25L)._3)
+    // at a near-1 threshold nothing else matches: everyonekept except the dups
+    assert(rows.count(!_._3) == 2)
+    // deterministic under partitioning
+    val again = Similarity.semDedup(corpus.repartition(7), threshold = 0.999999,
+      numCentroids = 3, iters = 4).as[(Long, Long, Boolean)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("semDedup: low threshold collapses whole planted clusters within cells") {
+    val corpus = clustered(20)
+    val out = Similarity.semDedup(corpus, threshold = 0.9,
+      numCentroids = 3, iters = 4).as[(Long, Long, Boolean)].collect()
+    // cluster members are tight (noise ±0.1 on unit directions) — each
+    // planted cluster should collapse to its smallest id
+    val reps = out.map(_._2).distinct.sorted
+    assert(reps.toSeq == Seq(0L, 20L, 40L), s"reps: ${reps.toSeq}")
+    assert(out.count(_._3) == 3)
+  }
+
   test("ivfIndexKmeans: refined cells recover planted clusters from a degenerate seed") {
     val corpus = clustered(40)
     val refined = Similarity.ivfIndexKmeans(corpus, numCentroids = 6, iters = 5)

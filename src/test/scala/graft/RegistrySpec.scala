@@ -25,7 +25,8 @@ class RegistrySpec extends AnyFunSuite {
       "a8_tdigest",        // merge-order-dependent estimate; SketchAggSpec error bound
       "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
       "m1_media_features", // binary payloads; MultimodalSpec
-      "d9_decontaminate_bloom") // Bloom probe not SQL-expressible; containment spec
+      "d9_decontaminate_bloom", // Bloom probe not SQL-expressible; containment spec
+      "sem1_semdedup")     // k-means float model engine-specific; collapse/invariance specs
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
   }

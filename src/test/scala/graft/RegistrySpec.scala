@@ -26,6 +26,7 @@ class RegistrySpec extends AnyFunSuite {
       "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
       "m1_media_features", // binary payloads; MultimodalSpec
       "d9_decontaminate_bloom", // Bloom probe not SQL-expressible; containment spec
+      "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "sem1_semdedup")     // k-means float model engine-specific; collapse/invariance specs
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")

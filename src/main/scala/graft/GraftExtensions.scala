@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{CosineSimilarity, HeavyHittersAgg, JaccardSim,
-  LshBands, MinHashSig, SimHash64, TDigestAgg, WinnowFingerprints,
-  WordShingleHashes, WordShingles}
+  KmvSketchAgg, LshBands, MinHashSig, SimHash64, TDigestAgg,
+  WinnowFingerprints, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 2, "heavy_hitters(item, k)")
         HeavyHittersAgg(e(0), intArg(e(1), "heavy_hitters k"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "kmv_sketch(value, k)")
+        KmvSketchAgg(e(0), intArg(e(1), "kmv_sketch k"))
           .toAggregateExpression()
       }))
     ext.injectFunction((

@@ -182,6 +182,29 @@ object CoreQueries {
              |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
              |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
              |count(*) AS count_order
-             |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")))
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
+
+    // KMV/theta-sketch audience overlap: distinct viewers, clickers, and
+    // their intersection estimated from two bottom-k sketches built in
+    // ONE aggregation pass — the set-expression capability HLL lacks
+    // (|A∩B| of 100 TB key sets without a join). Deterministic (a KMV
+    // over a value set is partition-order independent) but hash-family
+    // specific → rows-only; SketchAggSpec pins error bounds and the
+    // exact-below-capacity case.
+    QueryDef("a10_kmv_overlap",
+      (s, dir) => {
+        import graft.functions.KmvFunctions._
+        val k = 256
+        t(s, dir, "events")
+          .agg(
+            kmv_sketch(when(col("event_type") === "view", col("user_id")), k).as("sv"),
+            kmv_sketch(when(col("event_type") === "click", col("user_id")), k).as("sc"))
+          .select(
+            round(kmv_distinct(col("sv"), k), 2).as("est_viewers"),
+            round(kmv_distinct(col("sc"), k), 2).as("est_clickers"),
+            round(kmv_intersect(col("sv"), col("sc"), k), 2).as("est_overlap"),
+            round(kmv_union_distinct(col("sv"), col("sc"), k), 2).as("est_either"))
+      },
+      None)
   )
 }

@@ -96,6 +96,45 @@ class SketchAggSpec extends SparkSpec {
     assert(out.size <= 9)
   }
 
+  test("KMV: exact below capacity, bounded error when full, set estimates track truth") {
+    import graft.functions.KmvFunctions._
+    val n = 20000
+    // A = even ids in [0, 20000), B = multiples of 3 — |A∩B| = multiples of 6
+    val df = (0 until n).flatMap { i =>
+      val tags = (if (i % 2 == 0) Seq("a") else Nil) ++ (if (i % 3 == 0) Seq("b") else Nil)
+      tags.map(t => (i.toLong, t))
+    }.toDF("id", "tag").repartition(17)
+    val k = 512
+    val r = df.agg(
+      kmv_sketch(when(col("tag") === "a", col("id")), k).as("sa"),
+      kmv_sketch(when(col("tag") === "b", col("id")), k).as("sb"))
+      .select(
+        kmv_distinct(col("sa"), k).as("da"), kmv_distinct(col("sb"), k).as("db"),
+        kmv_intersect(col("sa"), col("sb"), k).as("di"),
+        kmv_union_distinct(col("sa"), col("sb"), k).as("du"))
+      .head()
+    val ta = (0 until n).count(_ % 2 == 0).toDouble
+    val tb = (0 until n).count(_ % 3 == 0).toDouble
+    val ti = (0 until n).count(_ % 6 == 0).toDouble
+    val tu = ta2(n)
+    // ~3/sqrt(k) ≈ 13% bounds (generous; typical error is ~1/sqrt(k))
+    assert(math.abs(r.getDouble(0) - ta) / ta < 0.13, s"da=${r.getDouble(0)} vs $ta")
+    assert(math.abs(r.getDouble(1) - tb) / tb < 0.13, s"db=${r.getDouble(1)} vs $tb")
+    assert(math.abs(r.getDouble(2) - ti) / ti < 0.25, s"di=${r.getDouble(2)} vs $ti")
+    assert(math.abs(r.getDouble(3) - tu) / tu < 0.13, s"du=${r.getDouble(3)} vs $tu")
+    // below capacity the sketch is the exact distinct set
+    val small = (0 until 100).map(i => i.toLong % 37).toDF("id")
+    val exact = small.agg(kmv_distinct(kmv_sketch(col("id"), k), k)).head().getDouble(0)
+    assert(exact == 37.0)
+    // deterministic: a KMV over a value SET ignores partitioning and duplication
+    val s1 = df.agg(kmv_sketch(col("id"), k)).head().getSeq[Long](0)
+    val s2 = df.union(df).repartition(3).agg(kmv_sketch(col("id"), k)).head().getSeq[Long](0)
+    assert(s1 == s2)
+  }
+
+  private def ta2(n: Int): Double = // |A ∪ B| for the planted even/mod-3 sets
+    (0 until n).count(i => i % 2 == 0 || i % 3 == 0).toDouble
+
   test("sketch aggregates are SQL-callable via GraftExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)

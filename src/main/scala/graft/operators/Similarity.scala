@@ -229,13 +229,13 @@ object Similarity {
     val queriesV = broadcast(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
     val centroids = broadcast(index.cents.toDF("centroid_id", "cent_vec"))
-    val probed = broadcast(topKPerKey(
+    val probed = topKPerKey(
       queriesV.crossJoin(centroids)
         .select(col("query_id"), col("centroid_id"),
           cosine(col("q_vec"), col("cent_vec")).as("cs")),
       "query_id", col("cs"), col("centroid_id"), nprobe)
       .select(col("query_id"), col("id").as("cell"))
-      .join(queriesV, "query_id"))
+      .join(queriesV, "query_id")
 
     val indexSide =
       if (!pruneCells) index.assigned
@@ -243,7 +243,10 @@ object Similarity {
         val cells = probed.select("cell").distinct().as[Long].collect()
         index.assigned.filter(col("cell").isin(cells: _*))
       }
-    val scored = probed.join(indexSide, Seq("cell"))
+    // hint at the use site: hinting `probed` once at construction would
+    // also ride into the cell-collect subplan above, where there is no
+    // join for it to attach to (Spark logs a dropped-hint warning)
+    val scored = broadcast(probed).join(indexSide, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine"))

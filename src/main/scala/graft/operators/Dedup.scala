@@ -215,26 +215,40 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simhashExpr(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup candidates: pairs whose signatures agree on at least
-    * one of four 16-bit chunks (necessary condition for Hamming ≤ 3), then
-    * filtered to true Hamming distance ≤ `maxHamming` via bit_count(xor).
+  /** Hamming near-dup candidates over ANY 64-bit signature column (simhash,
+    * perceptual hash, …): split each signature into equal chunks — by
+    * pigeonhole, Hamming ≤ h forces at least one chunk equal when there
+    * are > h chunks — equi-join on (chunk index, chunk value), then filter
+    * to true Hamming ≤ `maxHamming` via bit_count(xor). The chunk count is
+    * the smallest power of two giving the guarantee, so the join keys stay
+    * as wide (selective) as correctness allows.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+  def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "maxHamming must be in [0, 15]")
+    val chunks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val chunked = sigs.select(col(idCol), col(sigCol),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col(sigCol), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
     val a = chunked.select(col("chunk"), col("ch"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+      col(idCol).as("a_id"), col(sigCol).as("a_sig"))
     val b = chunked.select(col("chunk"), col("ch"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+      col(idCol).as("b_id"), col(sigCol).as("b_sig"))
     a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** SimHash near-dup candidates: [[hammingNearDups]] over the map-only
+    * text signatures.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(simhash(docs), "doc_id", "simhash", maxHamming)
 
   /** Winnowing-based containment candidates: documents sharing at least
     * `minShared` winnowing fingerprints. Fingerprinting is map-only; pair

@@ -123,6 +123,55 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual hash from a decoded feature vector — the pHash
+    * shape: bits record each feature bin against thresholds RELATIVE to
+    * the item's own mean (real pHash compares DCT coefficients to their
+    * median), so the hash is locality-sensitive — a small payload
+    * perturbation moves one bin slightly and flips at most a couple of
+    * bits, while unrelated items differ in many. Bit i tests bin
+    * (i mod d) against mean·(0.6 + 0.1·(i div d)). Pure built-in
+    * higher-order functions; null/empty/zero-mean features → null.
+    */
+  def perceptualHash(feature: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = size(feature)
+    val m = aggregate(transform(feature, _.cast("double")), lit(0.0), (a, x) => a + x) / d
+    val bits = transform(sequence(lit(0), lit(63)), i => {
+      val bin = element_at(feature, pmod(i, d).cast("int") + 1).cast("double")
+      val t = m * (lit(0.6) + floor(i / d).cast("double") * lit(0.1))
+      when(bin > t, call_function("shiftleft", lit(1L), i.cast("int")))
+        .otherwise(lit(0L))
+    })
+    when(coalesce(d, lit(0)) === 0 || m <= 0,
+      lit(null).cast("bigint"))
+      .otherwise(aggregate(bits, lit(0L), (a, x) => a.bitwiseOR(x)))
+  }
+
+  /** Perceptual near-duplicate pairs over extracted media features:
+    * map-only pHash, then the pigeonhole Hamming-band candidate join
+    * (Dedup.hammingNearDups) — the image-dedup analog of simhash, with
+    * the same 100 TB shape: signature at scan speed, join keyed on
+    * narrow chunks.
+    */
+  def mediaNearDups(features: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.hammingNearDups(
+      features.filter(col("decode_ok"))
+        .select(col("media_id"), perceptualHash(col("feature")).as("phash"))
+        .filter(col("phash").isNotNull),
+      "media_id", "phash", maxHamming)
+
+  /** Deterministically perturbed copies (one payload byte materially
+    * changed — a visible single-pixel edit, not a bit of noise) with
+    * offset ids — planted near-duplicates for dedup verification.
+    */
+  def perturb(media: Dataset[MediaItem], idOffset: Long): Dataset[MediaItem] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val p = if (m.payload == null) null else m.payload.clone()
+      if (p != null && p.nonEmpty) p(0) = (p(0) ^ 0x55).toByte
+      m.copy(media_id = m.media_id + idOffset, payload = p)
+    }
+  }
+
   /** Write the media table: binary payload column in parquet, partitioned
     * by kind — large blobs stay out of the dictionary-encoded path and
     * scans that only need metadata never touch payload bytes (columnar

@@ -268,6 +268,22 @@ object IoQueries {
           .select(col("media_id"), col("n_bytes"), col("decode_ok"))
           .orderBy("media_id")
       },
+      None),
+
+    // Perceptual-hash media near-dup: pHash over (stub-)decoded features,
+    // pigeonhole Hamming-band candidate join — the image-dedup path of a
+    // multimodal pipeline. Planted single-byte-edited copies (ids ≥ 1000)
+    // must pair with their originals; rows-only (binary payloads +
+    // engine-specific hash), recall pinned by MultimodalSpec.
+    QueryDef("m2_media_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.syntheticMedia(s, 300)
+        val dups = Multimodal.perturb(media.filter(col("media_id") < 60), 1000L)
+        Multimodal.mediaNearDups(
+          Multimodal.extractFeatures(media.union(dups)).toDF(), maxHamming = 5)
+          .orderBy("a_id", "b_id")
+      },
       None)
   )
 }

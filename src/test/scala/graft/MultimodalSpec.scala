@@ -57,6 +57,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hash separates perturbed copies from unrelated items") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val dups = Multimodal.perturb(media.filter(col("media_id") < 30), 1000L)
+    val all = media.union(dups)
+    val feats = Multimodal.extractFeatures(all)
+    val sigs = feats.select(col("media_id"),
+      Multimodal.perceptualHash(col("feature")).as("phash"))
+    val ham = sigs.as("a").join(sigs.as("b"),
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("h"))
+      .as[(Long, Long, Int)].collect()
+    val planted = ham.filter(p => p._2 == p._1 + 1000).map(_._3)
+    val unrelated = ham.filterNot(p => p._2 == p._1 + 1000).map(_._3)
+    assert(planted.length == 30)
+    // a one-byte edit flips at most a few bits (every planted pair stays
+    // under the threshold); unrelated items collide only rarely — like
+    // any LSH, false positives exist and are verified downstream, so the
+    // spec pins the RATE, not an impossible zero
+    assert(planted.max <= 5, s"planted max hamming ${planted.max}")
+    val fpRate = unrelated.count(_ <= 5).toDouble / unrelated.length
+    assert(fpRate < 0.02, s"false-positive rate $fpRate")
+  }
+
+  test("mediaNearDups recovers every planted perturbed pair") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val dups = Multimodal.perturb(media.filter(col("media_id") < 30), 1000L)
+    val feats = Multimodal.extractFeatures(media.union(dups))
+    val pairs = Multimodal.mediaNearDups(feats.toDF(), maxHamming = 5)
+      .as[(Long, Long, Int)].collect()
+    val plantedFound = pairs.count(p => p._2 == p._1 + 1000)
+    assert(plantedFound == 30, s"recovered $plantedFound/30 planted pairs")
+  }
+
   test("metadata-only projection prunes the binary column at the scan") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "mmspec").toString

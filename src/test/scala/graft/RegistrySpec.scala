@@ -27,6 +27,7 @@ class RegistrySpec extends AnyFunSuite {
       "m1_media_features", // binary payloads; MultimodalSpec
       "d9_decontaminate_bloom", // Bloom probe not SQL-expressible; containment spec
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
+      "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs
       "a10_kmv_overlap")   // xxhash64 sketch not reproducible in DuckDB; error-bound spec
     assert(rowsOnly == allowed,

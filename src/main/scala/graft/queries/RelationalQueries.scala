@@ -699,6 +699,42 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q5 shape: the canonical 6-table star join — local supplier
+    // volume per nation within one region and a date window. The plan the
+    // engine should (and does) produce: the date filter pushes into the
+    // orders scan; region→nation→supplier collapse into BROADCAST joins
+    // (tiny dims), so only the two fact-fact joins (orders⋈customer,
+    // lineitem⋈orders) shuffle; revenue sums run partial+final as exact
+    // decimals. Join reorder + pushdown are Catalyst's — the query is
+    // declared, not hand-scheduled.
+    QueryDef("q5_star_join",
+      (s, dir) => {
+        val dec = (c: Column) => c.cast("decimal(18,2)")
+        val asia = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        val nation = broadcast(t(s, dir, "nation").join(asia,
+          col("n_regionkey") === col("r_regionkey")))
+        val supplier = broadcast(t(s, dir, "supplier").join(nation,
+          col("s_nationkey") === col("n_nationkey")))
+        val orders = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+        t(s, dir, "lineitem")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(supplier,
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             |AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " "))),
+
     // Blocked fuzzy join (record linkage): a dirty probe set — customer
     // names with a deterministically deleted character — re-linked to
     // the master by suffix blocking + thresholded-Levenshtein verify.

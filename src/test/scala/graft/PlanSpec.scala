@@ -112,6 +112,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"bloom probe must not join:\n$plan")
   }
 
+  test("Q5 star join: dims broadcast, date filter pushed to the orders scan") {
+    val qe = q("q5_star_join").queryExecution
+    val plan = qe.executedPlan.toString
+    // region→nation→supplier ride broadcast joins; only the fact joins
+    // may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected >=3 broadcast joins in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed to orders scan in:\n$plan")
+    assert(plan.contains("partial_sum"), s"revenue must aggregate partially:\n$plan")
+  }
+
   test("AQE coalesces over-provisioned shuffle partitions at runtime") {
     // the engine deliberately leans on AQE for runtime re-planning: a
     // small aggregate under a wide static shuffle width must coalesce

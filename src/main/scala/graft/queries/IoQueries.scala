@@ -33,6 +33,38 @@ object IoQueries {
       },
       Some("SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS cnt FROM events GROUP BY 1 ORDER BY date")),
 
+    // Dynamic partition pruning: a date-partitioned fact joined to a
+    // dimension whose FILTER is only known at runtime — Spark injects the
+    // dim's qualifying keys as a runtime subquery into the fact scan's
+    // partition filters, so the fact reads 3 of ~90 date directories
+    // instead of all of them (plan guard in PlanSpec). THE mechanism that
+    // makes star joins over partitioned 100 TB facts read only the slice
+    // the dim selects; static pruning can't do it because the dates come
+    // from data, not literals.
+    QueryDef("dpp1_dynamic_pruning",
+      (s, dir) => {
+        val out = qtmp("dpp1")
+        val events = t(s, dir, "events")
+          .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+        IO.writeCuratedParquet(events, out)
+        val fact = s.read.parquet(out)
+        // dim: per-date activity stats, filtered to a 3-date window — the
+        // filter value is what the runtime subquery pushes into the scan
+        val dim = t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .filter(col("date") < "2024-01-04")
+        fact.join(dim, "date")
+          .groupBy("date").agg(count(lit(1)).as("cnt"), min(col("n_users")).as("n_users"))
+          .orderBy("date")
+      },
+      Some("""WITH dim AS (SELECT strftime(ts, '%Y-%m-%d') AS date, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1)
+             |SELECT e.date, count(*) AS cnt, min(dim.n_users) AS n_users
+             |FROM (SELECT strftime(ts, '%Y-%m-%d') AS date FROM events) e JOIN dim USING (date)
+             |WHERE e.date < '2024-01-04'
+             |GROUP BY e.date ORDER BY e.date""".stripMargin.replace("\n", " "))),
+
     // S9/S1 — NDJSON raw-zone sink + schema-explicit scan round-trip.
     QueryDef("s9_ndjson_roundtrip",
       (s, dir) => {

@@ -124,6 +124,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"revenue must aggregate partially:\n$plan")
   }
 
+  test("dynamic partition pruning injects a runtime subquery into the fact scan") {
+    val plan = q("dpp1_dynamic_pruning").queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic pruning subquery in the fact scan:\n$plan")
+  }
+
   test("AQE coalesces over-provisioned shuffle partitions at runtime") {
     // the engine deliberately leans on AQE for runtime re-planning: a
     // small aggregate under a wide static shuffle width must coalesce

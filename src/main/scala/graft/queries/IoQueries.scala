@@ -307,6 +307,46 @@ object IoQueries {
     // multimodal pipeline. Planted single-byte-edited copies (ids ≥ 1000)
     // must pair with their originals; rows-only (binary payloads +
     // engine-specific hash), recall pinned by MultimodalSpec.
+    // Snapshot diff (CDC between versions): v0 = a base slice, v1 = the
+    // same slice with deterministic deletes (id%7=0), updates (id%5=0,
+    // value doubled), and inserts (a fresh id range). diff() classifies
+    // every key through one co-keyed full outer join; the oracle
+    // reconstructs both snapshots and the same classification in SQL.
+    // (Rows with value = 0 "update" to an identical row and correctly
+    // classify as unchanged — both engines agree.)
+    QueryDef("ver1_snapshot_diff",
+      (s, dir) => {
+        val root = qtmp("ver1")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val base = t(s, dir, "events")
+          .filter(col("event_id") < 5000)
+          .select("event_id", "event_type", "value")
+        graft.sources.Versioned.write(base, root)
+        val next = base
+          .filter(col("event_id") % 7 =!= 0)
+          .withColumn("value",
+            when(col("event_id") % 5 === 0, col("value") * 2).otherwise(col("value")))
+          .unionByName(t(s, dir, "events")
+            .filter(col("event_id") >= 5000 && col("event_id") < 5100)
+            .select("event_id", "event_type", "value"))
+        graft.sources.Versioned.write(next, root)
+        graft.sources.Versioned.diff(s, root, 0L, 1L, Seq("event_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH base AS (SELECT event_id, event_type, value FROM events WHERE event_id < 5000),
+             |nxt AS (SELECT event_id, event_type, CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+             |        FROM base WHERE event_id % 7 <> 0
+             |        UNION ALL SELECT event_id, event_type, value FROM events WHERE event_id >= 5000 AND event_id < 5100)
+             |SELECT coalesce(a.event_id, b.event_id) AS event_id,
+             |CASE WHEN a.event_id IS NULL THEN 'insert'
+             |     WHEN b.event_id IS NULL THEN 'delete'
+             |     WHEN a.event_type IS DISTINCT FROM b.event_type OR a.value IS DISTINCT FROM b.value THEN 'update' END AS change_type
+             |FROM base a FULL OUTER JOIN nxt b ON a.event_id = b.event_id
+             |WHERE (CASE WHEN a.event_id IS NULL THEN 'insert'
+             |     WHEN b.event_id IS NULL THEN 'delete'
+             |     WHEN a.event_type IS DISTINCT FROM b.event_type OR a.value IS DISTINCT FROM b.value THEN 'update' END) IS NOT NULL
+             |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     QueryDef("m2_media_phash_neardup",
       (s, dir) => {
         import s.implicits._

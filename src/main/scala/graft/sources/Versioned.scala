@@ -66,6 +66,44 @@ object Versioned {
   def read(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(versionDir(root, version))
 
+  /** Snapshot diff — CDC between two versions without a transaction log:
+    * key-joined comparison classifying every key as insert (only in
+    * `toV`), delete (only in `fromV`), or update (present in both with
+    * any non-key column differing, null-safely). Unchanged keys are
+    * dropped. Output: key columns + `change_type`.
+    *
+    * Scale shape: ONE co-keyed full outer join (both snapshots shuffle
+    * on the key — unavoidable without a log; bucket both snapshots on
+    * the key at write time and even that shuffle disappears). The
+    * column compare is a null-safe conjunction evaluated in codegen, no
+    * UDF. This is how downstream consumers incrementally follow a table
+    * that is republished wholesale — the reference's hourly full
+    * overwrite (scripts/glue_transform/transform.py:179-185) is exactly
+    * such a publisher.
+    */
+  def diff(spark: SparkSession, root: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, root, fromV)
+    val nonKeys = a.columns.toSeq.filterNot(keyCols.contains)
+    val aSide = a.select(
+      keyCols.map(col) ++ Seq(lit(true).as("__in_a")) ++
+        nonKeys.map(c => col(c).as(s"__a_$c")): _*)
+    val bSide = read(spark, root, toV).select(
+      keyCols.map(col) ++ Seq(lit(true).as("__in_b")) ++
+        nonKeys.map(c => col(c).as(s"__b_$c")): _*)
+    val changed = nonKeys
+      .map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .foldLeft(lit(false))(_ || _)
+    aSide.join(bSide, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_a").isNull, "insert")
+          .when(col("__in_b").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+
   /** Drop all snapshots except the `keepLast` most recent committed-or-
     * older ones, plus any uncommitted orphan NEWER than the pointer
     * (a concurrent in-flight write must not be vacuumed). Never removes

@@ -184,6 +184,24 @@ class LakehouseSpec extends SparkSpec {
     assert(Versioned.versions(root) == Seq(1L, 2L)) // orphan not vacuumed
   }
 
+  test("snapshot diff classifies inserts, deletes, updates; drops unchanged") {
+    import graft.sources.Versioned
+    val root = tmp("versioned_diff")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Versioned.write(Seq(
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, null, 4.0))
+      .toDF("id", "s", "v"), root)
+    Versioned.write(Seq(
+      (1L, "a", 1.0),        // unchanged -> dropped
+      (2L, "b", 20.0),       // update (value)
+      (4L, "now-set", 4.0),  // update (null -> value, null-safe compare)
+      (5L, "e", 5.0))        // insert; 3 deleted
+      .toDF("id", "s", "v"), root)
+    val got = Versioned.diff(spark, root, 0L, 1L, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "update", 5L -> "insert"))
+  }
+
   test("csv round-trip preserves rows, types, and embedded delimiters") {
     val path = tmp("csv")
     val df = Seq((1L, "plain", 1.5), (2L, "comma, quoted", -0.25), (3L, "\"q\"", 0.0))

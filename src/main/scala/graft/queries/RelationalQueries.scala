@@ -699,6 +699,22 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Skyline / Pareto front: parts where no other part is both cheaper
+    // and larger — the multi-criteria "best tradeoffs" operator (EDBT'23
+    // "Integration of Skyline Queries into Spark SQL" framing). Two-phase
+    // distributed: map-only per-partition fronts, then one global pass
+    // over their union; the oracle is the NOT EXISTS dominance definition.
+    QueryDef("sky1_skyline",
+      (s, dir) => graft.operators.Skyline.skyline(
+        t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        Seq(("p_retailprice", true), ("p_size", false)))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+             |WHERE NOT EXISTS (SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+             |  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+             |ORDER BY p_partkey""".stripMargin.replace("\n", " "))),
+
     // TPC-H Q5 shape: the canonical 6-table star join — local supplier
     // volume per nation within one region and a date window. The plan the
     // engine should (and does) produce: the date filter pushes into the

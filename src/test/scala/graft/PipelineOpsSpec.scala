@@ -225,6 +225,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("skyline: two-phase == naive anti-join; ties kept; nulls dropped") {
+    import graft.operators.Skyline
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(100), math.floor(rnd.nextDouble() * 1000) / 10)) ++
+      Seq((900L, 100, 0.0), (901L, 100, 0.0)) // mutually non-dominating tie pair
+    val df = rows.toDF("id", "size", "price").repartition(11)
+    val dims = Seq(("price", true), ("size", false))
+    val fast = Skyline.skyline(df, dims).select("id").as[Long].collect().toSet
+    val naive = Skyline.skylineNaive(df, dims).select("id").as[Long].collect().toSet
+    assert(fast == naive)
+    assert(fast.contains(900L) && fast.contains(901L)) // equal points both survive
+    // a null in a skyline dimension drops the row, never poisons dominance
+    val withNull = df.union(Seq((999L, null.asInstanceOf[Integer], 0.0))
+      .toDF("id", "size", "price"))
+    val fast2 = Skyline.skyline(withNull, dims).select("id").as[Long].collect().toSet
+    assert(fast2 == fast)
+    // every non-skyline row is dominated by some skyline row
+    val sky = rows.filter(r => fast.contains(r._1))
+    rows.filterNot(r => fast.contains(r._1)).foreach { a =>
+      assert(sky.exists(b => b._3 <= a._3 && b._2 >= a._2 &&
+        (b._3 < a._3 || b._2 > a._2)), s"row $a not dominated")
+    }
+  }
+
   test("bigramLm: hand-computed fixed-point scores and cross-entropy") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b", "b a", "a b"

@@ -699,6 +699,32 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Spatial radius self-join: sensors (md5-derived deterministic
+    // coordinates per user) paired within planar distance 5 — grid-cell
+    // bucketing turns the O(n²) theta join into an equi-join on cells
+    // with a 3×3 neighborhood replication and exact recheck (the 2-D
+    // RangeJoin; reference sensors carry lat/lon). The oracle recomputes
+    // the identical coordinates and the naive pairwise form.
+    QueryDef("geo1_radius_join",
+      (s, dir) => {
+        import graft.operators.{Geo, Sampling}
+        val pts = t(s, dir, "events").select("user_id").distinct()
+          .select(col("user_id"),
+            (Sampling.hashValue(col("user_id"), "lat") % 100000 / lit(1000.0)).as("x"),
+            (Sampling.hashValue(col("user_id"), "lon") % 100000 / lit(1000.0)).as("y"))
+        Geo.radiusSelfJoin(pts, "user_id", "x", "y", radius = 5.0)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH pts AS (SELECT DISTINCT user_id,
+             |(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'lat'), 1, 8))::UBIGINT % 100000) / 1000.0 AS x,
+             |(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'lon'), 1, 8))::UBIGINT % 100000) / 1000.0 AS y
+             |FROM events)
+             |SELECT a.user_id AS a_id, b.user_id AS b_id,
+             |(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+             |FROM pts a JOIN pts b ON a.user_id < b.user_id
+             |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25.0
+             |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
+
     // Skyline / Pareto front: parts where no other part is both cheaper
     // and larger — the multi-criteria "best tradeoffs" operator (EDBT'23
     // "Integration of Skyline Queries into Spark SQL" framing). Two-phase

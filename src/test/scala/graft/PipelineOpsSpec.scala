@@ -225,6 +225,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("radius join: grid-bucketed == naive theta join, boundary pairs included") {
+    import graft.operators.Geo
+    val rnd = new scala.util.Random(17)
+    val pts = (Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextDouble() * 50, rnd.nextDouble() * 50)) ++
+      // exact-boundary pair (distance exactly r) and a cross-cell pair
+      Seq((900L, 10.0, 10.0), (901L, 13.0, 14.0), // dist 5 == r
+        (902L, 0.999, 0.999), (903L, 1.001, 1.001)))
+      .toDF("id", "x", "y").repartition(7)
+    for (r <- Seq(2.0, 5.0)) {
+      val fast = Geo.radiusSelfJoin(pts, "id", "x", "y", r)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val naive = Geo.radiusSelfJoinNaive(pts, "id", "x", "y", r)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"r=$r mismatch")
+      assert(fast.contains((902L, 903L)), "cross-cell near pair missed")
+    }
+    assert(Geo.radiusSelfJoin(pts, "id", "x", "y", 5.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .contains((900L, 901L)), "inclusive boundary pair (dist == r) missed")
+  }
+
   test("skyline: two-phase == naive anti-join; ties kept; nulls dropped") {
     import graft.operators.Skyline
     val rnd = new scala.util.Random(13)

@@ -126,8 +126,10 @@ object TextAnalysis {
   def termStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf IS the distinct (doc, term) relation — deriving DF from it
+    // replaces the explode+distinct third shuffle with a groupBy over
+    // the already-aggregated (and far smaller) tf rows
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term").select("doc_id", "term", "tf", "df")
   }
 

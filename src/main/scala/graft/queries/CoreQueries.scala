@@ -184,6 +184,41 @@ object CoreQueries {
              |count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
 
+    // Array-function surface (the Athena/Presto list-manipulation family):
+    // per-user sorted distinct event types, then size/membership/index/
+    // slice/join/set-ops over the array. Order-sensitive ops are pinned
+    // to sorted-distinct inputs (and re-sorted after union) so both
+    // engines agree element-for-element; intersect is expressed as an
+    // order-preserving filter on both sides for the same reason.
+    QueryDef("f12_array_funcs",
+      (s, dir) => {
+        val keep = array(lit("view"), lit("click"))
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(array_sort(collect_set(col("event_type"))).as("types"))
+          .select(col("user_id"),
+            col("types"),
+            size(col("types")).cast("long").as("n_types"),
+            array_contains(col("types"), "view").as("has_view"),
+            element_at(col("types"), 1).as("first_type"),
+            slice(col("types"), 1, 2).as("first2"),
+            array_join(col("types"), ",").as("joined"),
+            filter(col("types"), t => array_contains(keep, t)).as("kept"),
+            filter(col("types"), _ =!= "view").as("no_view"),
+            array_sort(array_union(col("types"), array(lit("zzz")))).as("with_zzz"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, types, CAST(len(types) AS BIGINT) AS n_types,
+             |list_contains(types, 'view') AS has_view,
+             |types[1] AS first_type, types[1:2] AS first2,
+             |array_to_string(types, ',') AS joined,
+             |list_filter(types, t -> list_contains(['view','click'], t)) AS kept,
+             |list_filter(types, t -> t <> 'view') AS no_view,
+             |list_sort(list_distinct(list_concat(types, ['zzz']))) AS with_zzz
+             |FROM (SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+             |      FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // KMV/theta-sketch audience overlap: distinct viewers, clickers, and
     // their intersection estimated from two bottom-k sketches built in
     // ONE aggregation pass — the set-expression capability HLL lacks

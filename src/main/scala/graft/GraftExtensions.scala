@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // jaccard_sim(A,B) >= t over provably-distinct sets gains a cheap
     // size-ratio prefilter (see the rule's soundness guards)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
+    // opt-in automatic bucketed range join (spark.graft.rangeJoin.bucketWidth)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -42,6 +42,75 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("range-join rule: theta join becomes a bucketed hash join, results identical") {
+    import graft.plans.RangeJoinRule
+    val intervals = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("iid"),
+        (col("o_custkey") * 100).as("lo"), (col("o_custkey") * 100 + 250).as("hi"))
+    val points = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id").as("pid"), (col("user_id") * 7 % 20000).as("t"))
+    // def, not val: QueryExecution caches its optimized plan, so each
+    // inspection needs a freshly-built DataFrame to see conf changes
+    def theta = points.join(intervals,
+      col("t") >= col("lo") && col("t") < col("hi"))
+    val expected = theta.select("pid", "iid").as[(Long, Long)].collect().toSet
+
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRule
+    try {
+      // default (conf unset): untouched — still a nested loop
+      assert(theta.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "precondition: theta join should nested-loop without the rule")
+      spark.conf.set(RangeJoinRule.ConfKey, "256")
+      try {
+        val plan = theta.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop"),
+          s"rule must eliminate the nested loop:\n$plan")
+        assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+        val got = theta.select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(got == expected)
+        // inclusive-upper variant and negative coordinates
+        val negP = points.select(col("pid"), (col("t") - 10000).as("t"))
+        val negI = intervals.select(col("iid"),
+          (col("lo") - 10000).as("lo"), (col("hi") - 10000).as("hi"))
+        val inclusive = negP.join(negI,
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        val gotN = inclusive.select("pid", "iid").as[(Long, Long)].collect().toSet
+        spark.conf.unset(RangeJoinRule.ConfKey)
+        val expN = inclusive.select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(gotN == expN, "negative-coordinate / inclusive-upper mismatch")
+      } finally spark.conf.unset(RangeJoinRule.ConfKey)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("range-join rule leaves equi-keyed and outer joins alone") {
+    import graft.plans.RangeJoinRule
+    val a = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id").as("pid"), col("user_id").as("k"), col("user_id").as("t"))
+    val b = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("iid"), col("o_custkey").as("k2"),
+        col("o_custkey").as("lo"), (col("o_custkey") + 10).as("hi"))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRule
+    spark.conf.set(RangeJoinRule.ConfKey, "64")
+    try {
+      // equi key present: Spark hash-joins already; the rule must not touch it
+      val equi = a.join(b, col("k") === col("k2") &&
+        col("t") >= col("lo") && col("t") < col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft"),
+        "equi-keyed join must not be rewritten")
+      // outer join: never rewritten
+      val outer = a.join(b, col("t") >= col("lo") && col("t") < col("hi"), "left")
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft"),
+        "outer join must not be rewritten")
+    } finally {
+      spark.conf.unset(RangeJoinRule.ConfKey)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("rule leaves opaque columns and OR-nested predicates alone") {
     withRule {
       // opaque column: distinctness not provable -> no rewrite

@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     // opt-in automatic bucketed range join (spark.graft.rangeJoin.bucketWidth)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // planner strategy for the custom skyline logical operator
+    ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

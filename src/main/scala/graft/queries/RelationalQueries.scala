@@ -741,6 +741,21 @@ object RelationalQueries {
              |  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
              |ORDER BY p_partkey""".stripMargin.replace("\n", " "))),
 
+    // The same skyline through the CUSTOM CATALYST OPERATOR path
+    // (SkylineNode logical plan → SkylineStrategy → SkylineExec physical
+    // node) — proving the full LogicalPlan/Strategy/SparkPlan extension
+    // stack end-to-end against the same oracle as sky1.
+    QueryDef("sky2_skyline_exec",
+      (s, dir) => graft.operators.Skyline.skylineExec(
+        t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        Seq(("p_retailprice", true), ("p_size", false)))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+             |WHERE NOT EXISTS (SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+             |  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+             |ORDER BY p_partkey""".stripMargin.replace("\n", " "))),
+
     // TPC-H Q5 shape: the canonical 6-table star join — local supplier
     // volume per nation within one region and a date window. The plan the
     // engine should (and does) produce: the date filter pushes into the

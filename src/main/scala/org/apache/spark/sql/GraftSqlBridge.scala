@@ -18,4 +18,12 @@ object GraftSqlBridge {
   def registerExtensionFunctions(ext: SparkSessionExtensions,
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** DataFrame from a custom LogicalPlan (Dataset.ofRows is private[sql]) —
+    * the construction path for custom logical operators like
+    * graft.plans.SkylineNode.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

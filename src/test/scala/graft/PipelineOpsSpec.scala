@@ -272,6 +272,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("skylineExec: custom logical node plans to SkylineExec, matches the RDD form") {
+    import graft.operators.Skyline
+    val rnd = new scala.util.Random(23)
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(50), math.floor(rnd.nextDouble() * 500) / 10))
+      .toDF("id", "size", "price").repartition(9)
+    val dims = Seq(("price", true), ("size", false))
+    val prev = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = prev :+ graft.plans.SkylineStrategy
+    try {
+      val execDf = Skyline.skylineExec(df, dims)
+      // physical nodes print without the Exec suffix
+      val plan = execDf.queryExecution.executedPlan.toString
+      assert(plan.contains("Skyline ["), s"expected the Skyline physical node in:\n$plan")
+      val got = execDf.select("id").as[Long].collect().toSet
+      val expected = Skyline.skyline(df, dims).select("id").as[Long].collect().toSet
+      assert(got == expected)
+      // physical output is a single partition — downstream ops see that
+      assert(execDf.rdd.getNumPartitions == 1)
+    } finally spark.experimental.extraStrategies = prev
+  }
+
   test("bigramLm: hand-computed fixed-point scores and cross-entropy") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b", "b a", "a b"

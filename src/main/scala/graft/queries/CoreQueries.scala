@@ -219,6 +219,30 @@ object CoreQueries {
              |      FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // Map-function surface: per-user event_type→count maps built with
+    // map_from_entries over sorted entries, then consumed via
+    // size/element_at/map_values-aggregate/map_keys — the MapType family.
+    // The oracle reproduces the VALUES through plain SQL aggregates (maps
+    // exist engine-side; what must match is what they compute).
+    QueryDef("f13_map_funcs",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("view_cnt"),
+          aggregate(map_values(col("m")), lit(0L), _ + _).as("total"),
+          array_join(map_keys(col("m")), ",").as("types_joined"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt,
+             |count(*) AS total,
+             |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_joined
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // KMV/theta-sketch audience overlap: distinct viewers, clickers, and
     // their intersection estimated from two bottom-k sketches built in
     // ONE aggregation pass — the set-expression capability HLL lacks

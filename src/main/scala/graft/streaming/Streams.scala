@@ -139,6 +139,22 @@ object Streams {
           // exactly at the horizon boundary is attributed in neither
           s"$rightTs >= $leftTs AND $rightTs < $leftTs + INTERVAL $horizon"))
 
+  /** LEFT OUTER stream-stream interval join: every left event is
+    * emitted — joined rows as matches arrive, and the null-extended row
+    * once the WATERMARK passes the join window (only then can the engine
+    * prove no match will come; outer results are inherently
+    * watermark-delayed). The conversion-attribution shape where
+    * non-converting signups must also appear exactly once.
+    */
+  def streamIntervalJoinOuter(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      horizon: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, horizon)
+      .join(right.withWatermark(rightTs, horizon),
+        expr(s"$rightKey = $leftKey AND " +
+          s"$rightTs >= $leftTs AND $rightTs < $leftTs + INTERVAL $horizon"),
+        "left_outer")
+
   /** Incremental raw-zone sweep: the reference re-reads the ENTIRE raw
     * prefix every hour and overwrites curated
     * (reference scripts/glue_transform/transform.py:198-203,259-265) —

@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"revenue must aggregate partially:\n$plan")
   }
 
+  test("spatial radius join plans a hash join on grid cells, never a cartesian") {
+    val plan = q("geo1_radius_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"radius join must not be quadratic:\n$plan")
+    assert(plan.contains("Join"), s"no join found in:\n$plan")
+  }
+
   test("dynamic partition pruning injects a runtime subquery into the fact scan") {
     val plan = q("dpp1_dynamic_pruning").queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),

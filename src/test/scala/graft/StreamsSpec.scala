@@ -189,6 +189,39 @@ class StreamsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L))
   }
 
+  test("outer stream-stream interval join null-extends unmatched left rows after watermark") {
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 06:$m%02d:00")
+    signups.addData((1L, ts(0)), (2L, ts(5))) // user 2 never clicks
+    clicks.addData((1L, ts(30)))
+    val joined = Streams.streamIntervalJoinOuter(
+      signups.toDF().toDF("s_user", "s_time"), "s_user", "s_time",
+      clicks.toDF().toDF("c_user", "c_time"), "c_user", "c_time", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    q.processAllAvailable()
+    // advance both watermarks far past every join window — only then can
+    // the engine prove user 2 has no match. Watermarks move at batch
+    // boundaries from the PREVIOUS batch's max event time, so feed two
+    // late batches: one carries the new max, the next evicts and emits.
+    def nudge(id: Long, t: String): Unit = {
+      val stamp = java.sql.Timestamp.valueOf(t)
+      signups.addData((id, stamp)); clicks.addData((id, stamp))
+      q.processAllAvailable()
+    }
+    nudge(8L, "2026-08-12 09:00:00")
+    nudge(7L, "2026-08-12 10:00:00")
+    q.stop()
+    val rows = spark.table("attrib_outer")
+      .select("s_user", "c_user").orderBy("s_user").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.contains((1L, 1L)), s"matched row missing: ${rows.toSeq}")
+    assert(rows.contains((2L, -1L)),
+      s"null-extended row for the non-converting signup missing: ${rows.toSeq}")
+  }
+
   test("windowed parquet sink appends a window exactly once, after watermark close") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]

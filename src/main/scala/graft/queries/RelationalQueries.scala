@@ -518,6 +518,28 @@ object RelationalQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
 
+    // Value-based RANGE window frame (vs w6's row-count frame): all
+    // events whose event_id lies within 1000 of the current row's —
+    // frame membership follows the ORDER value, not row positions, so
+    // ties and gaps behave differently from ROWS (which is the point).
+    QueryDef("w9_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rangeBetween(-1000, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("rg_sum"),
+            count(lit(1)).over(w).as("rg_n"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rg_sum,
+             |count(*) OVER w AS rg_n
+             |FROM events WHERE user_id < 50
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // Distinct count (exact) + conditional aggregation.
     QueryDef("a4_distinct_conditional",
       (s, dir) => t(s, dir, "events")

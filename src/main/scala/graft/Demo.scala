@@ -12,10 +12,9 @@ import org.apache.spark.sql.SparkSession
 object Demo {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("target/demo")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder() // engine defaults + extensions
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$root/warehouse")
       .getOrCreate()

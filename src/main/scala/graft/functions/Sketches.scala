@@ -234,9 +234,15 @@ case class WordShingles(child: Expression, k: Int)
   * sort, merge-count — primitive longs, zero boxing). Union size uses
   * |A|+|B|−|A∩B| (valid for distinct inputs). Null input → null;
   * both empty → 0.0.
+  *
+  * Participates in whole-stage codegen: the generated code calls the
+  * static kernels below directly, so the LSH verify join's hot loop —
+  * the measured bottleneck at 10⁶ docs — stays inside the fused stage
+  * instead of bouncing through CodegenFallback's per-row interpreted
+  * eval (InternalRow wrapping + boxing per candidate pair).
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -253,50 +259,78 @@ case class JaccardSim(left: Expression, right: Expression)
     case _ => false
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    var a = l.asInstanceOf[ArrayData]
-    var b = r.asInstanceOf[ArrayData]
-    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
-    val na = a.numElements(); val nb = b.numElements()
-    if (na + nb == 0) return 0.0
-    var inter = 0
-    // null elements are SKIPPED on both paths (SQL-registered, so
-    // array<long> with containsNull can reach the long path too — a null
-    // slot must not read as 0 and fake an intersection hit)
-    var ca = 0; var cb = 0
-    if (onLongs) {
-      val xs = new Array[Long](na); val ys = new Array[Long](nb)
-      var i = 0
-      while (i < na) { if (!a.isNullAt(i)) { xs(ca) = a.getLong(i); ca += 1 }; i += 1 }
-      i = 0
-      while (i < nb) { if (!b.isNullAt(i)) { ys(cb) = b.getLong(i); cb += 1 }; i += 1 }
-      java.util.Arrays.sort(xs, 0, ca); java.util.Arrays.sort(ys, 0, cb)
-      var j = 0; i = 0
-      while (i < ca && j < cb) {
-        if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
-        else if (xs(i) < ys(j)) i += 1
-        else j += 1
-      }
-    } else {
-      val set = new java.util.HashSet[UTF8String](na * 2)
-      var i = 0
-      while (i < na) { if (!a.isNullAt(i)) { set.add(a.getUTF8String(i)); ca += 1 }; i += 1 }
-      i = 0
-      while (i < nb) {
-        if (!b.isNullAt(i)) {
-          if (set.contains(b.getUTF8String(i))) inter += 1
-          cb += 1
-        }
-        i += 1
-      }
-    }
-    val union = ca + cb - inter
-    if (union == 0) 0.0 else inter.toDouble / union
+  override def nullSafeEval(l: Any, r: Any): Any =
+    if (onLongs) JaccardSim.jaccardLongs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else JaccardSim.jaccardStrings(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = if (onLongs) "jaccardLongs" else "jaccardStrings"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSim$$.MODULE$$.$kernel($a, $b);")
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object JaccardSim {
+
+  /** Long-array kernel: copy non-null elements, sort, merge-count.
+    * Null elements are SKIPPED on both paths (SQL-registered, so
+    * array<long> with containsNull can reach here — a null slot must
+    * not read as 0 and fake an intersection hit).
+    */
+  def jaccardLongs(l: ArrayData, r: ArrayData): Double = {
+    var a = l; var b = r
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val na = a.numElements(); val nb = b.numElements()
+    if (na + nb == 0) return 0.0
+    var inter = 0
+    var ca = 0; var cb = 0
+    val xs = new Array[Long](na); val ys = new Array[Long](nb)
+    var i = 0
+    while (i < na) { if (!a.isNullAt(i)) { xs(ca) = a.getLong(i); ca += 1 }; i += 1 }
+    i = 0
+    while (i < nb) { if (!b.isNullAt(i)) { ys(cb) = b.getLong(i); cb += 1 }; i += 1 }
+    java.util.Arrays.sort(xs, 0, ca); java.util.Arrays.sort(ys, 0, cb)
+    var j = 0; i = 0
+    while (i < ca && j < cb) {
+      if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    val union = ca + cb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** String-array kernel: membership loop over a hash set of the smaller
+    * side; null elements skipped (see [[jaccardLongs]]).
+    */
+  def jaccardStrings(l: ArrayData, r: ArrayData): Double = {
+    var a = l; var b = r
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val na = a.numElements(); val nb = b.numElements()
+    if (na + nb == 0) return 0.0
+    var inter = 0
+    var ca = 0; var cb = 0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { if (!a.isNullAt(i)) { set.add(a.getUTF8String(i)); ca += 1 }; i += 1 }
+    i = 0
+    while (i < nb) {
+      if (!b.isNullAt(i)) {
+        if (set.contains(b.getUTF8String(i))) inter += 1
+        cb += 1
+      }
+      i += 1
+    }
+    val union = ca + cb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
 }
 
 /** Distinct word k-shingles as 64-bit hashes (xxhash64 seed 42 of the

@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,6 +17,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * base, then xxhash64(longValue, seed=i) per permutation.
   */
 
+/** Shared semi-codegen for the sketch family: the generated code calls
+  * the expression's `kernel` directly on the child's already-computed
+  * local value via a reference object — unlike CodegenFallback, which
+  * routes through `eval(InternalRow)` and forces the enclosing
+  * whole-stage pipeline to materialize an input row per call. One
+  * virtual call per row remains; the loops inside the kernels dominate
+  * it by orders of magnitude.
+  */
+trait SketchCodegen extends UnaryExpression {
+
+  /** Per-row kernel over the non-null child value; boxed result. */
+  def kernel(input: Any): AnyRef
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("sketchExpr", this, classOf[SketchCodegen].getName)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ($boxed) $ref.kernel($c);")
+  }
+}
+
 /** MinHash signature of a shingle set → array<long> of length
   * `numHashes`. Accepts array<string> (shingles hashed here with
   * xxhash64 seed 42) OR array<long> (shingles already hashed by
@@ -28,7 +51,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * a doc with no shingles matches nothing either way).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -43,7 +66,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = kernel(input)
+
+  override def kernel(input: Any): AnyRef = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -84,7 +109,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * the majority of the d5 pipeline).
   */
 case class LshBands(child: Expression, numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
   require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
     "numHashes must be a positive multiple of bands")
 
@@ -101,7 +126,9 @@ case class LshBands(child: Expression, numHashes: Int, bands: Int)
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = kernel(input)
+
+  override def kernel(input: Any): AnyRef = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -148,7 +175,7 @@ case class LshBands(child: Expression, numHashes: Int, bands: Int)
   * no shuffle — signature computation is map-only at any scale.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
 
   override def dataType: DataType = LongType
 
@@ -157,7 +184,9 @@ case class SimHash64(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got ${t.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = kernel(input)
+
+  override def kernel(input: Any): AnyRef = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
     var total = 0
@@ -195,7 +224,7 @@ case class SimHash64(child: Expression)
   * Fewer than k tokens → empty array (matches TextAnalysis.shingles).
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
   require(k >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -205,7 +234,9 @@ case class WordShingles(child: Expression, k: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"word_shingles expects array<string>, got ${t.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = kernel(input)
+
+  override def kernel(input: Any): AnyRef = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
@@ -342,7 +373,7 @@ object JaccardSim {
   * every shingle downstream. Fewer than k tokens → empty array.
   */
 case class WordShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
   require(k >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -352,7 +383,9 @@ case class WordShingleHashes(child: Expression, k: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects array<string>, got ${t.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = kernel(input)
+
+  override def kernel(input: Any): AnyRef = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
@@ -391,7 +424,7 @@ case class WordShingleHashes(child: Expression, k: Int)
   * fingerprints downstream.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
   require(k >= 2 && w >= 1, "need k >= 2 and w >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -403,7 +436,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   private val B = 1000000007L // Rabin-Karp base (odd, fits mixing in 64-bit wrap)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = kernel(input)
+
+  override def kernel(input: Any): AnyRef = {
     // normalize: lowercase, collapse non-alphanumerics to single spaces
     val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
     val sb = new java.lang.StringBuilder(raw.length)

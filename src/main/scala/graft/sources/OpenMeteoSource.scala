@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +49,8 @@ class OpenMeteoSource extends TableProvider with DataSourceRegister {
           "graft-openmeteo requires a 'cities' option (comma-separated)")),
       Option(properties.get("date")).getOrElse("2026-08-12"),
       Option(properties.get("hours")).map(_.toInt).getOrElse(24),
-      Option(properties.get("ingestion_id")).getOrElse("run0"))
+      Option(properties.get("ingestion_id")).getOrElse("run0"),
+      Option(properties.get("maxTicks")).map(_.toLong).getOrElse(Long.MaxValue))
 }
 
 object OpenMeteoSource {
@@ -80,20 +82,21 @@ object OpenMeteoSource {
 }
 
 private[sources] class OpenMeteoTable(cities: Seq[String], date: String,
-    hours: Int, ingestionId: String) extends Table with SupportsRead {
+    hours: Int, ingestionId: String, maxTicks: Long)
+    extends Table with SupportsRead {
   require(hours >= 1 && hours <= 24, "hours must be in [1, 24]")
 
   override def name(): String = s"graft-openmeteo(${cities.mkString(",")})"
   override def schema(): StructType = OpenMeteoSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OpenMeteoScanBuilder(cities, date, hours, ingestionId)
+    new OpenMeteoScanBuilder(cities, date, hours, ingestionId, maxTicks)
 }
 
 private[sources] class OpenMeteoScanBuilder(cities: Seq[String], date: String,
-    hours: Int, ingestionId: String)
+    hours: Int, ingestionId: String, maxTicks: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = OpenMeteoSource.schema
@@ -105,19 +108,58 @@ private[sources] class OpenMeteoScanBuilder(cities: Seq[String], date: String,
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      cities.map(c => OpenMeteoPartition(c): InputPartition).toArray
+      cities.map(c => OpenMeteoPartition(c, 0L): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new OpenMeteoReaderFactory(date, hours, ingestionId, required)
+    // The STREAMING face: each micro-batch is one "fetch round" (tick) —
+    // the reference's EventBridge-triggered producer as a
+    // MicroBatchStream. Offsets are the tick counter, so the checkpoint
+    // records exactly which rounds landed: a restarted query neither
+    // refetches nor skips a round (exactly-once from offset tracking,
+    // spec-pinned). `maxTicks` bounds the source for Trigger.AvailableNow
+    // runs and tests.
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new OpenMeteoMicroBatch(cities, date, hours, ingestionId, maxTicks, required)
   }
 }
 
-private[sources] case class OpenMeteoPartition(city: String) extends InputPartition
+private[sources] case class TickOffset(tick: Long) extends Offset {
+  override def json(): String = tick.toString
+}
+
+private[sources] class OpenMeteoMicroBatch(cities: Seq[String], date: String,
+    hours: Int, ingestionId: String, maxTicks: Long, required: StructType)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = TickOffset(0L)
+  override def latestOffset(): Offset = TickOffset(maxTicks)
+  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TickOffset].tick
+    val e = end.asInstanceOf[TickOffset].tick
+    (for { t <- s until e; c <- cities } yield OpenMeteoPartition(c, t): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OpenMeteoReaderFactory(date, hours, ingestionId, required)
+}
+
+private[sources] case class OpenMeteoPartition(city: String, tick: Long)
+    extends InputPartition
 
 private[sources] class OpenMeteoReaderFactory(date: String, hours: Int,
     ingestionId: String, required: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val city = partition.asInstanceOf[OpenMeteoPartition].city
+    val p = partition.asInstanceOf[OpenMeteoPartition]
+    val city = p.city
+    // tick 0 (and the batch face) uses the plain ingestion id — streaming
+    // rounds after it get distinct per-round ids like the reference's
+    // per-run uuid (scripts/batch_ingest/lambda_function.py:100)
+    val runId = if (p.tick == 0L) ingestionId else s"$ingestionId-t${p.tick}"
     new PartitionReader[InternalRow] {
       import OpenMeteoSource.{roundN, uniform}
       private var h = -1
@@ -127,7 +169,7 @@ private[sources] class OpenMeteoReaderFactory(date: String, hours: Int,
       // is where the pushed projection physically takes effect
       private val fieldGen: Array[Int => Any] = required.fields.map { f =>
         f.name match {
-          case "ingestion_id" => (_: Int) => UTF8String.fromString(ingestionId)
+          case "ingestion_id" => (_: Int) => UTF8String.fromString(runId)
           case "city" => (_: Int) => UTF8String.fromString(city)
           case "latitude" => (_: Int) => lat
           case "longitude" => (_: Int) => lon

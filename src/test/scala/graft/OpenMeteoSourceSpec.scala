@@ -37,6 +37,31 @@ class OpenMeteoSourceSpec extends SparkSpec {
     assert(pruned.count() == cities.size * 24)
   }
 
+  test("micro-batch face: tick offsets give exactly-once rounds across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "om_stream").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-openmeteo")
+        .option("cities", cities.mkString(","))
+        .option("hours", 4).option("maxTicks", 3)
+        .load()
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .outputMode("append").option("checkpointLocation", s"$root/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    val rows = spark.read.parquet(s"$root/out")
+    assert(rows.count() == 3 * cities.size * 4) // 3 ticks x 3 cities x 4 hours
+    // distinct per-round ingestion ids
+    assert(rows.select("ingestion_id").distinct().count() == 3)
+    // a restart with the same checkpoint has nothing left to fetch:
+    // the committed offset already equals maxTicks (exactly-once)
+    run()
+    assert(spark.read.parquet(s"$root/out").count() == 3 * cities.size * 4)
+  }
+
   test("missing cities option fails with a comprehensible error") {
     val e = intercept[Exception] {
       spark.read.format("graft-openmeteo").load().collect()

@@ -289,6 +289,79 @@ object TextAnalysis {
         when(col("n_bigrams") > 0, col("nll_sum") / col("n_bigrams")).as("xent"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `numMerges`
+    * byte-pair merges from the corpus.
+    *
+    * The scale split mirrors production BPE trainers (the original
+    * subword-nmt and HF tokenizers both work this way): the CORPUS-scale
+    * work — counting word frequencies over every token occurrence — is
+    * one distributed partial-aggregated groupBy; the VOCAB-scale work —
+    * the iterative merge loop — runs on the collected word dictionary,
+    * which is bounded by distinct-word count, not corpus size (a 100 TB
+    * corpus still has a dictionary in the millions: driver-sized). Each
+    * iteration merges the most frequent adjacent symbol pair; ties break
+    * lexicographically on (left, right) so training is deterministic
+    * across runs, partitionings, and engines.
+    *
+    * Returns the merge table: (rank, left, right, pair_count) — rank 1 =
+    * first merge. Word boundaries are never crossed (pairs are counted
+    * within words, weighted by word frequency); the per-word symbol
+    * sequence starts as its characters.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    // distributed: corpus -> (distinct word, frequency)
+    val dict: Array[(String, Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver: iterative merges over the dictionary's symbol sequences
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= numMerges && continue) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val (l, r) = best._1
+        merges += ((rank, l, r, best._2))
+        val fused = l + r
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += fused; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Winnowing fingerprints (rolling Rabin-Karp over char k-grams, window
     * minima) — graft.functions.WinnowFingerprints. Any shared substring of
     * length ≥ k+w−1 yields at least one common fingerprint; the

@@ -427,6 +427,16 @@ object TextQueries {
               |sc AS (SELECT doc_id, (1000000 * c2.c2) // uni.c1 AS p FROM bgw JOIN c2 USING (b) JOIN uni USING (w1)),
               |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS mean_prob_x1e6 FROM sc GROUP BY 1)
               |SELECT t.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.mean_prob_x1e6
-              |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // BPE tokenizer training: top-32 merges learned from the corpus —
+    // distributed word-frequency pass, driver-side vocab-scale merge
+    // loop (the subword-nmt/HF split). Deterministic (lexicographic tie
+    // break) but iterative state is not SQL-expressible → rows-only;
+    // hand-computed merges pinned by spec.
+    QueryDef("t9_bpe_merges",
+      (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = 32)
+        .orderBy("rank"),
+      None)
   )
 }

@@ -294,6 +294,21 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.experimental.extraStrategies = prev
   }
 
+  test("bpeTrain: hand-computed merges, frequency weighting, deterministic ties") {
+    // words: "aa" x3 -> [a,a]; "ab" x2 -> [a,b]
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // merge 1: (a,a) freq 3; then "aa" is one symbol, leaving (a,b) freq 2;
+    // then no pairs remain -> early stop despite numMerges = 5
+    assert(merges == Seq((1, "a", "a", 3L), (2, "a", "b", 2L)))
+    // ties break lexicographically -> deterministic under any partitioning
+    val tied = Seq((1L, "dc dc"), (2L, "ab ab")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(tied.repartition(5), 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1, "a", "b", 2L), (2, "d", "c", 2L)))
+  }
+
   test("bigramLm: hand-computed fixed-point scores and cross-entropy") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b", "b a", "a b"

@@ -29,7 +29,8 @@ class RegistrySpec extends AnyFunSuite {
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs
-      "a10_kmv_overlap")   // xxhash64 sketch not reproducible in DuckDB; error-bound spec
+      "a10_kmv_overlap",   // xxhash64 sketch not reproducible in DuckDB; error-bound spec
+      "t9_bpe_merges")     // iterative merge state not SQL-expressible; hand-computed spec
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
   }

@@ -437,6 +437,23 @@ object TextQueries {
     QueryDef("t9_bpe_merges",
       (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = 32)
         .orderBy("rank"),
+      None),
+
+    // BPE inference: the learned merges applied corpus-wide as a
+    // MAP-ONLY expression (merge table rides in the plan) — train once,
+    // tokenize 100 TB at scan speed. Rows-only (merges derive from the
+    // iterative trainer); the encode==trainer closure is spec-pinned.
+    QueryDef("t10_bpe_encode",
+      (s, dir) => {
+        val merges = TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = 32)
+          .orderBy("rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.functions.BpeEncode.encode(
+              TextAnalysis.tokens(col("text")), merges)).cast("long").as("n_bpe_subwords"))
+          .orderBy("doc_id")
+      },
       None)
   )
 }

@@ -309,6 +309,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m2 == Seq((1, "a", "b", 2L), (2, "d", "c", 2L)))
   }
 
+  test("bpe encode: closure with training — learned merges reproduce trainer segmentation") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 16)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    assert(merges.size == 16)
+    // re-run the trainer's dictionary merge loop independently and
+    // compare against the expression's greedy encode per distinct word
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().as[String].collect().toSeq
+    val enc = words.toDF("w")
+      .select(col("w"), graft.functions.BpeEncode.encode(array(col("w")), merges).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    // applying merges in rank order (the trainer's order) to each word
+    words.foreach { w =>
+      var syms = w.toCharArray.map(_.toString).toSeq
+      merges.foreach { case (l, r) =>
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            next += (l + r); i += 2
+          } else { next += syms(i); i += 1 }
+        }
+        syms = next.toSeq
+      }
+      assert(enc(w) == syms, s"word '$w': encode ${enc(w)} != trainer-order $syms")
+      // reassembling subwords restores the word exactly (losslessness)
+      assert(enc(w).mkString == w)
+    }
+  }
+
   test("bigramLm: hand-computed fixed-point scores and cross-entropy") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b", "b a", "a b"

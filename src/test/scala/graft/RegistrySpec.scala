@@ -30,7 +30,8 @@ class RegistrySpec extends AnyFunSuite {
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs
       "a10_kmv_overlap",   // xxhash64 sketch not reproducible in DuckDB; error-bound spec
-      "t9_bpe_merges")     // iterative merge state not SQL-expressible; hand-computed spec
+      "t9_bpe_merges",     // iterative merge state not SQL-expressible; hand-computed spec
+      "t10_bpe_encode")    // merges derive from the iterative trainer; closure spec
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
   }

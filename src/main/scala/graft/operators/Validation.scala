@@ -69,6 +69,44 @@ object Validation {
         Map("row_count" -> total, "min_count" -> minCount))
   }
 
+  /** Beyond the reference's four: the next-most-common GE expectation —
+    * column uniqueness. Exact distinct count rides the SAME single agg
+    * pass (Spark plans count(DISTINCT) as a two-phase expand-aggregate
+    * alongside the conditional sums; still one scan). Nulls are excluded
+    * from both counts (SQL DISTINCT drops them), so an all-null column
+    * is trivially unique — pair with NotNull when that matters.
+    */
+  final case class Unique(column: String) extends Expectation {
+    val expectationType = "expect_column_values_to_be_unique"
+    private[operators] def aggs(idx: Int): Seq[Column] = Seq(
+      countDistinct(col(column)).as(s"e${idx}_distinct"),
+      sum(when(col(column).isNotNull, 1L).otherwise(0L)).as(s"e${idx}_nonnull"))
+    override private[operators] val arity = 2
+    private[operators] def result(row: Row, offset: Int, total: Long): ExpectationResult = {
+      val distinct = if (row.isNullAt(offset)) 0L else row.getLong(offset)
+      val nonNull = if (row.isNullAt(offset + 1)) 0L else row.getLong(offset + 1)
+      ExpectationResult(expectationType, distinct == nonNull,
+        Map("column" -> column, "distinct_count" -> distinct,
+          "non_null_count" -> nonNull, "duplicate_count" -> (nonNull - distinct)))
+    }
+  }
+
+  /** Membership in an allowed value set (GE's in_set); nulls pass like
+    * `between` (3-valued logic — add NotNull to catch them).
+    */
+  final case class InSet(column: String, allowed: Seq[String]) extends Expectation {
+    val expectationType = "expect_column_values_to_be_in_set"
+    private[operators] def aggs(idx: Int): Seq[Column] = Seq(
+      sum(when(col(column).isNotNull &&
+        !col(column).isin(allowed.map(a => a: Any): _*), 1L).otherwise(0L)).as(s"e$idx"))
+    private[operators] def result(row: Row, offset: Int, total: Long): ExpectationResult = {
+      val bad = if (row.isNullAt(offset)) 0L else row.getLong(offset)
+      ExpectationResult(expectationType, bad == 0L,
+        Map("column" -> column, "allowed" -> allowed,
+          "unexpected_count" -> bad, "total_count" -> total))
+    }
+  }
+
   /** Declared-but-unimplemented in the reference (transform.py:57); here a
     * schema-only check — no scan needed.
     */
@@ -136,12 +174,18 @@ object Validation {
     */
   def validationSummary(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     val scanned = expectations.filter(_.arity > 0)
-    val aggCols = count(lit(1)).as("total_count") +: scanned.zipWithIndex.map {
-      case (NotNull(c), i) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_count_$c")
-      case (Between(c, mn, mx), i) =>
-        sum(when(col(c) < lit(mn) || col(c) > lit(mx), 1L).otherwise(0L)).as(s"oor_count_$c")
-      case (e, i) => lit(null).as(s"e$i")
+    val aggCols = count(lit(1)).as("total_count") +: scanned.zipWithIndex.flatMap {
+      case (NotNull(c), _) =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_count_$c"))
+      case (Between(c, mn, mx), _) =>
+        Seq(sum(when(col(c) < lit(mn) || col(c) > lit(mx), 1L).otherwise(0L)).as(s"oor_count_$c"))
+      case (Unique(c), _) => Seq(
+        countDistinct(col(c)).as(s"distinct_count_$c"),
+        sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"non_null_count_$c"))
+      case (InSet(c, allowed), _) =>
+        Seq(sum(when(col(c).isNotNull && !col(c).isin(allowed.map(a => a: Any): _*), 1L)
+          .otherwise(0L)).as(s"unexpected_count_$c"))
+      case (e, i) => Seq(lit(null).as(s"e$i"))
     }
     df.agg(aggCols.head, aggCols.tail: _*)
   }

@@ -47,6 +47,21 @@ object CoreQueries {
              |CAST(coalesce(sum(CASE WHEN value < 0.0 OR value > 50.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS oor_count_value
              |FROM events""".stripMargin.replace("\n", " "))),
 
+    // Extended expectation suite: uniqueness (exact distinct vs non-null,
+    // still ONE scan — count(DISTINCT) expands into the same aggregate)
+    // and set membership (nulls pass, like `between`'s 3-valued logic).
+    QueryDef("a11_validation_extended",
+      (s, dir) => Validation.validationSummary(t(s, dir, "events"),
+        Seq(Validation.Unique("event_id"), Validation.Unique("user_id"),
+          Validation.InSet("event_type", Seq("view", "click", "purchase")))),
+      Some("""SELECT count(*) AS total_count,
+             |CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_count_event_id,
+             |CAST(coalesce(sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS non_null_count_event_id,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_count_user_id,
+             |CAST(coalesce(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS non_null_count_user_id,
+             |CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase') THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexpected_count_event_type
+             |FROM events""".stripMargin.replace("\n", " "))),
+
     // P2 — range (theta) predicate filter (transform.py:80-83 shape).
     QueryDef("p2_range_filter",
       (s, dir) => t(s, dir, "lineitem")

@@ -49,6 +49,29 @@ class ValidationSpec extends SparkSpec {
     assert(r.results(2).success)                // no null rows
   }
 
+  test("unique: duplicates counted on non-null values; in_set: nulls pass") {
+    val d = Seq(
+      (Some("a"), "view"), (Some("a"), "click"), (Some("b"), "bogus"),
+      (None, "view"), (None, null.asInstanceOf[String]))
+      .toDF("k", "ev")
+    val r = Validation.validate(d, "t",
+      Seq(Unique("k"), InSet("ev", Seq("view", "click"))))
+    val uq = r.results.find(_.expectationType == "expect_column_values_to_be_unique").get
+    // non-null k values: a, a, b -> 2 distinct of 3 -> 1 duplicate
+    assert(!uq.success)
+    assert(uq.details("distinct_count") == 2L && uq.details("non_null_count") == 3L
+      && uq.details("duplicate_count") == 1L)
+    val is = r.results.find(_.expectationType == "expect_column_values_to_be_in_set").get
+    // 'bogus' is unexpected; the NULL ev passes (3-valued, like between)
+    assert(!is.success && is.details("unexpected_count") == 1L)
+    // a clean column passes both
+    val ok = Validation.validate(d.filter($"ev" === "view" || $"ev" === "click")
+      .withColumn("k2",
+        org.apache.spark.sql.functions.monotonically_increasing_id()), "t2",
+      Seq(Unique("k2"), InSet("ev", Seq("view", "click"))))
+    assert(ok.success)
+  }
+
   test("of_type is a schema-only check (declared but unimplemented in reference)") {
     val r = Validation.validate(df, "t",
       Seq(OfType("temp", DoubleType), OfType("name", DoubleType), OfType("missing", StringType)))

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed anomaly detection: flag values more than `z`
+  * standard deviations from their group mean — WITHOUT float math, so
+  * the flags are bit-identical across engines, partitionings, and
+  * re-runs (a float μ/σ pipeline can flip a borderline flag when the
+  * reduction order changes; an audit that drifts between runs is
+  * useless).
+  *
+  * The trick: scale values to fixed-point longs (×`scale`), keep only
+  * the exact integer sums S = Σv and SS = Σv², and test
+  *   (n·x − S)² > z²·(n·SS − S²)
+  * which is (x − μ)² > z²σ² with both sides multiplied by n² — pure
+  * integer arithmetic. Overflow bound: |n·x| and n·SS must stay under
+  * 2⁶³ ≈ 9.2×10¹⁸ — with values scaled to ~10⁴, that holds to ~10⁹
+  * rows per group; beyond that, shrink `scale` or pre-aggregate.
+  *
+  * Shuffle shape: one partial-aggregated groupBy on the key for (n, S,
+  * SS), one co-keyed join back (broadcast when the key table is small).
+  * Per-group σ is computed once, not per row.
+  */
+object Anomaly {
+
+  /** Rows of `df` with `is_anomaly` flags on the fixed-point scaled
+    * `valueCol` relative to its `keyCol` group. Emits the scaled value
+    * and the group stats so downstream auditing is self-contained.
+    * Groups with n < 2 or zero variance flag nothing (σ = 0 would flag
+    * every non-mean value; a constant column is not an anomaly).
+    */
+  def zscoreFlags(df: DataFrame, keyCol: String, valueCol: String,
+      z: Int = 3, scale: Int = 100): DataFrame = {
+    require(z >= 1 && scale >= 1, "z and scale must be >= 1")
+    val v = floor(col(valueCol) * scale).cast("long")
+    val scaled = df.withColumn("__v", v)
+    val stats = scaled.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+        sum(col("__v") * col("__v")).as("ss"))
+    val nVar = col("n") * col("ss") - col("s") * col("s") // n²·σ²
+    scaled.join(stats, keyCol)
+      .withColumn("is_anomaly",
+        col("n") >= 2 && nVar > 0 &&
+          (col("n") * col("__v") - col("s")) * (col("n") * col("__v") - col("s")) >
+            lit(z.toLong * z) * nVar)
+      .withColumnRenamed("__v", "v_scaled")
+  }
+}

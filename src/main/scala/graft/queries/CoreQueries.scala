@@ -62,6 +62,26 @@ object CoreQueries {
              |CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase') THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexpected_count_event_type
              |FROM events""".stripMargin.replace("\n", " "))),
 
+    // Exact anomaly flags: |x − μ| > 3σ per event_type, decided entirely
+    // in integer arithmetic on fixed-point sums — (n·x − S)² > 9(n·SS − S²)
+    // — so borderline flags never flip with partitioning or engine (a
+    // float μ/σ pipeline cannot promise that). One agg + one co-keyed
+    // join; the oracle reproduces the identical integer test.
+    QueryDef("an1_anomaly_flags",
+      (s, dir) => graft.operators.Anomaly.zscoreFlags(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", z = 3, scale = 100)
+        .filter(col("is_anomaly"))
+        .select("event_id", "event_type", "v_scaled")
+        .orderBy("event_id"),
+      Some("""WITH sc AS (SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+             |st AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM sc GROUP BY 1)
+             |SELECT event_id, sc.event_type, v AS v_scaled
+             |FROM sc JOIN st USING (event_type)
+             |WHERE n >= 2 AND n * ss - s * s > 0
+             |  AND (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
+             |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // P2 — range (theta) predicate filter (transform.py:80-83 shape).
     QueryDef("p2_range_filter",
       (s, dir) => t(s, dir, "lineitem")

@@ -342,6 +342,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("zscoreFlags: exact integer test flags outliers, skips constant groups") {
+    import graft.operators.Anomaly
+    val rows = Seq.tabulate(100)(i => (i.toLong, "g", 10.0 + (i % 3) * 0.02)) ++
+      Seq((900L, "g", 500.0),          // blatant outlier
+        (901L, "const", 5.0), (902L, "const", 5.0), (903L, "const", 5.0),
+        (904L, "solo", 99.0))          // n = 1: never flagged
+    val df = rows.toDF("id", "grp", "value").repartition(7)
+    val flagged = Anomaly.zscoreFlags(df, "grp", "value")
+      .filter(col("is_anomaly")).select("id").as[Long].collect().toSet
+    assert(flagged == Set(900L), s"got $flagged")
+    // deterministic under partitioning (the whole point of integer math)
+    val again = Anomaly.zscoreFlags(df.repartition(31), "grp", "value")
+      .filter(col("is_anomaly")).select("id").as[Long].collect().toSet
+    assert(again == flagged)
+    // agrees with the float z-score on a clearly-separated case
+    val vals = rows.filter(_._2 == "g").map(r => math.floor(r._3 * 100))
+    val mu = vals.sum / vals.size
+    val sigma = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / vals.size)
+    assert(math.abs(math.floor(500.0 * 100) - mu) > 3 * sigma)
+  }
+
   test("bigramLm: hand-computed fixed-point scores and cross-entropy") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b", "b a", "a b"

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling: one row of statistics per column — count, nulls,
+  * exact distincts, numeric min/max — the data-quality report a lake
+  * operator runs before trusting a new feed (and the manual face of the
+  * ANALYZE statistics the CBO consumes; sources.Stats wires those).
+  *
+  * ONE aggregate pass computes every column's stats together (the
+  * per-column sums/distincts all ride the same scan — profiling 100
+  * columns costs one read, not 100); the driver reshapes the single
+  * result row into the per-column report. Exact count(DISTINCT) over
+  * many columns expands the aggregate — for quick profiles over very
+  * wide tables, switch `approxDistinct` on to use HLL instead.
+  */
+object Profile {
+
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fields
+    val aggCols = fields.flatMap { f =>
+      val c = col(f.name)
+      val numeric = f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"),
+        (if (approxDistinct) approx_count_distinct(c) else countDistinct(c))
+          .as(s"nd_${f.name}"),
+        (if (numeric) min(c).cast("double") else lit(null).cast("double"))
+          .as(s"min_${f.name}"),
+        (if (numeric) max(c).cast("double") else lit(null).cast("double"))
+          .as(s"max_${f.name}"))
+    }
+    val row = df.agg(count(lit(1)).as("n"), aggCols.toIndexedSeq: _*).head()
+    val n = row.getLong(0)
+    val out = fields.zipWithIndex.map { case (f, i) =>
+      val base = 1 + i * 4
+      (f.name, n,
+        if (row.isNullAt(base)) 0L else row.getLong(base),
+        if (row.isNullAt(base + 1)) 0L else row.getLong(base + 1),
+        if (row.isNullAt(base + 2)) None else Some(row.getDouble(base + 2)),
+        if (row.isNullAt(base + 3)) None else Some(row.getDouble(base + 3)))
+    }.toSeq
+    out.toDF("col_name", "n", "n_nulls", "n_distinct", "min_val", "max_val")
+  }
+}

@@ -82,6 +82,21 @@ object CoreQueries {
              |  AND (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
              |ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // Table profile: per-column count/null/distinct/min/max in ONE scan
+    // (every column's stats ride the same aggregate) — the trust-a-new-
+    // feed report, reshaped to a row per column. The oracle unions
+    // per-column SELECTs over the same relation.
+    QueryDef("prof1_table_profile",
+      (s, dir) => graft.operators.Profile.profile(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"))
+        .orderBy("col_name"),
+      Some("""SELECT * FROM (
+             |SELECT 'event_id' AS col_name, count(*) AS n, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct, CAST(min(event_id) AS DOUBLE) AS min_val, CAST(max(event_id) AS DOUBLE) AS max_val FROM events
+             |UNION ALL SELECT 'user_id', count(*), CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT), CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+             |UNION ALL SELECT 'event_type', count(*), CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL FROM events
+             |UNION ALL SELECT 'value', count(*), CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT value) AS BIGINT), CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM events)
+             |ORDER BY col_name""".stripMargin.replace("\n", " "))),
+
     // P2 — range (theta) predicate filter (transform.py:80-83 shape).
     QueryDef("p2_range_filter",
       (s, dir) => t(s, dir, "lineitem")

@@ -721,6 +721,29 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Event-transition matrix: per-user event sequences (window lag over
+    // the per-user order) folded into Markov transition counts — the
+    // behavioral-model shape (bigram LM over event streams). One window
+    // sort keyed per user + one partial-aggregated groupBy.
+    QueryDef("seq1_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("transitions"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""SELECT prev_type, event_type AS next_type, count(*) AS transitions
+             |FROM (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+             |  FROM events)
+             |WHERE prev_type IS NOT NULL
+             |GROUP BY prev_type, event_type
+             |ORDER BY prev_type, next_type""".stripMargin.replace("\n", " "))),
+
     // Spatial radius self-join: sensors (md5-derived deterministic
     // coordinates per user) paired within planar distance 5 — grid-cell
     // bucketing turns the O(n²) theta join into an equi-join on cells

@@ -721,6 +721,19 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Explicit CROSS JOIN (the only §2.7 join type without its own
+    // query): the region × nation grid with a per-pair derived flag —
+    // plans a BroadcastNestedLoopJoin over the tiny sides, which is the
+    // right physical choice for an intentional cartesian of dims.
+    QueryDef("cj1_cross_join",
+      (s, dir) => t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"),
+          (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, n_regionkey = r_regionkey AS is_home
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin.replace("\n", " "))),
+
     // Event-transition matrix: per-user event sequences (window lag over
     // the per-user order) folded into Markov transition counts — the
     // behavioral-model shape (bigram LM over event streams). One window

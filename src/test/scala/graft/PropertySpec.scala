@@ -104,6 +104,59 @@ class PropertySpec extends SparkSpec {
     assert(tighter.subsetOf(wider))
   }
 
+  test("skyline properties over random data: sound, complete, idempotent") {
+    import graft.operators.Skyline
+    val gen = for {
+      x <- Gen.chooseNum(0, 40)
+      y <- Gen.chooseNum(0, 40)
+    } yield (x, y)
+    (1L to 3L).foreach { seed =>
+      val pts = sample(Gen.listOfN(250, gen), seed).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y.toDouble) }
+      val df = pts.toDF("id", "size", "price").repartition(1 + seed.toInt * 3)
+      val dims = Seq(("price", true), ("size", false))
+      val sky = Skyline.skyline(df, dims)
+        .select("id").as[Long].collect().toSet
+      def dominates(b: (Long, Int, Double), a: (Long, Int, Double)) =
+        b._3 <= a._3 && b._2 >= a._2 && (b._3 < a._3 || b._2 > a._2)
+      // sound: no skyline member dominated by ANY point
+      pts.filter(p => sky.contains(p._1)).foreach { a =>
+        assert(!pts.exists(b => dominates(b, a)), s"seed $seed: $a dominated")
+      }
+      // complete: every non-member dominated by someone
+      pts.filterNot(p => sky.contains(p._1)).foreach { a =>
+        assert(pts.exists(b => dominates(b, a)), s"seed $seed: $a wrongly dropped")
+      }
+      // idempotent: the skyline of the skyline is itself
+      val skyDf = df.filter(col("id").isin(sky.toSeq: _*))
+      val again = Skyline.skyline(skyDf, dims).select("id").as[Long].collect().toSet
+      assert(again == sky)
+    }
+  }
+
+  test("bpe encode/train closure holds under random corpora") {
+    import graft.operators.TextAnalysis
+    val word = Gen.listOfN(4, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    val docs = sample(Gen.listOfN(30, doc), 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 6)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val enc = docs
+      .select(explode(graft.functions.BpeEncode.encode(
+        TextAnalysis.tokens(col("text")), merges)).as("s"))
+      .as[String].collect()
+    // every emitted symbol reassembles from single chars and merge pairs
+    val vocab = scala.collection.mutable.Set("a", "b", "c")
+    merges.foreach { case (l, r) =>
+      assert(vocab.contains(l) && vocab.contains(r),
+        s"merge ($l,$r) references unknown symbols")
+      vocab += (l + r)
+    }
+    enc.foreach(s => assert(vocab.contains(s), s"symbol '$s' not derivable"))
+  }
+
   test("connectedComponents is idempotent: re-clustering cluster edges is stable") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(23)

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. language filter        (map-only; cheapest first, biggest cut)
   *   2. quality filter         (map-only integer signals)
-  *   3. exact dedup            (fingerprint groupBy, keep smallest id)
-  *   4. near-dup clustering    (MinHash-LSH pairs → connected components
+  *   3. LM band-pass           (optional; corpus-trained bigram model
+  *                              drops the boilerplate and garble tails)
+  *   4. exact dedup            (fingerprint groupBy, keep smallest id)
+  *   5. near-dup clustering    (MinHash-LSH pairs → connected components
   *                              → keep each cluster's representative)
-  *   5. decontamination        (anti-join against benchmark k-grams)
-  *   6. source-mixture sample  (target proportions, map-only rates)
+  *   6. decontamination        (anti-join against benchmark k-grams)
+  *   7. source-mixture sample  (target proportions, map-only rates)
   *
   * Stage order matters at 100 TB: the map-only filters run at scan speed
   * and shrink the corpus BEFORE anything shuffles; exact dedup halves
@@ -29,6 +31,14 @@ object Curation {
   final case class Config(
       languages: Set[String] = Set("en"),
       minTokens: Int = 20,
+      /** CCNet-style LM band-pass on TextAnalysis.bigramLm's fixed-point
+        * mean bigram probability ×10⁶: keep docs inside
+        * [lmMinProb, lmMaxProb]. Low = garbled/rare text, high =
+        * boilerplate — corpus curation drops both tails. None skips the
+        * stage (it costs the bigram-model shuffles; the map-only filters
+        * above stay the cheap first cut).
+        */
+      lmBand: Option[(Long, Long)] = None,
       dedupExact: Boolean = true,
       nearDupThreshold: Option[Double] = Some(0.8),
       benchmark: Option[DataFrame] = None,
@@ -83,10 +93,20 @@ object Curation {
       if (config.minTokens <= 0) langed
       else note("quality", langed.filter(
         TextAnalysis.tokenCount(col("text")) >= config.minTokens))
+    val lmFiltered = config.lmBand match {
+      case None => qualified
+      case Some((lo, hi)) =>
+        // the LM trains on the post-filter corpus (garbage removed by
+        // the cheap stages doesn't pollute the model), then scores it
+        val scores = TextAnalysis.bigramLm(qualified)
+          .filter(col("mean_prob_x1e6").between(lo, hi))
+          .select("doc_id")
+        note("lm_filter", qualified.join(scores, Seq("doc_id"), "left_semi"))
+    }
     val exact =
-      if (!config.dedupExact) qualified
+      if (!config.dedupExact) lmFiltered
       else note("exact_dedup", Dedup.exactRows(
-        qualified.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
+        lmFiltered.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
         "__fp", "doc_id").drop("__fp"))
     val nearDeduped = config.nearDupThreshold match {
       case None => exact

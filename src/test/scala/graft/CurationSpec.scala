@@ -54,6 +54,41 @@ class CurationSpec extends SparkSpec {
       audit.map(s => s.stage -> s.rows).toList)
   }
 
+  test("curate: LM band-pass drops the boilerplate and garble tails") {
+    // boilerplate: one sentence repeated -> very high mean bigram prob;
+    // garble: unique-word soup -> every bigram rare; normal docs between
+    val normal = (1L to 20L).map(i =>
+      (i, s"the cat number $i walked to the park and it was a fine day " +
+        s"for the dog number $i to play in the sun", "s0"))
+    val boiler = (100L to 104L).map(i =>
+      (i, Seq.fill(6)("click here to subscribe now").mkString(" "), "s0"))
+    // garble = the NORMAL vocabulary in scrambled order: common words
+    // (high c1) in never-seen transitions (c2 ≈ 1) score low — which is
+    // exactly what p(w2|w1) punishes (all-unique word soup would score
+    // HIGH: a hapax bigram after a hapax unigram is conditionally certain)
+    val garbleWords = "the cat walked park and it was fine day for dog play sun to in a".split(" ")
+    val garble = (200L to 204L).map { i =>
+      val rot = garbleWords.indices.map(j =>
+        garbleWords(((j * 7 + i.toInt) % garbleWords.length + garbleWords.length)
+          % garbleWords.length))
+      (i, rot.reverse.mkString(" "), "s0")
+    }
+    val docs = (normal ++ boiler ++ garble).toDF("doc_id", "text", "source")
+    // find the empirical band between the tails, then assert the stage
+    // keeps exactly the normal docs
+    val scored = graft.operators.TextAnalysis.bigramLm(docs)
+      .select("doc_id", "mean_prob_x1e6").as[(Long, Option[Long])].collect().toMap
+    val normalScores = normal.map(d => scored(d._1).get)
+    val lo = normalScores.min
+    val hi = normalScores.max
+    assert(boiler.forall(d => scored(d._1).get > hi), "boilerplate must score above")
+    assert(garble.forall(d => scored(d._1).get < lo), "garble must score below")
+    val out = Curation.curate(docs, Curation.Config(
+      languages = Set.empty, minTokens = 0, lmBand = Some((lo, hi)),
+      dedupExact = false, nearDupThreshold = None))
+    assert(out.select("doc_id").as[Long].collect().toSet == normal.map(_._1).toSet)
+  }
+
   test("curate: disabled stages are identity; mixture stage composes") {
     val docs = (0L until 400L)
       .map(i => (i, s"the unique document number $i has plenty of words " +

@@ -49,4 +49,23 @@ object Profile {
     }.toSeq
     out.toDF("col_name", "n", "n_nulls", "n_distinct", "min_val", "max_val")
   }
+
+  /** Profile drift between two states of a relation (yesterday's feed vs
+    * today's, pre- vs post-backfill): per-column deltas of the profile
+    * statistics — the data-observability check that catches a silently
+    * shrinking feed, a null explosion, or a cardinality collapse before
+    * a consumer does. Columns missing from either side are reported with
+    * null deltas (schema drift shows up as its own signal).
+    */
+  def drift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = profile(before).select(col("col_name"), col("n").as("n_before"),
+      col("n_nulls").as("nulls_before"), col("n_distinct").as("distinct_before"))
+    val a = profile(after).select(col("col_name"), col("n").as("n_after"),
+      col("n_nulls").as("nulls_after"), col("n_distinct").as("distinct_after"))
+    b.join(a, Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        (col("n_after") - col("n_before")).as("n_delta"),
+        (col("nulls_after") - col("nulls_before")).as("nulls_delta"),
+        (col("distinct_after") - col("distinct_before")).as("distinct_delta"))
+  }
 }

@@ -97,6 +97,29 @@ object CoreQueries {
              |UNION ALL SELECT 'value', count(*), CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT value) AS BIGINT), CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM events)
              |ORDER BY col_name""".stripMargin.replace("\n", " "))),
 
+    // Profile drift: the first week of events vs the full table — the
+    // data-observability delta report (row growth, null deltas,
+    // cardinality growth per column). The oracle recomputes both
+    // profiles and differences them.
+    QueryDef("drift1_profile_drift",
+      (s, dir) => {
+        val events = t(s, dir, "events").select("event_id", "user_id", "value")
+        graft.operators.Profile.drift(
+          events.filter(col("event_id") % 3 === 0), events)
+          .orderBy("col_name")
+      },
+      Some("""WITH b AS (
+             |  SELECT 'event_id' AS col_name, count(*) AS n, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl, CAST(count(DISTINCT event_id) AS BIGINT) AS nd FROM events WHERE event_id % 3 = 0
+             |  UNION ALL SELECT 'user_id', count(*), CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE event_id % 3 = 0
+             |  UNION ALL SELECT 'value', count(*), CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT value) AS BIGINT) FROM events WHERE event_id % 3 = 0),
+             |a AS (
+             |  SELECT 'event_id' AS col_name, count(*) AS n, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl, CAST(count(DISTINCT event_id) AS BIGINT) AS nd FROM events
+             |  UNION ALL SELECT 'user_id', count(*), CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+             |  UNION ALL SELECT 'value', count(*), CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT value) AS BIGINT) FROM events)
+             |SELECT col_name, a.n - b.n AS n_delta, a.nl - b.nl AS nulls_delta, a.nd - b.nd AS distinct_delta
+             |FROM b JOIN a USING (col_name) ORDER BY col_name""".stripMargin.replace("\n", " ")))
+
+    ,
     // P2 — range (theta) predicate filter (transform.py:80-83 shape).
     QueryDef("p2_range_filter",
       (s, dir) => t(s, dir, "lineitem")

@@ -721,6 +721,24 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Null-safe equi-join (<=>): keys where NULL must MATCH NULL — the
+    // join SQL's = can never express (NULL = NULL is NULL, dropping the
+    // row). Spark plans EqualNullSafe as an ordinary hash join key.
+    QueryDef("j8_null_safe_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"),
+            when(col("event_id") % 5 === 0, lit(null)).otherwise(col("user_id")).as("k"))
+        val groups = e.groupBy("k").agg(count(lit(1)).as("grp_n"))
+        e.join(groups, e("k") <=> groups("k"))
+          .select(col("event_id"), col("grp_n"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS k FROM events),
+             |g AS (SELECT k, count(*) AS grp_n FROM e GROUP BY k)
+             |SELECT event_id, grp_n FROM e JOIN g ON e.k IS NOT DISTINCT FROM g.k
+             |ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // Explicit CROSS JOIN (the only §2.7 join type without its own
     // query): the region × nation grid with a per-pair derived flag —
     // plans a BroadcastNestedLoopJoin over the tiny sides, which is the

@@ -721,6 +721,25 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Correlated SCALAR subquery in the SELECT list — Catalyst
+    // decorrelates it into a left outer aggregate join (no per-row
+    // subquery execution); orders with no lineitems surface the
+    // null-extension semantics.
+    QueryDef("sub4_scalar_subquery",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                |  (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty,
+                |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+                |FROM orders WHERE o_orderkey % 20 = 0
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |(SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty,
+             |(SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+             |FROM orders WHERE o_orderkey % 20 = 0
+             |ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
     // Null-safe equi-join (<=>): keys where NULL must MATCH NULL — the
     // join SQL's = can never express (NULL = NULL is NULL, dropping the
     // row). Spark plans EqualNullSafe as an ordinary hash join key.

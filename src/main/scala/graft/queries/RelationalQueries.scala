@@ -721,6 +721,36 @@ object RelationalQueries {
              |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
              |ORDER BY c.user_id, day""".stripMargin.replace("\n", " "))),
 
+    // Time-weighted average over irregular samples — the right mean for
+    // sensor readings with uneven gaps (a plain avg over-weights bursts;
+    // the reference's sensors are exactly such a feed). Each reading
+    // holds its value until the next one (step interpolation); the
+    // numerator Σ dt_µs·v_scaled stays EXACT integer arithmetic so the
+    // result is partitioning-invariant, with one final double division.
+    QueryDef("twa1_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+          .withColumn("dt", col("next_us") - unix_micros(col("ts")))
+          .filter(col("dt").isNotNull) // the last sample holds no interval
+          .groupBy("user_id")
+          .agg(sum(col("dt") * col("v")).as("num"), sum(col("dt")).as("den"))
+          .select(col("user_id"), col("num"), col("den"),
+            (col("num").cast("double") / col("den") / 100.0).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us, CAST(floor(value * 100) AS BIGINT) AS v,
+             |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+             |  FROM events WHERE user_id < 30),
+             |iv AS (SELECT user_id, v, next_us - us AS dt FROM r WHERE next_us IS NOT NULL)
+             |SELECT user_id, CAST(sum(dt * v) AS BIGINT) AS num, CAST(sum(dt) AS BIGINT) AS den,
+             |CAST(sum(dt * v) AS DOUBLE) / CAST(sum(dt) AS BIGINT) / 100.0 AS twa
+             |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // Correlated SCALAR subquery in the SELECT list — Catalyst
     // decorrelates it into a left outer aggregate join (no per-row
     // subquery execution); orders with no lineitems surface the

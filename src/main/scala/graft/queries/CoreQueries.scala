@@ -120,6 +120,25 @@ object CoreQueries {
              |FROM b JOIN a USING (col_name) ORDER BY col_name""".stripMargin.replace("\n", " ")))
 
     ,
+    // Conditional-function surface: coalesce / nullif / greatest / least
+    // over derived nullable columns — the CASE-adjacent family the Athena
+    // contract implies.
+    QueryDef("f14_conditional_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 25 === 0)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floored_price"),
+          least(col("o_custkey"), col("o_orderkey")).as("smaller_key"),
+          nullif(col("o_orderpriority"), col("o_orderpriority")).isNull.as("self_nullif_is_null"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+             |greatest(o_totalprice, 100000.0) AS floored_price,
+             |least(o_custkey, o_orderkey) AS smaller_key,
+             |nullif(o_orderpriority, o_orderpriority) IS NULL AS self_nullif_is_null
+             |FROM orders WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
     // P2 — range (theta) predicate filter (transform.py:80-83 shape).
     QueryDef("p2_range_filter",
       (s, dir) => t(s, dir, "lineitem")

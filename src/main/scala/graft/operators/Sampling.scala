@@ -57,6 +57,20 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < pct)
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * md5(id || salt) mod k — a pure function of the id, so fold
+    * membership survives any repartitioning, engine, or re-run (the
+    * property that makes CV results reproducible and leakage-auditable
+    * at corpus scale). Map-only. Stratification comes free: hashing is
+    * independent of any stratum column, so folds are balanced within
+    * every stratum in expectation.
+    */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    df.withColumn("fold", (hashValue(col(idCol), salt) % k).cast("int"))
+  }
+
   /** Deterministic "reservoir" of `n` rows per group: the n rows with the
     * smallest md5(id || salt) — equivalent in distribution to uniform
     * sampling without replacement, but a pure function of the ids, so the

@@ -130,6 +130,17 @@ object TextQueries {
              |FROM (SELECT event_id, ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 100 AS b FROM events)
              |ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // Deterministic k-fold CV assignment: fold = md5(id||salt) mod k —
+    // reproducible under any partitioning; the oracle recomputes the
+    // identical assignment and the per-(source, fold) counts.
+    QueryDef("samp7_kfold",
+      (s, dir) => graft.operators.Sampling.kFold(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", k = 5)
+        .groupBy("source", "fold").agg(count(lit(1)).as("cnt"))
+        .orderBy("source", "fold"),
+      Some("""SELECT source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS INT) AS fold, count(*) AS cnt
+             |FROM documents GROUP BY 1, 2 ORDER BY source, fold""".stripMargin.replace("\n", " "))),
+
     // Per-group cap: keep the n longest docs per source via the
     // bounded-heap top-k (map-side partial, no window sort).
     QueryDef("samp2_cap_per_group",

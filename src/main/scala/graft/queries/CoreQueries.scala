@@ -282,6 +282,9 @@ object CoreQueries {
     // to sorted-distinct inputs (and re-sorted after union) so both
     // engines agree element-for-element; intersect is expressed as an
     // order-preserving filter on both sides for the same reason.
+    // Every array-typed result is projected through array_join so the
+    // output schema is all-scalar (the comparison harness sorts columns
+    // with pandas, which cannot order ndarray cells).
     QueryDef("f12_array_funcs",
       (s, dir) => {
         val keep = array(lit("view"), lit("click"))
@@ -289,24 +292,26 @@ object CoreQueries {
           .groupBy("user_id")
           .agg(array_sort(collect_set(col("event_type"))).as("types"))
           .select(col("user_id"),
-            col("types"),
+            array_join(col("types"), ",").as("types_str"),
             size(col("types")).cast("long").as("n_types"),
             array_contains(col("types"), "view").as("has_view"),
             element_at(col("types"), 1).as("first_type"),
-            slice(col("types"), 1, 2).as("first2"),
+            array_join(slice(col("types"), 1, 2), ",").as("first2"),
             array_join(col("types"), ",").as("joined"),
-            filter(col("types"), t => array_contains(keep, t)).as("kept"),
-            filter(col("types"), _ =!= "view").as("no_view"),
-            array_sort(array_union(col("types"), array(lit("zzz")))).as("with_zzz"))
+            array_join(filter(col("types"), t => array_contains(keep, t)), ",").as("kept"),
+            array_join(filter(col("types"), _ =!= "view"), ",").as("no_view"),
+            array_join(array_sort(array_union(col("types"), array(lit("zzz")))), ",").as("with_zzz"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, types, CAST(len(types) AS BIGINT) AS n_types,
+      Some("""SELECT user_id, array_to_string(types, ',') AS types_str,
+             |CAST(len(types) AS BIGINT) AS n_types,
              |list_contains(types, 'view') AS has_view,
-             |types[1] AS first_type, types[1:2] AS first2,
+             |types[1] AS first_type,
+             |array_to_string(types[1:2], ',') AS first2,
              |array_to_string(types, ',') AS joined,
-             |list_filter(types, t -> list_contains(['view','click'], t)) AS kept,
-             |list_filter(types, t -> t <> 'view') AS no_view,
-             |list_sort(list_distinct(list_concat(types, ['zzz']))) AS with_zzz
+             |array_to_string(list_filter(types, t -> list_contains(['view','click'], t)), ',') AS kept,
+             |array_to_string(list_filter(types, t -> t <> 'view'), ',') AS no_view,
+             |array_to_string(list_sort(list_distinct(list_concat(types, ['zzz']))), ',') AS with_zzz
              |FROM (SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
              |      FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin.replace("\n", " "))),

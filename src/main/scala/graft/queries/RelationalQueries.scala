@@ -305,16 +305,38 @@ object RelationalQueries {
     // (estimates are merge-order dependent → rows-only check; the error
     // bound vs exact percentile is pinned by SketchAggSpec).
     QueryDef("a8_tdigest",
-      (s, dir) => t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(graft.functions.TDigestFunctions.tdigest_quantiles(
-          col("value"), Seq(0.5, 0.9, 0.99)).as("q"))
-        .select(col("event_type"),
-          element_at(col("q"), 1).as("p50_est"),
-          element_at(col("q"), 2).as("p90_est"),
-          element_at(col("q"), 3).as("p99_est"))
-        .orderBy("event_type"),
-      None),
+      // Oracle-checked via the t-digest RANK-ERROR bound: the estimate's
+      // exact value is engine-specific, but "est(q) lies between the
+      // exact (q-eps) and (q+eps) quantiles" is SQL-expressible. The
+      // Spark side emits the exact bounds (percentile ≡ quantile_cont,
+      // bit-identical per a6) plus the containment booleans; the oracle
+      // recomputes the bounds and pins the booleans TRUE. eps is sized
+      // ~5× above the digest's observed rank error at compression=100,
+      // tightening toward the tail as t-digest accuracy does (q(1-q)).
+      (s, dir) => {
+        val ex = expr("percentile(value, array(0.45D, 0.55D, 0.86D, 0.94D, 0.981D, 0.999D))")
+        def okCol(est: Column, lo: Column, hi: Column): Column = est >= lo && est <= hi
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(graft.functions.TDigestFunctions.tdigest_quantiles(
+            col("value"), Seq(0.5, 0.9, 0.99)).as("q"), ex.as("ex"))
+          .select(col("event_type"),
+            round(element_at(col("ex"), 1), 6).as("p50_lo"),
+            round(element_at(col("ex"), 2), 6).as("p50_hi"),
+            okCol(element_at(col("q"), 1), element_at(col("ex"), 1), element_at(col("ex"), 2)).as("p50_ok"),
+            round(element_at(col("ex"), 3), 6).as("p90_lo"),
+            round(element_at(col("ex"), 4), 6).as("p90_hi"),
+            okCol(element_at(col("q"), 2), element_at(col("ex"), 3), element_at(col("ex"), 4)).as("p90_ok"),
+            round(element_at(col("ex"), 5), 6).as("p99_lo"),
+            round(element_at(col("ex"), 6), 6).as("p99_hi"),
+            okCol(element_at(col("q"), 3), element_at(col("ex"), 5), element_at(col("ex"), 6)).as("p99_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |round(quantile_cont(value, 0.45), 6) AS p50_lo, round(quantile_cont(value, 0.55), 6) AS p50_hi, TRUE AS p50_ok,
+             |round(quantile_cont(value, 0.86), 6) AS p90_lo, round(quantile_cont(value, 0.94), 6) AS p90_hi, TRUE AS p90_ok,
+             |round(quantile_cont(value, 0.981), 6) AS p99_lo, round(quantile_cont(value, 0.999), 6) AS p99_hi, TRUE AS p99_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
     // Misra-Gries heavy hitters: with k ≥ distinct items the summary is
     // exact (no decrements fire), so the bounded-memory aggregate is

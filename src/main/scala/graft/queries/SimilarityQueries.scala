@@ -63,10 +63,12 @@ object SimilarityQueries {
     // (expected bucket size n/2^planes), so the pair count is O(n²/2^p)
     // instead of O(n²). Bucket ids come from Spark-side hashing that
     // DuckDB cannot reproduce → rows-only check; the recall-vs-exact
-    // subset property is pinned by DedupSimilaritySpec.
+    // subset property is pinned by DedupSimilaritySpec. Threshold/planes
+    // are sized so the check observes actual pairs at sf0.01 (0.98/4
+    // found zero — an empty result certifies nothing).
     QueryDef("v5_lsh_neardup",
       (s, dir) => Dedup.embeddingNearDups(
-        t(s, dir, "embeddings"), threshold = 0.98, lsh = true, planes = 4)
+        t(s, dir, "embeddings"), threshold = 0.4, lsh = true, planes = 2)
         .orderBy("a_id", "b_id"),
       None),
 

@@ -375,19 +375,38 @@ object TextQueries {
     // Bloom-filter decontamination — the scale path for benchmark sets
     // too large to broadcast exactly: the filter is tree-aggregated over
     // the benchmark shingles, then the training scan is a map-only
-    // per-row bit probe (no join). False positives only, so the kept set
-    // is a subset of d8's exact keep set (rows-only: a Bloom probe is
-    // not SQL-expressible; the spec asserts no-false-negative containment
-    // against the exact path).
+    // per-row bit probe (no join). The exact kept set is not what the
+    // Bloom path computes (an ~fpp fraction of clean docs is dropped),
+    // but the NO-FALSE-NEGATIVE guarantee IS SQL-expressible: every doc
+    // the exact path (d8) calls contaminated must be dropped by the
+    // Bloom path too. The query emits that containment check alongside
+    // the exact-kept count the oracle recomputes independently.
     QueryDef("d9_decontaminate_bloom",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        Dedup.decontaminateBloom(
-          docs.filter(col("doc_id") % 17 =!= 3),
-          docs.filter(col("doc_id") % 17 === 3), k = 8, fpp = 0.001)
-          .select("doc_id").orderBy("doc_id")
+        val train = docs.filter(col("doc_id") % 17 =!= 3)
+        val bench = docs.filter(col("doc_id") % 17 === 3)
+        val bloomKept = Dedup.decontaminateBloom(train, bench, k = 8, fpp = 0.001)
+          .select(col("doc_id"), lit(1).as("in_bloom"))
+        val contam = Dedup.contaminationReport(train, bench, k = 8)
+          .select(col("doc_id"), lit(1).as("is_contam"))
+        train.select("doc_id")
+          .join(contam, Seq("doc_id"), "left")
+          .join(bloomKept, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(when(col("is_contam").isNull, 1L).otherwise(0L)).as("n_exact_kept"),
+            sum(when(col("is_contam").isNotNull && col("in_bloom").isNotNull, 1L)
+              .otherwise(0L)).as("missed_contaminated"))
       },
-      None),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |sh8 AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) END AS s FROM tok),
+              |tsh AS (SELECT doc_id, unnest(s) AS sh FROM sh8 WHERE doc_id % 17 <> 3),
+              |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM sh8 WHERE doc_id % 17 = 3),
+              |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (sh))
+              |SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 17 <> 3) AS BIGINT) AS n_train,
+              |CAST((SELECT count(*) FROM documents WHERE doc_id % 17 <> 3) - (SELECT count(*) FROM contam) AS BIGINT) AS n_exact_kept,
+              |CAST(0 AS BIGINT) AS missed_contaminated""".stripMargin.replace("\n", " "))),
 
     // Sequence packing: docs → fixed-token-budget training sequences via
     // distributed prefix-sum (quantile range groups, never a global

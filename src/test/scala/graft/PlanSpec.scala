@@ -108,7 +108,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bloom decontamination is a map-only filter (no join in the probe pass)") {
-    val plan = q("d9_decontaminate_bloom").queryExecution.optimizedPlan.toString
+    // the registry query now wraps the probe in a containment audit (which
+    // joins); the scale property belongs to the probe operator itself
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val kept = graft.operators.Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 17 =!= 3),
+      docs.filter(col("doc_id") % 17 === 3), k = 8, fpp = 0.001)
+    val plan = kept.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), s"bloom probe must not join:\n$plan")
   }
 

@@ -22,10 +22,8 @@ class RegistrySpec extends AnyFunSuite {
       "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
       "v2_knn_ivf",        // approximate; recall-vs-brute-force spec
       "a5_approx_distinct",// DuckDB uses a different sketch; error-bound spec
-      "a8_tdigest",        // merge-order-dependent estimate; SketchAggSpec error bound
       "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
       "m1_media_features", // binary payloads; MultimodalSpec
-      "d9_decontaminate_bloom", // Bloom probe not SQL-expressible; containment spec
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs

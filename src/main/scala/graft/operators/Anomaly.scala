@@ -29,21 +29,31 @@ object Anomaly {
     * and the group stats so downstream auditing is self-contained.
     * Groups with n < 2 or zero variance flag nothing (σ = 0 would flag
     * every non-mean value; a constant column is not an anomaly).
+    *
+    * EVERY input row survives with a definite (non-null) flag: a null
+    * group key is a group like any other (null-safe join back to its
+    * stats), and a null value flags `false` — it contributes nothing to
+    * the group's sums (count/sum skip nulls) and cannot be an outlier.
     */
   def zscoreFlags(df: DataFrame, keyCol: String, valueCol: String,
       z: Int = 3, scale: Int = 100): DataFrame = {
     require(z >= 1 && scale >= 1, "z and scale must be >= 1")
     val v = floor(col(valueCol) * scale).cast("long")
     val scaled = df.withColumn("__v", v)
-    val stats = scaled.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+    // count(__v), not count(*): n must cover exactly the values the sums
+    // cover, or a null value would deflate its group's mean
+    val stats = scaled.groupBy(col(keyCol).as("__k"))
+      .agg(count(col("__v")).as("n"), sum(col("__v")).as("s"),
         sum(col("__v") * col("__v")).as("ss"))
     val nVar = col("n") * col("ss") - col("s") * col("s") // n²·σ²
-    scaled.join(stats, keyCol)
+    scaled.join(stats, scaled(keyCol) <=> stats("__k"), "left")
+      .drop("__k")
       .withColumn("is_anomaly",
-        col("n") >= 2 && nVar > 0 &&
-          (col("n") * col("__v") - col("s")) * (col("n") * col("__v") - col("s")) >
-            lit(z.toLong * z) * nVar)
+        coalesce(
+          col("n") >= 2 && nVar > 0 &&
+            (col("n") * col("__v") - col("s")) * (col("n") * col("__v") - col("s")) >
+              lit(z.toLong * z) * nVar,
+          lit(false)))
       .withColumnRenamed("__v", "v_scaled")
   }
 }

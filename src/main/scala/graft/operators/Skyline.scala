@@ -31,8 +31,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType,
   *
   * `dims`: (column, ascending?) — ascending=true means SMALLER is
   * better (minimize), false means larger is better. Numeric columns
-  * only; rows with a null in any skyline dimension are dropped (null
-  * has no place in a dominance order). All input columns pass through.
+  * only; rows with a null OR NaN in any skyline dimension are dropped
+  * (neither has a place in a dominance order — NaN compares false both
+  * ways, so it would sit in every front forever). All input columns
+  * pass through.
   */
 object Skyline {
 
@@ -73,7 +75,12 @@ object Skyline {
       }
       val window = scala.collection.mutable.ArrayBuffer.empty[Row]
       it.foreach { r =>
-        if (!idx.exists { case (i, _) => r.isNullAt(i) }) {
+        // null AND NaN rows are dropped: Java </> comparisons with NaN
+        // are always false, so a NaN row would never be dominated (nor
+        // dominate) and live in every front forever — and the naive
+        // reference formulation (na.drop) already treats NaN as missing.
+        // All three forms (skyline / skylineExec / skylineNaive) agree.
+        if (!idx.exists { case (i, _) => r.isNullAt(i) || dim(r, i).isNaN }) {
           var dominated = false
           var k = 0
           while (k < window.length && !dominated) {

@@ -112,9 +112,20 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val ptBucket = Alias(floorDiv(b.point), "__graft_pt_bucket")()
       val stop = if (b.upperInclusive) b.upper else Subtract(b.upper, Literal(1L))
       // Sequence is TimeZoneAware — without an explicit zone the node is
-      // unresolved and the optimizer's plan-integrity check rejects it
-      val gen = Explode(Sequence(floorDiv(b.lower), floorDiv(stop), None,
-        Some(conf.sessionLocalTimeZone)))
+      // unresolved and the optimizer's plan-integrity check rejects it.
+      // Guard the generator against EMPTY intervals (lo > hi, malformed
+      // rows): Sequence with step=None auto-picks step -1 there and
+      // generates a DESCENDING bucket range — correct-but-useless rows
+      // the recheck discards, and a wildly inverted interval (lo >> hi)
+      // materializes a huge array that can OOM an executor where the
+      // original nested-loop join handled the row harmlessly. An empty
+      // interval must explode to zero rows.
+      val startBucket = floorDiv(b.lower)
+      val stopBucket = floorDiv(stop)
+      val gen = Explode(If(LessThanOrEqual(startBucket, stopBucket),
+        Sequence(startBucket, stopBucket, None, Some(conf.sessionLocalTimeZone)),
+        Literal.create(Array.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
       val genAttr = AttributeReference("__graft_iv_bucket",
         LongType, nullable = false)()
       def project(side: LogicalPlan) =

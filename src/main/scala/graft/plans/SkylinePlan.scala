@@ -19,8 +19,8 @@ import org.apache.spark.sql.types._
   * without leaving the SQL engine.
   *
   * Semantics (identical to graft.operators.Skyline.skyline): dominated
-  * rows are dropped; rows with a null in any skyline dimension are
-  * dropped; ties (equal on every dimension) all survive.
+  * rows are dropped; rows with a null or NaN in any skyline dimension
+  * are dropped; ties (equal on every dimension) all survive.
   */
 case class SkylineNode(dims: Seq[(Attribute, Boolean)], child: LogicalPlan)
     extends UnaryNode {
@@ -91,7 +91,12 @@ case class SkylineExec(dims: Seq[(Attribute, Boolean)], child: SparkPlan)
       }
       val window = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       it.foreach { r =>
-        if (!dimMeta.exists { case (i, _, _) => r.isNullAt(i) }) {
+        // drop null AND NaN dimension rows (NaN compares false both ways
+        // in Java, so it would survive every front) — kept in lockstep
+        // with graft.operators.Skyline.skyline
+        if (!dimMeta.indices.exists { k =>
+          r.isNullAt(dimMeta(k)._1) || dim(r, k).isNaN
+        }) {
           var dominated = false
           var k = 0
           while (k < window.length && !dominated) {

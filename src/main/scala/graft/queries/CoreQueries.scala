@@ -75,9 +75,9 @@ object CoreQueries {
         .select("event_id", "event_type", "v_scaled")
         .orderBy("event_id"),
       Some("""WITH sc AS (SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
-             |st AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM sc GROUP BY 1)
+             |st AS (SELECT event_type, count(v) AS n, sum(v) AS s, sum(v * v) AS ss FROM sc GROUP BY 1)
              |SELECT event_id, sc.event_type, v AS v_scaled
-             |FROM sc JOIN st USING (event_type)
+             |FROM sc JOIN st ON sc.event_type IS NOT DISTINCT FROM st.event_type
              |WHERE n >= 2 AND n * ss - s * s > 0
              |  AND (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
              |ORDER BY event_id""".stripMargin.replace("\n", " "))),

@@ -19,7 +19,19 @@ object Tables {
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Evict cache entries whose session's context has stopped — without
+    * this, the static maps pin stopped sessions (and every cached plan)
+    * for the JVM lifetime in long-running multi-session processes. Runs
+    * on every access; the maps hold a handful of entries, so the sweep
+    * is a few reference reads.
+    */
+  private def sweepStopped(): Unit = {
+    loaded.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    registeredDir.keySet.removeIf(s => s.sparkContext.isStopped)
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    sweepStopped()
     loaded.computeIfAbsent((spark, sfDir, name), { key =>
       val df = spark.read.parquet(s"${key._2}/${key._3}.parquet")
       // events.ts is parquet TIMESTAMP(NANOS); with
@@ -31,21 +43,28 @@ object Tables {
         case None => df
       }
     })
+  }
 
   // last sfDir registered per session: re-register only when it changes
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register every testdata table as a temp view named as in FIXTURES.md §B.
-    * Idempotent per (session, sfDir): repeat calls are free.
+    * Idempotent per (session, sfDir): repeat calls are free — unless the
+    * caller dropped a view in the meantime, in which case the full set is
+    * re-registered (the memo alone would silently skip it forever).
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    sweepStopped()
     registeredDir.compute(spark, (_, prev) => {
-      if (prev != sfDir) {
+      val fresh = prev == sfDir &&
+        Schemas.testdataTables.forall(t => spark.catalog.tableExists(t))
+      if (!fresh) {
         Schemas.testdataTables.foreach { t =>
           load(spark, sfDir, t).createOrReplaceTempView(t)
         }
       }
       sfDir
     })
+  }
 }

@@ -68,4 +68,80 @@ class OpenMeteoSourceSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("fetcher seam: a canned-transport HTTP fetcher flows through the DataSourceV2 path") {
+    val df = spark.read.format("graft-openmeteo")
+      .option("cities", "Paris").option("date", "2026-08-12").option("hours", 2)
+      .option("fetcher", classOf[CannedOpenMeteoFetcher].getName)
+      .load()
+    val rows = df.orderBy("timestamp").collect()
+    assert(rows.length == 2, "two hourly entries in the canned body")
+    // the rows are exactly what the fetcher returned — full parse → rows
+    // path, zero network
+    val direct = new CannedOpenMeteoFetcher().fetch("Paris", "2026-08-12", 2)
+    assert(rows.map(_.getAs[String]("timestamp")).toSeq == direct.timestamps)
+    assert(rows.map(_.getAs[Double]("temperature_c")).toSeq == direct.temperatureC)
+    assert(rows.map(_.getAs[Double]("humidity_pct")).toSeq == direct.humidityPct)
+    assert(rows.map(_.getAs[Double]("windspeed_kmh")).toSeq == direct.windspeedKmh)
+    assert(rows.map(_.getAs[Double]("precipitation_mm")).toSeq == direct.precipitationMm)
+    assert(rows.forall(_.getAs[Double]("latitude") == direct.latitude))
+    // `hours` truncates a longer forecast-day response
+    val one = spark.read.format("graft-openmeteo")
+      .option("cities", "Paris").option("hours", 1)
+      .option("fetcher", classOf[CannedOpenMeteoFetcher].getName)
+      .load()
+    assert(one.count() == 1)
+  }
+
+  test("streaming without maxTicks is admission-bounded, not a Long.MaxValue batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "om_unbounded").toString
+    // no maxTicks option: the unfixed source planned (0 until
+    // Long.MaxValue) x cities partitions here and died before row one
+    val q = spark.readStream.format("graft-openmeteo")
+      .option("cities", cities.mkString(","))
+      .option("hours", 2)
+      .load()
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .outputMode("append").option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // AvailableNow on an unbounded source drains exactly one admission
+    // slice (ticksPerBatch defaults to 1) and terminates
+    assert(spark.read.parquet(s"$root/out").count() == cities.size * 2)
+  }
+
+  test("ticksPerBatch slices a bounded drain into multiple micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "om_sliced").toString
+    val q = spark.readStream.format("graft-openmeteo")
+      .option("cities", cities.mkString(","))
+      .option("hours", 2).option("maxTicks", 4).option("ticksPerBatch", 2)
+      .load()
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .outputMode("append").option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$root/out").count() == 4 * cities.size * 2)
+    // 4 ticks / 2 per batch = 2 commits in the offset log
+    val commits = new java.io.File(s"$root/chk/commits")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(commits == 2, s"expected 2 micro-batches, saw $commits commits")
+  }
+}
+
+/** Test fetcher: the real [[graft.sources.HttpOpenMeteoFetcher]] parse
+  * path with the transport stubbed to a canned Open-Meteo response body
+  * (3 hourly entries — callers asking fewer get a truncated observation).
+  */
+class CannedOpenMeteoFetcher extends graft.sources.HttpOpenMeteoFetcher {
+  override protected def get(url: String): String =
+    """{"latitude": 48.85, "longitude": 2.35, "hourly": {
+      |"time": ["2026-08-12T00:00", "2026-08-12T01:00", "2026-08-12T02:00"],
+      |"temperature_2m": [11.5, 12.5, 13.0],
+      |"relative_humidity_2m": [50.0, 51.0, 52.5],
+      |"wind_speed_10m": [5.0, 6.5, 7.0],
+      |"precipitation": [0.0, 0.1, 0.2]}}""".stripMargin
 }

@@ -264,6 +264,19 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("id", "size", "price"))
     val fast2 = Skyline.skyline(withNull, dims).select("id").as[Long].collect().toSet
     assert(fast2 == fast)
+    // a NaN dimension likewise drops the row in ALL THREE formulations
+    // (NaN compares false both ways, so an unfiltered NaN row would sit
+    // in every front forever and diverge from the naive na.drop path)
+    val withNaN = df.union(Seq((998L, 100, Double.NaN)).toDF("id", "size", "price"))
+    val fastN = Skyline.skyline(withNaN, dims).select("id").as[Long].collect().toSet
+    val naiveN = Skyline.skylineNaive(withNaN, dims).select("id").as[Long].collect().toSet
+    assert(fastN == fast && naiveN == fast, "NaN row must be dropped, not kept forever")
+    val prevStrat = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = prevStrat :+ graft.plans.SkylineStrategy
+    try {
+      val execN = Skyline.skylineExec(withNaN, dims).select("id").as[Long].collect().toSet
+      assert(execN == fast, "SkylineExec must drop NaN rows like the other forms")
+    } finally spark.experimental.extraStrategies = prevStrat
     // every non-skyline row is dominated by some skyline row
     val sky = rows.filter(r => fast.contains(r._1))
     rows.filterNot(r => fast.contains(r._1)).foreach { a =>
@@ -361,6 +374,19 @@ class PipelineOpsSpec extends SparkSpec {
     val mu = vals.sum / vals.size
     val sigma = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / vals.size)
     assert(math.abs(math.floor(500.0 * 100) - mu) > 3 * sigma)
+    // null-key and null-value rows are PRESERVED with definite flags: a
+    // null key is a group like any other (null-safe join), a null value
+    // flags false (it contributes nothing to its group's sums)
+    val withNulls = df.union(Seq[(java.lang.Long, String, java.lang.Double)](
+      (905L, null, 7.0), (906L, "g", null), (907L, null, 8.0))
+      .toDF("id", "grp", "value"))
+    val out = Anomaly.zscoreFlags(withNulls, "grp", "value")
+    assert(out.count() == withNulls.count(), "no input row may be dropped")
+    assert(out.filter(col("is_anomaly").isNull).count() == 0, "flags must be definite")
+    assert(out.filter(col("id").isin(905L, 906L, 907L) && col("is_anomaly"))
+      .count() == 0, "null-key/null-value rows must flag false here")
+    assert(out.filter(col("is_anomaly")).select("id").as[Long].collect().toSet
+      == Set(900L), "null rows must not perturb existing flags")
   }
 
   test("bigramLm: hand-computed fixed-point scores and cross-entropy") {

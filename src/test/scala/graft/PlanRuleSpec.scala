@@ -85,6 +85,31 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("range-join rule: inverted intervals (lo > hi) explode to zero buckets, not a descending range") {
+    import graft.plans.RangeJoinRule
+    import spark.implicits._
+    // one sane interval, one empty (lo == hi, exclusive upper), one wildly
+    // inverted (lo >> hi — the OOM shape the guard exists for: an
+    // unguarded Sequence would generate |lo-hi|/width descending buckets)
+    val intervals = Seq((1L, 0L, 250L), (2L, 500L, 500L), (3L, 5000000000L, 0L))
+      .toDF("iid", "lo", "hi")
+    val points = Seq((10L, 100L), (11L, 200L), (12L, 500L)).toDF("pid", "t")
+    def theta = points.join(intervals, col("t") >= col("lo") && col("t") < col("hi"))
+    val expected = theta.select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(expected == Set((10L, 1L), (11L, 1L)), "precondition: only interval 1 matches")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRule
+    spark.conf.set(RangeJoinRule.ConfKey, "64")
+    try {
+      val plan = theta.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"rule must fire:\n$plan")
+      assert(theta.select("pid", "iid").as[(Long, Long)].collect().toSet == expected)
+    } finally {
+      spark.conf.unset(RangeJoinRule.ConfKey)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("range-join rule leaves equi-keyed and outer joins alone") {
     import graft.plans.RangeJoinRule
     val a = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")

@@ -13,6 +13,19 @@ object Bench {
     // Warmup: JIT + codegen + parquet-reader init on the smallest SF, so
     // whichever query happens to run first isn't charged session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // IO warmup: fault every input byte into the page cache BEFORE any
+    // timing (this VM's cold reads jitter 2-5x run-to-run, which used to
+    // dominate cross-round comparisons). A Spark count() won't do it —
+    // parquet count reads only row-group metadata — so stream the raw
+    // files. Deterministic: no seed, no sampling, every byte exactly once.
+    def warmFiles(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(warmFiles)
+      else if (f.getName.endsWith(".parquet")) {
+        val in = new java.io.FileInputStream(f)
+        val buf = new Array[Byte](1 << 20)
+        try while (in.read(buf) >= 0) () finally in.close()
+      }
+    warmFiles(new java.io.File(sfDir))
     // Best-of-N per query (default 2): the first run pays page-cache and
     // codegen warmup; the min reflects steady-state engine cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)

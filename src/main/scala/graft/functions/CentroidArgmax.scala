@@ -9,10 +9,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Index of the centroid most cosine-similar to the input vector, ties →
-  * smallest index. The centroid matrix rides INSIDE the expression as a
-  * plain Scala array — it is shipped once per task via closure
-  * serialization (broadcast-by-construction) and scored in one tight
-  * loop per row.
+  * smallest index. A SMALL centroid matrix rides INSIDE the expression
+  * as a plain Scala array — shipped once per stage via the task-binary
+  * broadcast and scored in one tight loop per row. Above
+  * [[CentroidArgmax.broadcastThreshold]] elements (k×dim) the matrix
+  * moves into an explicit TorrentBroadcast and only the lightweight
+  * handle rides in the expression: a 4096×1024 model is ~32 MB of
+  * doubles, and carrying that inside the plan makes every plan copy,
+  * explain(), and AQE re-plan drag the matrix along — the broadcast
+  * variable is fetched once per executor instead.
   *
   * This exists because the expression-composition alternative —
   * `greatest(struct(cosine(v, lit(c0)), …), struct(…), …)` — builds an
@@ -27,10 +32,14 @@ import org.apache.spark.sql.types._
   * scores 0.0; ties take the smallest index (matching the top-1
   * bounded-heap and the struct-max formulations). Null input → null.
   */
-case class CentroidArgmax(child: Expression, centroids: Array[Array[Double]])
+case class CentroidArgmax(child: Expression, local: Array[Array[Double]],
+    bc: Option[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] = None)
     extends UnaryExpression with CodegenFallback {
 
-  require(centroids.nonEmpty, "need at least one centroid")
+  require(local.nonEmpty || bc.nonEmpty, "need at least one centroid")
+
+  @transient private lazy val centroids: Array[Array[Double]] =
+    bc.map(_.value).getOrElse(local)
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -97,6 +106,22 @@ case class CentroidArgmax(child: Expression, centroids: Array[Array[Double]])
 }
 
 object CentroidArgmax {
-  def argmax(vec: Column, centroids: Array[Array[Double]]): Column =
-    GraftSqlBridge.column(CentroidArgmax(GraftSqlBridge.expression(vec), centroids))
+
+  /** k×dim above which the matrix moves to an explicit broadcast
+    * variable (~8 MB of doubles) instead of riding in the plan.
+    */
+  val broadcastThreshold: Long = 1L << 20
+
+  def argmax(vec: Column, centroids: Array[Array[Double]],
+      threshold: Long = broadcastThreshold): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val elems = centroids.length.toLong * centroids.head.length
+    val expr =
+      if (elems >= threshold) {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        CentroidArgmax(GraftSqlBridge.expression(vec), Array.empty,
+          Some(sc.broadcast(centroids)))
+      } else CentroidArgmax(GraftSqlBridge.expression(vec), centroids)
+    GraftSqlBridge.column(expr)
+  }
 }

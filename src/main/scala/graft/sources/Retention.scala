@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+/** Age-based partition lifecycle — the engine analog of the reference's
+  * S3 lifecycle rules (terraform/modules/s3/main.tf:90-106: raw objects
+  * expire at 365 days and transition to a colder storage class at 30).
+  * Operates on a date-partitioned parquet root (`date=YYYY-MM-DD/`
+  * directories, the layout [[IO.writeCuratedParquet]] produces):
+  *
+  *  - [[expire]] DROPS partitions whose date is more than `maxAgeDays`
+  *    before `asOf` — the 365-day expiry.
+  *  - [[compactAged]] REWRITES each partition older than `minAgeDays`
+  *    into a single file — the 30-day transition: cold partitions stop
+  *    paying the many-small-files tax (listing time, open-per-file
+  *    cost), the cluster-side meaning of "cheaper, slower storage".
+  *    Fresh partitions keep their write-optimized multi-file layout.
+  *
+  * Both are ORPHAN-SAFE: only directories named exactly
+  * `<partitionCol>=<ISO date>` are candidates. Loose files, `_SUCCESS`/
+  * `_metadata`, `__HIVE_DEFAULT_PARTITION__`, malformed values, and
+  * other partition columns are never touched — and partitions inside
+  * the age window are never rewritten (byte-identity is spec-pinned).
+  *
+  * Scale shape: the driver only LISTS the partition directories (one
+  * level, O(number of partitions) — the same listing any partition-
+  * pruned read performs); each compaction is a distributed read→write
+  * of one partition. `asOf` is explicit, never wall-clock, so a sweep
+  * is reproducible and testable.
+  */
+object Retention {
+
+  /** Partition directories of `root` older than `olderThanDays` before
+    * `asOf`, with their parsed dates; non-conforming entries skipped.
+    */
+  private def aged(root: String, partitionCol: String, olderThanDays: Int,
+      asOf: LocalDate): Seq[(LocalDate, java.io.File)] = {
+    val cutoff = asOf.minusDays(olderThanDays.toLong)
+    val prefix = s"$partitionCol="
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .flatMap { f =>
+        try Some((LocalDate.parse(f.getName.stripPrefix(prefix)), f))
+        catch { case _: java.time.format.DateTimeParseException => None }
+      }
+      .filter { case (d, _) => d.isBefore(cutoff) }
+      .sortBy(_._1.toString)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Drop every `partitionCol=<date>` partition more than `maxAgeDays`
+    * old as of `asOf`. Returns the dropped partition dates (ISO),
+    * ascending.
+    */
+  def expire(root: String, maxAgeDays: Int, asOf: LocalDate,
+      partitionCol: String = "date"): Seq[String] = {
+    require(maxAgeDays >= 0, "maxAgeDays must be >= 0")
+    aged(root, partitionCol, maxAgeDays, asOf).map { case (d, dir) =>
+      deleteRecursively(dir)
+      d.toString
+    }
+  }
+
+  /** Rewrite every partition older than `minAgeDays` (as of `asOf`) that
+    * holds more than one data file into a single parquet file. Each
+    * rewrite lands in a temp directory first and replaces the original
+    * files only after the write succeeds, so a failed sweep leaves every
+    * partition readable. Returns the compacted partition dates (ISO).
+    */
+  def compactAged(spark: SparkSession, root: String, minAgeDays: Int,
+      asOf: LocalDate, partitionCol: String = "date"): Seq[String] = {
+    require(minAgeDays >= 0, "minAgeDays must be >= 0")
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    aged(root, partitionCol, minAgeDays, asOf).flatMap { case (d, dir) =>
+      val existing = dataFiles(dir)
+      if (existing.size <= 1) None // already cold-layout; never rewrite
+      else {
+        val tmp = new java.io.File(root, s"_compact_tmp_${partitionCol}_$d")
+        deleteRecursively(tmp)
+        // reading the partition DIRECTORY omits the partition column —
+        // correct here: the value lives in the directory name, and the
+        // rewrite stays inside that directory
+        spark.read.parquet(dir.getPath).coalesce(1)
+          .write.option("compression", "snappy").parquet(tmp.getPath)
+        val part = dataFiles(tmp) match {
+          case Seq(one) => one
+          case other => throw new IllegalStateException(
+            s"expected one compacted file, got ${other.size} in $tmp")
+        }
+        existing.foreach(_.delete())
+        val target = new java.io.File(dir, part.getName)
+        if (!part.renameTo(target))
+          throw new IllegalStateException(s"could not move $part into $dir")
+        deleteRecursively(tmp)
+        Some(d.toString)
+      }
+    }
+  }
+}

@@ -161,6 +161,60 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("retention: age-based expiry + aged compaction, orphan-safe, untouched bytes identical") {
+    import graft.sources.Retention
+    import java.time.LocalDate
+    val path = tmp("retention")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // three date partitions, multi-file each (4 writer tasks per date)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq("2026-01-01", "2026-07-20", "2026-08-10")(((i % 3)).toInt), i.toDouble))
+      .toDF("id", "date", "v").repartition(4)
+    rows.write.partitionBy("date").parquet(path)
+    // orphans the sweep must never touch: a loose file, a non-date dir,
+    // a default partition, a malformed date
+    val loose = new java.io.File(path, "notes.txt")
+    java.nio.file.Files.write(loose.toPath, "keep me".getBytes)
+    new java.io.File(path, "region=EU").mkdirs()
+    new java.io.File(path, "date=__HIVE_DEFAULT_PARTITION__").mkdirs()
+    new java.io.File(path, "date=not-a-date").mkdirs()
+    def files(p: String): Map[String, Long] =
+      Option(new java.io.File(s"$path/$p").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.length()).toMap
+    assert(files("date=2026-07-20").size > 1, "precondition: multi-file partition")
+    val freshBefore = files("date=2026-08-10")
+    val freshBytes = new java.io.File(s"$path/date=2026-08-10").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+
+    val asOf = LocalDate.parse("2026-08-13")
+    // expiry (the 365d lifecycle rule, here 180d): only 2026-01-01 is past it
+    assert(Retention.expire(path, maxAgeDays = 180, asOf = asOf) == Seq("2026-01-01"))
+    assert(!new java.io.File(s"$path/date=2026-01-01").exists())
+    // transition (the 30d rule, here 7d): 2026-07-20 compacts to ONE file,
+    // 2026-08-10 (3 days old) keeps its layout
+    assert(Retention.compactAged(spark, path, minAgeDays = 7, asOf = asOf)
+      == Seq("2026-07-20"))
+    assert(files("date=2026-07-20").size == 1, "aged partition must be one file")
+    // second sweep is a no-op (already compacted — never rewrite again)
+    assert(Retention.compactAged(spark, path, minAgeDays = 7, asOf = asOf).isEmpty)
+    // untouched partition: same file names, sizes, and BYTES
+    assert(files("date=2026-08-10") == freshBefore)
+    val freshAfter = new java.io.File(s"$path/date=2026-08-10").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+    assert(freshAfter == freshBytes, "untouched partition must be byte-identical")
+    // orphans intact; data readable and correct after the sweep
+    assert(loose.exists() && new java.io.File(path, "region=EU").exists()
+      && new java.io.File(path, "date=not-a-date").exists())
+    val back = spark.read.parquet(path)
+    assert(back.count() == 200, "expired partition gone, others complete")
+    assert(back.filter(col("date") === "2026-07-20").agg(sum("v")).as[Double].head()
+      == rows.filter(col("date") === "2026-07-20").agg(sum("v")).as[Double].head(),
+      "compaction must preserve every row")
+  }
+
   test("versioned snapshots: time travel, pointer commit, vacuum keeps committed") {
     import graft.sources.Versioned
     val root = tmp("versioned")

@@ -132,6 +132,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(0, 1, 2, 0))
   }
 
+  test("CentroidArgmax at k=4096 broadcasts the matrix; assignments match the in-plan form") {
+    import graft.functions.CentroidArgmax
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents = Array.fill(4096)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    // k x dim = 65536 elements: force both paths around it
+    def assign(threshold: Long) = vecs
+      .select(col("id"), CentroidArgmax.argmax(col("v"), cents, threshold).as("c"))
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    val viaBroadcast = assign(threshold = 1L)          // always broadcast
+    val viaPlan = assign(threshold = Long.MaxValue)    // always in-plan
+    assert(viaBroadcast == viaPlan, "broadcast and in-plan forms must agree")
+    // the broadcast form's expression carries a handle, not the matrix —
+    // the plan string stays small no matter how big the model is
+    val bcCol = CentroidArgmax.argmax(col("v"), cents, 1L)
+    val bcExpr = org.apache.spark.sql.GraftSqlBridge.expression(bcCol)
+      .asInstanceOf[CentroidArgmax]
+    assert(bcExpr.bc.isDefined && bcExpr.local.isEmpty)
+    val planCol = CentroidArgmax.argmax(col("v"), cents, Long.MaxValue)
+    assert(org.apache.spark.sql.GraftSqlBridge.expression(planCol)
+      .asInstanceOf[CentroidArgmax].bc.isEmpty)
+  }
+
   test("ivfQuery over a cell-partitioned written index equals the inline path") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 3)

@@ -347,20 +347,55 @@ object CoreQueries {
     // over a value set is partition-order independent) but hash-family
     // specific → rows-only; SketchAggSpec pins error bounds and the
     // exact-below-capacity case.
+    // KMV theta-sketch set cardinalities — oracle-checked via ERROR
+    // BOUNDS: the estimates are hash-order-internal, but "within the
+    // sketch's relative error of the exact set sizes" is SQL. The exact
+    // distinct/intersection/union counts come from one per-user
+    // aggregate (both engines), the booleans ride the margins: ~4/√k
+    // for the direct estimates; the intersection inherits the union's
+    // error scaled by 1/Jaccard, so its margin is wider.
     QueryDef("a10_kmv_overlap",
       (s, dir) => {
         import graft.functions.KmvFunctions._
         val k = 256
-        t(s, dir, "events")
+        val est = t(s, dir, "events")
           .agg(
             kmv_sketch(when(col("event_type") === "view", col("user_id")), k).as("sv"),
             kmv_sketch(when(col("event_type") === "click", col("user_id")), k).as("sc"))
           .select(
-            round(kmv_distinct(col("sv"), k), 2).as("est_viewers"),
-            round(kmv_distinct(col("sc"), k), 2).as("est_clickers"),
-            round(kmv_intersect(col("sv"), col("sc"), k), 2).as("est_overlap"),
-            round(kmv_union_distinct(col("sv"), col("sc"), k), 2).as("est_either"))
+            kmv_distinct(col("sv"), k).as("est_viewers"),
+            kmv_distinct(col("sc"), k).as("est_clickers"),
+            kmv_intersect(col("sv"), col("sc"), k).as("est_overlap"),
+            kmv_union_distinct(col("sv"), col("sc"), k).as("est_either"))
+        val exact = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+            max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"))
+          .agg(
+            sum(col("v")).as("exact_viewers"),
+            sum(col("c")).as("exact_clickers"),
+            sum(col("v") * col("c")).as("exact_overlap"),
+            sum(greatest(col("v"), col("c"))).as("exact_either"))
+        def ok(estC: Column, exactC: Column, tol: Double): Column =
+          abs(estC / exactC.cast("double") - 1.0) <= tol
+        est.crossJoin(exact).select(
+          col("exact_viewers"), col("exact_clickers"),
+          col("exact_overlap"), col("exact_either"),
+          ok(col("est_viewers"), col("exact_viewers"), 0.25).as("viewers_ok"),
+          ok(col("est_clickers"), col("exact_clickers"), 0.25).as("clickers_ok"),
+          ok(col("est_overlap"), col("exact_overlap"), 0.5).as("overlap_ok"),
+          ok(col("est_either"), col("exact_either"), 0.25).as("either_ok"))
       },
-      None)
+      Some("""WITH pu AS (SELECT user_id,
+             |max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             |max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+             |FROM events GROUP BY user_id)
+             |SELECT CAST(sum(v) AS BIGINT) AS exact_viewers,
+             |CAST(sum(c) AS BIGINT) AS exact_clickers,
+             |CAST(sum(v * c) AS BIGINT) AS exact_overlap,
+             |CAST(sum(greatest(v, c)) AS BIGINT) AS exact_either,
+             |TRUE AS viewers_ok, TRUE AS clickers_ok, TRUE AS overlap_ok, TRUE AS either_ok
+             |FROM pu""".stripMargin.replace("\n", " ")))
   )
 }

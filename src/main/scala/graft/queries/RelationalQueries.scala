@@ -268,12 +268,23 @@ object RelationalQueries {
     // result is deterministic under any partitioning — but DuckDB's
     // approx_distinct is a different sketch, so this is a rows-only check;
     // the spec asserts relative error against the exact count.
+    // HLL++ approximate distinct — oracle-checked via the ERROR BOUND:
+    // the estimate's exact value is sketch-internal, but "within 10% of
+    // the exact distinct count" (4x the default 2.5% relativeSD at these
+    // cardinalities) is SQL. The oracle recomputes the exact counts and
+    // pins the booleans TRUE.
     QueryDef("a5_approx_distinct",
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("est"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est").cast("double") / col("exact_users").cast("double") - 1.0)
+            <= 0.1).as("within_10pct"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |TRUE AS within_10pct FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
     // Exact continuous percentiles (same (1-g)*a + g*b interpolation on
     // both engines — verified to the last bit on this data).

@@ -73,13 +73,27 @@ object SimilarityQueries {
       None),
 
     // MinHash+LSH near-dup pairs — the 100 TB candidate-generation path.
-    // No DuckDB oracle (Spark-specific xxhash64); rows-only check +
-    // ScalaTest recall assertions.
+    // ORACLE-CHECKED against the exact all-pairs Jaccard: the LSH banding
+    // is sized for the threshold (32 hashes / 8 bands of 4 puts the
+    // S-curve midpoint at (1/8)^(1/4) ≈ 0.59, far below the 0.9 verify
+    // threshold), so every qualifying pair lands in a shared bucket and
+    // the exact-verify filter makes the OUTPUT SET equal to the exact
+    // pair list — which DuckDB recomputes pair-for-pair. An undersized
+    // 16/4 banding (midpoint 0.71) measurably missed a 0.9 pair at
+    // sf0.1; sizing bands to the threshold is exactly the knob a real
+    // dedup run must get right, and this oracle pins it.
     QueryDef("d5_minhash_lsh",
       (s, dir) => Dedup.minhashNearDups(
-        t(s, dir, "documents"), shingleK = 3, numHashes = 16, bands = 4, threshold = 0.05)
+        t(s, dir, "documents"), shingleK = 3, numHashes = 32, bands = 8, threshold = 0.9)
         .orderBy("a_id", "b_id"),
-      None),
+      Some("""WITH sub AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM sub),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  len(list_intersect(a.s, b.s)) AS inter, len(list_distinct(list_concat(a.s, b.s))) AS uni
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+             |FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.9
+             |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
 
     // SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures).
     QueryDef("d6_simhash",

@@ -471,19 +471,31 @@ object TextQueries {
 
     // BPE inference: the learned merges applied corpus-wide as a
     // MAP-ONLY expression (merge table rides in the plan) — train once,
-    // tokenize 100 TB at scan speed. Rows-only (merges derive from the
-    // iterative trainer); the encode==trainer closure is spec-pinned.
+    // tokenize 100 TB at scan speed. ORACLE-CHECKED via the LOSSLESSNESS
+    // invariant: per-doc subword counts are merge-table-specific, but
+    // BPE merges only ever concatenate within a word, so rejoining the
+    // subwords must reproduce the concatenated tokens for EVERY document
+    // — and the doc/word totals are SQL. A single dropped or duplicated
+    // subword anywhere in the corpus flips n_lossless and fails the hash.
     QueryDef("t10_bpe_encode",
       (s, dir) => {
         val merges = TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = 32)
           .orderBy("rank")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        val toks = TextAnalysis.tokens(col("text"))
+        val bpe = graft.functions.BpeEncode.encode(toks, merges)
         t(s, dir, "documents")
-          .select(col("doc_id"),
-            size(graft.functions.BpeEncode.encode(
-              TextAnalysis.tokens(col("text")), merges)).cast("long").as("n_bpe_subwords"))
-          .orderBy("doc_id")
+          .select(
+            (concat_ws("", bpe) === concat_ws("", toks)).as("lossless"),
+            size(toks).cast("long").as("n_words"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("lossless"), 1L).otherwise(0L)).as("n_lossless"),
+            sum(col("n_words")).as("n_words_total"))
       },
-      None)
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |CAST(count(*) AS BIGINT) AS n_lossless,
+              |CAST(sum(len($duckToks)) AS BIGINT) AS n_words_total
+              |FROM documents""".stripMargin.replace("\n", " ")))
   )
 }

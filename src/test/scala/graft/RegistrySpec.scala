@@ -17,19 +17,15 @@ class RegistrySpec extends AnyFunSuite {
   test("rows-only queries are exactly the documented allowlist") {
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     val allowed = Set(
-      "d5_minhash_lsh",    // Spark xxhash64 not reproducible in DuckDB; recall spec
-      "d6_simhash",        // same hash family; identity/Hamming specs
+      "d6_simhash",        // engine hash family; identity/Hamming specs
       "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
       "v2_knn_ivf",        // approximate; recall-vs-brute-force spec
-      "a5_approx_distinct",// DuckDB uses a different sketch; error-bound spec
       "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
       "m1_media_features", // binary payloads; MultimodalSpec
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs
-      "a10_kmv_overlap",   // xxhash64 sketch not reproducible in DuckDB; error-bound spec
-      "t9_bpe_merges",     // iterative merge state not SQL-expressible; hand-computed spec
-      "t10_bpe_encode")    // merges derive from the iterative trainer; closure spec
+      "t9_bpe_merges")     // iterative merge state not SQL-expressible; hand-computed spec
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
   }

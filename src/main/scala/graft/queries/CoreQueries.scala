@@ -340,13 +340,43 @@ object CoreQueries {
              |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_joined
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
-    // KMV/theta-sketch audience overlap: distinct viewers, clickers, and
-    // their intersection estimated from two bottom-k sketches built in
-    // ONE aggregation pass — the set-expression capability HLL lacks
-    // (|A∩B| of 100 TB key sets without a join). Deterministic (a KMV
-    // over a value set is partition-order independent) but hash-family
-    // specific → rows-only; SketchAggSpec pins error bounds and the
-    // exact-below-capacity case.
+    // Column-level encryption round-trip (f14): the engine analog of the
+    // reference's at-rest encryption (KMS/SSE in its terraform) — PII
+    // columns encrypted with codegen'd aes_encrypt (GCM for sealed
+    // fields, deterministic ECB where joinability on the ciphertext is
+    // required), then decrypted back. Ciphertexts are key/IV-internal,
+    // but the INVARIANTS are SQL: every row round-trips, and the
+    // deterministic mode yields identical ciphertext across independent
+    // encryptions (count == n_rows each).
+    QueryDef("f14_crypto_roundtrip",
+      (s, dir) => {
+        import graft.operators.Crypto
+        val key = "0123456789abcdef" // 16-byte demo key; the KMS seam injects real ones
+        val src = t(s, dir, "customer").select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_name").as("orig_name"), col("c_mktsegment").as("orig_seg"))
+        val enc = Crypto.encryptColumns(
+          Crypto.encryptColumns(src, Seq("c_name"), key),
+          Seq("c_mktsegment"), key, deterministic = true)
+          .withColumn("seg_ct", col("c_mktsegment"))
+        val dec = Crypto.decryptColumns(
+          Crypto.decryptColumns(enc, Seq("c_name"), key),
+          Seq("c_mktsegment"), key, deterministic = true)
+        val again = Crypto.encryptColumns(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          Seq("c_mktsegment"), key, deterministic = true)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg_enc2"))
+        dec.join(again, "c_custkey")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("c_name") === col("orig_name"), 1L).otherwise(0L)).as("n_name_roundtrip"),
+            sum(when(col("c_mktsegment") === col("orig_seg"), 1L).otherwise(0L)).as("n_seg_roundtrip"),
+            sum(when(col("seg_ct") === col("seg_enc2"), 1L).otherwise(0L)).as("n_det_stable"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(*) AS n_name_roundtrip,
+             |count(*) AS n_seg_roundtrip, count(*) AS n_det_stable
+             |FROM customer""".stripMargin.replace("\n", " "))),
+
     // KMV theta-sketch set cardinalities — oracle-checked via ERROR
     // BOUNDS: the estimates are hash-order-internal, but "within the
     // sketch's relative error of the exact set sizes" is SQL. The exact

@@ -134,29 +134,51 @@ object SimilarityQueries {
              |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin.replace("\n", " "))),
 
     // IVF-style approximate top-k — the ANN scale path (probes nprobe
-    // cells instead of the full corpus). Deterministic but Spark-specific
-    // ranking internals; rows-only check + recall-vs-brute-force spec.
+    // cells instead of the full corpus). ORACLE-CHECKED via the RECALL
+    // BOUND: the neighbor list is index-internal, but "IVF finds at
+    // least half of the true top-10" is a per-query boolean the oracle
+    // pins — the true top-10 comes from bruteForceKnn, itself
+    // hash-anchored by v1's full oracle. Observed floors: 0.7 at
+    // sf0.01 (500 vecs / 16 cells / 4 probes is a hard regime), 1.0 at
+    // sf0.1 — the 0.5 bound has 0.2+ margin everywhere. A query losing
+    // ALL its neighbors vanishes from the output and fails rows_match.
     QueryDef("v2_knn_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Similarity.ivfKnn(e, e.filter(col("vec_id") < 5), k = 10,
-          numCentroids = 16, nprobe = 4)
-          .orderBy("query_id", "rank")
+        val q = e.filter(col("vec_id") < 5)
+        val ivf = Similarity.ivfKnn(e, q, k = 10, numCentroids = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"))
+        Similarity.bruteForceKnn(e, q, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          .select(col("query_id"), (col("hits") >= 5).as("recall_ok"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
 
-    // IVF with k-means-refined centroids (rows-only: approximate index;
-    // DedupSimilaritySpec pins objective monotonicity, determinism, and
+    // IVF with k-means-refined centroids — same recall-bound oracle as
+    // v2 (observed floors 0.8 / 1.0); the refinement itself is pinned by
+    // DedupSimilaritySpec (objective monotonicity, determinism,
     // planted-cluster recovery).
     QueryDef("v4_kmeans_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Similarity.ivfQuery(
+        val q = e.filter(col("vec_id") < 5)
+        val km = Similarity.ivfQuery(
           Similarity.ivfIndexKmeans(e, numCentroids = 16, iters = 3),
-          e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
-          .orderBy("query_id", "rank")
+          q, k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"))
+        Similarity.bruteForceKnn(e, q, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(km, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          .select(col("query_id"), (col("hits") >= 5).as("recall_ok"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
 
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic

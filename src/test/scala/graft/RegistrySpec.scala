@@ -19,8 +19,6 @@ class RegistrySpec extends AnyFunSuite {
     val allowed = Set(
       "d6_simhash",        // engine hash family; identity/Hamming specs
       "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
-      "v2_knn_ivf",        // approximate; recall-vs-brute-force spec
-      "v4_kmeans_ivf",     // approximate; kmeans objective/determinism specs
       "m1_media_features", // binary payloads; MultimodalSpec
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec

@@ -180,6 +180,25 @@ object SimilarityQueries {
       Some("""SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
              |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
 
+    // Product-quantization ANN (Jégou et al. 2011): embeddings compress
+    // 32× into per-subspace codes, queries score by asymmetric distance
+    // (m table lookups per row instead of d multiplies). Rows-only:
+    // quantized distances are model-internal (the codebooks come from
+    // an iterative trainer), and this near-uniform testdata is PQ's
+    // theoretical worst case (recall@10 is 0.1-0.6 here by design of
+    // the data, not a bug) — PqSpec pins the ADC identity, planted-
+    // cluster retrieval, and determinism instead.
+    QueryDef("pq1_adc_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.operators.Pq.train(e, m = 8, k = 16)
+        graft.operators.Pq.query(
+          graft.operators.Pq.encode(e, model),
+          e.filter(col("vec_id") < 5), model, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic
     // group. Rows-only (k-means float model is engine-specific); the

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+
+/** Product-quantization semantics: the ADC identity (asymmetric
+  * distance == squared L2 to the reconstruction), planted-cluster
+  * retrieval, training determinism, and encode shape/invariance.
+  */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 4 well-separated centers in 32-dim; 40 tight points each. PQ's
+  // honest regime: structured data (uniform random is its theoretical
+  // worst case — distance concentration swamps the quantizer, which is
+  // why the registry query is rows-only).
+  private def clustered = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4, 32)((c, j) => if (j % 4 == c) 10.0 else 0.0)
+    val rows = for (c <- 0 until 4; i <- 0 until 40) yield {
+      val id = (c * 40 + i).toLong
+      (id, c, Seq.tabulate(32)(j => (centers(c)(j) + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    rows.toDF("vec_id", "cluster", "embedding")
+  }
+
+  test("ADC distance equals squared L2 to the reconstruction, row for row") {
+    val df = clustered
+    val model = Pq.train(df, m = 8, k = 16)
+    val enc = Pq.encode(df, model)
+    val q = df.filter(col("vec_id") === 0L)
+    val adc = Pq.query(enc, q, model, topK = 5)
+      .select("neighbor_id", "adc_dist").as[(Long, Double)].collect().toMap
+    val qv = q.select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val codes = enc.filter(col("vec_id").isin(adc.keys.toSeq: _*))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    adc.foreach { case (nid, d) =>
+      val rec = Pq.reconstruct(model, codes(nid))
+      val exact = qv.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(d - exact) < 1e-4, s"ADC identity broke for neighbor $nid: $d vs $exact")
+    }
+  }
+
+  test("planted clusters: every ADC neighbor is a cluster-mate of its query") {
+    val df = clustered
+    val model = Pq.train(df, m = 8, k = 16)
+    val enc = Pq.encode(df, model)
+    val queries = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L)) // one per cluster
+    val got = Pq.query(enc, queries, model, topK = 10)
+      .join(df.select(col("vec_id").as("neighbor_id"), col("cluster").as("n_cluster")), "neighbor_id")
+      .join(df.select(col("vec_id").as("query_id"), col("cluster").as("q_cluster")), "query_id")
+    assert(got.count() == 4 * 10)
+    assert(got.filter(col("n_cluster") =!= col("q_cluster")).count() == 0,
+      "an ADC neighbor escaped its query's cluster")
+  }
+
+  test("training is deterministic and partitioning-invariant; codes are m ints < k") {
+    val df = clustered
+    val m1 = Pq.train(df, m = 8, k = 16)
+    val m2 = Pq.train(df.repartition(13), m = 8, k = 16)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "training must not depend on partitioning")
+    val codes = Pq.encode(df, m1).orderBy("vec_id")
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = Pq.encode(df.repartition(7), m1).orderBy("vec_id")
+      .select("codes").as[Seq[Int]].collect()
+    assert(again.toSeq == codes.toSeq, "encode must not depend on partitioning")
+  }
+
+  test("dimension not divisible by m is rejected") {
+    intercept[IllegalArgumentException] {
+      Pq.train(clustered, m = 5, k = 16)
+    }
+  }
+}

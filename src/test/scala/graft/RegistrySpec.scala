@@ -23,7 +23,8 @@ class RegistrySpec extends AnyFunSuite {
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs
-      "t9_bpe_merges")     // iterative merge state not SQL-expressible; hand-computed spec
+      "t9_bpe_merges",     // iterative merge state not SQL-expressible; hand-computed spec
+      "pq1_adc_topk")      // quantized distances are model-internal; ADC-identity/cluster specs
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
   }

@@ -75,4 +75,34 @@ class PqSpec extends SparkSpec {
       Pq.train(clustered, m = 5, k = 16)
     }
   }
+
+  test("IVFPQ with a full probe equals plain PQ; cluster probes stay in-cluster") {
+    import graft.operators.Similarity
+    val df = clustered
+    val model = Pq.train(df, m = 8, k = 16)
+    val queries = df.filter(col("vec_id").isin(0L, 45L, 90L, 135L))
+    // refined centroids: the raw seed (first 8 rows by id) lands every
+    // centroid inside cluster 0, so cells would not align with clusters
+    val index = Similarity.ivfIndexKmeans(df, numCentroids = 8, iters = 4)
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // IVFPQ must reproduce exact-PQ row for row
+    val full = Pq.ivfPqQuery(index, model, queries, topK = 10, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val plain = Pq.query(Pq.encode(df, model), queries, model, topK = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full == plain, "full-probe IVFPQ must equal plain PQ")
+    // a narrow probe on planted clusters still returns only cluster-mates
+    val narrow = Pq.ivfPqQuery(index, model, queries, topK = 10, nprobe = 3)
+      .join(df.select(col("vec_id").as("neighbor_id"), col("cluster").as("n_cluster")), "neighbor_id")
+      .join(df.select(col("vec_id").as("query_id"), col("cluster").as("q_cluster")), "query_id")
+    assert(narrow.count() == 4 * 10)
+    assert(narrow.filter(col("n_cluster") =!= col("q_cluster")).count() == 0)
+    // pruneCells must not change results
+    val unpruned = Pq.ivfPqQuery(index, model, queries, topK = 10, nprobe = 3,
+      pruneCells = false)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val pruned = Pq.ivfPqQuery(index, model, queries, topK = 10, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(unpruned == pruned)
+  }
 }

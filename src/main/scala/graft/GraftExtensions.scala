@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CosineSimilarity, HeavyHittersAgg, JaccardSim,
-  KmvSketchAgg, LshBands, MinHashSig, SimHash64, TDigestAgg,
+  JaroWinklerSim, KmvSketchAgg, LshBands, MinHashSig, SimHash64, TDigestAgg,
   WinnowFingerprints, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -100,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 2, "jaccard_sim(set1, set2)")
         JaccardSim(e(0), e(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "jaro_winkler(str1, str2)")
+        JaroWinklerSim(e(0), e(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),

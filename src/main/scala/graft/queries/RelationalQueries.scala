@@ -979,6 +979,134 @@ object RelationalQueries {
              |SELECT d_key, m_key, CAST(levenshtein(d_name, m_name) AS BIGINT) AS lev
              |FROM probe JOIN master USING (blk)
              |WHERE levenshtein(d_name, m_name) <= 1
-             |ORDER BY d_key, m_key""".stripMargin.replace("\n", " ")))
+             |ORDER BY d_key, m_key""".stripMargin.replace("\n", " "))),
+
+    // Jaro-Winkler similarity (f7's levenshtein sibling — the census
+    // record-linkage standard) via the custom codegen'd expression
+    // graft.functions.JaroWinklerSim; all nation-name pairs, round-6
+    // contract to absorb last-ulp float association differences.
+    QueryDef("er2_jaro_winkler",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        n.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
+          .crossJoin(n.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name")))
+          .filter(col("a_key") < col("b_key"))
+          .select(col("a_key"), col("b_key"),
+            round(graft.functions.JaroWinklerSim.jaro_winkler(
+              col("a_name"), col("b_name")), 6).as("jw"))
+          .orderBy("a_key", "b_key")
+      },
+      Some("""SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+             |ROUND(jaro_winkler_similarity(a.n_name, b.n_name), 6) AS jw
+             |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+             |ORDER BY a_key, b_key""".stripMargin.replace("\n", " "))),
+
+    // Linear-regression aggregate family (regr_slope / intercept / r2 /
+    // count): price-on-quantity trend per return flag. Single-pass
+    // partial-aggregated moments — one shuffle keyed on the group — so the
+    // plan is identical in shape to stat1. Merge order differs between
+    // engines (~1e-12 relative), so both sides round to 6 decimals, the
+    // same contract stat1 uses.
+    QueryDef("stat2_regression",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             |ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             |ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+             |ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
+    // Equi-depth histogram (vs h1's equi-width): boundaries from ONE exact
+    // percentile aggregation (a6 proves Spark percentile == DuckDB
+    // quantile_cont bit-exact), then a map-only bucket assignment against
+    // the broadcast 7-value boundary row — never a global sort/ntile, so
+    // the plan scales: aggregate + broadcast + scan, no single-partition
+    // window. Data is 2-decimal so a boundary ulp can never cross a value.
+    QueryDef("h2_equidepth",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val qs = li.agg(expr(
+          "percentile(l_extendedprice, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))").as("qs"))
+        val bucket = (1 to 7)
+          .map(i => (col("l_extendedprice") > element_at(col("qs"), i)).cast("long"))
+          .reduce(_ + _) + lit(1L)
+        li.crossJoin(broadcast(qs))
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS qs FROM lineitem)
+             |SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM (
+             |SELECT l_extendedprice,
+             |1 + CAST(l_extendedprice > qs[1] AS BIGINT) + CAST(l_extendedprice > qs[2] AS BIGINT)
+             |+ CAST(l_extendedprice > qs[3] AS BIGINT) + CAST(l_extendedprice > qs[4] AS BIGINT)
+             |+ CAST(l_extendedprice > qs[5] AS BIGINT) + CAST(l_extendedprice > qs[6] AS BIGINT)
+             |+ CAST(l_extendedprice > qs[7] AS BIGINT) AS bucket
+             |FROM lineitem, q) GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
+    // Sweep-line interval analytics: treating each event as a 5-minute
+    // activity interval, the max number simultaneously open and the total
+    // covered time per event type — graft.operators.Intervals (unions of
+    // +1/-1 deltas + one keyed window; no self-join, no pair blow-up).
+    QueryDef("ivl1_concurrency",
+      (s, dir) => {
+        val winUs = 300L * 1000000L
+        val iv = t(s, dir, "events").select(col("event_type"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + winUs).as("e_us"))
+        graft.operators.Intervals
+          .maxConcurrent(iv, col("s_us"), col("e_us"), Seq("event_type"))
+          .join(graft.operators.Intervals
+            .coveredMicros(iv, col("s_us"), col("e_us"), Seq("event_type")), Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+             |SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+             |UNION ALL SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+             |r AS (SELECT event_type, t, delta,
+             |sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open,
+             |lead(t) OVER (PARTITION BY event_type ORDER BY t, delta) AS next_t FROM d)
+             |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent,
+             |CAST(sum(CASE WHEN open > 0 AND next_t IS NOT NULL THEN next_t - t ELSE 0 END) AS BIGINT) AS covered_us
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // SCD Type 2 dimension build from the event log (gaps-and-islands):
+    // one row per (user, event_type run) with validity bounds — the
+    // standard warehouse history dimension, via graft.operators.Scd
+    // (two windows sharing one Exchange+Sort).
+    QueryDef("scd1_type2",
+      (s, dir) => {
+        val log = t(s, dir, "events").filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t_us"), col("event_id"))
+        graft.operators.Scd.type2(log, "user_id", "event_type",
+          Seq(col("t_us"), col("event_id")))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from").as("valid_from_us"),
+            col("valid_to").as("valid_to_us"), col("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id FROM events WHERE user_id < 100),
+             |m AS (SELECT user_id, event_type, t_us, event_id,
+             |CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |FROM log WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+             |v AS (SELECT user_id, event_type, t_us,
+             |sum(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM m),
+             |runs AS (SELECT user_id, CAST(version AS BIGINT) AS version, min(event_type) AS event_type, min(t_us) AS valid_from_us
+             |FROM v GROUP BY user_id, version)
+             |SELECT user_id, version, event_type, valid_from_us,
+             |lead(valid_from_us) OVER wv AS valid_to_us,
+             |lead(valid_from_us) OVER wv IS NULL AS is_current
+             |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+             |ORDER BY user_id, version""".stripMargin.replace("\n", " ")))
   )
 }

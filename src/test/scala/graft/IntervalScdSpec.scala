@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Intervals, Scd}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sweep-line interval analytics + SCD Type 2 gaps-and-islands. */
+class IntervalScdSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("maxConcurrent: hand-computed overlap, half-open boundaries") {
+    // key a: [0,10) [5,15) [10,20) — at t=10 the first closes AS the third
+    // opens, so max is 2, not 3. key b: disjoint singletons → 1.
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L),
+      ("b", 0L, 1L), ("b", 2L, 3L)).toDF("k", "s", "e")
+    val got = Intervals.maxConcurrent(iv, col("s"), col("e"), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("maxConcurrent equals the brute-force sweep on random intervals") {
+    val rnd = new scala.util.Random(7)
+    val ivs = Seq.fill(300) {
+      val s = rnd.nextInt(1000).toLong
+      ("k", s, s + 1 + rnd.nextInt(50))
+    }
+    val got = Intervals.maxConcurrent(ivs.toDF("k", "s", "e"), col("s"), col("e"), Seq("k"))
+      .collect().head.getLong(1)
+    // Brute force: concurrency at each start instant (max is always
+    // attained at some interval's start under half-open semantics).
+    val naive = ivs.map(_._2).map(t => ivs.count(iv => iv._2 <= t && t < iv._3)).max
+    assert(got == naive.toLong)
+  }
+
+  test("coveredMicros: merged union length, gaps excluded") {
+    // [0,10) ∪ [5,15) ∪ [20,25) → 15 + 5 = 20; singleton key → 3.
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 20L, 25L),
+      ("b", 100L, 103L)).toDF("k", "s", "e")
+    val got = Intervals.coveredMicros(iv, col("s"), col("e"), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 20L), ("b", 3L)))
+  }
+
+  test("scd type2: runs collapse, bounds chain, last run is current") {
+    val log = Seq(
+      (1L, "x", 10L, 1L), (1L, "x", 20L, 2L), (1L, "y", 30L, 3L),
+      (1L, "x", 40L, 4L), // x returns: a NEW version, not merged with run 1
+      (2L, "z", 5L, 5L)).toDF("uid", "attr", "t", "eid")
+    val got = Scd.type2(log, "uid", "attr", Seq(col("t"), col("eid")))
+      .orderBy("uid", "version")
+      .select("uid", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+    assert(got.toSeq == Seq(
+      Row(1L, 1L, "x", 10L, 30L, false),
+      Row(1L, 2L, "y", 30L, 40L, false),
+      Row(1L, 3L, "x", 40L, null, true),
+      Row(2L, 1L, "z", 5L, null, true)))
+  }
+
+  test("scd type2: valid_to of run k equals valid_from of run k+1 (no gaps)") {
+    val rnd = new scala.util.Random(11)
+    val log = (1 to 500).map { i =>
+      (rnd.nextInt(5).toLong, s"v${rnd.nextInt(3)}", i.toLong * 10, i.toLong)
+    }.toDF("uid", "attr", "t", "eid")
+    val dim = Scd.type2(log, "uid", "attr", Seq(col("t"), col("eid"))).cache()
+    val gaps = dim.as("a").join(dim.as("b"),
+        col("a.uid") === col("b.uid") && col("a.version") + 1 === col("b.version"))
+      .filter(col("a.valid_to") =!= col("b.valid_from"))
+    assert(gaps.count() == 0)
+    // exactly one current row per key; every observation falls inside its run
+    assert(dim.filter(col("is_current")).groupBy("uid").count()
+      .filter(col("count") =!= 1).count() == 0)
+    dim.unpersist()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relational edge lists.
+  *
+  * Triangle counting is the canonical "naive SQL blows up at scale" graph
+  * operator: the textbook 3-way self-join enumerates every WEDGE (path of
+  * length 2), and wedge count grows with the square of the max degree — a
+  * single celebrity vertex with 10⁶ neighbors yields 10¹² wedges. The
+  * degree-orientation algorithm (Cohen 2009 / Suri-Vassilvitskii 2011
+  * "Counting Triangles and the Curse of the Last Reducer") bounds this:
+  * orient every edge from its lower-(degree, id) endpoint to the higher,
+  * making the graph a DAG in which each vertex's out-degree is O(√|E|),
+  * so wedges generated per vertex are O(|E|) total regardless of skew.
+  * Same three shuffles as the naive join, strictly fewer intermediate
+  * rows — the 100 TB-safe formulation.
+  */
+object Graph {
+
+  /** Canonical undirected edge list: (u < v), loops dropped, duplicates
+    * collapsed. Input columns may list either endpoint first.
+    */
+  def canonicalEdges(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(
+      least(col(src), col(dst)).cast("long").as("u"),
+      greatest(col(src), col(dst)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+
+  /** Exact triangle count via degree orientation. Result: one row
+    * (n_triangles). The count is orientation-invariant, so it equals the
+    * naive u<v<w 3-way self-join — which is what the DuckDB oracle states.
+    */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = canonicalEdges(edges, src, dst)
+    // degree per vertex (over the canonical edge set)
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher — a total order, so
+    // the oriented graph is a DAG with out-degree O(sqrt(|E|))
+    val withDeg = e
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("d")))
+        .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    // wedges s→m→t closed by oriented edge s→t; each triangle has exactly
+    // one lowest-rank vertex, so it is counted exactly once
+    val wedges = oriented.as("o1").join(oriented.as("o2"), col("o1.d") === col("o2.s"))
+      .select(col("o1.s").as("a"), col("o1.d").as("b"), col("o2.d").as("c"))
+    wedges.join(oriented.as("o3"),
+        col("a") === col("o3.s") && col("c") === col("o3.d"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines over the
@@ -393,5 +393,44 @@ object TextAnalysis {
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(toks) - lit(k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** Per-document duplicated-span share — the exact-substring-duplication
+    * curation signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": spans repeated across the corpus are memorized
+    * disproportionately). For each doc: how many of its distinct word
+    * k-grams also occur in at least one OTHER document, and the fraction.
+    * Near-1 ⇒ boilerplate/template/duplicated content even when no full-doc
+    * fingerprint matches.
+    *
+    * Plan shape: explode distinct k-grams (map-side, the fused WordShingles
+    * expression), one hash-aggregate shuffle keyed on the gram for corpus
+    * document frequencies, one shuffle back on the gram to tag each doc's
+    * grams, one keyed aggregate per doc — all partial-aggregated, no
+    * self-join, no driver state. At 100 TB swap `shingles` for
+    * `shingleHashes` (same set semantics, 64-bit keys ⇒ ~3× narrower
+    * shuffles); the string form is kept here for oracle comparability.
+    */
+  def dupSpanStats(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol), explode(shingles(col(textCol), k)).as("gram"))
+    // df counts docs per gram: gram lists are distinct within a doc, so
+    // count(*) == count(DISTINCT doc) without the expensive distinct agg.
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+    // Keep docs too short to have any k-gram (explode dropped them): 0/0.
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_grams").cast("double")))
   }
 }

@@ -194,6 +194,20 @@ object IoQueries {
       },
       Some("SELECT event_id, event_type, value FROM events WHERE event_id BETWEEN 2000 AND 3000 ORDER BY event_id")),
 
+    // Per-file Bloom index: point lookup over a hash-interleaved layout
+    // where min/max envelopes cannot prune (every file spans the domain);
+    // the bloom-pruned scan must equal a full scan + equality filter.
+    QueryDef("l5_bloom_scan",
+      (s, dir) => {
+        val out = qtmp("l5")
+        val events = t(s, dir, "events").select("event_id", "user_id", "value")
+        events.repartition(16, col("value")).write.mode("overwrite").parquet(out)
+        val idx = SkipIndex.buildBloom(s, out, "user_id", expectedPerFile = 100000L)
+        val (scan, _, _) = SkipIndex.pointScan(s, out, idx, "user_id", 42L)
+        scan.orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, value FROM events WHERE user_id = 42 ORDER BY event_id")),
+
     // Z-order layout: multi-dimensional clustering on (user_id, value),
     // then an index-pruned scan on user_id — pruning on a dimension a
     // linear layout cannot skip on. Row-identical to a plain filter.

@@ -1079,6 +1079,82 @@ object RelationalQueries {
              |CAST(sum(CASE WHEN open > 0 AND next_t IS NOT NULL THEN next_t - t ELSE 0 END) AS BIGINT) AS covered_us
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Market-basket association mining: co-purchased part pairs with
+    // support and lift. Pairs come from a per-order self-join — bounded by
+    // (lines per order)² ≈ 4², never corpus², so the pair stage is
+    // O(orders), one shuffle on the order key; singleton counts broadcast
+    // back onto the pair aggregate (two small dims at any SF).
+    QueryDef("mba1_lift",
+      (s, dir) => {
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val nOrders = op.select("ok").distinct().count()
+        val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+        val pairs = op.as("a").join(op.as("b"), col("a.ok") === col("b.ok"))
+          .filter(col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        pairs
+          .join(broadcast(item.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+          .join(broadcast(item.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+          .select(col("pa"), col("pb"), col("support"),
+            round((col("support") * lit(nOrders)).cast("double") /
+              (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+          .orderBy("pa", "pb")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+             |item AS (SELECT pk, count(*) AS cnt FROM op GROUP BY pk),
+             |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS support
+             |FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT pa, pb, CAST(support AS BIGINT) AS support,
+             |ROUND(CAST(support * n_orders AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE), 6) AS lift
+             |FROM pairs CROSS JOIN n JOIN item ia ON pairs.pa = ia.pk JOIN item ib ON pairs.pb = ib.pk
+             |ORDER BY pa, pb""".stripMargin.replace("\n", " "))),
+
+    // Cohort retention: users grouped by first-activity week, distinct
+    // active users per (cohort, week offset) — the standard growth
+    // analytics matrix. Two shuffles: first-touch argmin per user, then
+    // one distinct-count aggregate; both keyed, no window over the corpus.
+    QueryDef("coh1_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+             |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+             |CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,
+             |CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+             |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin.replace("\n", " "))),
+
+    // Exact triangle count over the co-purchase graph via degree
+    // orientation (graft.operators.Graph — wedges bounded O(|E|^1.5)
+    // regardless of skew, where the oracle's naive 3-way self-join is
+    // quadratic in max degree; counts are provably identical).
+    QueryDef("graph1_triangles",
+      (s, dir) => {
+        val op = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val edges = op.as("a").join(op.as("b"), col("a.ok") === col("b.ok"))
+          .filter(col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        graft.operators.Graph.triangleCount(edges, "u", "v")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+             |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+             |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin.replace("\n", " "))),
+
     // SCD Type 2 dimension build from the event log (gaps-and-islands):
     // one row per (user, event_type run) with validity bounds — the
     // standard warehouse history dimension, via graft.operators.Scd

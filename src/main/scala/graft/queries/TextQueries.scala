@@ -496,6 +496,29 @@ object TextQueries {
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
               |CAST(count(*) AS BIGINT) AS n_lossless,
               |CAST(sum(len($duckToks)) AS BIGINT) AS n_words_total
-              |FROM documents""".stripMargin.replace("\n", " ")))
+              |FROM documents""".stripMargin.replace("\n", " "))),
+
+    // Duplicated-span share (Lee et al. 2022 exact-substring signal): per
+    // doc, the fraction of its distinct word 8-grams that occur in ≥1
+    // OTHER document — catches boilerplate/templating that whole-doc
+    // fingerprints miss. Three partial-aggregated shuffles, no self-join
+    // (see TextAnalysis.dupSpanStats scale notes).
+    QueryDef("t11_dup_spans",
+      (s, dir) => TextAnalysis.dupSpanStats(t(s, dir, "documents"), k = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |sh AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) END AS s FROM tok),
+              |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+              |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+              |per AS (SELECT g.doc_id, count(*) AS n_grams, sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_dup
+              |FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+              |SELECT d.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+              |CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+              |ROUND(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+              |ELSE CAST(per.n_dup AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END, 6) AS dup_frac
+              |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+              |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -132,4 +132,87 @@ object SkipIndex {
         .parquet(keep: _*).filter(pred)
     (df, keep.size, total)
   }
+
+  // ---------------------------------------------------------------- bloom
+
+  /** Per-file Bloom index for POINT lookups — the complement of the
+    * min/max envelope, which cannot prune `id = x` on a column whose
+    * values interleave across files (every envelope contains x). One
+    * Bloom filter per file answers "might this file contain x" with
+    * false positives only, so pruning stays a pure optimization.
+    *
+    * Cost model: unlike `build` (footer-only), a Bloom index needs the
+    * column's VALUES — one distributed scan of that single column at
+    * build time (the same price every table format pays for its bloom
+    * index). The index is one row per file at ~`-log2(fpp)·n/8` bytes
+    * each; 1M keys at 1% fpp ≈ 1.2 MB/file.
+    *
+    * The per-file aggregation is genuinely per-partition imperative
+    * state (a mutable bit array), so this is one of the rare RDD
+    * `aggregateByKey` uses — the same mechanism `DataFrameStatFunctions
+    * .bloomFilter` employs internally.
+    */
+  def buildBloom(spark: SparkSession, path: String, colName: String,
+      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val table = spark.read.parquet(path)
+    val dt = table.schema(table.schema.fieldIndex(colName)).dataType
+    require(Set[DataType](IntegerType, LongType, StringType).contains(dt),
+      s"unsupported bloom column type for $colName: ${dt.simpleString}")
+    val asKey = dt match {
+      case StringType => col(colName)
+      case _ => col(colName).cast(LongType)
+    }
+    val pairs = table
+      .select(input_file_name().as("file"), asKey.as("v"))
+      .filter(col("v").isNotNull)
+      .rdd.map(r => (r.getString(0), r.get(1)))
+    val zero = BloomFilter.create(expectedPerFile, fpp)
+    val blooms = pairs.aggregateByKey(zero)(
+      (bf, v) => { bf.put(v); bf },
+      (a, b) => a.mergeInPlace(b))
+    val rows = blooms.map { case (f, bf) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Row(f, bos.toByteArray)
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("file", StringType), StructField("bloom", BinaryType))))
+  }
+
+  /** Files that might contain `value` per the Bloom index. Driver-side
+    * metadata operation, like [[candidateFiles]]: the index is file-count
+    * sized. Never a false negative — a file truly containing the value is
+    * always returned.
+    */
+  def bloomCandidateFiles(index: DataFrame, value: Any): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    index.select("file", "bloom").collect().iterator.filter { r =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      bf.mightContain(value)
+    }.map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Bloom-pruned point lookup: read only files that might contain the
+    * key, then apply the exact equality. Row-identical to full scan +
+    * filter; returns (dataframe, filesRead, filesTotal).
+    */
+  def pointScan(spark: SparkSession, path: String, index: DataFrame,
+      colName: String, value: Any): (DataFrame, Int, Int) = {
+    val schema = spark.read.parquet(path).schema
+    val dt = schema(schema.fieldIndex(colName)).dataType
+    val probe: Any = dt match {
+      case StringType => value.toString
+      case _ => value.asInstanceOf[Number].longValue()
+    }
+    val keep = bloomCandidateFiles(index, probe)
+    val total = index.count().toInt
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.option("basePath", path).schema(schema)
+        .parquet(keep: _*).filter(col(colName) === lit(value))
+    (df, keep.size, total)
+  }
 }

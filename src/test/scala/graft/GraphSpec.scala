@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degree-oriented triangle counting vs brute-force enumeration. */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
+    val set = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    val verts = set.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      i <- verts.indices; j <- (i + 1) until verts.size; k <- (j + 1) until verts.size
+      a = verts(i); b = verts(j); c = verts(k)
+      if set((a, b)) && set((b, c)) && set((a, c))
+    } yield 1).size.toLong
+  }
+
+  test("known shapes: triangle, square, K4, disconnected") {
+    // one triangle + one square (0 triangles) + K4 (4 triangles)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),                       // triangle
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),     // square
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L)) // K4
+    val got = Graph.triangleCount(edges.toDF("u", "v"), "u", "v")
+      .collect().head.getLong(0)
+    assert(got == 5L)
+  }
+
+  test("random graph matches brute force; duplicates/reversed/loops ignored") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(400)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    // feed unclean input: loops, duplicates, both orientations
+    val dirty = edges ++ edges.map(_.swap) ++ Seq((5L, 5L), (7L, 7L))
+    val got = Graph.triangleCount(dirty.toDF("u", "v"), "u", "v")
+      .collect().head.getLong(0)
+    assert(got == bruteTriangles(edges))
+  }
+
+  test("star graph (max skew): zero triangles, wedges stay linear") {
+    // 1 hub connected to 1000 leaves: naive wedge count would be ~10^6/2
+    // from the hub; orientation gives the hub the HIGHEST (deg,id) rank,
+    // so all edges point INTO it and it generates zero wedges.
+    val star = (1L to 1000L).map(i => (0L, i))
+    val got = Graph.triangleCount(star.toDF("u", "v"), "u", "v")
+      .collect().head.getLong(0)
+    assert(got == 0L)
+  }
+
+  test("empty and edgeless inputs count zero") {
+    val got = Graph.triangleCount(Seq((1L, 1L)).toDF("u", "v"), "u", "v")
+      .collect().head.getLong(0)
+    assert(got == 0L)
+  }
+}

@@ -85,6 +85,36 @@ class LakehouseSpec extends SparkSpec {
     assert(empty.count() == 0 && readNone == 0)
   }
 
+  test("bloom index: point scan equals full filter, prunes interleaved files") {
+    val path = tmp("bloomidx")
+    // Hash-interleaved ids: every file's [min,max] envelope spans nearly
+    // the whole domain, so min/max pruning is USELESS here — the case the
+    // bloom index exists for.
+    val df = (0L until 20000L).map(i => (i * 2654435761L % 20011L, i))
+      .toDF("id", "payload")
+    df.repartition(16).write.mode("overwrite").parquet(path)
+    val minmax = SkipIndex.build(spark, path, Seq("id"))
+    val bloom = SkipIndex.buildBloom(spark, path, "id", expectedPerFile = 5000L)
+    assert(bloom.count() == minmax.count())
+    val probe = 12345L * 2654435761L % 20011L // a value that exists
+    assert(SkipIndex.candidateFiles(minmax, "id", probe, probe).size ==
+      minmax.count().toInt) // envelopes keep everything
+    val (scan, read, total) = SkipIndex.pointScan(spark, path, bloom, "id", probe)
+    val expected = spark.read.parquet(path).filter(col("id") === probe)
+    assert(scan.orderBy("payload").as[(Long, Long)].collect().toSeq ==
+      expected.orderBy("payload").as[(Long, Long)].collect().toSeq)
+    assert(read < total, s"bloom pruned nothing: $read of $total")
+    // no false negatives on a sample of existing keys
+    val keys = spark.read.parquet(path).select("id").as[Long].take(50)
+    keys.foreach { k =>
+      val (s2, _, _) = SkipIndex.pointScan(spark, path, bloom, "id", k)
+      assert(s2.count() == spark.read.parquet(path).filter(col("id") === k).count())
+    }
+    // absent key: result empty regardless of how many files survive the probe
+    val (missing, _, _) = SkipIndex.pointScan(spark, path, bloom, "id", 999999L)
+    assert(missing.count() == 0)
+  }
+
   test("z-order prunes on BOTH dimensions where linear layout prunes on one") {
     val rnd = new scala.util.Random(5)
     val df = Seq.fill(20000)((rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong))

@@ -205,6 +205,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set(10L, 12L))
   }
 
+  test("dupSpanStats: shared spans counted, short and unique docs exact") {
+    // k=3 grams. Docs 1 and 2 share "a b c" and "b c d"; doc 3 is unique;
+    // doc 4 is too short for any 3-gram; doc 5 repeats doc 1 verbatim.
+    val docs = Seq(
+      (1L, "a b c d"),           // grams {a b c, b c d} — both shared
+      (2L, "a b c d e"),         // grams {a b c, b c d, c d e}
+      (3L, "x y z w"),           // grams {x y z, y z w} — none shared
+      (4L, "p q"),               // no grams
+      (5L, "a b c d")            // identical to doc 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanStats(docs, k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 3L, 2L, 2.0 / 3.0),
+      (3L, 2L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0),
+      (5L, 2L, 2L, 1.0)))
+  }
+
   test("tokenChunks: stride offsets, last chunk reaches the end, edge docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 4 chunks

@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Co-occurrence pairs from (group, item) rows: one output row (pa, pb)
+    * with pa < pb for EVERY group containing both items. The naive form is
+    * a self-join on the group key — two scans plus a shuffle each side;
+    * this form aggregates each group's distinct items into one sorted
+    * array (one shuffle) and explodes the pairs map-side with
+    * higher-order functions, staying inside codegen. Sound because pair
+    * count per group is bounded by basket size² (baskets are small —
+    * orders, sessions, sentences), NOT corpus²; for degenerate giant
+    * groups, cap the basket upstream.
+    */
+  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("it"))
+      .filter(col("it").isNotNull)
+      .groupBy("g").agg(sort_array(collect_set(col("it"))).as("basket"))
+      .select(explode(expr(
+        """flatten(transform(basket,
+          |  (x, i) -> transform(slice(basket, i + 2, size(basket)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+
   /** Canonical undirected edge list: (u < v), loops dropped, duplicates
     * collapsed. Input columns may list either endpoint first.
     */

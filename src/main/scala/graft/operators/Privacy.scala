@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity auditing over quasi-identifier columns.
+  *
+  * The reference platform's whole PII posture is "drop or hash the
+  * obvious identifiers" (scripts/glue_etl/glue_job.py drops `email`,
+  * hashes `name`); the release-readiness question a data platform must
+  * also answer is re-identification by quasi-identifier COMBINATION
+  * (the Sweeney result: zip+birthdate+sex identifies most of the US).
+  * A relation is k-anonymous over a quasi-identifier set when every
+  * combination present is shared by ≥ k rows.
+  *
+  * One hash-aggregate shuffle keyed on the quasi-identifier tuple;
+  * `suppress` adds a broadcast-ready semi-join of the violating combos
+  * back onto the relation — O(combinations) state, never O(rows).
+  */
+object Privacy {
+
+  /** Quasi-identifier combinations with fewer than k rows — the groups a
+    * release would have to suppress or generalize. NULL counts as a
+    * value (a null zip is itself identifying when rare).
+    */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_rows"))
+      .filter(col("group_rows") < k)
+  }
+
+  /** Audit summary: total combos, violating combos, rows at risk, and the
+    * smallest group size (the relation's actual k).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_rows"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("group_rows") < k, 1L).otherwise(0L)).as("violating_groups"),
+        sum(when(col("group_rows") < k, col("group_rows")).otherwise(0L)).as("rows_at_risk"),
+        min(col("group_rows")).as("min_group_rows"))
+  }
+
+  /** The k-anonymous subset: rows whose quasi-identifier combination has
+    * ≥ k occurrences (violating groups suppressed whole). Null-safe on
+    * the group columns.
+    */
+  def suppress(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    val bad = kAnonymityViolations(df, quasiIds, k).select(quasiIds.map(col): _*)
+    val cond = quasiIds.map(c => df(c) <=> bad(c)).reduce(_ && _)
+    df.join(bad, cond, "left_anti")
+  }
+}

@@ -169,6 +169,32 @@ object Validation {
     Between("aqi", 0, 500), Between("battery_level", 0, 100),
     RowCountGreaterThan(0))
 
+  /** Referential-integrity expectation (GE's
+    * expect_column_values_to_be_in_other_table): child keys must exist in
+    * the parent relation. This is the one suite member that inherently
+    * needs a SECOND relation, so it cannot ride the single-agg pass —
+    * it is one anti-join (Catalyst broadcasts a small parent; a 100 TB
+    * parent key set shuffles both sides once on the key) plus one
+    * aggregate over the child. Null child keys pass, matching the
+    * suite's 3-valued-logic convention (`between`, `in_set`).
+    *
+    * One row out: total_rows, null_keys, orphan_rows,
+    * orphan_keys (distinct), success.
+    */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val keyed = child.select(col(childKey).as("k"))
+    val orphans = keyed.filter(col("k").isNotNull)
+      .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"),
+        countDistinct(col("k")).as("orphan_keys"))
+    keyed
+      .agg(count(lit(1)).as("total_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"))
+      .crossJoin(orphans)
+      .withColumn("success", col("orphan_rows") === 0L)
+  }
+
   /** The validator's per-column tallies as a DataFrame — the SQL-checkable
     * face of V1/V2/V3 used by `SparkEntry.queries` ("a1_validation_fused").
     */

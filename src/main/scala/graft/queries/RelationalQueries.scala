@@ -1079,27 +1079,126 @@ object RelationalQueries {
              |CAST(sum(CASE WHEN open > 0 AND next_t IS NOT NULL THEN next_t - t ELSE 0 END) AS BIGINT) AS covered_us
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Referential-integrity expectation (Validation.referentialIntegrity):
+    // one passing FK (events.user_id ⊆ customer keys) and one engineered
+    // violation (parent truncated to keys > 50) so the orphan counting is
+    // observed non-trivially, not just a 0-orphans success row.
+    QueryDef("a12_ref_integrity",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cust = t(s, dir, "customer")
+        val ok = graft.operators.Validation
+          .referentialIntegrity(ev, "user_id", cust, "c_custkey")
+          .withColumn("check_name", lit("fk_events_customer"))
+        val bad = graft.operators.Validation
+          .referentialIntegrity(ev, "user_id",
+            cust.filter(col("c_custkey") > 50), "c_custkey")
+          .withColumn("check_name", lit("fk_events_customer_gt50"))
+        ok.unionByName(bad)
+          .select(col("check_name"), col("total_rows"), col("null_keys"),
+            col("orphan_rows"), col("orphan_keys"), col("success"))
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'fk_events_customer' AS check_name,
+             |(SELECT count(*) FROM events) AS total_rows,
+             |(SELECT count(*) FROM events WHERE user_id IS NULL) AS null_keys,
+             |(SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS orphan_rows,
+             |(SELECT count(DISTINCT e.user_id) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS orphan_keys,
+             |(SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) = 0 AS success
+             |UNION ALL SELECT 'fk_events_customer_gt50',
+             |(SELECT count(*) FROM events),
+             |(SELECT count(*) FROM events WHERE user_id IS NULL),
+             |(SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_custkey > 50)),
+             |(SELECT count(DISTINCT e.user_id) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_custkey > 50)),
+             |(SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_custkey > 50)) = 0
+             |ORDER BY check_name""".stripMargin.replace("\n", " "))),
+
+    // Golden-record survivorship (entity resolution's last step): per
+    // entity keep ONE record by rule priority — non-null measure first,
+    // then latest, then highest id. A struct-max ARGMAX: one partial-
+    // aggregated shuffle, no window sort over the corpus (max_by with a
+    // deterministic composite key).
+    QueryDef("er3_survivorship",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"))
+        .groupBy("user_id")
+        .agg(max(struct(col("value").isNotNull.cast("int").as("nn"),
+          col("t_us"), col("event_id"))).as("best"))
+        .select(col("user_id"), col("best.event_id").as("event_id"),
+          col("best.t_us").as("t_us"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, t_us FROM (
+             |SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             |row_number() OVER (PARTITION BY user_id
+             |ORDER BY (value IS NOT NULL) DESC, epoch_us(ts) DESC, event_id DESC) AS rn
+             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // k-anonymity audit (graft.operators.Privacy): does any quasi-
+    // identifier combination — segment × nation × balance-sign —
+    // identify fewer than k customers? One hash-aggregate shuffle keyed
+    // on the combo; state is O(combinations), never O(rows).
+    QueryDef("priv1_kanonymity",
+      (s, dir) => graft.operators.Privacy.kAnonymityAudit(
+        t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"),
+          (col("c_acctbal") < 0).as("neg_bal")),
+        Seq("c_mktsegment", "c_nationkey", "neg_bal"), k = 5),
+      Some("""WITH g AS (SELECT c_mktsegment, c_nationkey, (c_acctbal < 0) AS neg_bal,
+             |count(*) AS group_rows FROM customer GROUP BY 1, 2, 3)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |CAST(sum(CASE WHEN group_rows < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+             |CAST(sum(CASE WHEN group_rows < 5 THEN group_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             |CAST(min(group_rows) AS BIGINT) AS min_group_rows
+             |FROM g""".stripMargin.replace("\n", " "))),
+
+    // Winsorization: clip values into the per-group [p05, p95] band —
+    // the standard robust-statistics pre-step. Exact percentiles (one
+    // keyed aggregate, a6/a7-proven bit parity with quantile_cont) ride
+    // a broadcast join back onto the rows; the clip itself is map-only.
+    QueryDef("p10_winsorize",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        val qs = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(qs), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("winsorized"))
+          .orderBy("event_id")
+      },
+      Some("""WITH q AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+             |quantile_cont(value, 0.95) AS hi FROM events WHERE value IS NOT NULL GROUP BY event_type)
+             |SELECT event_id, e.event_type, value, least(greatest(value, lo), hi) AS winsorized
+             |FROM events e JOIN q ON e.event_type = q.event_type
+             |WHERE e.value IS NOT NULL ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // Market-basket association mining: co-purchased part pairs with
-    // support and lift. Pairs come from a per-order self-join — bounded by
-    // (lines per order)² ≈ 4², never corpus², so the pair stage is
-    // O(orders), one shuffle on the order key; singleton counts broadcast
-    // back onto the pair aggregate (two small dims at any SF).
+    // support and lift. Pairs come from the basket-explode formulation
+    // (Graph.cooccurrencePairs: one shuffle on the order key, pairs
+    // generated map-side, bounded by basket² ≈ 4² per order — never the
+    // self-join's second scan+shuffle); singleton counts and the order
+    // total ride broadcast joins, so no driver-side count action.
     QueryDef("mba1_lift",
       (s, dir) => {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val nOrders = op.select("ok").distinct().count()
+        val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
         val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-        val pairs = op.as("a").join(op.as("b"), col("a.ok") === col("b.ok"))
-          .filter(col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .agg(count(lit(1)).as("support"))
+        val pairs = graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
+          .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
         pairs
           .join(broadcast(item.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
           .join(broadcast(item.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+          .crossJoin(broadcast(nOrders))
           .select(col("pa"), col("pb"), col("support"),
-            round((col("support") * lit(nOrders)).cast("double") /
+            round((col("support") * col("n_orders")).cast("double") /
               (col("ca") * col("cb")).cast("double"), 6).as("lift"))
           .orderBy("pa", "pb")
       },
@@ -1144,9 +1243,8 @@ object RelationalQueries {
       (s, dir) => {
         val op = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val edges = op.as("a").join(op.as("b"), col("a.ok") === col("b.ok"))
-          .filter(col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        val edges = graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
+          .select(col("pa").as("u"), col("pb").as("v")).distinct()
         graft.operators.Graph.triangleCount(edges, "u", "v")
       },
       Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),

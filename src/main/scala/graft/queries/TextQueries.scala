@@ -141,6 +141,35 @@ object TextQueries {
       Some("""SELECT source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS INT) AS fold, count(*) AS cnt
              |FROM documents GROUP BY 1, 2 ORDER BY source, fold""".stripMargin.replace("\n", " "))),
 
+    // Poisson-bootstrap uncertainty: 10 deterministic replicates of the
+    // mean event value. Multiplicities are inverse-CDF Poisson(1) draws
+    // on md5 hashes — map-only, no global n, no sort (the online
+    // bootstrap); the oracle's CASE chain is GENERATED from the same CDF
+    // doubles so the draw is bit-identical in both engines.
+    QueryDef("samp8_bootstrap",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select("event_id", "value")
+        graft.operators.Sampling.bootstrapReplicates(ev, "event_id", reps = 10)
+          .groupBy(col("replicate").cast("long").as("replicate"))
+          .agg(sum(col("m")).cast("long").as("n_eff"),
+            (sum(col("value").cast("decimal(18,2)") * col("m")).cast("double") /
+              sum(col("m")).cast("double")).as("boot_mean"))
+          .orderBy("replicate")
+      },
+      Some {
+        val arms = graft.operators.Sampling.poissonCdf1.zipWithIndex
+          .map { case (c, i) => s"WHEN u < $c THEN $i" }.mkString(" ")
+        s"""WITH r AS (SELECT range AS rep FROM range(10)),
+           |b AS (SELECT e.event_id, e.value, r.rep,
+           |('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || 'graft:boot' || CAST(r.rep AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+           |FROM events e CROSS JOIN r WHERE e.value IS NOT NULL),
+           |c AS (SELECT event_id, value, rep, CASE $arms ELSE 8 END AS m FROM b)
+           |SELECT CAST(rep AS BIGINT) AS replicate, CAST(sum(m) AS BIGINT) AS n_eff,
+           |CAST(sum(CAST(value AS DECIMAL(18,2)) * m) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS boot_mean
+           |FROM c GROUP BY rep ORDER BY replicate""".stripMargin.replace("\n", " ")
+      }),
+
     // Per-group cap: keep the n longest docs per source via the
     // bounded-heap top-k (map-side partial, no window sort).
     QueryDef("samp2_cap_per_group",

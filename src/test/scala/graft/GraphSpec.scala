@@ -51,6 +51,20 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == 0L)
   }
 
+  test("cooccurrencePairs equals the self-join formulation") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(600)((rnd.nextInt(80).toLong, rnd.nextInt(25).toLong))
+      .distinct.toDF("g", "item")
+    val viaBasket = Graph.cooccurrencePairs(rows, "g", "item")
+      .groupBy("pa", "pb").count()
+      .orderBy("pa", "pb").collect().toSeq
+    val viaJoin = rows.as("a").join(rows.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("pa"), col("b.item").as("pb")).count()
+      .orderBy("pa", "pb").collect().toSeq
+    assert(viaBasket == viaJoin)
+  }
+
   test("empty and edgeless inputs count zero") {
     val got = Graph.triangleCount(Seq((1L, 1L)).toDF("u", "v"), "u", "v")
       .collect().head.getLong(0)

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Privacy, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** k-anonymity auditing + deterministic Poisson bootstrap. */
+class PrivacyBootstrapSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val people = Seq(
+    // (zip, age_band, id): "10001"/"30s" ×3, "10001"/"40s" ×1 (violates
+    // k=2), "20002"/"30s" ×2, null zip ×1 (violates)
+    ("10001", "30s", 1L), ("10001", "30s", 2L), ("10001", "30s", 3L),
+    ("10001", "40s", 4L),
+    ("20002", "30s", 5L), ("20002", "30s", 6L),
+    (null, "30s", 7L)).toDF("zip", "age_band", "id")
+
+  test("kAnonymityViolations and audit: exact groups, nulls count as values") {
+    val bad = Privacy.kAnonymityViolations(people, Seq("zip", "age_band"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(bad == Set(("10001", "40s", 1L), (null, "30s", 1L)))
+    val a = Privacy.kAnonymityAudit(people, Seq("zip", "age_band"), k = 2).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) == (4L, 2L, 2L, 1L))
+  }
+
+  test("suppress removes exactly the violating groups, null-safely") {
+    val kept = Privacy.suppress(people, Seq("zip", "age_band"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L))
+    // suppressed relation is k-anonymous by construction
+    assert(Privacy.kAnonymityViolations(
+      Privacy.suppress(people, Seq("zip", "age_band"), k = 2),
+      Seq("zip", "age_band"), k = 2).count() == 0)
+  }
+
+  test("bootstrapCount: multiplicities bounded, mean ~1, replicates differ") {
+    val df = (1L to 20000L).toDF("id")
+      .select(col("id"),
+        Sampling.bootstrapCount(col("id"), 0).as("m0"),
+        Sampling.bootstrapCount(col("id"), 1).as("m1"))
+    val rows = df.agg(min("m0"), max("m0"), avg("m0"), avg("m1"),
+      sum(when(col("m0") =!= col("m1"), 1).otherwise(0))).collect().head
+    assert(rows.getInt(0) >= 0 && rows.getInt(1) <= 8)
+    assert(math.abs(rows.getDouble(2) - 1.0) < 0.03) // E[Poisson(1)] = 1
+    assert(math.abs(rows.getDouble(3) - 1.0) < 0.03)
+    assert(rows.getLong(4) > 10000L) // replicates are independent draws
+  }
+
+  test("bootstrapReplicates: deterministic under repartitioning, zeros dropped") {
+    val base = (1L to 500L).toDF("id")
+    val a = Sampling.bootstrapReplicates(base, "id", reps = 3)
+      .orderBy("id", "replicate").collect().toSeq
+    val b = Sampling.bootstrapReplicates(base.repartition(7), "id", reps = 3)
+      .orderBy("id", "replicate").collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getInt(2) > 0))
+    // ~36.8% of (row, replicate) pairs draw zero and are dropped
+    val frac = a.size.toDouble / (500 * 3)
+    assert(frac > 0.55 && frac < 0.72)
+  }
+}

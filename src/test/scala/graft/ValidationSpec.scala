@@ -82,4 +82,20 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.weatherSuite.size == 6) // 3 not_null + 2 between + row_count
     assert(Validation.iotSuite.size == 9)     // 4 not_null + 4 between + row_count
   }
+
+  test("referential integrity: orphans counted, null child keys pass") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = Validation.referentialIntegrity(child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("total_rows") == 7L)
+    assert(r.getAs[Long]("null_keys") == 1L)   // 3-valued logic: null passes
+    assert(r.getAs[Long]("orphan_rows") == 3L) // 9, 9, 8
+    assert(r.getAs[Long]("orphan_keys") == 2L) // {9, 8}
+    assert(!r.getAs[Boolean]("success"))
+    val ok = Validation.referentialIntegrity(
+      child.filter($"fk".isNull || $"fk" < 4), "fk", parent, "pk").collect().head
+    assert(ok.getAs[Boolean]("success") && ok.getAs[Long]("orphan_rows") == 0L)
+  }
 }

@@ -38,8 +38,11 @@ object Intervals {
       endUs: Column,
       keys: Seq[String]): DataFrame = {
     val k = keys.map(col)
-    val deltas = df.select(k :+ startUs.as("t") :+ lit(1).as("delta"): _*)
-      .unionAll(df.select(k :+ endUs.as("t") :+ lit(-1).as("delta"): _*))
+    // null-endpoint intervals are meaningless and would sort first,
+    // corrupting the running sum — drop the whole interval up front
+    val in = df.filter(startUs.isNotNull && endUs.isNotNull)
+    val deltas = in.select(k :+ startUs.as("t") :+ lit(1).as("delta"): _*)
+      .unionAll(in.select(k :+ endUs.as("t") :+ lit(-1).as("delta"): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -60,8 +63,9 @@ object Intervals {
       endUs: Column,
       keys: Seq[String]): DataFrame = {
     val k = keys.map(col)
-    val deltas = df.select(k :+ startUs.as("t") :+ lit(1).as("delta"): _*)
-      .unionAll(df.select(k :+ endUs.as("t") :+ lit(-1).as("delta"): _*))
+    val in = df.filter(startUs.isNotNull && endUs.isNotNull)
+    val deltas = in.select(k :+ startUs.as("t") :+ lit(1).as("delta"): _*)
+      .unionAll(in.select(k :+ endUs.as("t") :+ lit(-1).as("delta"): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -46,11 +46,17 @@ object Privacy {
 
   /** The k-anonymous subset: rows whose quasi-identifier combination has
     * ≥ k occurrences (violating groups suppressed whole). Null-safe on
-    * the group columns.
+    * the group columns. The violating side is re-aliased before the join:
+    * it derives from `df` itself, and `df(c) <=> bad(c)` on shared
+    * attribute ids would lean on Spark's self-join disambiguation
+    * heuristic (the "trivially true predicate" warning) instead of being
+    * unambiguous by construction.
     */
   def suppress(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
-    val bad = kAnonymityViolations(df, quasiIds, k).select(quasiIds.map(col): _*)
-    val cond = quasiIds.map(c => df(c) <=> bad(c)).reduce(_ && _)
+    val bad = kAnonymityViolations(df, quasiIds, k)
+      .select(quasiIds.zipWithIndex.map { case (c, i) => col(c).as(s"_qid_$i") }: _*)
+    val cond = quasiIds.zipWithIndex
+      .map { case (c, i) => df(c) <=> bad(s"_qid_$i") }.reduce(_ && _)
     df.join(bad, cond, "left_anti")
   }
 }

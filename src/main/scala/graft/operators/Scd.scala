@@ -34,10 +34,17 @@ object Scd {
     */
   def type2(df: DataFrame, key: String, attr: String, orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    // Null-SAFE change detection: `lag =!= attr` is NULL when either side
+    // is null, which would silently fold a null-attribute observation
+    // into the preceding run; <=> makes null→x and x→null real
+    // transitions while null→null continues a run. The first row is its
+    // own explicit condition (lag-is-null can't distinguish "no previous
+    // row" from "previous attr was null"). Both window functions share
+    // the one Exchange+Sort.
     val marked = df
       .withColumn("chg",
-        when(lag(col(attr), 1).over(w).isNull ||
-          lag(col(attr), 1).over(w) =!= col(attr), 1).otherwise(0))
+        when(row_number().over(w) === 1 ||
+          !(lag(col(attr), 1).over(w) <=> col(attr)), 1).otherwise(0))
       .withColumn("version", sum(col("chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
     val runs = marked

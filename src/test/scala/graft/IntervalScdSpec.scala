@@ -61,6 +61,33 @@ class IntervalScdSpec extends AnyFunSuite with SparkSpec {
       Row(2L, 1L, "z", 5L, null, true)))
   }
 
+  test("scd type2: null attribute values form their own runs (null-safe)") {
+    val log = Seq(
+      (1L, Some("x"), 10L, 1L), (1L, None, 20L, 2L), (1L, None, 30L, 3L),
+      (1L, Some("x"), 40L, 4L),
+      (2L, None, 5L, 5L) // null on the FIRST row still starts version 1
+    ).toDF("uid", "attr", "t", "eid")
+    val got = Scd.type2(log, "uid", "attr", Seq(col("t"), col("eid")))
+      .orderBy("uid", "version")
+      .select("uid", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+    assert(got.toSeq == Seq(
+      Row(1L, 1L, "x", 10L, 20L, false),
+      Row(1L, 2L, null, 20L, 40L, false), // null run kept, not folded into x
+      Row(1L, 3L, "x", 40L, null, true),
+      Row(2L, 1L, null, 5L, null, true)))
+  }
+
+  test("maxConcurrent/coveredMicros drop null-endpoint intervals") {
+    val iv = Seq(
+      ("a", Some(0L), Some(10L)), ("a", None, Some(5L)), ("a", Some(3L), None))
+      .toDF("k", "s", "e")
+    val mc = Intervals.maxConcurrent(iv, col("s"), col("e"), Seq("k")).collect()
+    assert(mc.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+    val cv = Intervals.coveredMicros(iv, col("s"), col("e"), Seq("k")).collect()
+    assert(cv.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 10L)))
+  }
+
   test("scd type2: valid_to of run k equals valid_from of run k+1 (no gaps)") {
     val rnd = new scala.util.Random(11)
     val log = (1 to 500).map { i =>

@@ -153,4 +153,32 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
       s"expected AQE shuffle coalescing in final plan:\n$finalPlan")
   }
+
+  test("survivorship argmax is a partial-aggregated max, never a Window") {
+    val plan = q("er3_survivorship").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must not plan a window sort:\n$plan")
+    assert(plan.contains("partial_max"), s"expected map-side partial max in:\n$plan")
+  }
+
+  test("equi-depth histogram broadcasts boundaries; no global sort/window") {
+    val plan = q("h2_equidepth").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bucketing must not use ntile/window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"boundary row must broadcast in:\n$plan")
+  }
+
+  test("basket pair generation scans lineitem once, never a fact self-join") {
+    val plan = q("mba1_lift").queryExecution.executedPlan.toString
+    // the pair stage is groupBy(order)+explode: exactly one SortMergeJoin/
+    // ShuffledHashJoin would betray a fact-fact self-join (the broadcast
+    // joins for item counts and n_orders are expected)
+    assert(!plan.contains("SortMergeJoin"), s"pair stage must not self-join:\n$plan")
+    assert(plan.contains("Generate"), s"expected basket explode (Generate) in:\n$plan")
+  }
+
+  test("winsorize clips map-only after a broadcast of the percentile row") {
+    val plan = q("p10_winsorize").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"percentiles must broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"clip join must not shuffle the fact:\n$plan")
+  }
 }

@@ -15,7 +15,13 @@ object IoQueries {
 
   import QueryDef.t
 
-  private def qtmp(name: String): String = s"target/qtmp/$name"
+  // Per-JVM unique scratch root: two concurrent Verify/Bench processes on
+  // one machine would otherwise overwrite each other's sink mid-scan
+  // (observed as PATH_NOT_FOUND on a part file that a second run had
+  // just rewritten).
+  private val qtmpRoot =
+    s"target/qtmp-${java.lang.ProcessHandle.current().pid()}"
+  private def qtmp(name: String): String = s"$qtmpRoot/$name"
 
   val all: Seq[QueryDef] = Seq(
 

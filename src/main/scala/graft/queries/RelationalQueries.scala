@@ -286,6 +286,29 @@ object RelationalQueries {
              |TRUE AS within_10pct FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Mergeable HLL rollup (Datasketches): per-type sketches built once,
+    // the GLOBAL distinct estimate comes from hll_union_agg over the 5
+    // sketch blobs — never a rescan of rows. This is the 100 TB rollup
+    // pattern (pre-aggregate per partition/day, merge on demand); the
+    // estimate itself is sketch-internal, so the oracle pins the exact
+    // count and the error-bound boolean, a5's contract.
+    QueryDef("a13_hll_union",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val perType = ev.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        perType
+          .agg(count(lit(1)).as("n_sketches"),
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+          .select(col("n_sketches"), col("exact_users"),
+            (abs(col("est").cast("double") / col("exact_users").cast("double") - 1.0)
+              <= 0.05).as("within_5pct"))
+      },
+      Some("""SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |TRUE AS within_5pct FROM events""".stripMargin.replace("\n", " "))),
+
     // Exact continuous percentiles (same (1-g)*a + g*b interpolation on
     // both engines — verified to the last bit on this data).
     QueryDef("a6_percentiles",
@@ -1078,6 +1101,67 @@ object RelationalQueries {
              |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent,
              |CAST(sum(CASE WHEN open > 0 AND next_t IS NOT NULL THEN next_t - t ELSE 0 END) AS BIGINT) AS covered_us
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // Population stability index (PSI) — the model-monitoring drift
+    // metric: decile bins from the REFERENCE window's exact percentiles
+    // (a6-proven bit parity), both windows bucketed map-side against the
+    // broadcast boundary row, one count aggregate each, PSI contribution
+    // (p−q)·ln(p/q) per bin. Complements drift1's schema-level deltas
+    // with a distribution-level signal.
+    QueryDef("drift2_psi",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("value"), dayofmonth(col("ts")).as("dy"))
+        val ref = ev.filter(col("dy") <= 15)
+        val cur = ev.filter(col("dy") > 15)
+        val qs = ref.agg(expr(
+          "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+        def bucketed(df: org.apache.spark.sql.DataFrame) = {
+          val b = (1 to 9)
+            .map(i => (col("value") > element_at(col("qs"), i)).cast("long"))
+            .reduce(_ + _) + lit(1L)
+          df.crossJoin(broadcast(qs)).groupBy(b.as("bin"))
+            .agg(count(lit(1)).as("n"))
+        }
+        val r = bucketed(ref).withColumnRenamed("n", "n_ref")
+        val c = bucketed(cur).withColumnRenamed("n", "n_cur")
+        r.join(c, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          .crossJoin(broadcast(ref.agg(count(lit(1)).as("tr"))))
+          .crossJoin(broadcast(cur.agg(count(lit(1)).as("tc"))))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round((col("n_ref").cast("double") / col("tr").cast("double") -
+              col("n_cur").cast("double") / col("tc").cast("double")) *
+              log(col("n_ref").cast("double") / col("tr").cast("double") /
+                (col("n_cur").cast("double") / col("tc").cast("double"))), 6)
+              .as("psi_contrib"))
+          .orderBy("bin")
+      },
+      Some("""WITH ev AS (SELECT value, day(ts) AS dy FROM events WHERE value IS NOT NULL),
+             |ref AS (SELECT value FROM ev WHERE dy <= 15),
+             |cur AS (SELECT value FROM ev WHERE dy > 15),
+             |q AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM ref),
+             |rb AS (SELECT 1 + CAST(value > qs[1] AS BIGINT) + CAST(value > qs[2] AS BIGINT) + CAST(value > qs[3] AS BIGINT)
+             |+ CAST(value > qs[4] AS BIGINT) + CAST(value > qs[5] AS BIGINT) + CAST(value > qs[6] AS BIGINT)
+             |+ CAST(value > qs[7] AS BIGINT) + CAST(value > qs[8] AS BIGINT) + CAST(value > qs[9] AS BIGINT) AS bin
+             |FROM ref, q),
+             |cb AS (SELECT 1 + CAST(value > qs[1] AS BIGINT) + CAST(value > qs[2] AS BIGINT) + CAST(value > qs[3] AS BIGINT)
+             |+ CAST(value > qs[4] AS BIGINT) + CAST(value > qs[5] AS BIGINT) + CAST(value > qs[6] AS BIGINT)
+             |+ CAST(value > qs[7] AS BIGINT) + CAST(value > qs[8] AS BIGINT) + CAST(value > qs[9] AS BIGINT) AS bin
+             |FROM cur, q),
+             |rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+             |cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin)
+             |SELECT coalesce(rc.bin, cc.bin) AS bin,
+             |CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             |CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+             |ROUND((CAST(coalesce(n_ref, 0) AS DOUBLE) / (SELECT count(*) FROM ref) -
+             |CAST(coalesce(n_cur, 0) AS DOUBLE) / (SELECT count(*) FROM cur)) *
+             |ln(CAST(coalesce(n_ref, 0) AS DOUBLE) / (SELECT count(*) FROM ref) /
+             |(CAST(coalesce(n_cur, 0) AS DOUBLE) / (SELECT count(*) FROM cur))), 6) AS psi_contrib
+             |FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+             |ORDER BY bin""".stripMargin.replace("\n", " "))),
 
     // Referential-integrity expectation (Validation.referentialIntegrity):
     // one passing FK (events.user_id ⊆ customer keys) and one engineered

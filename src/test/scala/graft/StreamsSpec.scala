@@ -88,6 +88,40 @@ class StreamsSpec extends SparkSpec {
     assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 40.0)
   }
 
+  test("mergeable sketches run inside watermarked streaming windows") {
+    // The TypedImperativeAggregate family (here Misra-Gries heavy
+    // hitters) composes with Structured Streaming's stateful windowed
+    // aggregation: partial sketch states merge across micro-batches —
+    // the per-window top-k at 100 TB/day without exact per-key state.
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    mem.addData(
+      reading("s1", "2026-08-12T06:01:00+00:00", 80.0),
+      reading("s1", "2026-08-12T06:02:00+00:00", 79.0),
+      reading("s1", "2026-08-12T06:03:00+00:00", 78.0),
+      reading("s2", "2026-08-12T06:04:00+00:00", 60.0),
+      reading("s3", "2026-08-12T06:31:00+00:00", 50.0))
+    val q = mem.toDF()
+      .select(col("sensor_id"), to_timestamp(col("timestamp")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(graft.functions.HeavyHittersFunctions
+        .heavy_hitters(col("sensor_id"), 4).as("top"))
+      .writeStream.format("memory").queryName("stream_hh")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("stream_hh")
+      .select(col("window.start").cast("string").as("start"), col("top"))
+      .orderBy("start").collect()
+    assert(rows.length == 2)
+    val w1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(w1 == Map("s1" -> 3L, "s2" -> 1L)) // k >= distinct → exact counts
+    val w2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(w2 == Map("s3" -> 1L))
+  }
+
   test("mapGroupsWithState tracks per-sensor battery health across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Reading]

@@ -1296,14 +1296,18 @@ object RelationalQueries {
              |FROM pairs CROSS JOIN n JOIN item ia ON pairs.pa = ia.pk JOIN item ib ON pairs.pb = ib.pk
              |ORDER BY pa, pb""".stripMargin.replace("\n", " "))),
 
-    // Cohort retention: users grouped by first-activity week, distinct
-    // active users per (cohort, week offset) — the standard growth
-    // analytics matrix. Two shuffles: first-touch argmin per user, then
-    // one distinct-count aggregate; both keyed, no window over the corpus.
+    // Cohort retention: users grouped by first-PURCHASE week, distinct
+    // purchasing users per (cohort, week offset) — the standard growth
+    // analytics matrix. Purchases (not all events) so cohorts actually
+    // spread across weeks instead of collapsing into week 1. Two
+    // shuffles: first-touch argmin per user, then one distinct-count
+    // aggregate; both keyed, no window over the corpus.
     QueryDef("coh1_retention",
       (s, dir) => {
-        val ev = t(s, dir, "events").select(col("user_id"),
-          to_date(date_trunc("week", col("ts"))).as("wk"))
+        val ev = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
         val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
         ev.join(cohort, "user_id")
           .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
@@ -1311,7 +1315,7 @@ object RelationalQueries {
           .agg(countDistinct(col("user_id")).as("active_users"))
           .orderBy("cohort_week", "week_offset")
       },
-      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events WHERE event_type = 'purchase'),
              |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
              |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
              |CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,

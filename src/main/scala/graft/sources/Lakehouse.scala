@@ -51,7 +51,12 @@ object Lakehouse {
     * downstream reader of the old files.
     */
   def appendEvolved(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    if (new java.io.File(path).exists()) {
+    // Hadoop FS existence check: works on file://, HDFS, and object
+    // stores alike (java.io.File would silently report "missing" for
+    // any non-local root and re-bootstrap the table)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    if (exists) {
       val existing = readEvolved(spark, path).schema
       val incoming = batch.schema
       existing.fields.foreach { f =>

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.time.LocalDate
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Age-based partition lifecycle — the engine analog of the reference's
@@ -24,6 +25,11 @@ import org.apache.spark.sql.SparkSession
   * other partition columns are never touched — and partitions inside
   * the age window are never rewritten (byte-identity is spec-pinned).
   *
+  * All path operations go through the Hadoop `FileSystem` resolved from
+  * the root's scheme — the sweep runs unchanged against `file://`,
+  * HDFS, or an object store (the deployment where a lifecycle sweep
+  * actually matters); a `java.io.File` formulation would be local-only.
+  *
   * Scale shape: the driver only LISTS the partition directories (one
   * level, O(number of partitions) — the same listing any partition-
   * pruned read performs); each compaction is a distributed read→write
@@ -32,37 +38,39 @@ import org.apache.spark.sql.SparkSession
   */
 object Retention {
 
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
   /** Partition directories of `root` older than `olderThanDays` before
     * `asOf`, with their parsed dates; non-conforming entries skipped.
     */
-  private def aged(root: String, partitionCol: String, olderThanDays: Int,
-      asOf: LocalDate): Seq[(LocalDate, java.io.File)] = {
+  private def aged(fs: FileSystem, root: String, partitionCol: String,
+      olderThanDays: Int, asOf: LocalDate): Seq[(LocalDate, Path)] = {
     val cutoff = asOf.minusDays(olderThanDays.toLong)
     val prefix = s"$partitionCol="
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .flatMap { f =>
-        try Some((LocalDate.parse(f.getName.stripPrefix(prefix)), f))
+    val rootPath = new Path(root)
+    val entries =
+      if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq else Seq.empty
+    entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        try Some((LocalDate.parse(st.getPath.getName.stripPrefix(prefix)), st.getPath))
         catch { case _: java.time.format.DateTimeParseException => None }
       }
       .filter { case (d, _) => d.isBefore(cutoff) }
       .sortBy(_._1.toString)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   /** Drop every `partitionCol=<date>` partition more than `maxAgeDays`
     * old as of `asOf`. Returns the dropped partition dates (ISO),
     * ascending.
     */
-  def expire(root: String, maxAgeDays: Int, asOf: LocalDate,
+  def expire(spark: SparkSession, root: String, maxAgeDays: Int, asOf: LocalDate,
       partitionCol: String = "date"): Seq[String] = {
     require(maxAgeDays >= 0, "maxAgeDays must be >= 0")
-    aged(root, partitionCol, maxAgeDays, asOf).map { case (d, dir) =>
-      deleteRecursively(dir)
+    val f = fs(spark, root)
+    aged(f, root, partitionCol, maxAgeDays, asOf).map { case (d, dir) =>
+      f.delete(dir, true)
       d.toString
     }
   }
@@ -76,30 +84,33 @@ object Retention {
   def compactAged(spark: SparkSession, root: String, minAgeDays: Int,
       asOf: LocalDate, partitionCol: String = "date"): Seq[String] = {
     require(minAgeDays >= 0, "minAgeDays must be >= 0")
-    def dataFiles(dir: java.io.File): Seq[java.io.File] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    aged(root, partitionCol, minAgeDays, asOf).flatMap { case (d, dir) =>
+    val f = fs(spark, root)
+    def dataFiles(dir: Path): Seq[Path] =
+      f.listStatus(dir).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath)
+    aged(f, root, partitionCol, minAgeDays, asOf).flatMap { case (d, dir) =>
       val existing = dataFiles(dir)
       if (existing.size <= 1) None // already cold-layout; never rewrite
       else {
-        val tmp = new java.io.File(root, s"_compact_tmp_${partitionCol}_$d")
-        deleteRecursively(tmp)
+        val tmp = new Path(root, s"_compact_tmp_${partitionCol}_$d")
+        f.delete(tmp, true)
         // reading the partition DIRECTORY omits the partition column —
         // correct here: the value lives in the directory name, and the
         // rewrite stays inside that directory
-        spark.read.parquet(dir.getPath).coalesce(1)
-          .write.option("compression", "snappy").parquet(tmp.getPath)
+        spark.read.parquet(dir.toString).coalesce(1)
+          .write.option("compression", "snappy").parquet(tmp.toString)
         val part = dataFiles(tmp) match {
           case Seq(one) => one
           case other => throw new IllegalStateException(
             s"expected one compacted file, got ${other.size} in $tmp")
         }
-        existing.foreach(_.delete())
-        val target = new java.io.File(dir, part.getName)
-        if (!part.renameTo(target))
+        existing.foreach(f.delete(_, false))
+        val target = new Path(dir, part.getName)
+        if (!f.rename(part, target))
           throw new IllegalStateException(s"could not move $part into $dir")
-        deleteRecursively(tmp)
+        f.delete(tmp, true)
         Some(d.toString)
       }
     }

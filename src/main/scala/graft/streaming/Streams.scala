@@ -231,7 +231,10 @@ object Streams {
           // semi-join twice; arbitrary-but-deterministic final tiebreak
           .dropDuplicates(keys)
         val spark = batch.sparkSession
-        if (!new java.io.File(path).exists()) {
+        val target = new org.apache.hadoop.fs.Path(path)
+        val exists =
+          target.getFileSystem(spark.sessionState.newHadoopConf()).exists(target)
+        if (!exists) {
           graft.sources.IO.writeCuratedParquet(latest, path, Seq(partitionCol))
         } else {
           graft.sources.Lakehouse.mergeIntoParquet(spark, path, latest, keys, partitionCol)

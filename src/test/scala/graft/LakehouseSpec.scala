@@ -220,7 +220,7 @@ class LakehouseSpec extends SparkSpec {
 
     val asOf = LocalDate.parse("2026-08-13")
     // expiry (the 365d lifecycle rule, here 180d): only 2026-01-01 is past it
-    assert(Retention.expire(path, maxAgeDays = 180, asOf = asOf) == Seq("2026-01-01"))
+    assert(Retention.expire(spark, path, maxAgeDays = 180, asOf = asOf) == Seq("2026-01-01"))
     assert(!new java.io.File(s"$path/date=2026-01-01").exists())
     // transition (the 30d rule, here 7d): 2026-07-20 compacts to ONE file,
     // 2026-08-10 (3 days old) keeps its layout

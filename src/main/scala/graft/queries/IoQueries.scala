@@ -18,9 +18,19 @@ object IoQueries {
   // Per-JVM unique scratch root: two concurrent Verify/Bench processes on
   // one machine would otherwise overwrite each other's sink mid-scan
   // (observed as PATH_NOT_FOUND on a part file that a second run had
-  // just rewritten).
-  private val qtmpRoot =
-    s"target/qtmp-${java.lang.ProcessHandle.current().pid()}"
+  // just rewritten). Best-effort removal at JVM exit keeps repeated runs
+  // from accumulating scratch copies.
+  private val qtmpRoot: String = {
+    val root = s"target/qtmp-${java.lang.ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      try rm(new java.io.File(root)) catch { case _: Throwable => () }
+    }
+    root
+  }
   private def qtmp(name: String): String = s"$qtmpRoot/$name"
 
   val all: Seq[QueryDef] = Seq(

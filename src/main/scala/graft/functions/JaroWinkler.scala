@@ -25,7 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - either string empty → 0.0 (both-empty included);
   *  - prefix boost `+ 0.1·L·(1−jaro)` with L = common prefix ≤ 4, applied
   *    only when jaro > 0.7;
-  *  - comparison is by Unicode code point.
+  *  - comparison is by Unicode code point. NOTE: DuckDB's RapidFuzz-based
+  *    implementation compares UTF-8 *bytes*, so the DuckDB parity pin
+  *    holds exactly only for ASCII inputs (one byte == one code point);
+  *    on multi-byte text the byte view shifts lengths, match windows and
+  *    prefix counts. The code-point view is the textbook-correct one —
+  *    treat the oracle check as ASCII-scoped (er2's nation names are).
   */
 case class JaroWinklerSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -28,8 +28,18 @@ object Graph {
     * count per group is bounded by basket size² (baskets are small —
     * orders, sessions, sentences), NOT corpus²; for degenerate giant
     * groups, cap the basket upstream.
+    *
+    * The item column must be integral: a lossy cast (string SKUs, doubles)
+    * would silently null-drop rows, so non-integral inputs are rejected up
+    * front — hash string item ids to long upstream (e.g. `xxhash64`) if
+    * needed.
     */
-  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, ShortType, IntegerType, LongType}
+    val dt = df.schema(itemCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"cooccurrencePairs: item column '$itemCol' must be an integral type, " +
+        s"got ${dt.simpleString}; hash non-numeric ids to long upstream (xxhash64)")
     df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("it"))
       .filter(col("it").isNotNull)
       .groupBy("g").agg(sort_array(collect_set(col("it"))).as("basket"))
@@ -38,6 +48,7 @@ object Graph {
           |  (x, i) -> transform(slice(basket, i + 2, size(basket)),
           |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
       .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+  }
 
   /** Canonical undirected edge list: (u < v), loops dropped, duplicates
     * collapsed. Input columns may list either endpoint first.

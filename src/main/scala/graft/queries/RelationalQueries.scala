@@ -1131,12 +1131,16 @@ object RelationalQueries {
             coalesce(col("n_cur"), lit(0L)).as("n_cur"))
           .crossJoin(broadcast(ref.agg(count(lit(1)).as("tr"))))
           .crossJoin(broadcast(cur.agg(count(lit(1)).as("tc"))))
-          .select(col("bin"), col("n_ref"), col("n_cur"),
-            round((col("n_ref").cast("double") / col("tr").cast("double") -
-              col("n_cur").cast("double") / col("tc").cast("double")) *
-              log(col("n_ref").cast("double") / col("tr").cast("double") /
-                (col("n_cur").cast("double") / col("tc").cast("double"))), 6)
-              .as("psi_contrib"))
+          .select(col("bin"), col("n_ref"), col("n_cur"), {
+            // standard PSI zero-bin guard: clamp each proportion at 1e-6
+            // so empty bins contribute a large-but-finite term instead of
+            // NULL (Spark) / ±Inf (DuckDB); no-op for populated deciles
+            val p = greatest(
+              col("n_ref").cast("double") / col("tr").cast("double"), lit(1e-6))
+            val q = greatest(
+              col("n_cur").cast("double") / col("tc").cast("double"), lit(1e-6))
+            round((p - q) * log(p / q), 6).as("psi_contrib")
+          })
           .orderBy("bin")
       },
       Some("""WITH ev AS (SELECT value, day(ts) AS dy FROM events WHERE value IS NOT NULL),
@@ -1156,10 +1160,10 @@ object RelationalQueries {
              |SELECT coalesce(rc.bin, cc.bin) AS bin,
              |CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
              |CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
-             |ROUND((CAST(coalesce(n_ref, 0) AS DOUBLE) / (SELECT count(*) FROM ref) -
-             |CAST(coalesce(n_cur, 0) AS DOUBLE) / (SELECT count(*) FROM cur)) *
-             |ln(CAST(coalesce(n_ref, 0) AS DOUBLE) / (SELECT count(*) FROM ref) /
-             |(CAST(coalesce(n_cur, 0) AS DOUBLE) / (SELECT count(*) FROM cur))), 6) AS psi_contrib
+             |ROUND((greatest(CAST(coalesce(n_ref, 0) AS DOUBLE) / (SELECT count(*) FROM ref), 1e-6) -
+             |greatest(CAST(coalesce(n_cur, 0) AS DOUBLE) / (SELECT count(*) FROM cur), 1e-6)) *
+             |ln(greatest(CAST(coalesce(n_ref, 0) AS DOUBLE) / (SELECT count(*) FROM ref), 1e-6) /
+             |greatest(CAST(coalesce(n_cur, 0) AS DOUBLE) / (SELECT count(*) FROM cur), 1e-6)), 6) AS psi_contrib
              |FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
              |ORDER BY bin""".stripMargin.replace("\n", " "))),
 
@@ -1359,7 +1363,7 @@ object RelationalQueries {
       },
       Some("""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id FROM events WHERE user_id < 100),
              |m AS (SELECT user_id, event_type, t_us, event_id,
-             |CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |CASE WHEN row_number() OVER w = 1 OR lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
              |FROM log WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
              |v AS (SELECT user_id, event_type, t_us,
              |sum(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM m),

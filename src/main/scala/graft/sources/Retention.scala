@@ -106,10 +106,16 @@ object Retention {
           case other => throw new IllegalStateException(
             s"expected one compacted file, got ${other.size} in $tmp")
         }
-        existing.foreach(f.delete(_, false))
+        // crash-safety ordering: move the compacted file in FIRST (its
+        // job-UUID name cannot collide with `existing`), THEN delete the
+        // originals — every failure point leaves at least one complete
+        // copy of the data inside the partition directory. The transient
+        // old+new overlap window is the price; a reader mid-window sees
+        // duplicated rows, a crash never strands the only copy in tmp.
         val target = new Path(dir, part.getName)
         if (!f.rename(part, target))
           throw new IllegalStateException(s"could not move $part into $dir")
+        existing.foreach(f.delete(_, false))
         f.delete(tmp, true)
         Some(d.toString)
       }

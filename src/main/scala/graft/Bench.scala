@@ -30,28 +30,53 @@ object Bench {
     // codegen warmup; the min reflects steady-state engine cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // Contention sentinel: a fixed pure-CPU probe (no IO, no shuffle-size
+    // dependence) re-timed at start / middle / end of the sweep. On an
+    // otherwise-idle machine the three times agree within noise; a
+    // concurrent build/test run inflates whichever ones it overlaps, so a
+    // contaminated bench is VISIBLY contaminated in its own JSON record
+    // (spread = max/min; treat > ~1.5 as "re-run exclusively").
+    def sentinel(): Double = {
+      System.gc()
+      // best-of-3 damps one-off JIT/GC/scheduler blips: a reading only
+      // inflates under SUSTAINED external load, which is the signal
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 400000000L, 1, spark.sparkContext.defaultParallelism)
+          .selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    sentinel(); sentinel() // JIT the probe itself before the first timed reading
+    val sentStart = sentinel()
+    val all = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        // A crashing query reports -1, never its elapsed-to-crash time —
-        // failures must be distinguishable from fast passes in BENCH output.
-        // GC between queries so a query is never charged the allocation
-        // debt (dead broadcasts, codegen classes, agg buffers) of the 50+
-        // queries before it — without this, late-running queries measure
-        // the session's garbage, not their own cost.
-        System.gc()
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    var sentMid = -1.0
+    val results = all.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == all.size / 2) sentMid = sentinel()
+      // A crashing query reports -1, never its elapsed-to-crash time —
+      // failures must be distinguishable from fast passes in BENCH output.
+      // GC between queries so a query is never charged the allocation
+      // debt (dead broadcasts, codegen classes, agg buffers) of the 50+
+      // queries before it — without this, late-running queries measure
+      // the session's garbage, not their own cost.
+      System.gc()
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
+    val sentEnd = sentinel()
+    val sents = Seq(sentStart, sentMid, sentEnd).filter(_ > 0)
+    val spread = if (sents.nonEmpty) sents.max / sents.min else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val sj = f"""{"start":$sentStart%.3f,"mid":$sentMid%.3f,"end":$sentEnd%.3f,"spread":$spread%.3f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sentinel":$sj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -229,7 +229,14 @@ object Dedup {
     val chunks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val chunked = sigs.select(col(idCol), col(sigCol),
+    // The signature relation feeds BOTH sides of the self-join below, so
+    // without materialization the upstream signature pass (codec feature
+    // extraction for media, tokenize+simhash for text) executes twice.
+    // localCheckpoint pins just (id, sig) — ~16 B a row, cluster-cacheable
+    // even at 10^10 docs — runs the expensive pass once, and lets block
+    // cleanup ride on GC (the lazy result gives no unpersist point).
+    val snap = sigs.select(col(idCol), col(sigCol)).localCheckpoint()
+    val chunked = snap.select(col(idCol), col(sigCol),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col(sigCol), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")

@@ -130,18 +130,47 @@ object Pq {
   def reconstruct(model: PqModel, codes: Seq[Int]): Array[Double] =
     codes.zipWithIndex.flatMap { case (c, b) => model.codebooks(b)(c) }.toArray
 
+  /** Default ceiling on a PQ serving batch (overridable per session via
+    * `graft.pq.maxQueryBatch`). The ADC layout is ONLINE SERVING: each
+    * query's k×m distance table is built driver-side and broadcast, so
+    * the query relation must be batch-sized, never corpus-sized. The
+    * guard collects at most limit+1 rows — an oversized query set fails
+    * fast with a contract message instead of OOM-ing the driver.
+    */
+  val DefaultMaxQueryBatch = 10000
+
+  /** Bounded driver-side collect of a query batch — enforces the serving
+    * contract shared by [[query]] and [[ivfPqQuery]].
+    */
+  private def collectQueryBatch(queries: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double])] = {
+    val limit = queries.sparkSession.conf
+      .getOption("graft.pq.maxQueryBatch").map(_.toInt)
+      .getOrElse(DefaultMaxQueryBatch)
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(limit + 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qs.length <= limit,
+      s"PQ serving contract: query batch exceeds $limit rows " +
+        "(graft.pq.maxQueryBatch). ADC broadcasts per-query distance " +
+        "tables from the driver — chunk the query set, or for " +
+        "corpus-vs-corpus scoring use the encoded relation join path " +
+        "instead of the serving API.")
+    qs
+  }
+
   /** ADC top-k: for each query, the `topK` encoded rows with the
     * smallest asymmetric squared-L2 distance. Queries (with their
     * precomputed k×m distance tables) broadcast against the encoded
-    * corpus; each corpus row costs m table lookups.
+    * corpus; each corpus row costs m table lookups. Serving contract:
+    * the query relation is a bounded batch (see [[DefaultMaxQueryBatch]]).
     */
   def query(encoded: DataFrame, queries: DataFrame, model: PqModel, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    val qs: Array[(Long, Array[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qs: Array[(Long, Array[Double])] = collectQueryBatch(queries, idCol, vecCol)
     // per-query table: table(b)(code) = ||q_block_b - codebook(b)(code)||²
     val qRows = qs.map { case (qid, qv) =>
       val table: Seq[Seq[Double]] = (0 until model.m).map { b =>
@@ -180,7 +209,8 @@ object Pq {
     * partition pruning, so a probe READS nprobe/numCells of the index.
     * Each query routes to its `nprobe` nearest cells (driver math over
     * the tiny centroid model, same cosine/tie rule as CentroidArgmax)
-    * and ADC-scores only those cells' members.
+    * and ADC-scores only those cells' members. Serving contract: the
+    * query relation is a bounded batch (see [[DefaultMaxQueryBatch]]).
     */
   def ivfPqQuery(index: Similarity.IvfIndex, model: PqModel, queries: DataFrame,
       topK: Int, nprobe: Int, pruneCells: Boolean = true,
@@ -190,9 +220,7 @@ object Pq {
     require(nprobe >= 1 && nprobe <= index.cents.length)
     val enc = index.assigned.select(col("neighbor_id"), col("cell"),
       codesCol(col("c_vec"), model).as("codes"))
-    val qs: Array[(Long, Array[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qs: Array[(Long, Array[Double])] = collectQueryBatch(queries, idCol, vecCol)
     def cosine(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
       while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }

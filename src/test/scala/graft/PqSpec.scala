@@ -105,4 +105,19 @@ class PqSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(unpruned == pruned)
   }
+
+  test("serving contract: an over-limit query batch is rejected, not collected") {
+    val df = clustered
+    val model = Pq.train(df, m = 8, k = 16)
+    val enc = Pq.encode(df, model)
+    spark.conf.set("graft.pq.maxQueryBatch", "8")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Pq.query(enc, df.limit(9), model, topK = 5).collect()
+      }
+      assert(err.getMessage.contains("graft.pq.maxQueryBatch"))
+      // at the limit exactly, serving proceeds
+      assert(Pq.query(enc, df.limit(8), model, topK = 1).count() == 8)
+    } finally spark.conf.unset("graft.pq.maxQueryBatch")
+  }
 }

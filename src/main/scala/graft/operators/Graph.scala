@@ -64,7 +64,8 @@ object Graph {
     * (n_triangles). The count is orientation-invariant, so it equals the
     * naive u<v<w 3-way self-join — which is what the DuckDB oracle states.
     */
-  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+  def triangleCount(edges: DataFrame, src: String, dst: String,
+      materializeOriented: Boolean = false): DataFrame = {
     val e = canonicalEdges(edges, src, dst)
     // degree per vertex (over the canonical edge set)
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
@@ -74,11 +75,18 @@ object Graph {
     val withDeg = e
       .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
-    val oriented = withDeg.select(
+    // Materialize the oriented edges: they feed THREE join inputs below,
+    // each shuffled on a DIFFERENT key (m, s, (s,d)), so ReuseExchange
+    // can never dedup them and the canonicalize+degree+join pipeline
+    // would run three times. |E| rows of two longs is far cheaper to pin
+    // (MEMORY_AND_DISK, spillable) than to recompute twice more.
+    val orientedPlan = withDeg.select(
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("s"), col("v").as("d")))
         .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
+    val oriented =
+      if (materializeOriented) orientedPlan.localCheckpoint() else orientedPlan
     // wedges s→m→t closed by oriented edge s→t; each triangle has exactly
     // one lowest-rank vertex, so it is counted exactly once
     val wedges = oriented.as("o1").join(oriented.as("o2"), col("o1.d") === col("o2.s"))

@@ -149,6 +149,15 @@ class SyntheticOpenMeteoFetcher extends OpenMeteoFetcher {
   */
 class HttpOpenMeteoFetcher extends OpenMeteoFetcher {
 
+  /** Endpoint base. The `graft.openmeteo.baseUrl` system property
+    * redirects the REAL client (same socket path, same parse) to an
+    * API-compatible mirror or an in-process test server — fetchers are
+    * instantiated by class name with a no-arg constructor, so a JVM-wide
+    * property is the configuration seam.
+    */
+  protected def baseUrl: String = sys.props.getOrElse(
+    "graft.openmeteo.baseUrl", "https://api.open-meteo.com/v1/forecast")
+
   /** GET the URL and return the response body. Override to stub transport. */
   protected def get(url: String): String = {
     val client = java.net.http.HttpClient.newBuilder()
@@ -165,7 +174,7 @@ class HttpOpenMeteoFetcher extends OpenMeteoFetcher {
 
   override def fetch(city: String, date: String, hours: Int): OpenMeteoObservation = {
     val (lat, lon) = OpenMeteoSource.cityCoordinates(city)
-    val url = "https://api.open-meteo.com/v1/forecast" +
+    val url = baseUrl +
       s"?latitude=$lat&longitude=$lon" +
       "&hourly=temperature_2m,relative_humidity_2m,wind_speed_10m,precipitation" +
       "&forecast_days=1&timezone=UTC"

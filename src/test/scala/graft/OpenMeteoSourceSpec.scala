@@ -130,6 +130,68 @@ class OpenMeteoSourceSpec extends SparkSpec {
       .listFiles().count(f => f.getName.forall(_.isDigit))
     assert(commits == 2, s"expected 2 micro-batches, saw $commits commits")
   }
+
+  test("real socket: the unmodified HTTP fetcher drives a live in-process server") {
+    // Stand up a real HTTP server on an ephemeral port and point the REAL
+    // client at it via the baseUrl property — the full GET (HttpClient,
+    // headers, status handling) and parse run over an actual socket,
+    // matching the reference's live fetch end to end; only the hostname
+    // differs from production.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val body =
+      """{"latitude": 48.85, "longitude": 2.35, "hourly": {
+        |"time": ["2026-08-12T00:00", "2026-08-12T01:00", "2026-08-12T02:00"],
+        |"temperature_2m": [11.5, 12.5, 13.0],
+        |"relative_humidity_2m": [50.0, 51.0, 52.5],
+        |"wind_speed_10m": [5.0, 6.5, 7.0],
+        |"precipitation": [0.0, 0.1, 0.2]}}""".stripMargin
+    val failAll = new java.util.concurrent.atomic.AtomicBoolean(false)
+    server.createContext("/v1/forecast", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        seen.add(q)
+        val (code, payload) = if (failAll.get) (500, "boom") else (200, body)
+        val bytes = payload.getBytes("UTF-8")
+        x.sendResponseHeaders(code, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    System.setProperty("graft.openmeteo.baseUrl", s"http://127.0.0.1:$port/v1/forecast")
+    try {
+      val rows = spark.read.format("graft-openmeteo")
+        .option("cities", "Paris").option("date", "2026-08-12").option("hours", 2)
+        .option("fetcher", classOf[graft.sources.HttpOpenMeteoFetcher].getName)
+        .load().orderBy("timestamp").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Double]("temperature_c")).toSeq == Seq(11.5, 12.5))
+      assert(rows.map(_.getAs[Double]("precipitation_mm")).toSeq == Seq(0.0, 0.1))
+      // the request carried the reference's exact query surface
+      // (lambda_function.py:29-36): coordinates + the four hourly fields
+      val q = seen.poll()
+      assert(q != null && q.contains("latitude=") && q.contains("longitude="))
+      assert(q.contains("hourly=temperature_2m,relative_humidity_2m,wind_speed_10m,precipitation"))
+      assert(q.contains("forecast_days=1") && q.contains("timezone=UTC"))
+      // non-200 surfaces as a comprehensible failure, like the
+      // reference's raise_for_status
+      failAll.set(true)
+      val err = intercept[Exception] {
+        spark.read.format("graft-openmeteo")
+          .option("cities", "ErrCity").option("hours", 2)
+          .option("fetcher", classOf[graft.sources.HttpOpenMeteoFetcher].getName)
+          .load().collect()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))).mkString(" | ")
+      assert(rootMsg(err).contains("HTTP 500"), s"got: ${rootMsg(err)}")
+    } finally {
+      System.clearProperty("graft.openmeteo.baseUrl")
+      server.stop(0)
+    }
+  }
 }
 
 /** Test fetcher: the real [[graft.sources.HttpOpenMeteoFetcher]] parse

@@ -339,7 +339,22 @@ class StreamsSpec extends SparkSpec {
   test("health listener records progress and raises error alerts (monitoring analog)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
-    val listener = graft.streaming.Monitoring.attach(spark, slowBatchMs = 3600000L)
+    // delivery seam (SNS-subscriber analog): a file sink, an in-memory
+    // sink, and one that always throws — the failing pager must be
+    // counted, not kill the listener or block the healthy sinks
+    val alertFile = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get("target"), "alerts", ".ndjson")
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.Monitoring.Alert]()
+    val memSink = new graft.streaming.Monitoring.AlertSink {
+      override def deliver(a: graft.streaming.Monitoring.Alert): Unit = received.add(a)
+    }
+    val deadSink = new graft.streaming.Monitoring.AlertSink {
+      override def deliver(a: graft.streaming.Monitoring.Alert): Unit =
+        throw new RuntimeException("pager down")
+    }
+    val listener = graft.streaming.Monitoring.attach(spark, slowBatchMs = 3600000L,
+      sinks = Seq(new graft.streaming.Monitoring.FileAlertSink(alertFile.toString),
+        memSink, deadSink))
     try {
       // healthy query: progress recorded, no alerts
       val ok = MemoryStream[Long]
@@ -366,7 +381,48 @@ class StreamsSpec extends SparkSpec {
       assert(listener.alerts.exists(a => a.kind == "error"),
         s"expected an error alert, got ${listener.alerts}")
       assert(!listener.alerts.exists(_.kind == "slow"))
+      // every alert reached every healthy sink; the dead sink only
+      // incremented the failure counter
+      import scala.jdk.CollectionConverters._
+      assert(received.iterator().asScala.exists(_.kind == "error"),
+        "in-memory sink did not receive the error alert")
+      val fileLines = new String(java.nio.file.Files.readAllBytes(alertFile), "UTF-8")
+      assert(fileLines.contains("\"kind\":\"error\""),
+        s"file sink did not record the error alert: $fileLines")
+      assert(listener.sinkFailures >= 1L, "dead-sink failures not counted")
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("webhook alert sink POSTs the alert JSON over a real socket") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/hook", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        bodies.add(new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+        x.sendResponseHeaders(200, 2)
+        x.getResponseBody.write("ok".getBytes); x.close()
+      }
+    })
+    server.start()
+    try {
+      val sink = new graft.streaming.Monitoring.HttpAlertSink(
+        s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+      sink.deliver(graft.streaming.Monitoring.Alert("q1", "error", "boom \"quoted\""))
+      val body = bodies.poll()
+      assert(body == """{"query":"q1","kind":"error","detail":"boom \"quoted\""}""",
+        s"unexpected webhook body: $body")
+      // non-2xx surfaces as a failure the listener's counter will absorb
+      server.removeContext("/hook")
+      server.createContext("/hook", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          x.sendResponseHeaders(503, -1); x.close()
+        }
+      })
+      intercept[IllegalArgumentException] {
+        sink.deliver(graft.streaming.Monitoring.Alert("q1", "slow", "x"))
+      }
+    } finally server.stop(0)
   }
 
   test("synthetic stream projection matches the batch generator schema") {

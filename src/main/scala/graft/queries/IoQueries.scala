@@ -321,8 +321,14 @@ object IoQueries {
              |FROM events GROUP BY event_type HAVING count(*) >= 100
              |ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
-    // Multimodal feature extraction (rows-only: binary payloads are not a
-    // DuckDB-comparable surface; MultimodalSpec covers the semantics).
+    // Multimodal feature extraction. ORACLE ON THE METADATA COLUMNS: the
+    // payload bytes come from a JVM RNG and the features from the stub
+    // codec — neither is DuckDB-computable — but syntheticMedia's payload
+    // LENGTH is closed-form (64 + id % 64) and every generated payload is
+    // decodable, so n_bytes and decode_ok are SQL-stateable per media_id.
+    // That pins the real plumbing (distributed generation, partition-
+    // iterator extraction, metadata faithfulness); sha256/feature
+    // semantics stay spec-bound in MultimodalSpec.
     QueryDef("m1_media_features",
       (s, dir) => {
         import s.implicits._
@@ -330,7 +336,9 @@ object IoQueries {
           .select(col("media_id"), col("n_bytes"), col("decode_ok"))
           .orderBy("media_id")
       },
-      None),
+      Some("""SELECT r AS media_id, 64 + (r % 64) AS n_bytes, TRUE AS decode_ok
+             |FROM range(0, 200) t(r)
+             |ORDER BY media_id""".stripMargin.replace("\n", " "))),
 
     // Perceptual-hash media near-dup: pHash over (stub-)decoded features,
     // pigeonhole Hamming-band candidate join — the image-dedup path of a

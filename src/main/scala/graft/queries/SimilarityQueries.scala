@@ -96,11 +96,32 @@ object SimilarityQueries {
              |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
 
     // SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures).
+    // PROPERTY-BOUND ORACLE: the signatures themselves are engine-hash-
+    // specific (xxhash64 term hashing DuckDB cannot reproduce), but
+    // "an exact copy of a document pairs with its original" is hash-
+    // independent — identical text gives an identical signature, Hamming
+    // 0, and the pigeonhole banding guarantees emission. The query plants
+    // a full copy of the corpus slice at doc_id + 100000 and reports, per
+    // planted pair, whether simhashNearDups surfaced it; the oracle
+    // states the planted pair list with found = TRUE, so one missed pair
+    // flips a row to false and fails the hash compare. Raw-pair recall
+    // vs exact Hamming stays pinned by DedupSimilaritySpec.
     QueryDef("d6_simhash",
-      (s, dir) => Dedup.simhashNearDups(
-        t(s, dir, "documents").filter(col("doc_id") % 4 === 0), maxHamming = 3)
-        .orderBy("a_id", "b_id"),
-      None),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+          .select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val pairs = Dedup.simhashNearDups(corpus, maxHamming = 3)
+          .select(col("a_id"), col("b_id"), lit(true).as("found"))
+        docs.select(col("doc_id").as("a_id"), (col("doc_id") + 100000).as("b_id"))
+          .join(pairs, Seq("a_id", "b_id"), "left")
+          .select(col("a_id"), col("b_id"), coalesce(col("found"), lit(false)).as("found"))
+          .orderBy("a_id")
+      },
+      Some("""SELECT doc_id AS a_id, doc_id + 100000 AS b_id, TRUE AS found
+             |FROM documents WHERE doc_id % 4 = 0
+             |ORDER BY a_id""".stripMargin.replace("\n", " "))),
 
     // Winnowing (rolling-hash) fingerprint containment candidates. No
     // DuckDB oracle (engine-specific hash family); rows-only check +

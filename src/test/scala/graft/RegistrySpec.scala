@@ -17,9 +17,7 @@ class RegistrySpec extends AnyFunSuite {
   test("rows-only queries are exactly the documented allowlist") {
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     val allowed = Set(
-      "d6_simhash",        // engine hash family; identity/Hamming specs
       "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
-      "m1_media_features", // binary payloads; MultimodalSpec
       "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
       "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
       "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs

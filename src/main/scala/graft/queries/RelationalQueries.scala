@@ -1053,20 +1053,10 @@ object RelationalQueries {
     // the plan scales: aggregate + broadcast + scan, no single-partition
     // window. Data is 2-decimal so a boundary ulp can never cross a value.
     QueryDef("h2_equidepth",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val qs = li.agg(expr(
-          "percentile(l_extendedprice, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))").as("qs"))
-        val bucket = (1 to 7)
-          .map(i => (col("l_extendedprice") > element_at(col("qs"), i)).cast("long"))
-          .reduce(_ + _) + lit(1L)
-        li.crossJoin(broadcast(qs))
-          .groupBy(bucket.as("bucket"))
-          .agg(count(lit(1)).as("n"),
-            min(col("l_extendedprice")).as("lo"),
-            max(col("l_extendedprice")).as("hi"))
-          .orderBy("bucket")
-      },
+      (s, dir) => graft.operators.Histograms.equiDepth(
+        t(s, dir, "lineitem"), col("l_extendedprice"), buckets = 8, exact = true)
+        .select("bucket", "n", "lo", "hi")
+        .orderBy("bucket"),
       Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS qs FROM lineitem)
              |SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM (
              |SELECT l_extendedprice,
@@ -1075,6 +1065,22 @@ object RelationalQueries {
              |+ CAST(l_extendedprice > qs[5] AS BIGINT) + CAST(l_extendedprice > qs[6] AS BIGINT)
              |+ CAST(l_extendedprice > qs[7] AS BIGINT) AS bucket
              |FROM lineitem, q) GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
+    // Equi-depth via t-digest boundaries — the 100 TB default (exact
+    // percentile state is O(distinct values); the digest's is constant).
+    // ORACLE ON THE DEPTH BOUND (a8's rank-error pattern): boundary
+    // values are digest-internal, but "every bucket holds 1/8 of the
+    // rows ± two boundary rank errors" is SQL-stateable. Tolerance 0.02
+    // absolute share; the observed worst bucket deviation at
+    // compression 100 is 3e-4 at both sf0.01 and sf0.1, so the bound
+    // has ~70× margin yet still fails a digest whose boundaries drift
+    // off-rails (and a dropped bucket loses a row → rows mismatch).
+    QueryDef("h3_equidepth_tdigest",
+      (s, dir) => graft.operators.Histograms.equiDepth(
+        t(s, dir, "lineitem"), col("l_extendedprice"), buckets = 8)
+        .select(col("bucket"), (abs(col("share") - 0.125) <= 0.02).as("depth_ok"))
+        .orderBy("bucket"),
+      Some("SELECT r AS bucket, TRUE AS depth_ok FROM range(1, 9) t(r) ORDER BY bucket")),
 
     // Sweep-line interval analytics: treating each event as a 5-minute
     // activity interval, the max number simultaneously open and the total

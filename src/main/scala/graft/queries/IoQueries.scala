@@ -386,14 +386,26 @@ object IoQueries {
              |ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     QueryDef("m2_media_phash_neardup",
+      // PROPERTY-BOUND ORACLE (d6's planted-pair pattern): payloads and
+      // pHash bits are engine-internal, but the planting rule is closed-
+      // form — each media_id < 60 gets a one-byte-perturbed copy at
+      // media_id + 1000, and MultimodalSpec proves a one-byte edit
+      // stays within Hamming 5 — so "every planted pair is found" is
+      // SQL-stateable per pair. A missed pair flips found to false.
       (s, dir) => {
         import s.implicits._
         val media = Multimodal.syntheticMedia(s, 300)
         val dups = Multimodal.perturb(media.filter(col("media_id") < 60), 1000L)
-        Multimodal.mediaNearDups(
+        val pairs = Multimodal.mediaNearDups(
           Multimodal.extractFeatures(media.union(dups)).toDF(), maxHamming = 5)
-          .orderBy("a_id", "b_id")
+          .select(col("a_id"), col("b_id"), lit(true).as("found"))
+        media.toDF().filter(col("media_id") < 60)
+          .select(col("media_id").as("a_id"), (col("media_id") + 1000).as("b_id"))
+          .join(pairs, Seq("a_id", "b_id"), "left")
+          .select(col("a_id"), col("b_id"), coalesce(col("found"), lit(false)).as("found"))
+          .orderBy("a_id")
       },
-      None)
+      Some("""SELECT r AS a_id, r + 1000 AS b_id, TRUE AS found
+             |FROM range(0, 60) t(r) ORDER BY a_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -66,11 +66,29 @@ object SimilarityQueries {
     // subset property is pinned by DedupSimilaritySpec. Threshold/planes
     // are sized so the check observes actual pairs at sf0.01 (0.98/4
     // found zero — an empty result certifies nothing).
+    // PROPERTY-BOUND ORACLE (d6's planted-pair pattern): the bucket ids
+    // are Spark-hash-specific, but an EXACT copy of a vector lands in
+    // the same hyperplane bucket by construction (identical dots →
+    // identical signs) and scores cosine 1 — so planting a copy of
+    // every vector at vec_id + 100000 makes "each planted pair is
+    // found" hash-independent and SQL-stateable. A missed pair flips
+    // found to false; the subset-of-exact property (LSH never emits a
+    // below-threshold pair) stays pinned by DedupSimilaritySpec.
     QueryDef("v5_lsh_neardup",
-      (s, dir) => Dedup.embeddingNearDups(
-        t(s, dir, "embeddings"), threshold = 0.4, lsh = true, planes = 2)
-        .orderBy("a_id", "b_id"),
-      None),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val pairs = Dedup.embeddingNearDups(
+          corpus, threshold = 0.4, lsh = true, planes = 2)
+          .select(col("a_id"), col("b_id"), lit(true).as("found"))
+        e.select(col("vec_id").as("a_id"), (col("vec_id") + 100000).as("b_id"))
+          .join(pairs, Seq("a_id", "b_id"), "left")
+          .select(col("a_id"), col("b_id"), coalesce(col("found"), lit(false)).as("found"))
+          .orderBy("a_id")
+      },
+      Some("""SELECT vec_id AS a_id, vec_id + 100000 AS b_id, TRUE AS found
+             |FROM embeddings ORDER BY a_id""".stripMargin.replace("\n", " "))),
 
     // MinHash+LSH near-dup pairs — the 100 TB candidate-generation path.
     // ORACLE-CHECKED against the exact all-pairs Jaccard: the LSH banding
@@ -222,16 +240,27 @@ object SimilarityQueries {
 
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic
-    // group. Rows-only (k-means float model is engine-specific); the
-    // spec pins duplicate collapse, no-false-dedup, and partitioning
-    // invariance.
+    // group. FULL-OUTPUT ORACLE despite the engine-specific k-means
+    // model: plant an exact copy of every %4 vector at vec_id + 100000
+    // and dedup at threshold 0.99 — identical vectors always share a
+    // cell (identical argmax) and score cosine 1, while the corpus's
+    // strongest NATURAL pair is cosine ≈ 0.49 (DuckDB-measured at both
+    // SFs), so every component is exactly one planted pair and the
+    // entire (vec_id, rep_id, kept) output is closed-form. The 0.4-
+    // threshold behavior on natural data stays pinned by
+    // DedupSimilaritySpec (collapse, no-false-dedup, invariance).
     QueryDef("sem1_semdedup",
-      (s, dir) => Similarity.semDedup(
-        // 0.4 matches d4's exact near-dup threshold — the testdata
-        // embeddings are near-orthogonal random vectors, so higher
-        // thresholds have nothing to collapse
-        t(s, dir, "embeddings"), threshold = 0.4, numCentroids = 8, iters = 2)
-        .orderBy("vec_id"),
-      None)
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+          .select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Similarity.semDedup(corpus, threshold = 0.99, numCentroids = 8, iters = 2)
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, vec_id AS rep_id, TRUE AS kept FROM embeddings WHERE vec_id % 4 = 0
+             |UNION ALL
+             |SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, FALSE AS kept FROM embeddings WHERE vec_id % 4 = 0
+             |ORDER BY vec_id""".stripMargin.replace("\n", " ")))
   )
 }

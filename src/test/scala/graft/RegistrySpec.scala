@@ -18,9 +18,6 @@ class RegistrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     val allowed = Set(
       "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
-      "v5_lsh_neardup",    // hyperplane-LSH bucket ids Spark-specific; subset-of-exact spec
-      "m2_media_phash_neardup", // binary payloads + engine hash; recall spec
-      "sem1_semdedup",     // k-means float model engine-specific; collapse/invariance specs
       "t9_bpe_merges",     // iterative merge state not SQL-expressible; hand-computed spec
       "pq1_adc_topk")      // quantized distances are model-internal; ADC-identity/cluster specs
     assert(rowsOnly == allowed,

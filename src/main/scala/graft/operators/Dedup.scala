@@ -232,10 +232,12 @@ object Dedup {
     // The signature relation feeds BOTH sides of the self-join below, so
     // without materialization the upstream signature pass (codec feature
     // extraction for media, tokenize+simhash for text) executes twice.
-    // localCheckpoint pins just (id, sig) — ~16 B a row, cluster-cacheable
+    // Materialize pins just (id, sig) — ~16 B a row, cluster-cacheable
     // even at 10^10 docs — runs the expensive pass once, and lets block
     // cleanup ride on GC (the lazy result gives no unpersist point).
-    val snap = sigs.select(col(idCol), col(sigCol)).localCheckpoint()
+    // Mode (localCheckpoint vs fault-tolerant persist vs off) is the
+    // graft.materialize.mode conf — see [[Materialize]].
+    val snap = Materialize(sigs.select(col(idCol), col(sigCol)))
     val chunked = snap.select(col(idCol), col(sigCol),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col(sigCol), c * width).bitwiseAND(lit(mask))): _*)))

@@ -85,8 +85,10 @@ object Graph {
         struct(col("u").as("s"), col("v").as("d")))
         .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
+    // Mode (localCheckpoint vs fault-tolerant persist vs off) is the
+    // graft.materialize.mode conf — see [[Materialize]].
     val oriented =
-      if (materializeOriented) orientedPlan.localCheckpoint() else orientedPlan
+      if (materializeOriented) Materialize(orientedPlan) else orientedPlan
     // wedges s→m→t closed by oriented edge s→t; each triangle has exactly
     // one lowest-rank vertex, so it is counted exactly once
     val wedges = oriented.as("o1").join(oriented.as("o2"), col("o1.d") === col("o2.s"))

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * double fold at ~1e-7 (verified empirically); the explicit form is
   * bit-identical to Spark's sequential aggregate.
   *
-  * MinHash/SimHash queries have no oracle: their bucketing is built on
-  * Spark's xxhash64, which DuckDB cannot reproduce — the driver records a
-  * rows-only check, and the ScalaTest suite asserts their semantics
-  * (candidate recall vs the exact metrics) instead.
+  * Sketch-based queries (SimHash, winnowing, LSH, PQ) build on hash
+  * families DuckDB cannot reproduce, so their oracles are PROPERTY-BOUND:
+  * each plants exact copies into the corpus and states the hash-
+  * independent consequence (identical input ⇒ identical sketch ⇒ the
+  * pair/top-rank is found) as closed-form SQL, while the natural-data
+  * recall behavior stays pinned by the ScalaTest suite.
   */
 object SimilarityQueries {
 
@@ -141,14 +143,39 @@ object SimilarityQueries {
              |FROM documents WHERE doc_id % 4 = 0
              |ORDER BY a_id""".stripMargin.replace("\n", " "))),
 
-    // Winnowing (rolling-hash) fingerprint containment candidates. No
-    // DuckDB oracle (engine-specific hash family); rows-only check +
-    // guarantee-based spec (shared substring ⇒ shared fingerprint).
+    // Winnowing (rolling-hash) fingerprint containment candidates.
+    // PROPERTY-BOUND ORACLE (d6's planted-pair pattern): the fingerprint
+    // family is engine-specific (rolling Rabin-Karp + avalanche mix that
+    // DuckDB cannot reproduce), but winnowing's defining guarantee —
+    // identical text ⇒ identical fingerprint set ⇒ containment exactly
+    // 1.0 — is hash-independent. Plant a full copy of the %4 corpus
+    // slice at doc_id + 100000 and report, per planted pair, whether
+    // winnowingNearDups surfaced it; every testdata doc normalizes to
+    // ≥ k chars (verified at both SFs), so the oracle states the full
+    // planted list with found = TRUE and one missed pair flips a row.
+    // maxDocFreq is lifted for the planted run: the cap drops boilerplate
+    // fingerprints by document frequency, and planting doubles every df —
+    // a doc ALL of whose fingerprints crossed the cap would lose its pair
+    // for cap reasons, not winnowing reasons. Natural-pair behavior
+    // (recall vs exact containment, cap semantics) stays pinned by
+    // DedupSimilaritySpec.
     QueryDef("d7_winnowing",
-      (s, dir) => Dedup.winnowingNearDups(
-        t(s, dir, "documents"), k = 5, w = 4, minContainment = 0.6)
-        .orderBy("a_id", "b_id"),
-      None),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+          .select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val pairs = Dedup.winnowingNearDups(corpus, k = 5, w = 4,
+            minContainment = 0.6, maxDocFreq = Int.MaxValue)
+          .select(col("a_id"), col("b_id"), lit(true).as("found"))
+        docs.select(col("doc_id").as("a_id"), (col("doc_id") + 100000).as("b_id"))
+          .join(pairs, Seq("a_id", "b_id"), "left")
+          .select(col("a_id"), col("b_id"), coalesce(col("found"), lit(false)).as("found"))
+          .orderBy("a_id")
+      },
+      Some("""SELECT doc_id AS a_id, doc_id + 100000 AS b_id, TRUE AS found
+             |FROM documents WHERE doc_id % 4 = 0
+             |ORDER BY a_id""".stripMargin.replace("\n", " "))),
 
     // Per-label centroid support: element-wise sums of the embedding
     // vectors per label (the reduction behind k-means / class prototypes).
@@ -221,22 +248,38 @@ object SimilarityQueries {
 
     // Product-quantization ANN (Jégou et al. 2011): embeddings compress
     // 32× into per-subspace codes, queries score by asymmetric distance
-    // (m table lookups per row instead of d multiplies). Rows-only:
-    // quantized distances are model-internal (the codebooks come from
-    // an iterative trainer), and this near-uniform testdata is PQ's
-    // theoretical worst case (recall@10 is 0.1-0.6 here by design of
-    // the data, not a bug) — PqSpec pins the ADC identity, planted-
-    // cluster retrieval, and determinism instead.
+    // (m table lookups per row instead of d multiplies).
+    // PROPERTY-BOUND ORACLE (planted duplicate): the quantized distances
+    // are model-internal, but encode picks the per-block L2-argmin
+    // codeword, so an EXACT copy of a query vector gets the query's own
+    // codes and its ADC distance is Σ_b min_c ||q_b − c||² — the query's
+    // quantization error, which lower-bounds EVERY corpus row's ADC
+    // distance. Plant a copy of each query at vec_id + 100000 and state,
+    // per query, that the copy appears in the top-k AT the minimum
+    // distance (== tolerates exact code-collision ties, which would
+    // produce the identical ADC value — monotone round-6 keeps the
+    // equality exact). A copy evicted or beaten flips found to false.
+    // Natural-recall behavior stays pinned by PqSpec (ADC identity,
+    // planted-cluster retrieval, determinism).
     QueryDef("pq1_adc_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val model = graft.operators.Pq.train(e, m = 8, k = 16)
+        val q = e.filter(col("vec_id") < 5)
+        val corpus = e.select("vec_id", "embedding").unionByName(
+          q.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val model = graft.operators.Pq.train(corpus, m = 8, k = 16)
         graft.operators.Pq.query(
-          graft.operators.Pq.encode(e, model),
-          e.filter(col("vec_id") < 5), model, topK = 10)
-          .orderBy("query_id", "rank")
+          graft.operators.Pq.encode(corpus, model), q, model, topK = 10)
+          .groupBy("query_id")
+          .agg(min(col("adc_dist")).as("min_d"),
+            max(when(col("neighbor_id") === col("query_id") + 100000,
+              col("adc_dist"))).as("copy_d"))
+          .select(col("query_id"),
+            (col("copy_d").isNotNull && col("copy_d") === col("min_d")).as("found"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, TRUE AS found FROM embeddings
+             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
 
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic

@@ -488,15 +488,34 @@ object TextQueries {
               |SELECT t.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.mean_prob_x1e6
               |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
-    // BPE tokenizer training: top-32 merges learned from the corpus —
+    // BPE tokenizer training: merges learned from the corpus —
     // distributed word-frequency pass, driver-side vocab-scale merge
-    // loop (the subword-nmt/HF split). Deterministic (lexicographic tie
-    // break) but iterative state is not SQL-expressible → rows-only;
-    // hand-computed merges pinned by spec.
+    // loop (the subword-nmt/HF split). PARTIAL ORACLE: the full merge
+    // sequence is iterative state no SQL engine reproduces, but merge #1
+    // is by construction the corpus's most frequent adjacent CHARACTER
+    // pair (weighted by word occurrence count, ties lexicographic on
+    // (left, right)) — one SQL aggregate — and the merge count is
+    // closed-form (the dictionary never exhausts in 32 rounds). The
+    // query emits exactly that contract: (first_left, first_right,
+    // first_count, n_merges). A trainer that miscounts pairs, breaks
+    // ties differently, or stops early flips the row. The full 32-merge
+    // sequence stays pinned by the hand-computed PropertySpec fixture
+    // and exercised end-to-end by t10's losslessness oracle.
     QueryDef("t9_bpe_merges",
-      (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = 32)
-        .orderBy("rank"),
-      None),
+      (s, dir) => {
+        val m = TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = 32)
+        m.filter(col("rank") === 1)
+          .select(col("left").as("first_left"), col("right").as("first_right"),
+            col("pair_count").as("first_count"))
+          .crossJoin(m.groupBy().agg(count(lit(1)).as("n_merges")))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($duckToks) AS w FROM documents),
+              |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+              |pairs AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pr, f FROM wf),
+              |agg AS (SELECT pr, CAST(sum(f) AS BIGINT) AS c FROM pairs GROUP BY pr)
+              |SELECT substr(pr, 1, 1) AS first_left, substr(pr, 2, 1) AS first_right,
+              |c AS first_count, CAST(32 AS BIGINT) AS n_merges
+              |FROM agg ORDER BY c DESC, pr LIMIT 1""".stripMargin.replace("\n", " "))),
 
     // BPE inference: the learned merges applied corpus-wide as a
     // MAP-ONLY expression (merge table rides in the plan) — train once,

@@ -14,14 +14,13 @@ class RegistrySpec extends AnyFunSuite {
     assert(names.forall(_.matches("[a-z0-9_]+")))
   }
 
-  test("rows-only queries are exactly the documented allowlist") {
+  test("every registry query carries a DuckDB oracle") {
+    // Formerly a 3-entry rows-only allowlist (d7_winnowing,
+    // t9_bpe_merges, pq1_adc_topk); each converted to a property-bound
+    // oracle (planted-pair / planted-duplicate / first-merge partial
+    // contract) in round 7 — keep it empty.
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
-    val allowed = Set(
-      "d7_winnowing",      // engine-specific rolling hashes; guarantee spec
-      "t9_bpe_merges",     // iterative merge state not SQL-expressible; hand-computed spec
-      "pq1_adc_topk")      // quantized distances are model-internal; ADC-identity/cluster specs
-    assert(rowsOnly == allowed,
-      s"unexpected rows-only queries: ${rowsOnly -- allowed}; missing: ${allowed -- rowsOnly}")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("oracleSql keys are a subset of queries keys") {

@@ -281,6 +281,37 @@ object SimilarityQueries {
       Some("""SELECT vec_id AS query_id, TRUE AS found FROM embeddings
              |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
 
+    // IVFPQ — the FAISS layout: coarse IVF routing composed with
+    // PQ-compressed ADC scoring; the serving relation carries only
+    // (id, cell, codes), ~(16+m) B/row at 10¹⁰ vectors, cell-prunable.
+    // PROPERTY-BOUND ORACLE extending pq1's planted duplicate: a copy of
+    // a query vector (a) lands in the query's own rank-1 routing cell —
+    // cell assignment and query routing share the cosine/tie rule — so
+    // it is scored at ANY nprobe ≥ 1, and (b) carries the query's codes,
+    // so its ADC distance is the global minimum (pq1's argument). Found
+    // = copy in the top-k at the minimum distance; a routing/assignment
+    // rule divergence or an ADC miscount flips it. Full-probe == plain
+    // PQ equivalence stays pinned by PqSpec.
+    QueryDef("pq2_ivfpq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+        val corpus = e.select("vec_id", "embedding").unionByName(
+          q.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val model = graft.operators.Pq.train(corpus, m = 8, k = 16)
+        val index = Similarity.ivfIndex(corpus, numCentroids = 16)
+        graft.operators.Pq.ivfPqQuery(index, model, q, topK = 10, nprobe = 4)
+          .groupBy("query_id")
+          .agg(min(col("adc_dist")).as("min_d"),
+            max(when(col("neighbor_id") === col("query_id") + 100000,
+              col("adc_dist"))).as("copy_d"))
+          .select(col("query_id"),
+            (col("copy_d").isNotNull && col("copy_d") === col("min_d")).as("found"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, TRUE AS found FROM embeddings
+             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
+
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic
     // group. FULL-OUTPUT ORACLE despite the engine-specific k-means

@@ -1,32 +1,54 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot-versioned parquet tables — time travel without a transaction
   * log. Each write lands a complete immutable snapshot under
   * `root/v=<n>/`; a one-line `_LATEST` pointer file is then swapped in
-  * by atomic rename, so readers always resolve to a FULLY-written
-  * snapshot (the pointer is the commit). Old versions stay readable
-  * until [[vacuum]] — a reader that resolved v=N is unaffected by later
+  * by rename, so readers always resolve to a FULLY-written snapshot
+  * (the pointer is the commit). Old versions stay readable until
+  * [[vacuum]] — a reader that resolved v=N is unaffected by later
   * writes (snapshot isolation by immutability).
+  *
+  * Every path operation goes through the Hadoop `FileSystem` resolved
+  * from the root URI (a `java.io.File` formulation would be local-only
+  * — this must run against HDFS/object-store roots on a real cluster;
+  * FsSchemeSpec drives it over a second scheme to prove no local-FS
+  * assumption leaks back in). Commit atomicity is the filesystem's
+  * rename: atomic overwrite on POSIX-rename stores (local, HDFS via the
+  * delete+rename fallback below with a one-commit-wide reader window);
+  * on object stores without atomic rename, commit via a conditional PUT
+  * of the pointer object instead.
   *
   * At 100 TB, pair this with [[Lakehouse.mergeIntoParquet]]-style
   * partition reuse rather than full rewrites; the pointer-swap commit
-  * protocol is the same. On object stores without atomic rename, commit
-  * via a conditional PUT of the pointer object instead.
+  * protocol is the same.
   */
 object Versioned {
 
-  private def pointer(root: String) = new java.io.File(root, "_LATEST")
+  private def pointer(root: String) = new Path(root, "_LATEST")
   private def versionDir(root: String, v: Long) = s"$root/v=$v"
+
+  /** Hadoop conf for the String-rooted read-side APIs: the active
+    * session's (so per-session `fs.*` settings are honored), else a
+    * default Configuration.
+    */
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(root: String): FileSystem = new Path(root).getFileSystem(hconf)
 
   /** All snapshot versions present on disk, ascending. */
   def versions(root: String): Seq[Long] = {
-    val d = new java.io.File(root)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong).sorted
+    val fs = fsFor(root)
+    val d = new Path(root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
   }
 
   /** The committed version (what readers resolve), if any. Distinct from
@@ -34,9 +56,14 @@ object Versioned {
     * that was never committed.
     */
   def latest(root: String): Option[Long] = {
+    val fs = fsFor(root)
     val p = pointer(root)
-    if (!p.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim.toLong)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Write `df` as the next snapshot and commit it. Returns the new
@@ -45,13 +72,22 @@ object Versioned {
   def write(df: DataFrame, root: String): Long = {
     val next = versions(root).lastOption.map(_ + 1L).getOrElse(0L)
     df.write.mode("overwrite").parquet(versionDir(root, next))
-    // commit = atomic pointer swap; a crash before this line leaves an
-    // uncommitted orphan dir that vacuum() removes
-    val tmp = new java.io.File(root, s"_LATEST.tmp.$next")
-    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, pointer(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // commit = pointer swap; a crash before this line leaves an
+    // uncommitted orphan dir that vacuum() removes. Plain rename
+    // overwrites atomically on POSIX-backed stores; filesystems with
+    // no-overwrite rename semantics take the delete+rename fallback
+    // (readers in that window see the previous pointer missing and
+    // should retry — or commit via conditional PUT, see scaladoc).
+    val fs = fsFor(root)
+    val ptr = pointer(root)
+    val tmp = new Path(root, s"_LATEST.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr))
+        throw new java.io.IOException(s"could not commit pointer $ptr")
+    }
     next
   }
 
@@ -115,10 +151,8 @@ object Versioned {
     val removable = versions(root)
       .filter(_ <= committed)   // orphans above the pointer are in-flight
       .sorted.dropRight(keepLast)
-    removable.foreach { v =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(versionDir(root, v)))
-    }
+    val fs = fsFor(root)
+    removable.foreach(v => fs.delete(new Path(versionDir(root, v)), true))
     removable
   }
 }

@@ -50,18 +50,38 @@ object Layout {
   /** Write `df` as `numFiles` Parquet files clustered along the Z-curve
     * of `cols`. Pair with `SkipIndex.build(path, cols)` for multi-column
     * file skipping.
+    *
+    * `bloomCols`: columns to write Parquet bloom filters for. Clustering
+    * serves RANGE predicates on the clustered dims; a point lookup on a
+    * high-cardinality column the layout does NOT order by (the "fetch
+    * document N from the 100 TB corpus" access) still touches every
+    * row group whose min/max straddles the value — on an unclustered id
+    * that is all of them. A bloom filter answers "id definitely absent"
+    * per row group from a few KB in the footer, so the reader (Spark's
+    * parquet scan applies them automatically under filter pushdown)
+    * skips all but the group that holds the row. Footer cost is per
+    * column, opt-in by listing only the columns that get point lookups.
     */
   def zorderWrite(df: DataFrame, path: String, cols: Seq[String],
-      numFiles: Int, bitsPerCol: Int = 8): Unit =
-    df.withColumn("__z", zvalue(df, cols, bitsPerCol))
+      numFiles: Int, bitsPerCol: Int = 8, bloomCols: Seq[String] = Nil): Unit = {
+    val w = df.withColumn("__z", zvalue(df, cols, bitsPerCol))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    bloomCols.foldLeft(w)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(path)
+  }
 
-  /** Comparison layout: the same file count clustered on ONE column. */
-  def linearWrite(df: DataFrame, path: String, sortCol: String, numFiles: Int): Unit =
-    df.repartitionByRange(numFiles, col(sortCol))
+  /** Comparison layout: the same file count clustered on ONE column.
+    * `bloomCols` as in [[zorderWrite]].
+    */
+  def linearWrite(df: DataFrame, path: String, sortCol: String, numFiles: Int,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val w = df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    bloomCols.foldLeft(w)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(path)
+  }
 }

@@ -115,6 +115,40 @@ class LakehouseSpec extends SparkSpec {
     assert(missing.count() == 0)
   }
 
+  test("parquet-native bloom filters land in footers, only for listed columns") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("pqbloom")
+    // ids hash-interleaved across the payload sort order: min/max stats
+    // can't prune an id point lookup, which is what the bloom is for
+    val df = (0L until 20000L).map(i => (i * 2654435761L % 20011L, i))
+      .toDF("id", "payload")
+    Layout.linearWrite(df, path, "payload", numFiles = 4, bloomCols = Seq("id"))
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(path).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.size == 4)
+    files.foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val byName = r.getFooter.getBlocks.get(0).getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        assert(byName("id").getBloomFilterOffset >= 0,
+          s"${f.getName}: id must carry a bloom filter")
+        assert(byName("payload").getBloomFilterOffset < 0,
+          s"${f.getName}: unlisted payload must not pay footer bytes")
+      } finally r.close()
+    }
+    // the filter is a pruning aid, never a semantics change
+    val probe = 12345L * 2654435761L % 20011L
+    val got = spark.read.parquet(path).filter(col("id") === probe)
+      .select("payload").as[Long].collect().toSet
+    val want = df.filter(col("id") === probe)
+      .select("payload").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("z-order prunes on BOTH dimensions where linear layout prunes on one") {
     val rnd = new scala.util.Random(5)
     val df = Seq.fill(20000)((rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong))

@@ -316,4 +316,54 @@ object Streams {
           updated
       }
   }
+
+  /** [[sensorHealth]] on `transformWithState` (Spark 4's arbitrary-state
+    * API, which requires the RocksDB state store —
+    * [[StateBackend.useRocksDb]]) with an optional per-key state TTL.
+    *
+    * The TTL is the at-scale difference from mapGroupsWithState: over an
+    * unbounded key domain (sensors churn, doc/session ids never repeat)
+    * untimed per-key state grows monotonically for the stream's
+    * lifetime, and mapGroupsWithState only bounds it via hand-rolled
+    * timeout plumbing in every operator. A `TTLConfig` evicts any key
+    * not written within the duration inside the store itself — state is
+    * then bounded by active keys × TTL, whatever the stream's history.
+    * Semantics for live keys are IDENTICAL to [[sensorHealth]]
+    * (StateBackendSpec pins it); an evicted key simply restarts its
+    * rolling counters on next sight.
+    */
+  def sensorHealthTws(readings: Dataset[Reading],
+      stateTtl: Option[java.time.Duration] = None): Dataset[SensorHealth] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.sensor_id)
+      .transformWithState(new SensorHealthProcessor(stateTtl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  private class SensorHealthProcessor(stateTtl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Reading, SensorHealth] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SensorHealth] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SensorHealth]("health",
+        org.apache.spark.sql.Encoders.product[SensorHealth],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: String, rows: Iterator[Reading],
+        timers: TimerValues): Iterator[SensorHealth] = {
+      val prev =
+        if (state.exists()) state.get()
+        else SensorHealth(key, 0L, 100.0, Double.MaxValue, low_battery = false)
+      val updated = rows.foldLeft(prev) { (acc, r) =>
+        SensorHealth(key, acc.readings + 1, r.battery_level,
+          math.min(acc.min_battery, r.battery_level),
+          r.battery_level < 20.0)
+      }
+      state.update(updated)
+      Iterator.single(updated)
+    }
+  }
 }

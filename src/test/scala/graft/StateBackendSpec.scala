@@ -78,6 +78,73 @@ class StateBackendSpec extends SparkSpec {
     assert(spark.conf.getOption(key) == before)
   }
 
+  // NOTE: TWS tests poll a foreachBatch buffer, never
+  // processAllAvailable — under TimeMode.ProcessingTime Spark runs a
+  // batch EVERY trigger (TTL/timer eviction happens on empty batches
+  // too), so the no-new-data quiescence processAllAvailable waits for
+  // never arrives and it blocks forever (and AvailableNow never
+  // self-terminates, for the same reason). One continuous query per
+  // test; the buffer records every update emitted for s1, in order.
+  private def pollFor(buf: java.util.Queue[(Long, Double)],
+      want: ((Long, Double)) => Boolean, what: String): (Long, Double) = {
+    val deadline = System.currentTimeMillis + 60000
+    while (System.currentTimeMillis < deadline) {
+      val hit = buf.toArray(Array.empty[(Long, Double)]).find(want)
+      if (hit.isDefined) return hit.get
+      Thread.sleep(100)
+    }
+    fail(s"timed out waiting for $what; saw ${buf.toArray.toSeq}")
+  }
+
+  private def startTws(mem: MemoryStream[Reading], ttl: Option[java.time.Duration],
+      buf: java.util.Queue[(Long, Double)]) =
+    Streams.sensorHealthTws(mem.toDS(), stateTtl = ttl)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.SensorHealth], _: Long) =>
+        batch.filter(col("sensor_id") === "s1")
+          .select("readings", "min_battery").collect()
+          .foreach(r => buf.add((r.getLong(0), r.getDouble(1))))
+        ()
+      }
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+
+  test("transformWithState sensor health carries state across batches") {
+    implicit val sc = spark.sqlContext
+    StateBackend.withRocksDb(spark) { // TWS requires RocksDB
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+      val mem = MemoryStream[Reading]
+      val q = startTws(mem, ttl = None, buf)
+      try {
+        mem.addData(reading("s1", "t1", 50.0), reading("s1", "t2", 30.0))
+        assert(pollFor(buf, _._1 == 2L, "batch-1 fold")._2 == 30.0)
+        mem.addData(reading("s1", "t3", 10.0))
+        // readings reaches 3 only if batch-1 state carried over
+        assert(pollFor(buf, _._1 == 3L, "carried state")._2 == 10.0)
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState TTL evicts idle keys; counters restart on next sight") {
+    implicit val sc = spark.sqlContext
+    StateBackend.withRocksDb(spark) {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+      val mem = MemoryStream[Reading]
+      val q = startTws(mem, ttl = Some(java.time.Duration.ofMillis(500)), buf)
+      try {
+        mem.addData(reading("s1", "t1", 50.0), reading("s1", "t2", 40.0))
+        assert(pollFor(buf, _._1 == 2L, "batch-1 fold")._2 == 40.0)
+        Thread.sleep(1500) // > TTL: s1's state expires while idle
+        mem.addData(reading("s1", "t3", 30.0))
+        // an evicted key restarts its rolling counters (readings=1,
+        // fresh min 30) instead of carrying (3, min 30) forward
+        val next = pollFor(buf, p => p._1 == 1L || p._1 == 3L, "post-TTL update")
+        assert(next == (1L, 30.0),
+          s"expected counters to restart after TTL eviction, got $next")
+      } finally q.stop()
+    }
+  }
+
   test("sessionization under RocksDB matches the documented session split") {
     val ck = Files.createTempDirectory("ck_rocks_sess").toString
     implicit val sc = spark.sqlContext

@@ -1357,6 +1357,49 @@ object RelationalQueries {
              |SELECT CAST(count(*) AS BIGINT) AS n_triangles
              |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin.replace("\n", " "))),
 
+    // Fixed-point PageRank (3 iterations, damping 85/100, dangling mass
+    // redistributed) over a directed supplier→part / part→supplier graph
+    // from disjoint lineitem slices — the authority-weighting signal a
+    // crawl-curation pipeline ranks web domains with. All-integer
+    // arithmetic makes the ranks EXACT (no float reduction-order drift),
+    // so the DuckDB oracle unrolls the same three iterations as CTEs and
+    // matches hash-exact. Suppliers offset by 1e6 to keep the two key
+    // spaces disjoint.
+    QueryDef("graph2_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sp = li.filter(col("l_orderkey") % 7 === 0)
+          .select((col("l_suppkey") + 1000000).cast("long").as("src"),
+            col("l_partkey").cast("long").as("dst"))
+        val ps = li.filter(col("l_orderkey") % 7 === 1)
+          .select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey") + 1000000).cast("long").as("dst"))
+        graft.operators.Graph.pageRank(sp.unionByName(ps), "src", "dst",
+            iterations = 3)
+          .orderBy("id")
+      },
+      Some("""WITH e AS (
+             |SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS src, CAST(l_partkey AS BIGINT) AS dst FROM lineitem WHERE l_orderkey % 7 = 0
+             |UNION
+             |SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src, CAST(l_suppkey + 1000000 AS BIGINT) AS dst FROM lineitem WHERE l_orderkey % 7 = 1),
+             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |nn AS (SELECT count(*) AS n, 1000000000 // count(*) AS base FROM nodes),
+             |od AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+             |r0 AS (SELECT id, (SELECT base FROM nn) AS r FROM nodes),
+             |d1 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r0 r LEFT JOIN od ON r.id = od.id WHERE od.id IS NULL),
+             |i1 AS (SELECT e.dst AS id, sum(r.r // od.deg) AS inflow FROM e JOIN r0 r ON e.src = r.id JOIN od ON e.src = od.id GROUP BY e.dst),
+             |r1 AS (SELECT n.id, (15 * nn.base + 85 * (coalesce(i1.inflow, 0) + d1.dang // nn.n)) // 100 AS r
+             |FROM nodes n CROSS JOIN nn CROSS JOIN d1 LEFT JOIN i1 ON n.id = i1.id),
+             |d2 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r1 r LEFT JOIN od ON r.id = od.id WHERE od.id IS NULL),
+             |i2 AS (SELECT e.dst AS id, sum(r.r // od.deg) AS inflow FROM e JOIN r1 r ON e.src = r.id JOIN od ON e.src = od.id GROUP BY e.dst),
+             |r2 AS (SELECT n.id, (15 * nn.base + 85 * (coalesce(i2.inflow, 0) + d2.dang // nn.n)) // 100 AS r
+             |FROM nodes n CROSS JOIN nn CROSS JOIN d2 LEFT JOIN i2 ON n.id = i2.id),
+             |d3 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r2 r LEFT JOIN od ON r.id = od.id WHERE od.id IS NULL),
+             |i3 AS (SELECT e.dst AS id, sum(r.r // od.deg) AS inflow FROM e JOIN r2 r ON e.src = r.id JOIN od ON e.src = od.id GROUP BY e.dst),
+             |r3 AS (SELECT n.id, (15 * nn.base + 85 * (coalesce(i3.inflow, 0) + d3.dang // nn.n)) // 100 AS r
+             |FROM nodes n CROSS JOIN nn CROSS JOIN d3 LEFT JOIN i3 ON n.id = i3.id)
+             |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin.replace("\n", " "))),
+
     // SCD Type 2 dimension build from the event log (gaps-and-islands):
     // one row per (user, event_type run) with validity bounds — the
     // standard warehouse history dimension, via graft.operators.Scd

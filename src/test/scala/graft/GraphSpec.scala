@@ -70,4 +70,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getLong(0)
     assert(got == 0L)
   }
+
+  test("pageRank: 3-cycle is stationary at scale div n") {
+    // a→b→c→a: every vertex has outdeg 1, no dangling mass, so
+    // r' = (15·base + 85·base) div 100 = base forever
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iterations = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 333333333L), (2L, 333333333L), (3L, 333333333L)))
+  }
+
+  test("pageRank: star with dangling leaves, hand-computed one iteration") {
+    // a→b, a→c; b and c are dangling. n=3, base=333333333.
+    // contrib to b and c = 333333333 div 2 = 166666666
+    // dangling = 2·333333333 = 666666666; share = div 3 = 222222222
+    // r(a) = (15·333333333 + 85·222222222) div 100 = 238888888
+    // r(b) = r(c) = (15·333333333 + 85·(166666666+222222222)) div 100
+    //             = 380555554
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iterations = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 238888888L), (2L, 380555554L), (3L, 380555554L)))
+  }
+
+  test("pageRank: exact result invariant under input partitioning") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("s", "d")
+    val a = Graph.pageRank(edges, "s", "d", iterations = 3)
+      .orderBy("id").collect().toSeq
+    val b = Graph.pageRank(edges.repartition(7), "s", "d", iterations = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }

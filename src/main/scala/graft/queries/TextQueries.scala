@@ -567,6 +567,32 @@ object TextQueries {
               |ROUND(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
               |ELSE CAST(per.n_dup AS DOUBLE) / CAST(per.n_grams AS DOUBLE) END, 6) AS dup_frac
               |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-              |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // DSIR importance-resampling scores (Xie et al. 2023): sources
+    // src1–src5 act as the curated target corpus, everything else as
+    // raw; each doc's score is the integer dot product of its hashed-
+    // unigram bucket counts with the micro-rounded log-likelihood-ratio
+    // model (see Selection.dsirScore determinism notes). The oracle
+    // rebuilds the identical model in SQL — md5 buckets, add-one
+    // smoothing, one ln — and matches hash-exact because the per-doc
+    // sum is all-integer.
+    QueryDef("dsir1_importance",
+      (s, dir) => graft.operators.Selection.dsirScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          col("source").isin("src1", "src2", "src3", "src4", "src5"),
+          buckets = 256)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, source IN ('src1','src2','src3','src4','src5') AS tgt, unnest($duckToks) AS tok FROM documents),
+              |tb AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(tok || 'dsir'), 1, 8)) AS UBIGINT) % 256 AS bucket FROM tok),
+              |cnt AS (SELECT bucket, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM tb GROUP BY bucket),
+              |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+              |model AS (SELECT bucket, CAST(round(ln(((ct + 1.0) / (tt + 256.0)) / ((cr + 1.0) / (tr + 256.0))) * 1e6, 0) AS BIGINT) AS slr FROM cnt CROSS JOIN tot),
+              |db AS (SELECT doc_id, bucket, count(*) AS n FROM tb GROUP BY doc_id, bucket)
+              |SELECT db.doc_id, CAST(sum(db.n * model.slr) AS BIGINT) AS score_micro,
+              |CAST(sum(db.n * model.slr) AS BIGINT) > 0 AS selected
+              |FROM db JOIN model USING (bucket) GROUP BY db.doc_id
+              |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

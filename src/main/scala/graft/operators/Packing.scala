@@ -67,7 +67,7 @@ object Packing {
     * `orderCol`. Groups are range-disjoint and ascending in `orderCol`,
     * so a per-group sort is a valid segment of the global sort.
     */
-  private def rangeGroup(docs: DataFrame, orderCol: String, parts: Int): Column =
+  private[operators] def rangeGroup(docs: DataFrame, orderCol: String, parts: Int): Column =
     if (parts <= 1) lit(0)
     else {
       val probs = (1 until parts).map(_.toDouble / parts).toArray

@@ -229,4 +229,45 @@ object Sampling {
       .filter(col("m") > 0)
       .drop("u")
   }
+
+  /** Deterministic global corpus shuffle: add `shuffle_pos` — the row's
+    * 0-based position in ascending (md5(id ‖ salt), id) order — the
+    * "shuffle the corpus once, read it sequentially" step before
+    * training. Because the key is a pure function of the id, the
+    * permutation is identical under any partitioning, engine, or re-run
+    * (a `rand(seed)`-keyed sort is not: seeds are per-partition), and an
+    * external reader can verify it from the ids alone.
+    *
+    * The position is NOT a global window (single task at scale): same
+    * distributed prefix-sum as [[Packing.packByOffset]] — range-group on
+    * the hash key (uniform, so groups balance), per-group counts to the
+    * driver (O(parts) longs), exclusive offsets back as a literal array,
+    * row_number within each range-disjoint group. Two passes. To
+    * MATERIALIZE the shuffled corpus at 100 TB, write with
+    * `.repartitionByRange(col("shuffle_pos"))` + sortWithinPartitions —
+    * sorted files, no single-task stage anywhere.
+    *
+    * Hash ties (32-bit key space) are broken by id, so the order is
+    * total for unique ids.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = "graft", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    val keyed = df.withColumn("__k", hashValue(col(idCol), salt))
+    val grouped = keyed.withColumn("__g", Packing.rangeGroup(keyed, "__k", parts))
+    val counts = grouped.groupBy("__g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxG = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = (0 to maxG).scanLeft(0L)((acc, g) => acc + counts.getOrElse(g, 0L))
+    val offsetExpr = element_at(
+      array(offsets.take(maxG + 1).map(lit(_)).toIndexedSeq: _*), col("__g") + 1)
+    val local = Window.partitionBy("__g").orderBy(col("__k"), col(idCol))
+    grouped
+      .withColumn("shuffle_pos",
+        offsetExpr + row_number().over(local).cast("long") - 1L)
+      .drop("__k", "__g")
+  }
 }

@@ -593,6 +593,20 @@ object TextQueries {
               |SELECT db.doc_id, CAST(sum(db.n * model.slr) AS BIGINT) AS score_micro,
               |CAST(sum(db.n * model.slr) AS BIGINT) > 0 AS selected
               |FROM db JOIN model USING (bucket) GROUP BY db.doc_id
-              |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Deterministic global corpus shuffle: shuffle_pos = rank in
+    // ascending (md5(id‖salt), id) order, computed by distributed
+    // prefix-sum (never a single-task global window — see
+    // Sampling.deterministicShuffle). The oracle is the same permutation
+    // as one SQL row_number.
+    QueryDef("shuf1_global_shuffle",
+      (s, dir) => graft.operators.Sampling.deterministicShuffle(
+          t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(row_number() OVER (ORDER BY
+             |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS UBIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

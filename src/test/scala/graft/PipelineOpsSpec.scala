@@ -478,4 +478,28 @@ class PipelineOpsSpec extends SparkSpec {
       .select("d_key", "m_key", "lev").as[(Long, Long, Int)].collect().toSet
     assert(got0 == Set((1L, 1L, 0), (2L, 2L, 0), (3L, 3L, 0)))
   }
+
+  test("deterministicShuffle: a permutation, equal to the global-sort rank") {
+    val df = (0L until 500L).toDF("id")
+    val got = Sampling.deterministicShuffle(df, "id", numPartitions = 8)
+      .select("id", "shuffle_pos")
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // positions are exactly 0..n-1 (a permutation, no gaps or dupes)
+    assert(rows.map(_._2).sorted == (0L until 500L))
+    // and equal to row_number over a plain global sort of the same key
+    val expect = df
+      .withColumn("k", Sampling.hashValue(col("id"), "graft"))
+      .orderBy("k", "id").collect().map(_.getLong(0))
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toSet
+    assert(rows.toSet == expect)
+  }
+
+  test("deterministicShuffle: invariant under repartitioning and parts count") {
+    val df = (0L until 300L).toDF("id")
+    val a = Sampling.deterministicShuffle(df, "id", numPartitions = 4)
+      .select("id", "shuffle_pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.deterministicShuffle(df.repartition(13), "id", numPartitions = 9)
+      .select("id", "shuffle_pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }

@@ -335,6 +335,30 @@ object SimilarityQueries {
       Some("""SELECT vec_id, vec_id AS rep_id, TRUE AS kept FROM embeddings WHERE vec_id % 4 = 0
              |UNION ALL
              |SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, FALSE AS kept FROM embeddings WHERE vec_id % 4 = 0
-             |ORDER BY vec_id""".stripMargin.replace("\n", " ")))
+             |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    // Scalar int8 min-max quantization (Quantize.int8Encode): the codes
+    // are deterministic (min/max are reduction-order-exact; the affine
+    // map is op-for-op mirrored), so the oracle restates the whole
+    // encode in SQL. Long form (vec_id, pos, code) keeps the compare
+    // total-ordered; code widened to INT for the cross-engine schema.
+    QueryDef("emb1_int8_quant",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val st = graft.operators.Quantize.int8Stats(e, "embedding")
+        graft.operators.Quantize.int8Encode(e, "vec_id", "embedding", st)
+          .select(col("id").as("vec_id"),
+            posexplode(col("codes")).as(Seq("pos", "code")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("code").cast("int").as("code"))
+          .orderBy("vec_id", "pos")
+      },
+      Some("""WITH x AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings),
+             |e AS (SELECT vec_id, u.i AS pos, CAST(u.v AS DOUBLE) AS v FROM x),
+             |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos)
+             |SELECT e.vec_id, CAST(e.pos AS BIGINT) AS pos,
+             |CAST(CASE WHEN st.mx = st.mn THEN -128
+             |ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS INTEGER) - 128 END AS INTEGER) AS code
+             |FROM e JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")))
   )
 }

@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone — the reference's string-timestamp data model
   *    derives dates by substring; any other zone silently shifts
   *    date-partition boundaries (SURVEY.md §7.4).
+  *  - parquet timestamp inference pinned to LTZ (inferTimestampNTZ off) —
+  *    upstream writers (pandas/pyarrow) emit naive `timestamp[us]`; with
+  *    the session zone pinned to UTC, reading those as LTZ makes
+  *    `unix_micros`/window/as-of arithmetic well-typed and numerically
+  *    identical to a naive reading, where NTZ inference would reject
+  *    `unix_micros` outright and fork the type surface per writer.
   *  - dynamic partition overwrite — an hourly sweep must rewrite hours,
   *    not history (reference overwrites the whole curated root each run;
   *    scripts/glue_transform/transform.py:179-185).
@@ -36,6 +42,7 @@ object GraftSession {
   def builder(): SparkSession.Builder =
     SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)

@@ -56,4 +56,48 @@ object Anomaly {
           lit(false)))
       .withColumnRenamed("__v", "v_scaled")
   }
+
+  /** Robust per-group outlier summary via median/MAD — the z-score's
+    * heavy-tail-safe sibling (one fat outlier inflates σ and masks the
+    * rest; the median absolute deviation doesn't move). Flags
+    * |x − median| > z·1.4826·MAD, the Gaussian-consistent cutoff.
+    *
+    * Like [[zscoreFlags]], the borderline test is EXACT integer
+    * arithmetic: values scale to longs (×`scale`), medians come from the
+    * exact percentile aggregate (interpolation g = 0.5 means doubled
+    * medians are integers; doubles hold them exactly below 2⁵³), and the
+    * cutoff |x − med| > z·1.4826·MAD becomes
+    *   10000 · 2|xs − med| > z·14826 · (4·MAD)
+    * — all integers, so a flag can never flip with partitioning, merge
+    * order, or engine.
+    *
+    * Two aggregation passes by construction (MAD needs the median
+    * first); each is a partial-aggregated groupBy on the key, and the
+    * per-group medians join back by broadcast. Exact percentile state is
+    * O(distinct values) per group — at 100 TB swap the boundary agg for
+    * the t-digest variant (Histograms.equiDepth's documented trade).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      z: Int = 3, scale: Int = 100): DataFrame = {
+    require(z >= 1 && scale >= 1, "z and scale must be >= 1")
+    val scaled = df
+      .withColumn("__v", round(col(valueCol) * scale).cast("long"))
+      .filter(col("__v").isNotNull)
+    val med = scaled.groupBy(col(keyCol).as("__k"))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    // |xs − med| is an exact multiple of 0.5 (med interpolates two longs
+    // at g = 0.5), so ×2 is an exact integer; same again for the MAD.
+    val dev = scaled.join(broadcast(med), scaled(keyCol) <=> med("__k"))
+      .withColumn("__a2", round(abs(col("__v") - col("__med")) * 2).cast("long"))
+    val mad = dev.groupBy(col(keyCol).as("__k3"))
+      .agg(round(expr("percentile(__a2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), dev(keyCol) <=> col("__k3"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(col("__v")).as("n"),
+        round(max(col("__med")) * 2).cast("long").as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(lit(20000L) * col("__a2") >
+          lit(z.toLong * 14826L) * col("mad4"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

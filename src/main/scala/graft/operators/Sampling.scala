@@ -250,6 +250,64 @@ object Sampling {
     * Hash ties (32-bit key space) are broken by id, so the order is
     * total for unique ids.
     */
+  /** Deterministic per-group cost-budget selection: within each group,
+    * walk the rows in shuffled-but-reproducible order (md5 hash of id,
+    * ties by id) and keep rows while the running `costCol` total stays
+    * within `budget` — "sample ~N tokens per domain", the data-mixing
+    * primitive (a fixed per-domain RATE can't hit a token target when
+    * domain sizes skew; a budget walk does, and stays auditable because
+    * the kept set is a pure function of ids).
+    *
+    * A row whose cost would cross the budget is dropped and, because the
+    * walk order is a hash shuffle (not size order), everything after it
+    * in that group is dropped too — the kept set is a strict prefix of
+    * the group's shuffled order, so re-runs with a LARGER budget only
+    * ever add rows (monotone, the property that makes budget sweeps
+    * comparable).
+    *
+    * Scale shape: the running sum is NOT one window per group (a single
+    * reducer per domain at 100 TB). Same two-pass distributed prefix-sum
+    * as [[Packing.packByOffset]]: range-segment the hash key, per
+    * (group, segment) cost totals to the driver (O(groups × segments)
+    * longs, bounded), exclusive per-group offsets re-join broadcast, and
+    * the window runs within (group, segment) — range-disjoint segments
+    * make the per-segment running sums a valid segment of the group's
+    * global walk. Emits `budget_run` (the inclusive running cost) so the
+    * selection is self-auditing.
+    */
+  def budgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      costCol: String, budget: Long, salt: String = "graft",
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    val keyed = df.withColumn("__k", hashValue(col(idCol), salt))
+    val grouped = keyed.withColumn("__g", Packing.rangeGroup(keyed, "__k", parts))
+    val segs = grouped.groupBy(col(groupCol).cast("string").as("__grp"), col("__g"))
+      .agg(sum(col(costCol).cast("long")).as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // exclusive per-group prefix offsets over the ascending segment ids
+    val offRows = segs.groupBy(_._1).toSeq.flatMap { case (grp, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (seg, off) => (grp, seg, off) }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offRows.toDF("__grp", "__g2", "__off")
+    val local = Window.partitionBy(col(groupCol), col("__g"))
+      .orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .join(broadcast(offDf),
+        col(groupCol).cast("string") === col("__grp") && col("__g") === col("__g2"))
+      .withColumn("budget_run",
+        col("__off") + sum(col(costCol).cast("long")).over(local))
+      .filter(col("budget_run") <= budget)
+      .drop("__k", "__g", "__grp", "__g2", "__off")
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String,
       salt: String = "graft", numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -82,6 +82,27 @@ object CoreQueries {
              |  AND (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
              |ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // Robust outlier summary: median/MAD per group, exact-integer cutoff
+    // (an1's fixed-point discipline applied to the heavy-tail-safe
+    // statistic). Two partial-aggregated passes + broadcast joins; the
+    // oracle replays the identical integer test on DuckDB's
+    // quantile_cont (bit-parity with Spark percentile proven by a6).
+    QueryDef("an2_mad_outliers",
+      (s, dir) => graft.operators.Anomaly.madOutliers(
+        t(s, dir, "events").select("event_type", "value"),
+        "event_type", "value", z = 3, scale = 100)
+        .select("event_type", "n", "med2", "mad4", "n_outliers")
+        .orderBy("event_type"),
+      Some("""WITH sc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xs FROM events WHERE value IS NOT NULL),
+             |m AS (SELECT event_type, quantile_cont(xs, 0.5) AS med FROM sc GROUP BY 1),
+             |d AS (SELECT sc.event_type, xs, med, CAST(round(abs(xs - med) * 2) AS BIGINT) AS a2 FROM sc JOIN m USING (event_type)),
+             |md AS (SELECT event_type, CAST(round(quantile_cont(a2, 0.5) * 2) AS BIGINT) AS mad4 FROM d GROUP BY 1)
+             |SELECT d.event_type, count(xs) AS n,
+             |CAST(round(max(med) * 2) AS BIGINT) AS med2, max(md.mad4) AS mad4,
+             |CAST(sum(CASE WHEN 20000 * a2 > 3 * 14826 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin.replace("\n", " "))),
+
     // Table profile: per-column count/null/distinct/min/max in ONE scan
     // (every column's stats ride the same aggregate) — the trust-a-new-
     // feed report, reshaped to a row per column. The oracle unions

@@ -401,6 +401,25 @@ object TextQueries {
              |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT) / 4294967296.0 < rate
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Per-domain cost-budget selection: walk each source's docs in
+    // deterministic hash order and keep a prefix whose cumulative size
+    // stays within the budget — "give me ~3000 chars per domain", the
+    // data-mixing primitive a fixed rate can't express under domain
+    // skew. Distributed prefix-sum (no single window per domain); the
+    // oracle is one SQL running-sum window over the identical md5 walk.
+    QueryDef("samp9_token_budget",
+      (s, dir) => graft.operators.Sampling.budgetPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", budget = 3000L)
+        .select("doc_id", "source", "n_chars", "budget_run")
+        .orderBy("source", "doc_id"),
+      Some("""WITH h AS (SELECT doc_id, source, n_chars,
+             |('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT AS k FROM documents),
+             |r AS (SELECT doc_id, source, n_chars,
+             |CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS budget_run FROM h)
+             |SELECT doc_id, source, n_chars, budget_run FROM r
+             |WHERE budget_run <= 3000 ORDER BY source, doc_id""".stripMargin.replace("\n", " "))),
+
     // Bloom-filter decontamination — the scale path for benchmark sets
     // too large to broadcast exactly: the filter is tree-aggregated over
     // the benchmark shingles, then the training scan is a map-only

@@ -104,6 +104,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a != c) // different salt draws a different sample
   }
 
+  test("budgetPerGroup: prefix of the hash walk, monotone in budget, layout-invariant") {
+    val df = (0L until 120L).map(i => (i, s"g${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "source", "cost")
+    val kept = Sampling.budgetPerGroup(df, "source", "doc_id", "cost", 150L)
+      .select("doc_id", "source", "cost", "budget_run")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._4))
+    // inclusive running cost never exceeds the budget and is consistent
+    kept.groupBy(_._2).foreach { case (_, rows) =>
+      rows.foldLeft(0L) { (acc, r) =>
+        assert(r._4 == acc + r._3 && r._4 <= 150L); r._4
+      }
+    }
+    // monotone: a larger budget keeps a superset
+    val more = Sampling.budgetPerGroup(df, "source", "doc_id", "cost", 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet.subsetOf(more))
+    // layout-invariant: repartitioning must not change the kept set
+    val rep = Sampling.budgetPerGroup(df.repartition(13, col("doc_id")),
+        "source", "doc_id", "cost", 150L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep == kept.map(_._1).toSet)
+    // per-group window formulation agrees (the distributed prefix-sum
+    // must equal the single-window semantics it stands in for)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(Sampling.hashValue(col("doc_id"), "graft"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("run", sum(col("cost")).over(w))
+      .filter(col("run") <= 150L).select("doc_id").as[Long].collect().toSet
+    assert(naive == kept.map(_._1).toSet)
+  }
+
+  test("madOutliers: flags exactly the hand-computed set, robust to one fat outlier") {
+    import graft.operators.Anomaly
+    // group a: tight cluster + one huge outlier; z-score masks it less
+    // robustly than MAD. values are 2-decimal, scale 100 is exact.
+    val vals = Seq.tabulate(21)(i => ("a", 10.0 + (i % 5) * 0.01)) :+ (("a", 500.0))
+    val df = vals.toDF("k", "v")
+    val out = Anomaly.madOutliers(df, "k", "v", z = 3, scale = 100)
+      .select("k", "n", "med2", "mad4", "n_outliers")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // med of scaled {1000x21 pattern, 50000}: medians land on 1001*2
+    assert(out._2 == 22L)
+    // hand check: exactly the 500.0 row crosses 3*1.4826*MAD
+    assert(out._5 == 1L)
+    // null values contribute nothing
+    val withNull = (vals.map { case (k, v) => (k, Some(v)) } :+ (("a", Option.empty[Double])))
+      .toDF("k", "v")
+    val out2 = Anomaly.madOutliers(withNull, "k", "v", z = 3, scale = 100)
+      .select("n", "n_outliers").as[(Long, Long)].collect().head
+    assert(out2 == ((22L, 1L)))
+  }
+
   test("scrubPii redacts emails, IPs, and phone runs; clean text untouched") {
     val got = Seq(
       "mail bob.smith+x@sub.example.org now",

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text ranked retrieval over a document corpus — BM25, the
+  * lexical-search workhorse a training-data pipeline leans on for
+  * retrieval-based decontamination, targeted corpus probes ("find every
+  * doc about X"), and hard-negative mining next to the embedding kNN in
+  * [[Similarity]] (reference analog: the ad-hoc Athena LIKE-scans in
+  * README.md:128-133, re-expressed as a scored ranking).
+  *
+  * Shape, designed for 100 TB: there is NO inverted index materialized
+  * and NO explode — per-query-term tf comes from a map-only
+  * `filter(tokens, _ == term)` over each row, so the scan stays inside
+  * whole-stage codegen; the corpus statistics (N, avgdl, per-term df)
+  * are ONE scalar aggregate broadcast back by cross join; the final
+  * ranking is a TakeOrderedAndProject (bounded top-k, never a global
+  * sort). Two passes over the text, zero wide shuffles. For a standing
+  * query workload you'd materialize `termFrequencies` once and reuse it;
+  * for ad-hoc queries this one-shot plan is already scan-bound.
+  *
+  * Determinism contract (the oracle-parity discipline of
+  * [[graft.queries.QueryDef]]): tf/df/dl are exact integers; the score
+  * combines them with a FIXED left-to-right association identical on
+  * both engines, and rounds to 6 decimals before ranking, with doc id
+  * as the final tiebreak — so the top-k is a total order and a 1-ulp
+  * `ln` difference between libm and the JVM cannot reorder it.
+  */
+object Retrieval {
+
+  /** Lucene-style BM25 ("+1" idf, always positive): score(d) =
+    * Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 32,
+      "query terms: 1..32 (per-term columns ride one scan)")
+    val base0 = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+    val base = queryTerms.zipWithIndex.foldLeft(base0) { case (d, (term, i)) =>
+      d.withColumn(s"__tf$i",
+        size(filter(col("__toks"), _ === lit(term))).cast("double"))
+    }.drop("__toks")
+    val statCols =
+      count(lit(1)).cast("double").as("__n") +:
+        (sum(col("dl")) / count(lit(1))).as("__avgdl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"__df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    // idf · tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)); tf = 0 ⇒ exactly 0.
+    def contrib(i: Int): Column =
+      log(lit(1.0) + (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5))) *
+        (col(s"__tf$i") * lit(k1 + 1.0) /
+          (col(s"__tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+    val score = queryTerms.indices.map(contrib)
+      .reduceLeft(_ + _) // fixed left-to-right association
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}

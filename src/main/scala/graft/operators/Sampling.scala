@@ -41,6 +41,36 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe split: [[assignSplit]] keyed on the NEAR-DUP CLUSTER
+    * representative instead of the row id, so every member of a
+    * connected near-duplicate family lands in the same split. A plain
+    * id-hash split leaks: a doc in train and its near-copy in test
+    * inflates eval. Feed `edges` from any of the pair generators
+    * (MinHash/LSH, SimHash, n-gram Jaccard); docs untouched by any edge
+    * are their own singleton cluster. Split membership stays a pure
+    * function of (cluster representative, salt) — reproducible across
+    * runs and partitionings, auditable via the emitted `comp` column.
+    *
+    * Cost = the connected-components pass (driver union-find under the
+    * documented edge gate, label propagation above it) + one broadcast
+    * join of the touched-vertex labels; the split itself is map-only.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, edges: DataFrame,
+      trainPct: Int, valPct: Int, salt: String = "graft"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must be within [0, 100]")
+    val comp = Dedup.connectedComponents(edges, df.select(col(idCol).as("doc_id")))
+      .select(col("doc_id").as("__id"), col("comp"))
+    val b = hashBucket(col("comp"), salt)
+    df.join(comp, col(idCol) === col("__id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .drop("__id")
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Stratified deterministic sample: a different keep-percentage per
     * stratum (e.g. downsample boilerplate-heavy sources hard, keep rare
     * ones whole — the standard training-mixture operation). Membership

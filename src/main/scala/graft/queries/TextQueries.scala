@@ -22,6 +22,9 @@ object TextQueries {
 
   private val langs = TextAnalysis.stopwords.keys.toSeq.sorted
 
+  /** BM25 probe: one rare, discriminating term plus three common ones. */
+  private val bm25Terms = Seq("dup", "spark", "window", "merge")
+
   /** Shared DuckDB CTE chain: word 3-shingles and all-pairs intersection/
     * union sizes over the deterministic doc subset (doc_id % 10 = 0) —
     * used by both the pair query (d3) and the clustering query (c1).
@@ -213,6 +216,33 @@ object TextQueries {
              |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
              |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Leakage-safe split: train/val/test assignment keyed on the
+    // near-dup CLUSTER representative (c1's connected components), so a
+    // doc and its near-copy can never straddle train and test. Oracle:
+    // c1's recursive-CTE closure + the samp1 md5 bucket, applied to the
+    // component label instead of the doc id.
+    QueryDef("split1_leakage_safe",
+      (s, dir) => {
+        val sub = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        val edges = Dedup.ngramJaccardPairs(sub, k = 3, threshold = 0.02)
+          .select("a_id", "b_id")
+        graft.operators.Sampling.leakageSafeSplit(
+          sub.select("doc_id"), "doc_id", edges, trainPct = 80, valPct = 10)
+          .select("doc_id", "comp", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckShPairs,
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02
+             |  UNION ALL SELECT b_id, a_id FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02),
+             |reach(id, r) AS (SELECT doc_id, doc_id FROM sub
+             |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+             |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             |bk AS (SELECT doc_id, comp,
+             |  ('0x' || substr(md5(CAST(comp AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 100 AS b FROM comp)
+             |SELECT doc_id, comp,
+             |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM bk ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Repetition statistics: exact integer boilerplate/spam signals
     // (token count, distinct tokens, highest single-token frequency).
     QueryDef("t5_repetition",
@@ -400,6 +430,35 @@ object TextQueries {
              |SELECT d.doc_id, d.source FROM documents d JOIN rt USING (source)
              |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT) / 4294967296.0 < rate
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // BM25 ranked retrieval (Lucene "+1" idf): the lexical-search
+    // workhorse — decontamination probes, targeted corpus queries, hard
+    // negatives next to embedding kNN. Map-only per-term tf (no explode,
+    // no inverted index), ONE broadcast stats row, TakeOrderedAndProject
+    // top-k. The oracle replays the identical fixed-association float
+    // expression — every constant below is interpolated from the SAME
+    // Scala doubles the operator uses, and both sides round to 6
+    // decimals before ranking with doc_id as the tiebreak.
+    QueryDef("ret1_bm25_topk",
+      (s, dir) => graft.operators.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        bm25Terms, k1 = 1.2, b = 0.75, topK = 20),
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val tfs = bm25Terms.indices.map(i =>
+          s"CAST(len(list_filter(toks, x -> x = '${bm25Terms(i)}')) AS DOUBLE) AS tf$i").mkString(", ")
+        val dfs = bm25Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+        val score = bm25Terms.indices.map(i =>
+          s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * " +
+            s"(tf$i * ${k1 + 1.0} / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfs FROM tok),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl, $dfs FROM base)
+           |SELECT doc_id, round($score, 6) AS score FROM base CROSS JOIN st
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " ")
+      }),
 
     // Per-domain cost-budget selection: walk each source's docs in
     // deterministic hash order and keep a prefix whose cumulative size

@@ -136,6 +136,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(naive == kept.map(_._1).toSet)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons == plain id split") {
+    val docs = (0L until 60L).toDF("doc_id")
+    // chain 0-1-2, pair 10-11, rest isolated
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", edges, 80, 10)
+      .select("doc_id", "comp", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.size == 60)
+    // every member of a component shares its split
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1)
+    }
+    assert(out.filter(r => Set(0L, 1L, 2L)(r._1)).map(_._2).distinct == Seq(0L))
+    // singleton docs fall back to the plain id-keyed split
+    val plain = Sampling.assignSplit(docs, "doc_id", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(r => r._1 == r._2 && !Set(0L, 1L, 2L, 10L, 11L)(r._1))
+      .foreach(r => assert(r._3 == plain(r._1)))
+  }
+
   test("madOutliers: flags exactly the hand-computed set, robust to one fat outlier") {
     import graft.operators.Anomaly
     // group a: tight cluster + one huge outlier; z-score masks it less

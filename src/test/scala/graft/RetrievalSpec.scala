@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval: scores vs a naive in-memory recomputation,
+  * ranking sanity, and the bounded top-k plan shape.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "cat cat cat dog"),
+    (2L, "cat dog fish"),
+    (3L, "dog dog dog dog dog dog dog dog"),
+    (4L, "fish"),
+    (5L, "bird bird cat"),
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  private def naive(terms: Seq[String], k1: Double, b: Double): Map[Long, Double] = {
+    val docs = Seq(
+      1L -> Seq("cat", "cat", "cat", "dog"),
+      2L -> Seq("cat", "dog", "fish"),
+      3L -> Seq.fill(8)("dog"),
+      4L -> Seq("fish"),
+      5L -> Seq("bird", "bird", "cat"),
+      6L -> Seq.empty[String])
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / docs.size
+    docs.map { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = docs.count(_._2.contains(t)).toDouble
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+      }.reduceLeft(_ + _)
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("bm25TopK == naive recomputation, bit-for-bit after rounding") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("cat", "dog"), topK = 10)
+      .as[(Long, Double)].collect().toMap
+    val want = naive(Seq("cat", "dog"), 1.2, 0.75)
+    assert(got.keySet == want.keySet.filter(id => want(id) != 0.0 || true))
+    got.foreach { case (id, s) => assert(s == want(id), s"doc $id") }
+  }
+
+  test("rare terms dominate: a unique term outranks a everywhere-term") {
+    // 'fish' (df=2) discriminates; 'cat' (df=3) less so; doc 4 is pure fish
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("fish"), topK = 1)
+      .as[(Long, Double)].collect().head
+    assert(top._1 == 4L) // shortest doc with the term ranks first
+  }
+
+  test("topK bounds the output; zero-hit docs score exactly 0 and sort by id") {
+    val rows = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("bird"), topK = 4)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 4)
+    assert(rows.head._1 == 5L)
+    val zeros = rows.filter(_._2 == 0.0).map(_._1)
+    assert(zeros.sameElements(zeros.sorted)) // id tiebreak on equal scores
+  }
+
+  test("plan: bounded top-k (TakeOrderedAndProject), no wide shuffle on the scan side") {
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("cat"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

@@ -360,5 +360,41 @@ object SimilarityQueries {
              |CAST(CASE WHEN st.mx = st.mn THEN -128
              |ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS INTEGER) - 128 END AS INTEGER) AS code
              |FROM e JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")))
+  ,
+
+    // Top principal component by fixed-point power iteration: ONE
+    // distributed GramAgg pass (no d²-row explosion — the buffer ships
+    // d(d+1)/2 longs), then an exact-integer iteration on the d×d
+    // matrix. Every operation is integer (floor quantization — round
+    // half-breaking differs between engines — truncating division
+    // matched by DuckDB's //), so the oracle replays all 6 iterations
+    // bit-for-bit via generated CTEs (graph2_pagerank's pattern).
+    QueryDef("pca1_power_iter",
+      (s, dir) => graft.operators.Pca.topComponent(
+        t(s, dir, "embeddings"), "embedding", dim = 64,
+        scale = 10000, iters = 6)
+        .select(col("dim").cast("long").as("dim"), col("component"))
+        .orderBy("dim"),
+      Some {
+        val iters = 6
+        val steps = (1 to iters).map { k =>
+          val prev = s"v${k - 1}"
+          s"""w$k AS (SELECT a.i AS i, CAST(sum(a.v * $prev.v) AS BIGINT) AS w FROM a JOIN $prev ON a.j = $prev.i GROUP BY a.i),
+             |m$k AS (SELECT CASE WHEN max(abs(w)) // 1000000 < 1 THEN 1 ELSE max(abs(w)) // 1000000 END AS d FROM w$k),
+             |v$k AS (SELECT i, w // (SELECT d FROM m$k) AS v FROM w$k)""".stripMargin
+        }.mkString(", ")
+        s"""WITH x AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings),
+           |q AS (SELECT vec_id, u.i AS i, CAST(floor(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS qi FROM x),
+           |n AS (SELECT count(*) AS c FROM embeddings),
+           |g AS (SELECT x2.i AS i, y2.i AS j, CAST(sum(x2.qi * y2.qi) AS BIGINT) AS s FROM q x2 JOIN q y2 ON x2.vec_id = y2.vec_id GROUP BY 1, 2),
+           |a AS (SELECT i, j, s // (SELECT c FROM n) AS v FROM g),
+           |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM q),
+           |$steps,
+           |fin AS (SELECT i, CAST(v AS BIGINT) AS v FROM v$iters),
+           |piv AS (SELECT v AS p FROM fin WHERE abs(v) = (SELECT max(abs(v)) FROM fin) ORDER BY i LIMIT 1)
+           |SELECT CAST(i AS BIGINT) AS dim,
+           |CAST(CASE WHEN (SELECT p FROM piv) < 0 THEN -v ELSE v END AS BIGINT) AS component
+           |FROM fin ORDER BY dim""".stripMargin.replace("\n", " ")
+      })
   )
 }

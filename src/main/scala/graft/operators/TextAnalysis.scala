@@ -114,6 +114,47 @@ object TextAnalysis {
     * non-alphanumerics). Identical content → identical fingerprint, the
     * exact-dedup key that survives formatting noise.
     */
+  /** Shannon token-entropy lookup table: L[c] = round(log2(c)·10⁹), index
+    * 0 padded. Generated ONCE here and interpolated into BOTH the Spark
+    * expression and the oracle SQL as literals — neither engine computes
+    * a log at query time, so there is no cross-engine ulp surface at all.
+    */
+  def log2Table(maxN: Int): Array[Long] =
+    Array.tabulate(maxN + 1)(c =>
+      if (c < 2) 0L else math.round(math.log(c.toDouble) / math.log(2.0) * 1e9))
+
+  /** Per-doc token Shannon entropy, exact fixed-point: H·10⁹ =
+    * L[n] − (Σ_t c_t·L[c_t]) / n over token counts c_t (the identity
+    * H = log n − (1/n)Σ c log c, all integer once L is a shared table).
+    * Low entropy ⇒ repetitive/boilerplate/spam; high ⇒ diverse text —
+    * the quality-filter signal next to [[repetitionStats]]. Zero-token
+    * docs score 0. One explode + two partial-aggregated groupBys on
+    * doc_id (token counts collapse map-side); the table broadcast is a
+    * literal array. Counts above `maxN` would index past the table —
+    * fail-fast instead of silently clamping.
+    */
+  def tokenEntropyScaled(docs: org.apache.spark.sql.DataFrame,
+      maxN: Int = 256): org.apache.spark.sql.DataFrame = {
+    val lt = log2Table(maxN)
+    val arr = array(lt.toIndexedSeq.map(lit): _*)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("__t"))
+      .groupBy("doc_id", "__t").agg(count(lit(1)).as("__c"))
+    val ag = tf.groupBy("doc_id").agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__c") * element_at(arr, (col("__c") + 1).cast("int"))).as("__s"))
+    docs.select("doc_id").join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_tok"),
+        when(col("__n").isNull || col("__n") === 0, 0L)
+          .when(col("__n") > maxN,
+            raise_error(concat(lit(s"token count exceeds entropy table ($maxN): "),
+              col("__n").cast("string"))).cast("long"))
+          .otherwise(
+            element_at(arr, (col("__n") + 1).cast("int")) -
+              expr("__s DIV __n")).as("h_x1e9"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 

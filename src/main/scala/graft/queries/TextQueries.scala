@@ -257,6 +257,30 @@ object TextQueries {
              |CAST(coalesce(agg.top_tf, 0) AS BIGINT) AS top_tf
              |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Per-doc token Shannon entropy, exact fixed-point: the shared
+    // log2 lookup table is generated once in Scala and interpolated
+    // into BOTH sides as literals — neither engine computes a log at
+    // query time, so the entropy is integer-exact (H = log n −
+    // (1/n)Σ c·log c over token counts). Low entropy flags
+    // repetitive/boilerplate docs.
+    QueryDef("t12_token_entropy",
+      (s, dir) => TextAnalysis.tokenEntropyScaled(
+        t(s, dir, "documents"), maxN = 256)
+        .orderBy("doc_id"),
+      Some {
+        val llist = TextAnalysis.log2Table(256).mkString("[", ", ", "]")
+        s"""WITH lt AS (SELECT $llist AS l),
+           |tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |trm AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+           |tf AS (SELECT doc_id, count(*) AS c FROM trm GROUP BY doc_id, t),
+           |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |CAST(sum(c * l[c + 1]) AS BIGINT) AS s FROM tf CROSS JOIN lt GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(coalesce(ag.n, 0) AS BIGINT) AS n_tok,
+           |CAST(CASE WHEN ag.n IS NULL OR ag.n = 0 THEN 0 ELSE lt.l[ag.n + 1] - ag.s // ag.n END AS BIGINT) AS h_x1e9
+           |FROM documents d LEFT JOIN ag USING (doc_id) CROSS JOIN lt
+           |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+      }),
+
     // PII scrubbing: emails / IPv4s / phone-shaped digit runs redacted
     // with typed placeholders. PII is planted deterministically on both
     // sides (the corpus itself is synthetic and clean), then scrubbed with

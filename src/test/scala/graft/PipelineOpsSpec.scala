@@ -177,6 +177,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 == ((22L, 1L)))
   }
 
+  test("tokenEntropyScaled: hand-computed docs, zero/empty edges, table-bound fail-fast") {
+    val docs = Seq(
+      (1L, "a a a a"),        // uniform single token → H = 0
+      (2L, "a b"),            // two distinct → H = 1 bit
+      (3L, "a a b b"),        // H = 1 bit
+      (4L, ""),               // empty → 0
+      (5L, "x y z w")         // 4 distinct → H = 2 bits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropyScaled(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L),
+      (2L, 2L, 1000000000L),
+      (3L, 4L, 1000000000L),
+      (4L, 0L, 0L),
+      (5L, 4L, 2000000000L)))
+    // a doc with more tokens than the table must fail loudly, not clamp
+    val big = Seq((9L, Seq.fill(300)("t").mkString(" "))).toDF("doc_id", "text")
+    // the per-count table lookup trips ANSI element_at bounds first; the
+    // n-level branch carries the explicit raise_error — either way, loud
+    val e = intercept[Exception] {
+      TextAnalysis.tokenEntropyScaled(big, maxN = 256).collect()
+    }
+    val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(msgs.contains("entropy table") || msgs.contains("INVALID_ARRAY_INDEX"))
+  }
+
   test("scrubPii redacts emails, IPs, and phone runs; clean text untouched") {
     val got = Seq(
       "mail bob.smith+x@sub.example.org now",

@@ -79,6 +79,31 @@ object Similarity {
         round(col("score"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining: for each query, the top-k most-similar corpus
+    * vectors that are NOT near-duplicates — "close, but wrong", the
+    * negatives contrastive training actually learns from (the global
+    * top-k is dominated by near-copies of the query; random negatives
+    * are too easy). Same broadcast-scan + bounded-heap shape as
+    * [[bruteForceKnn]], with the near-dup band (cosine ≥ `maxCos`) and
+    * self-matches excluded BEFORE the top-k, so excluded rows never
+    * reach the shuffle. Ranking and the cutoff both use the 6-decimal
+    * rounded cosine — discrete values, so the band edge and tie-breaks
+    * (by id) are engine-exact.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxCos: Double = 0.9): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+      .filter(col("cosine") < maxCos)
+    topKPerKey(scored, "query_id", col("cosine"), col("neighbor_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("score").as("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of `planes` deterministic
     * pseudo-random hyperplanes. Plane p's component for dimension i is
     * derived from xxhash64(p, i) — reproducible across runs and engines

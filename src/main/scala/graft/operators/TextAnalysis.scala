@@ -114,6 +114,32 @@ object TextAnalysis {
     * non-alphanumerics). Identical content → identical fingerprint, the
     * exact-dedup key that survives formatting noise.
     */
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct word k-shingles they share, plus the fixed-point Jaccard
+    * — the curation diagnostic that surfaces a crawl slice duplicated
+    * under two names, or boilerplate bleeding across domains, BEFORE
+    * per-doc dedup hides it in pair soup. Shingle-keyed equi-join on
+    * the distinct (source, shingle) set (one partial-agg shuffle in,
+    * one keyed join — never an all-docs cross product); per-source
+    * totals broadcast back. Jaccard is inter·10⁶ ∕ union in integer
+    * division, so the matrix is engine-exact.
+    */
+  def sourceOverlap(docs: org.apache.spark.sql.DataFrame, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col("source"),
+      explode(shingles(col("text"), k)).as("sh")).distinct()
+    val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("src_a"), col("sh"))
+      .join(sh.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("__na"))), Seq("src_a"))
+      .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("__nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("n_shared * 1000000 DIV (__na + __nb - n_shared)").as("jaccard_x1e6"))
+  }
+
   /** Shannon token-entropy lookup table: L[c] = round(log2(c)·10⁹), index
     * 0 padded. Generated ONCE here and interpolated into BOTH the Spark
     * expression and the oracle SQL as literals — neither engine computes

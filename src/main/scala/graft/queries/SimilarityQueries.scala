@@ -362,6 +362,27 @@ object SimilarityQueries {
              |FROM e JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")))
   ,
 
+    // Hard-negative mining: per query, top-k most-similar vectors with
+    // the near-dup band (rounded cosine ≥ 0.9) and self excluded before
+    // the bounded-heap top-k — the contrastive-training negative
+    // sampler. Ranking and band edge both on the discrete 6-decimal
+    // cosine, so ties and the cutoff are engine-exact.
+    QueryDef("ret2_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.hardNegatives(
+          e, e.filter(col("vec_id") < 5), k = 10, maxCos = 0.9)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS a_vec FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS b_vec FROM embeddings),
+              |scored AS (SELECT query_id, neighbor_id, round($duckCos, 6) AS cos FROM q, c WHERE query_id <> neighbor_id),
+              |banded AS (SELECT query_id, neighbor_id, cos FROM scored WHERE cos < 0.9),
+              |ranked AS (SELECT query_id, neighbor_id, cos,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM banded)
+              |SELECT query_id, rank, neighbor_id, cos AS cosine FROM ranked
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))),
+
     // Top principal component by fixed-point power iteration: ONE
     // distributed GramAgg pass (no d²-row explosion — the buffer ships
     // d(d+1)/2 longs), then an exact-integer iteration on the d×d

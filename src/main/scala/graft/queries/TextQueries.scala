@@ -257,6 +257,24 @@ object TextQueries {
              |CAST(coalesce(agg.top_tf, 0) AS BIGINT) AS top_tf
              |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Cross-source contamination matrix: distinct-shingle overlap and
+    // fixed-point Jaccard per source pair — the "is src3 a renamed
+    // crawl of src7" diagnostic. Shingle-keyed join, never an all-docs
+    // cross product; integer Jaccard so the matrix is engine-exact.
+    QueryDef("c4_source_overlap",
+      (s, dir) => TextAnalysis.sourceOverlap(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0), k = 3)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH tok AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks FROM documents WHERE doc_id % 5 = 0),
+             |sh AS (SELECT DISTINCT source, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s FROM tok),
+             |cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+             |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+             |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+             |SELECT src_a, src_b, n_shared,
+             |CAST(n_shared * 1000000 // (ca.n + cb.n - n_shared) AS BIGINT) AS jaccard_x1e6
+             |FROM inter JOIN cnt ca ON src_a = ca.source JOIN cnt cb ON src_b = cb.source
+             |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))),
+
     // Per-doc token Shannon entropy, exact fixed-point: the shared
     // log2 lookup table is generated once in Scala and interpolated
     // into BOTH sides as literals — neither engine computes a log at

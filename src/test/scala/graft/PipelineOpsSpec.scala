@@ -177,6 +177,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 == ((22L, 1L)))
   }
 
+  test("hardNegatives: near-dup band and self excluded, ranking == windowed naive") {
+    import graft.operators.Similarity
+    val vecs = (0 until 40).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(8)((r.nextDouble() - 0.5).toFloat))
+    }
+    // plant a near-copy of vector 0 (cosine ≈ 1 → must be banded out)
+    val planted = vecs :+ ((100L, vecs.head._2.map(x => (x * 1.0001f))))
+    val df = planted.toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(df, df.filter(col("vec_id") === 0L), k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length == 5)
+    assert(out.forall(_._4 < 0.9))
+    assert(!out.exists(_._3 == 100L)) // the planted near-copy is excluded
+    assert(!out.exists(_._3 == 0L))   // self excluded
+    // == naive: score all, filter, sort by (rounded cos desc, id)
+    val q = vecs.head._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val naive = planted.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(q, v.map(_.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .filter(_._2 < 0.9).sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(out.sortBy(_._2).map(r => (r._3, r._4)).toSeq == naive)
+  }
+
+  test("sourceOverlap: hand-built shingle overlap with exact integer jaccard") {
+    val docs = Seq(
+      (1L, "srcA", "one two three four"),   // shingles: {one two three, two three four}
+      (2L, "srcB", "one two three"),        // {one two three}
+      (3L, "srcC", "five six seven eight")  // disjoint
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceOverlap(docs, k = 3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // only (srcA, srcB) overlap: inter=1, union=2 → jaccard 500000
+    assert(out == Seq(("srcA", "srcB", 1L, 500000L)))
+  }
+
   test("tokenEntropyScaled: hand-computed docs, zero/empty edges, table-bound fail-fast") {
     val docs = Seq(
       (1L, "a a a a"),        // uniform single token → H = 0

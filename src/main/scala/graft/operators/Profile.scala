@@ -76,4 +76,58 @@ object Profile {
         (col("nulls_after") - col("nulls_before")).as("nulls_delta"),
         (col("distinct_after") - col("distinct_before")).as("distinct_delta"))
   }
+
+  /** Pearson correlation matrix of `cols` — the feature-redundancy /
+    * leakage report (two near-perfectly-correlated columns mean a
+    * duplicated signal; a label correlating with an id means a leak).
+    * ONE [[graft.functions.GramAgg]] pass over the packed column vector
+    * — d(d+1)/2 exact fixed-point longs per partition, one scan for the
+    * whole matrix — plus the first-moment sums on the same aggregate.
+    *
+    * corr_ij = (n·S_ij − S_i·S_j) / √(n·S_ii − S_i²)·√(n·S_jj − S_j²)
+    * over the floor-quantized values: the moments are EXACT integers
+    * (BigInt driver math — n·S_ij overflows int64 at sf0.1 already), so
+    * the only float ops are the final correctly-rounded casts, √, and
+    * division — identical on any engine, rounded to 6 decimals. A
+    * zero-variance column yields null against every other (a constant
+    * has no correlation, and silently emitting 0 would read as
+    * "uncorrelated").
+    *
+    * Driver holds d² longs — same bounded-reduction call as
+    * [[Pca.topComponent]]. Rows with ANY null among `cols` are skipped
+    * (pairwise-complete would make each cell a different population).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 100): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 64, "cols: 2..64")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = cols.size
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(array(cols.map(col(_).cast("double")): _*).as("__v"))
+    val gramCol = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__v")), d, scale)
+        .toAggregateExpression())
+    val sumCols = (0 until d).map(i =>
+      sum(floor(element_at(col("__v"), i + 1) * scale).cast("long")).as(s"__s$i"))
+    val aggCols = gramCol.as("__g") +: count(lit(1)).as("__n") +: sumCols
+    val row = complete.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val g = row.getSeq[Long](0)
+    val n = BigInt(row.getLong(1))
+    if (n == 0) return Seq.empty[(Long, Long, Option[Double])].toDF("i", "j", "corr")
+    val s = (0 until d).map(i => BigInt(row.getLong(2 + i)))
+    val out = for (i <- 0 until d; j <- 0 until d) yield {
+      val num = n * BigInt(g(i * d + j)) - s(i) * s(j)
+      val di = n * BigInt(g(i * d + i)) - s(i) * s(i)
+      val dj = n * BigInt(g(j * d + j)) - s(j) * s(j)
+      val corr =
+        if (di.signum <= 0 || dj.signum <= 0) Option.empty[Double]
+        else Some(BigDecimal(
+          num.toDouble / (math.sqrt(di.toDouble) * math.sqrt(dj.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (i.toLong, j.toLong, corr)
+    }
+    out.toDF("i", "j", "corr")
+  }
 }

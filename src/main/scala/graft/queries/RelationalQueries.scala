@@ -1046,6 +1046,47 @@ object RelationalQueries {
              |ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
 
+    // Pearson correlation matrix of four lineitem measures in ONE
+    // GramAgg pass (d(d+1)/2 exact longs per partition — the whole
+    // matrix costs one scan). Columns are pre-scaled per-column so the
+    // fixed-point moments stay inside int64; the cross-moment products
+    // exceed int64 at sf0.1, so both engines promote (BigInt driver
+    // math / HUGEINT) before the final correctly-rounded casts, sqrts,
+    // and division — the only float ops, identical everywhere.
+    QueryDef("stat3_corr_matrix",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select((col("l_quantity") * 100).as("c0"),
+            col("l_extendedprice").as("c1"),
+            (col("l_discount") * 10000).as("c2"),
+            (col("l_tax") * 10000).as("c3"))
+        graft.operators.Profile.correlationMatrix(
+          li, Seq("c0", "c1", "c2", "c3"), scale = 1)
+          .orderBy("i", "j")
+      },
+      Some {
+        val exprs = Seq("l_quantity * 100", "l_extendedprice",
+          "l_discount * 10000", "l_tax * 10000")
+        val d = exprs.size
+        def q(i: Int) = s"CAST(floor(${exprs(i)}) AS BIGINT)"
+        val sums = (0 until d).map(i => s"sum(${q(i)}) AS s$i") ++
+          (for (i <- 0 until d; j <- i until d)
+            yield s"sum(CAST(${q(i)} AS HUGEINT) * ${q(j)}) AS p${i}_$j")
+        val notNull = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c => s"$c IS NOT NULL").mkString(" AND ")
+        def p(i: Int, j: Int) = if (i <= j) s"p${i}_$j" else s"p${j}_$i"
+        def dvar(i: Int) =
+          s"(CAST(n AS HUGEINT) * ${p(i, i)} - CAST(s$i AS HUGEINT) * CAST(s$i AS HUGEINT))"
+        val rows = (for (i <- 0 until d; j <- 0 until d) yield {
+          val num = s"(CAST(n AS HUGEINT) * ${p(i, j)} - CAST(s$i AS HUGEINT) * CAST(s$j AS HUGEINT))"
+          s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+            s"CASE WHEN ${dvar(i)} <= 0 OR ${dvar(j)} <= 0 THEN NULL " +
+            s"ELSE round(CAST($num AS DOUBLE) / (sqrt(CAST(${dvar(i)} AS DOUBLE)) * sqrt(CAST(${dvar(j)} AS DOUBLE))), 6) END AS corr FROM m"
+        }).mkString(" UNION ALL ")
+        s"WITH m AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem WHERE $notNull) " +
+          s"SELECT i, j, corr FROM ($rows) ORDER BY i, j"
+      }),
+
     // Equi-depth histogram (vs h1's equi-width): boundaries from ONE exact
     // percentile aggregation (a6 proves Spark percentile == DuckDB
     // quantile_cont bit-exact), then a map-only bucket assignment against

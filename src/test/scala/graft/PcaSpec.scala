@@ -52,6 +52,35 @@ class PcaSpec extends SparkSpec {
     assert(v.map(math.abs).max == v.max)
   }
 
+  test("correlationMatrix: perfect/anti/constant columns, symmetric, unit diagonal") {
+    import graft.operators.Profile
+    val rows = (1 to 50).map { i =>
+      (i.toDouble, i * 2.0, 100.0 - i, 7.0, (i % 5).toDouble)
+    }
+    val df = rows.toDF("a", "b2", "neg", "const", "mod")
+    val m = Profile.correlationMatrix(df, Seq("a", "b2", "neg", "const", "mod"), scale = 100)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((0L, 0L)).contains(1.0))
+    assert(m((0L, 1L)).contains(1.0))   // b = 2a: perfectly correlated
+    assert(m((0L, 2L)).contains(-1.0))  // neg = 100 - a
+    assert(m((0L, 3L)).isEmpty)         // constant column: null, not 0
+    assert(m((3L, 3L)).isEmpty)
+    // symmetry
+    for (i <- 0L until 5L; j <- 0L until 5L) assert(m((i, j)) == m((j, i)))
+    // against scala.util pearson on the quantized values
+    val qa = rows.map(r => math.floor(r._1 * 100))
+    val qm = rows.map(r => math.floor(r._5 * 100))
+    val n = qa.size.toDouble
+    val (sa, sm) = (qa.sum, qm.sum)
+    val (saa, smm, sam) = (qa.map(x => x * x).sum, qm.map(x => x * x).sum,
+      qa.zip(qm).map(p => p._1 * p._2).sum)
+    val want = BigDecimal((n * sam - sa * sm) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * smm - sm * sm)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m((0L, 4L)).contains(want))
+  }
+
   test("topComponent: empty input yields an empty frame; null vectors are skipped") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Pca.topComponent(empty, "embedding", 8).count() == 0L)

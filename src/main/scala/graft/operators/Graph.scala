@@ -60,6 +60,44 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
 
+  /** Fixed-round k-core pruning: repeatedly drop vertices of degree < k
+    * (with their edges) from the canonical undirected edge set — the
+    * dense-core extractor (strip the long tail of a near-dup cluster
+    * graph or a co-occurrence graph down to its stable community;
+    * degree-1 noise vanishes in round one). Output: every vertex still
+    * carrying an edge after `rounds` prunes, with its degree in that
+    * surviving subgraph.
+    *
+    * ROUNDS ARE FIXED, not run-to-fixpoint, and that is the semantics
+    * (documented, spec-pinned): each round is pure integer counting, so
+    * a bounded unrolling is exactly SQL-expressible for the oracle, and
+    * on real graphs the prune converges in a handful of rounds (the
+    * spec asserts fixpoint on its data; at scale run more rounds or
+    * check Δ|E| = 0 between rounds). Each round: one partial-aggregated
+    * degree count + two semi joins keyed on the endpoint (broadcast
+    * once the survivor set is small), with the edge set re-materialized
+    * per round through [[Materialize]] (lineage would otherwise double
+    * per round).
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = canonicalEdges(edges, src, dst)
+    var r = 0
+    while (r < rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("id")
+      e = Materialize(
+        e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select("u", "v"))
+      r += 1
+    }
+    degrees(e)
+  }
+
   /** Fixed-iteration PageRank over a directed edge list, in FIXED-POINT
     * integer arithmetic: ranks are longs scaled by `scale` (default 1e9),
     * every step is integer multiply/divide/sum, so the result is EXACTLY

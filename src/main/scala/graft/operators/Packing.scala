@@ -76,6 +76,30 @@ object Packing {
       else graft.functions.QuantileBucket.bucket(col(orderCol).cast("double"), bounds)
     }
 
+  /** Length-bucketed inference batching: group rows into fixed-size
+    * batches WITHIN length buckets, so a batch's padding waste is
+    * bounded by the bucket width (batching unsorted docs pads everything
+    * to the longest — at bucket width w, padding ≤ w−1 per row).
+    * Positions come from [[Sampling.groupRunningCost]] at cost 1 — a
+    * distributed per-bucket row number (hash-of-id order, reproducible
+    * anywhere), never one window per bucket. Emits (len_bucket,
+    * batch_id, pos_in_batch); batch_id is dense 0-based per bucket.
+    */
+  def inferenceBatches(docs: DataFrame, idCol: String, lenCol: String,
+      bucketWidth: Int, batchSize: Int, salt: String = "graft",
+      numPartitions: Int = 0): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      "bucketWidth and batchSize must be >= 1")
+    val bucketed = docs
+      .withColumn("len_bucket", expr(s"CAST($lenCol AS BIGINT) DIV $bucketWidth"))
+      .withColumn("__one", lit(1L))
+    Sampling.groupRunningCost(bucketed, "len_bucket", idCol, "__one",
+        salt, numPartitions)
+      .withColumn("batch_id", expr(s"(budget_run - 1) DIV $batchSize"))
+      .withColumn("pos_in_batch", expr(s"(budget_run - 1) % $batchSize"))
+      .drop("__one", "budget_run")
+  }
+
   /** Per-pack summary: document count and token payload. A pack's payload
     * can exceed `budget` (its last doc runs past the boundary) but never
     * by more than one document; only the final pack can be under-full.

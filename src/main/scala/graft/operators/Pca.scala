@@ -82,4 +82,29 @@ object Pca {
     val sgn = if (pivot < 0) -1L else 1L
     v.indices.map(i => (i, v(i) * sgn)).toDF("dim", "component")
   }
+
+  /** Per-row projection onto the corpus's top principal direction —
+    * the "dominant-axis score" (rank docs along the main variance
+    * direction, or subtract the axis to strip a nuisance signal).
+    * proj = Σ ⌊scale·x_i⌋·v_i over the [[topComponent]] vector: exact
+    * longs end to end (|q| ≤ scale·max|x|, |v| ≤ ~10⁶, d terms —
+    * inside int64 headroom by orders of magnitude). The component rides
+    * the plan as a literal array, so the projection pass is MAP-ONLY:
+    * the d-long vector costs nothing to ship, nothing shuffles.
+    */
+  def projectTop(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      scale: Int = 10000, iters: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val comp = topComponent(df, vecCol, dim, scale, iters)
+      .orderBy("dim").as[(Int, Long)].collect().map(_._2)
+    if (comp.isEmpty) return Seq.empty[(Long, Long)].toDF(idCol, "proj")
+    val vArr = array(comp.toIndexedSeq.map(lit): _*)
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        aggregate(
+          zip_with(col(vecCol).cast("array<double>"), vArr,
+            (x, v) => floor(x * scale).cast("long") * v),
+          lit(0L), (acc, t) => acc + t).as("proj"))
+  }
 }

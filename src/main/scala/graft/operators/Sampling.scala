@@ -307,6 +307,19 @@ object Sampling {
     */
   def budgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
       costCol: String, budget: Long, salt: String = "graft",
+      numPartitions: Int = 0): DataFrame =
+    groupRunningCost(df, groupCol, idCol, costCol, salt, numPartitions)
+      .filter(col("budget_run") <= budget)
+
+  /** The walk underneath [[budgetPerGroup]], unfiltered: every row with
+    * its inclusive running `costCol` total (`budget_run`) along the
+    * group's deterministic hash order. Also the building block for
+    * per-group positions: cost 1 makes `budget_run` a 1-based
+    * row number computed by distributed prefix-sum instead of one
+    * window per group.
+    */
+  def groupRunningCost(df: DataFrame, groupCol: String, idCol: String,
+      costCol: String, salt: String = "graft",
       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = math.max(1,
@@ -334,7 +347,6 @@ object Sampling {
         col(groupCol).cast("string") === col("__grp") && col("__g") === col("__g2"))
       .withColumn("budget_run",
         col("__off") + sum(col(costCol).cast("long")).over(local))
-      .filter(col("budget_run") <= budget)
       .drop("__k", "__g", "__grp", "__g2", "__off")
   }
 

@@ -1441,6 +1441,38 @@ object RelationalQueries {
              |FROM nodes n CROSS JOIN nn CROSS JOIN d3 LEFT JOIN i3 ON n.id = i3.id)
              |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // Fixed-round k-core pruning over the same supplier–part graph as
+    // graph2: vertices of degree < 3 drop with their edges, 5 rounds —
+    // pure integer counting per round, so the oracle unrolls the prune
+    // exactly (generated CTEs). Output = surviving vertices + degree in
+    // the surviving subgraph.
+    QueryDef("graph3_kcore",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sp = li.filter(col("l_orderkey") % 7 === 0)
+          .select((col("l_suppkey") + 1000000).cast("long").as("src"),
+            col("l_partkey").cast("long").as("dst"))
+        val ps = li.filter(col("l_orderkey") % 7 === 1)
+          .select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey") + 1000000).cast("long").as("dst"))
+        graft.operators.Graph.kCore(sp.unionByName(ps), "src", "dst",
+            k = 3, rounds = 5)
+          .orderBy("id")
+      },
+      Some {
+        val rounds = 5
+        val steps = (0 until rounds).map { i =>
+          s"""d$i AS (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY id),
+             |e${i + 1} AS (SELECT e.u, e.v FROM e$i e JOIN d$i da ON e.u = da.id JOIN d$i db ON e.v = db.id WHERE da.deg >= 3 AND db.deg >= 3)""".stripMargin
+        }.mkString(", ")
+        s"""WITH base AS (SELECT CAST(l_suppkey + 1000000 AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS d FROM lineitem WHERE l_orderkey % 7 = 0
+           |UNION ALL SELECT CAST(l_partkey AS BIGINT), CAST(l_suppkey + 1000000 AS BIGINT) FROM lineitem WHERE l_orderkey % 7 = 1),
+           |e0 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM base WHERE s <> d),
+           |$steps,
+           |fin AS (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY id)
+           |SELECT id, CAST(deg AS BIGINT) AS deg FROM fin ORDER BY id""".stripMargin.replace("\n", " ")
+      }),
+
     // SCD Type 2 dimension build from the event log (gaps-and-islands):
     // one row per (user, event_type run) with validity bounds — the
     // standard warehouse history dimension, via graft.operators.Scd

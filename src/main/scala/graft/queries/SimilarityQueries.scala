@@ -29,6 +29,30 @@ object SimilarityQueries {
       |  * sqrt(list_sum(list_transform(b_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
       .stripMargin.replace("\n", " ")
 
+  /** Shared CTE chain replaying Pca.topComponent's fixed-point power
+    * iteration (6 steps) in DuckDB: floor-quantized coordinates `q`,
+    * n-normalized Gram `a`, iterates `v0..v6`, final vector `fin`, and
+    * the sign pivot `piv`. Appended to WITH by pca1/pca2 oracles.
+    */
+  private val duckPowerIter: String = {
+    val iters = 6
+    val steps = (1 to iters).map { k =>
+      val prev = s"v${k - 1}"
+      s"""w$k AS (SELECT a.i AS i, CAST(sum(a.v * $prev.v) AS BIGINT) AS w FROM a JOIN $prev ON a.j = $prev.i GROUP BY a.i),
+         |m$k AS (SELECT CASE WHEN max(abs(w)) // 1000000 < 1 THEN 1 ELSE max(abs(w)) // 1000000 END AS d FROM w$k),
+         |v$k AS (SELECT i, w // (SELECT d FROM m$k) AS v FROM w$k)""".stripMargin
+    }.mkString(", ")
+    s"""x AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings),
+       |q AS (SELECT vec_id, u.i AS i, CAST(floor(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS qi FROM x),
+       |n AS (SELECT count(*) AS c FROM embeddings),
+       |g AS (SELECT x2.i AS i, y2.i AS j, CAST(sum(x2.qi * y2.qi) AS BIGINT) AS s FROM q x2 JOIN q y2 ON x2.vec_id = y2.vec_id GROUP BY 1, 2),
+       |a AS (SELECT i, j, s // (SELECT c FROM n) AS v FROM g),
+       |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM q),
+       |$steps,
+       |fin AS (SELECT i, CAST(v AS BIGINT) AS v FROM v$iters),
+       |piv AS (SELECT v AS p FROM fin WHERE abs(v) = (SELECT max(abs(v)) FROM fin) ORDER BY i LIMIT 1)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Brute-force exact cosine top-k: the ANN baseline. Query set (vec_id
@@ -396,26 +420,24 @@ object SimilarityQueries {
         scale = 10000, iters = 6)
         .select(col("dim").cast("long").as("dim"), col("component"))
         .orderBy("dim"),
-      Some {
-        val iters = 6
-        val steps = (1 to iters).map { k =>
-          val prev = s"v${k - 1}"
-          s"""w$k AS (SELECT a.i AS i, CAST(sum(a.v * $prev.v) AS BIGINT) AS w FROM a JOIN $prev ON a.j = $prev.i GROUP BY a.i),
-             |m$k AS (SELECT CASE WHEN max(abs(w)) // 1000000 < 1 THEN 1 ELSE max(abs(w)) // 1000000 END AS d FROM w$k),
-             |v$k AS (SELECT i, w // (SELECT d FROM m$k) AS v FROM w$k)""".stripMargin
-        }.mkString(", ")
-        s"""WITH x AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings),
-           |q AS (SELECT vec_id, u.i AS i, CAST(floor(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS qi FROM x),
-           |n AS (SELECT count(*) AS c FROM embeddings),
-           |g AS (SELECT x2.i AS i, y2.i AS j, CAST(sum(x2.qi * y2.qi) AS BIGINT) AS s FROM q x2 JOIN q y2 ON x2.vec_id = y2.vec_id GROUP BY 1, 2),
-           |a AS (SELECT i, j, s // (SELECT c FROM n) AS v FROM g),
-           |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM q),
-           |$steps,
-           |fin AS (SELECT i, CAST(v AS BIGINT) AS v FROM v$iters),
-           |piv AS (SELECT v AS p FROM fin WHERE abs(v) = (SELECT max(abs(v)) FROM fin) ORDER BY i LIMIT 1)
+      Some(s"""WITH $duckPowerIter
            |SELECT CAST(i AS BIGINT) AS dim,
            |CAST(CASE WHEN (SELECT p FROM piv) < 0 THEN -v ELSE v END AS BIGINT) AS component
-           |FROM fin ORDER BY dim""".stripMargin.replace("\n", " ")
-      })
+           |FROM fin ORDER BY dim""".stripMargin.replace("\n", " "))),
+
+    // Projection onto the top principal direction: the dominant-axis
+    // score per vector. The component is a literal array in the Spark
+    // plan (map-only pass, nothing shuffles); exact longs end to end.
+    // Oracle: pca1's generated iteration CTEs + one projection join.
+    QueryDef("pca2_projection",
+      (s, dir) => graft.operators.Pca.projectTop(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        scale = 10000, iters = 6)
+        .orderBy("vec_id"),
+      Some(s"""WITH $duckPowerIter
+           |SELECT q.vec_id,
+           |CAST(sum(q.qi * (CASE WHEN (SELECT p FROM piv) < 0 THEN -f.v ELSE f.v END)) AS BIGINT) AS proj
+           |FROM q JOIN fin f ON q.i = f.i GROUP BY q.vec_id
+           |ORDER BY q.vec_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -257,6 +257,25 @@ object TextQueries {
              |CAST(coalesce(agg.top_tf, 0) AS BIGINT) AS top_tf
              |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Length-bucketed inference batching: fixed-size batches within
+    // length buckets (padding waste bounded by the bucket width), with
+    // per-bucket positions from the distributed prefix-sum — never one
+    // window per bucket. Oracle: a row_number window over the identical
+    // md5 walk.
+    QueryDef("pack2_inference_batches",
+      (s, dir) => graft.operators.Packing.inferenceBatches(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", bucketWidth = 100, batchSize = 8)
+        .select("doc_id", "len_bucket", "batch_id", "pos_in_batch")
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, n_chars // 100 AS len_bucket,
+             |('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT AS k FROM documents),
+             |r AS (SELECT doc_id, len_bucket,
+             |row_number() OVER (PARTITION BY len_bucket ORDER BY k, doc_id) - 1 AS p FROM h)
+             |SELECT doc_id, CAST(len_bucket AS BIGINT) AS len_bucket,
+             |CAST(p // 8 AS BIGINT) AS batch_id, CAST(p % 8 AS BIGINT) AS pos_in_batch
+             |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Cross-source contamination matrix: distinct-shingle overlap and
     // fixed-point Jaccard per source pair — the "is src3 a renamed
     // crawl of src7" diagnostic. Shingle-keyed join, never an all-docs

@@ -103,4 +103,25 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("kCore: clique survives, tails and bridges prune; extra rounds are a no-op at fixpoint") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + a chain 4-5-6 + a pendant 7 off the clique
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (1L, 7L)
+    ).toDF("src", "dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 3, rounds = 5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // only the K4 survives; inside it every degree is exactly 3
+    assert(core == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // fixpoint: more rounds change nothing on this graph
+    val more = Graph.kCore(edges, "src", "dst", k = 3, rounds = 8)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(more == core)
+    // k = 2: the 5-6 chain still prunes (degree 1 endpoints cascade)
+    val k2 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(k2.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
 }

@@ -51,4 +51,30 @@ class PackingSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "n"), "n", "doc_id", 1000)
     assert(empty.count() == 0)
   }
+
+  test("inferenceBatches: dense batches per bucket, only the last short, layout-invariant") {
+    val docs = (0L until 100L).map(i => (i, 10L + (i % 7) * 40L)).toDF("doc_id", "len")
+    val out = Packing.inferenceBatches(docs, "doc_id", "len",
+        bucketWidth = 100, batchSize = 8)
+      .select("doc_id", "len_bucket", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 100)
+    out.groupBy(r => (r._2, r._3)).foreach { case ((_, _), rows) =>
+      assert(rows.size <= 8)
+      assert(rows.map(_._4).sorted == (0L until rows.size.toLong)) // dense positions
+    }
+    // within a bucket, every batch except the highest id is full
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byBatch = rows.groupBy(_._3)
+      val last = byBatch.keys.max
+      byBatch.foreach { case (b, rs) => if (b != last) assert(rs.size == 8) }
+    }
+    // bucket is the length bucket of the row's own len
+    out.foreach(r => assert(r._2 == (10L + (r._1 % 7) * 40L) / 100L))
+    val rep = Packing.inferenceBatches(docs.repartition(13, col("doc_id")),
+        "doc_id", "len", bucketWidth = 100, batchSize = 8)
+      .select("doc_id", "len_bucket", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep.sortBy(_._1) == out.sortBy(_._1))
+  }
 }

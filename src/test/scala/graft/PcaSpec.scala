@@ -52,6 +52,22 @@ class PcaSpec extends SparkSpec {
     assert(v.map(math.abs).max == v.max)
   }
 
+  test("projectTop == naive dot of quantized vectors with the component") {
+    val comp = Pca.topComponent(df, "embedding", dim = 8)
+      .orderBy("dim").as[(Int, Long)].collect().map(_._2)
+    val got = Pca.projectTop(df, "vec_id", "embedding", dim = 8)
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 10000).toLong)
+      val want = q.zip(comp).map { case (a, b) => a * b }.sum
+      assert(got(id) == want, s"vec $id")
+    }
+    // planted-direction sanity: projection grows with planted strength
+    val byStrength = vecs.groupBy(_._1 % 10).view
+      .mapValues(g => g.map(r => got(r._1)).sum.toDouble / g.size)
+    assert(byStrength(9L) > byStrength(0L))
+  }
+
   test("correlationMatrix: perfect/anti/constant columns, symmetric, unit diagonal") {
     import graft.operators.Profile
     val rows = (1 to 50).map { i =>

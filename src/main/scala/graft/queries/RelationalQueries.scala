@@ -1461,13 +1461,16 @@ object RelationalQueries {
       },
       Some {
         val rounds = 5
+        // AS MATERIALIZED: each round references e_i three times — DuckDB
+        // inlines plain CTEs, which re-evaluates the whole chain ~3^rounds
+        // times (hours at sf0.1); materialization is semantics-neutral.
         val steps = (0 until rounds).map { i =>
-          s"""d$i AS (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY id),
-             |e${i + 1} AS (SELECT e.u, e.v FROM e$i e JOIN d$i da ON e.u = da.id JOIN d$i db ON e.v = db.id WHERE da.deg >= 3 AND db.deg >= 3)""".stripMargin
+          s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY id),
+             |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e JOIN d$i da ON e.u = da.id JOIN d$i db ON e.v = db.id WHERE da.deg >= 3 AND db.deg >= 3)""".stripMargin
         }.mkString(", ")
         s"""WITH base AS (SELECT CAST(l_suppkey + 1000000 AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS d FROM lineitem WHERE l_orderkey % 7 = 0
            |UNION ALL SELECT CAST(l_partkey AS BIGINT), CAST(l_suppkey + 1000000 AS BIGINT) FROM lineitem WHERE l_orderkey % 7 = 1),
-           |e0 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM base WHERE s <> d),
+           |e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM base WHERE s <> d),
            |$steps,
            |fin AS (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY id)
            |SELECT id, CAST(deg AS BIGINT) AS deg FROM fin ORDER BY id""".stripMargin.replace("\n", " ")

@@ -36,20 +36,23 @@ object SimilarityQueries {
     */
   private val duckPowerIter: String = {
     val iters = 6
+    // AS MATERIALIZED throughout: v_k references w_k twice and the chain
+    // is `iters` deep — DuckDB inlines plain CTEs, re-running the Gram
+    // self-join 2^iters times otherwise. Semantics-neutral.
     val steps = (1 to iters).map { k =>
       val prev = s"v${k - 1}"
-      s"""w$k AS (SELECT a.i AS i, CAST(sum(a.v * $prev.v) AS BIGINT) AS w FROM a JOIN $prev ON a.j = $prev.i GROUP BY a.i),
-         |m$k AS (SELECT CASE WHEN max(abs(w)) // 1000000 < 1 THEN 1 ELSE max(abs(w)) // 1000000 END AS d FROM w$k),
-         |v$k AS (SELECT i, w // (SELECT d FROM m$k) AS v FROM w$k)""".stripMargin
+      s"""w$k AS MATERIALIZED (SELECT a.i AS i, CAST(sum(a.v * $prev.v) AS BIGINT) AS w FROM a JOIN $prev ON a.j = $prev.i GROUP BY a.i),
+         |m$k AS MATERIALIZED (SELECT CASE WHEN max(abs(w)) // 1000000 < 1 THEN 1 ELSE max(abs(w)) // 1000000 END AS d FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w // (SELECT d FROM m$k) AS v FROM w$k)""".stripMargin
     }.mkString(", ")
     s"""x AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings),
-       |q AS (SELECT vec_id, u.i AS i, CAST(floor(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS qi FROM x),
+       |q AS MATERIALIZED (SELECT vec_id, u.i AS i, CAST(floor(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS qi FROM x),
        |n AS (SELECT count(*) AS c FROM embeddings),
-       |g AS (SELECT x2.i AS i, y2.i AS j, CAST(sum(x2.qi * y2.qi) AS BIGINT) AS s FROM q x2 JOIN q y2 ON x2.vec_id = y2.vec_id GROUP BY 1, 2),
-       |a AS (SELECT i, j, s // (SELECT c FROM n) AS v FROM g),
+       |g AS MATERIALIZED (SELECT x2.i AS i, y2.i AS j, CAST(sum(x2.qi * y2.qi) AS BIGINT) AS s FROM q x2 JOIN q y2 ON x2.vec_id = y2.vec_id GROUP BY 1, 2),
+       |a AS MATERIALIZED (SELECT i, j, s // (SELECT c FROM n) AS v FROM g),
        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM q),
        |$steps,
-       |fin AS (SELECT i, CAST(v AS BIGINT) AS v FROM v$iters),
+       |fin AS MATERIALIZED (SELECT i, CAST(v AS BIGINT) AS v FROM v$iters),
        |piv AS (SELECT v AS p FROM fin WHERE abs(v) = (SELECT max(abs(v)) FROM fin) ORDER BY i LIMIT 1)""".stripMargin
   }
 

@@ -1441,6 +1441,26 @@ object RelationalQueries {
              |FROM nodes n CROSS JOIN nn CROSS JOIN d3 LEFT JOIN i3 ON n.id = i3.id)
              |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r3 ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // Fixed-point EWMA smoothing per user (α = 1/4): each output depends
+    // on the previous OUTPUT — no window frame can express it, so the
+    // operator is a secondary-sorted sequential pass (O(1) state per
+    // partition, never a per-key buffer). Integer recurrence
+    // e = (x + 3e) div 4 on ×100-scaled values → the oracle replays it
+    // with a recursive CTE over the identical (ts, id) order.
+    QueryDef("ewma1_sensor_smooth",
+      (s, dir) => graft.operators.Timeseries.ewmaSmooth(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        alphaDen = 4, scale = 100)
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE s AS MATERIALIZED (SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS xs,
+             |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+             |r AS (SELECT user_id, event_id, xs, rn, xs AS e FROM s WHERE rn = 1
+             |UNION ALL SELECT s.user_id, s.event_id, s.xs, s.rn, (s.xs + 3 * r.e) // 4
+             |FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+             |SELECT user_id, event_id, xs AS v_scaled, CAST(e AS BIGINT) AS ewma_scaled
+             |FROM r ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
     // Fixed-round k-core pruning over the same supplier–part graph as
     // graph2: vertices of degree < 3 drop with their edges, 5 rounds —
     // pure integer counting per round, so the oracle unrolls the prune

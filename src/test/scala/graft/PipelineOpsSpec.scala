@@ -177,6 +177,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 == ((22L, 1L)))
   }
 
+  test("ewmaSmooth: hand recurrence incl. negatives, key reset, layout-invariant") {
+    import graft.operators.Timeseries
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      (1L, ts(1), 10L, 4.00), (1L, ts(2), 11L, 8.00), (1L, ts(3), 12L, -4.00),
+      (2L, ts(1), 20L, -1.00), (2L, ts(2), 21L, 3.00)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Timeseries.ewmaSmooth(rows, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // key 1: e=400; (800+1200)/4=500; (-400+1500)/4=275
+    // key 2: e=-100 (reset); (300-300)/4=0
+    assert(got == Seq(
+      (1L, 10L, 400L, 400L), (1L, 11L, 800L, 500L), (1L, 12L, -400L, 275L),
+      (2L, 20L, -100L, -100L), (2L, 21L, 300L, 0L)))
+    // truncation toward zero on a negative intermediate
+    val neg = Seq((3L, ts(1), 30L, -1.00), (3L, ts(2), 31L, 2.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val g2 = Timeseries.ewmaSmooth(neg, "user_id", "ts", "event_id", "value")
+      .orderBy("event_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // (200 + 3*(-100))/4 = -100/4 = -25 (trunc toward zero)
+    assert(g2(1)._4 == -25L)
+    val rep = Timeseries.ewmaSmooth(rows.repartition(7, col("event_id")),
+        "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == got)
+  }
+
   test("hardNegatives: near-dup band and self excluded, ranking == windowed naive") {
     import graft.operators.Similarity
     val vecs = (0 until 40).map { i =>

@@ -66,6 +66,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"missing partial aggregation in:\n$plan")
   }
 
+  test("GramAgg plans a partial ObjectHashAggregate (matrix merges map-side)") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong,
+      Array.fill(4)((i % 7).toFloat / 7f))).toDF("vec_id", "embedding")
+    val agg = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")), 4, 100)
+        .toAggregateExpression())
+    val plan = df.repartition(4).agg(agg.as("g"))
+      .queryExecution.executedPlan.toString
+    // typed-imperative aggregates plan as ObjectHashAggregate with a
+    // partial stage: each mapper ships one d(d+1)/2-long buffer, not rows
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_gram_matrix"), s"no partial stage in:\n$plan")
+  }
+
   test("partition-pruned catalog scan only lists matching partitions") {
     q("s7_catalog_table").collect() // materializes table + repair
     val pruned = spark.table("graft_events_cat")

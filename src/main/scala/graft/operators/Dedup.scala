@@ -202,6 +202,57 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact set-similarity join (the PPJoin family, Xiao
+    * et al. 2008 "Efficient Similarity Joins for Near Duplicate
+    * Detection") — the EXACT-Jaccard scale path. Same output contract as
+    * [[ngramJaccardPairs]] (every pair with shingle-Jaccard ≥ threshold),
+    * but candidates come from an inverted index over each doc's PREFIX
+    * under a global rarest-first token order instead of an all-pairs
+    * product: two sets with J ≥ t and sizes n must share a token among
+    * their first n − ⌈t·n⌉ + 1 rarest shingles (pigeonhole on the
+    * required overlap), so joining on prefix tokens loses nothing, and
+    * at t = 0.9 the prefix is ~10% of each doc. Flow: document-frequency
+    * pass → rarest-first sort per doc → prefix explode → token-keyed
+    * equi-join (+ size-compatibility pruning t·nb ≤ na ∧ t·na ≤ nb) →
+    * exact Jaccard verify on the candidate pairs only. Every shuffle is
+    * keyed (token or doc id); nothing is quadratic in the corpus —
+    * verification work is proportional to candidates, which the prefix
+    * theorem bounds to genuinely-similar + rare-token-sharing pairs.
+    */
+  def ppjoinPairs(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    // rarest-first total order: (document frequency, token) ascending
+    val ordered = tok.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).as("n"),
+        (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1)
+          .cast("int").as("p"))
+    val prefix = ordered
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("toks"), lit(1), col("p"))).as("pt"))
+      .select(col("doc_id"), col("n"), col("pt.t").as("t"))
+    val cands = prefix.select(col("doc_id").as("a_id"), col("n").as("na"), col("t"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("n").as("nb"), col("t")), Seq("t"))
+      .filter(col("a_id") < col("b_id") &&
+        lit(threshold) * col("nb") <= col("na") &&
+        lit(threshold) * col("na") <= col("nb"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard", jaccardOfShingleArrays(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, majority vote of the
     * tokens' xxhash64 bits (ties → 0). Computed entirely per-row by a
     * fused native expression (graft.functions.SimHash64) — no explode, no

@@ -197,6 +197,35 @@ object TextQueries {
              |FROM pairs WHERE (CASE WHEN uni = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.02
              |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
 
+    // Prefix-filtered exact similarity join (PPJoin family): identical
+    // output contract to d3 — every pair with shingle-Jaccard ≥ t — but
+    // candidates come from a rarest-first prefix inverted index, never
+    // an all-pairs product. Near-copies are planted (append one token)
+    // so t = 0.5 has a non-trivial exact answer; the oracle is the
+    // all-pairs formulation over the same planted relation, which the
+    // prefix theorem says the operator must reproduce pair for pair.
+    QueryDef("d11_ppjoin",
+      (s, dir) => {
+        val base = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val copies = base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))
+        Dedup.ppjoinPairs(base.unionByName(copies), k = 3, threshold = 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+             |pl AS (SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text FROM base WHERE doc_id % 20 = 0),
+             |ad AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+             |sub AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks FROM ad),
+             |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM sub),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  len(list_intersect(a.s, b.s)) AS inter, len(list_distinct(list_concat(a.s, b.s))) AS uni
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+             |FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
+
     // Dedup clustering: connected components over the exact-Jaccard pair
     // list — pairwise matches become clusters labeled by their smallest
     // member (the representative a dedup pass would keep). Oracle: DuckDB

@@ -236,6 +236,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.sortBy(_._2).map(r => (r._3, r._4)).toSeq == naive)
   }
 
+  test("ppjoinPairs == all-pairs ngramJaccardPairs across thresholds; no cartesian in plan") {
+    val r = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(12)(vocab(r.nextInt(vocab.size))).mkString(" ")))
+    // plant near-copies of every 4th doc (one appended token)
+    val planted = base ++ base.filter(_._1 % 4 == 0)
+      .map { case (id, t) => (id + 1000L, t + " omega") }
+    val docs = planted.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val pp = Dedup.ppjoinPairs(docs, k = 3, threshold = t)
+        .orderBy("a_id", "b_id").collect().toSeq
+      val naive = Dedup.ngramJaccardPairs(docs, k = 3, threshold = t)
+        .orderBy("a_id", "b_id").collect().toSeq
+      assert(pp == naive, s"threshold $t")
+    }
+    val plan = Dedup.ppjoinPairs(docs, k = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "prefix join must not be a cross product")
+  }
+
   test("sourceOverlap: hand-built shingle overlap with exact integer jaccard") {
     val docs = Seq(
       (1L, "srcA", "one two three four"),   // shingles: {one two three, two three four}

@@ -131,4 +131,32 @@ object Curation {
     else note("mixture", Sampling.mixtureSample(
       clean, "source", "doc_id", config.mixture))
   }
+
+  /** Curriculum ordering: bucket docs into score quantiles (easy → hard)
+    * and give each doc a deterministic position within its bucket —
+    * reading order (bucket asc, pos asc) is the curriculum-learning
+    * schedule, reproducible across runs and partitionings. Boundaries
+    * come from ONE exact percentile aggregate broadcast back (h2's
+    * equi-depth pattern — never a global ntile window); positions from
+    * the distributed per-group prefix-sum at cost 1 (never one window
+    * per bucket). At 100 TB swap `exact` percentile state for the
+    * t-digest boundary form, the same trade Histograms documents.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+      buckets: Int = 10, salt: String = "graft"): DataFrame = {
+    require(buckets >= 2, s"curriculum needs >= 2 buckets, got $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val scored = docs.filter(col(scoreCol).isNotNull)
+    val stats = scored.agg(
+      expr(s"percentile($scoreCol, array(${ps.mkString("D,")}D))").as("__qs"))
+    val withBucket = scored.crossJoin(broadcast(stats))
+      .withColumn("bucket", ps.indices
+        .map(i => (col(scoreCol) > element_at(col("__qs"), i + 1)).cast("long"))
+        .reduce(_ + _) + lit(1L))
+      .drop("__qs")
+      .withColumn("__one", lit(1L))
+    Sampling.groupRunningCost(withBucket, "bucket", idCol, "__one", salt)
+      .withColumn("pos_in_bucket", col("budget_run") - 1)
+      .drop("__one", "budget_run")
+  }
 }

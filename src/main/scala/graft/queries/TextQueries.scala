@@ -286,6 +286,31 @@ object TextQueries {
              |CAST(coalesce(agg.top_tf, 0) AS BIGINT) AS top_tf
              |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Curriculum ordering: docs bucketed into length deciles (easy →
+    // hard proxy) with deterministic within-bucket positions — the
+    // curriculum-learning schedule. Boundaries from ONE percentile
+    // aggregate (a6 bit-parity), positions from the distributed
+    // prefix-sum; oracle = quantile boundaries + row_number window
+    // over the identical md5 walk.
+    QueryDef("cur1_curriculum",
+      (s, dir) => graft.operators.Curation.curriculumOrder(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", buckets = 10)
+        .select("doc_id", "n_chars", "bucket", "pos_in_bucket")
+        .orderBy("doc_id"),
+      Some {
+        val cmp = (1 to 9).map(i => s"CAST(n_chars > qs[$i] AS BIGINT)").mkString(" + ")
+        s"""WITH q AS (SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM documents),
+           |b AS (SELECT doc_id, n_chars, 1 + $cmp AS bucket,
+           |('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT AS k
+           |FROM documents, q),
+           |r AS (SELECT doc_id, n_chars, bucket,
+           |row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id) - 1 AS pos_in_bucket FROM b)
+           |SELECT doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket,
+           |CAST(pos_in_bucket AS BIGINT) AS pos_in_bucket
+           |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Length-bucketed inference batching: fixed-size batches within
     // length buckets (padding waste bounded by the bucket width), with
     // per-bucket positions from the distributed prefix-sum — never one

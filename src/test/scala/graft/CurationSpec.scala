@@ -103,4 +103,31 @@ class CurationSpec extends SparkSpec {
     assert(by("s0") == 200L)
     assert(math.abs(by("s1") - 50.0) < 30, s"s1=${by("s1")}")
   }
+
+  test("curriculumOrder: monotone buckets, dense positions, layout-invariant") {
+    val docs = (0L until 200L).map(i => (i, (i * 37L) % 500L)).toDF("doc_id", "score")
+    val out = Curation.curriculumOrder(docs, "doc_id", "score", buckets = 5)
+      .select("doc_id", "score", "bucket", "pos_in_bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 200)
+    // buckets ordered by score: every score in bucket b is <= any in b+1
+    val byBucket = out.groupBy(_._3).toSeq.sortBy(_._1)
+    byBucket.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) => assert(lo.map(_._2).max <= hi.map(_._2).min)
+      case _ => ()
+    }
+    // dense 0-based positions within each bucket
+    byBucket.foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == (0L until rows.size.toLong))
+    }
+    // roughly balanced (exact fifths for 200 distinct-ish scores ± ties)
+    byBucket.foreach { case (b, rows) =>
+      assert(math.abs(rows.size - 40) <= 5, s"bucket $b size ${rows.size}")
+    }
+    val rep = Curation.curriculumOrder(docs.repartition(13, col("doc_id")),
+        "doc_id", "score", buckets = 5)
+      .select("doc_id", "bucket", "pos_in_bucket")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rep == out.map(r => (r._1, r._3, r._4)).sortBy(_._1))
+  }
 }

@@ -77,6 +77,30 @@ object Anomaly {
     * O(distinct values) per group — at 100 TB swap the boundary agg for
     * the t-digest variant (Histograms.equiDepth's documented trade).
     */
+  /** Robust per-group feature scaling: (x − median) / IQR — the
+    * standardization that survives heavy tails (z-scaling lets one
+    * outlier compress everything else toward 0). One percentile
+    * aggregate per group broadcast back; the per-row map is the only
+    * other work. Determinism: Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate identically (a6 proves bit-parity),
+    * and the per-row (x − med) / iqr is two correctly-rounded IEEE ops
+    * on identical operands — same everywhere — rounded to 6 decimals.
+    * Zero-IQR groups scale to null (a constant feature carries no
+    * signal; 0 would be a lie and ±∞ a crash).
+    */
+  def robustScale(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+    val st = vals.groupBy(col(keyCol).as("__k"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"),
+        (expr(s"percentile($valueCol, 0.75)") -
+          expr(s"percentile($valueCol, 0.25)")).as("__iqr"))
+    vals.join(broadcast(st), vals(keyCol) === col("__k"))
+      .withColumn("scaled",
+        when(col("__iqr") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col(valueCol) - col("__med")) / col("__iqr"), 6)))
+      .drop("__k", "__med", "__iqr")
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
       z: Int = 3, scale: Int = 100): DataFrame = {
     require(z >= 1 && scale >= 1, "z and scale must be >= 1")

@@ -103,6 +103,24 @@ object CoreQueries {
              |FROM d JOIN md USING (event_type)
              |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin.replace("\n", " "))),
 
+    // Robust per-group feature scaling: (x − med)/IQR — heavy-tail-safe
+    // standardization. One percentile agg broadcast back + a map-only
+    // row pass; both engines' interpolation and per-row IEEE ops are
+    // bit-identical (a6), rounded to 6.
+    QueryDef("rscale1_robust_scale",
+      (s, dir) => graft.operators.Anomaly.robustScale(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value")
+        .select("event_id", "event_type", "scaled")
+        .orderBy("event_id"),
+      Some("""WITH st AS (SELECT event_type AS k, quantile_cont(value, 0.5) AS med,
+             |quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+             |FROM events WHERE value IS NOT NULL GROUP BY 1)
+             |SELECT e.event_id, e.event_type,
+             |CASE WHEN iqr = 0 THEN NULL ELSE round((e.value - med) / iqr, 6) END AS scaled
+             |FROM events e JOIN st ON e.event_type = st.k
+             |WHERE e.value IS NOT NULL ORDER BY e.event_id""".stripMargin.replace("\n", " "))),
+
     // Table profile: per-column count/null/distinct/min/max in ONE scan
     // (every column's stats ride the same aggregate) — the trust-a-new-
     // feed report, reshaped to a row per column. The oracle unions

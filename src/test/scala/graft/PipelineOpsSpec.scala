@@ -177,6 +177,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 == ((22L, 1L)))
   }
 
+  test("robustScale: hand-computed (x-med)/IQR, zero-IQR group scales to null") {
+    import graft.operators.Anomaly
+    // group a: values 1..5 → med 3, q75 4, q25 2, IQR 2
+    val rows = (1 to 5).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("b", 10L, 7.0), ("b", 11L, 7.0)) // constant group
+    val out = Anomaly.robustScale(rows.toDF("k", "id", "v"), "k", "v")
+      .select("id", "scaled").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(-1.0) && out(3L).contains(0.0) && out(5L).contains(1.0))
+    assert(out(10L).isEmpty && out(11L).isEmpty)
+  }
+
   test("ewmaSmooth: hand recurrence incl. negatives, key reset, layout-invariant") {
     import graft.operators.Timeseries
     import java.sql.Timestamp

@@ -168,4 +168,48 @@ class StateBackendSpec extends SparkSpec {
     assert(sessions == Seq((2L, 70.0), (1L, 60.0)),
       s"expected sessions of (2 readings, min 70) then (1, 60), got $sessions")
   }
+
+  test("streaming EWMA == batch ewmaSmooth when batches arrive in event-time order") {
+    import graft.streaming.StreamingEwma
+    import graft.streaming.StreamingEwma.{Point, Smoothed}
+    implicit val sc = spark.sqlContext
+    // two keys, five points each; values exercise negatives + truncation
+    def pts(lo: Int, hi: Int) = for {
+      k <- Seq(1L, 2L); i <- lo to hi
+    } yield Point(k, i.toLong * 1000000L, k * 100L + i,
+      (if (i % 2 == 0) 1 else -1) * (k * 300L + i * 17L))
+    val all = pts(1, 5)
+    StateBackend.withRocksDb(spark) {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Smoothed]()
+      val mem = MemoryStream[Point]
+      val q = StreamingEwma.ewmaStream(mem.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Smoothed], _: Long) =>
+          batch.collect().foreach(buf.add); ()
+        }
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      try {
+        mem.addData(pts(1, 3): _*) // first micro-batch: earlier event times
+        Thread.sleep(100)
+        mem.addData(pts(4, 5): _*) // later times in a later batch
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (buf.size() < all.size && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(buf.size() == all.size, s"got ${buf.size()} of ${all.size}")
+      } finally q.stop()
+      // batch face on the union of both micro-batches
+      import java.sql.Timestamp
+      val batchDf = all.map(p =>
+          (p.key, new Timestamp(p.ts_us / 1000L), p.id, p.xs.toDouble / 100.0))
+        .toDF("user_id", "ts", "event_id", "value")
+      val want = graft.operators.Timeseries
+        .ewmaSmooth(batchDf, "user_id", "ts", "event_id", "value")
+        .select("event_id", "ewma_scaled")
+        .as[(Long, Long)].collect().toMap
+      val got = buf.toArray(Array.empty[Smoothed])
+        .map(s => s.id -> s.ewma_scaled).toMap
+      assert(got == want, s"stream/batch divergence: $got vs $want")
+    }
+  }
 }

@@ -1275,6 +1275,46 @@ object RelationalQueries {
              |ORDER BY (value IS NOT NULL) DESC, epoch_us(ts) DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // OHLC candle rollup per (event_type, hour): open/close via the
+    // struct-argmin/argmax trick (er3's pattern — one partial-aggregated
+    // shuffle, deterministic (ts, id) tie-break, never a window sort
+    // over the corpus), high/low/n as plain aggregates. The time-series
+    // summary every monitoring rollup runs. Values are 2-decimal, so
+    // they ride exactly; the oracle uses row_number windows for the
+    // endpoints.
+    QueryDef("w10_ohlc",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("t_us"),
+            (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
+              .as("hour_us"))
+        ev.groupBy("event_type", "hour_us")
+          .agg(
+            min(struct(col("t_us"), col("event_id"), col("value")))
+              .getField("value").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(struct(col("t_us"), col("event_id"), col("value")))
+              .getField("value").as("close"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type", "hour_us")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id, value, epoch_us(ts) AS t_us,
+             |epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+             |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |r AS (SELECT event_type, hour_us, value,
+             |row_number() OVER (PARTITION BY event_type, hour_us ORDER BY t_us, event_id) AS ra,
+             |row_number() OVER (PARTITION BY event_type, hour_us ORDER BY t_us DESC, event_id DESC) AS rd
+             |FROM ev)
+             |SELECT event_type, hour_us,
+             |max(CASE WHEN ra = 1 THEN value END) AS open,
+             |max(value) AS high, min(value) AS low,
+             |max(CASE WHEN rd = 1 THEN value END) AS close,
+             |count(*) AS n
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // k-anonymity audit (graft.operators.Privacy): does any quasi-
     // identifier combination — segment × nation × balance-sign —
     // identify fewer than k customers? One hash-aggregate shuffle keyed

@@ -59,6 +59,26 @@ object TextAnalysis {
     }
   }
 
+  /** Language-ID with a CONFIDENCE MARGIN: the winning language's
+    * stopword-hit count minus the runner-up's — the gate a curation
+    * pipeline actually filters on ("en, but barely" is a mixed-language
+    * or low-signal doc; the argmax alone can't say). All exact integers
+    * (hit counts and a sorted-array pick), map-only. Margin 0 means an
+    * exact tie (or an all-zero 'und' doc) — route to review, don't trust
+    * the alphabetical tiebreak.
+    */
+  def langIdConfidence(text: Column): Column = {
+    val ordered = stopwords.keys.toSeq.sorted
+    val hits = ordered.map(l => stopwordHits(text, l))
+    val arr = array_sort(array(hits: _*))
+    val n = ordered.size
+    val best = element_at(arr, n)
+    val second = element_at(arr, n - 1)
+    struct(langId(text).as("lang_id"), best.cast("long").as("best"),
+      second.cast("long").as("second"),
+      (best - second).cast("long").as("margin"))
+  }
+
   /** Quality signals, integer/exact where possible: char count, token
     * count, mean token length ×100 (integer), punctuation count, stopword
     * hit count. A 3-arm verdict mirrors the reference's PASS/WARN/FAIL

@@ -348,6 +348,30 @@ object TextQueries {
              |FROM inter JOIN cnt ca ON src_a = ca.source JOIN cnt cb ON src_b = cb.source
              |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))),
 
+    // Language-ID confidence margin: winner's stopword hits minus the
+    // runner-up's — the mixed-language / low-signal gate the bare
+    // argmax (t2) can't express. Exact integers; the oracle sorts the
+    // per-language hit list and takes the top two.
+    QueryDef("t13_langid_margin",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langIdConfidence(col("text")).as("c"))
+        .select(col("doc_id"), col("c.lang_id").as("lang_id"),
+          col("c.best").as("best"), col("c.second").as("second"),
+          col("c.margin").as("margin"))
+        .orderBy("doc_id"),
+      Some {
+        val hs = langs.map(l => s"h_$l").mkString("[", ", ", "]")
+        val n = langs.size
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |h AS (SELECT doc_id, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok)
+           |SELECT doc_id, $duckLangCase AS lang_id,
+           |CAST(list_sort($hs)[$n] AS BIGINT) AS best,
+           |CAST(list_sort($hs)[${n - 1}] AS BIGINT) AS second,
+           |CAST(list_sort($hs)[$n] - list_sort($hs)[${n - 1}] AS BIGINT) AS margin
+           |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Per-doc token Shannon entropy, exact fixed-point: the shared
     // log2 lookup table is generated once in Scala and interpolated
     // into BOTH sides as literals — neither engine computes a log at

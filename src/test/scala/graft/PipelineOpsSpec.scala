@@ -177,6 +177,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 == ((22L, 1L)))
   }
 
+  test("langIdConfidence: margin separates clear wins, ties, and und docs") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"), // en: many hits, others 0
+      (2L, "la la der der"),                    // exact tie (es/fr 'la' x2, de 'der' x2)
+      (3L, "zzz qqq www")                       // no stopwords → und, margin 0
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.langIdConfidence(col("text")).as("c"))
+      .select(col("doc_id"), col("c.lang_id"), col("c.best"), col("c.margin"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0)._2 == "en" && out(0)._4 > 0)
+    assert(out(1)._4 == 0L) // tie: margin zero flags the ambiguity
+    assert(out(2)._2 == "und" && out(2)._3 == 0L && out(2)._4 == 0L)
+  }
+
   test("robustScale: hand-computed (x-med)/IQR, zero-IQR group scales to null") {
     import graft.operators.Anomaly
     // group a: values 1..5 → med 3, q75 4, q25 2, IQR 2

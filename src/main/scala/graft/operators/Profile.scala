@@ -77,6 +77,58 @@ object Profile {
         (col("distinct_after") - col("distinct_before")).as("distinct_delta"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic, distributed — the
+    * distribution-drift test with an actual guarantee (PSI needs binning
+    * choices; KS is binless: D = max over x of |F_a(x) − F_b(x)|).
+    * Emitted fixed-point as ks_x1e6 = max|C_a·n_b − C_b·n_a|·10⁶ ∕
+    * (n_a·n_b) over ×`scale` quantized values — pure integers, so the
+    * statistic is reproducible anywhere and SQL-replayable.
+    *
+    * The cumulative counts are NOT a global window (one task): values
+    * group to (v, c_a, c_b) first — state is O(distinct quantized
+    * values), not O(rows) — then the same range-segmented prefix-sum as
+    * [[Packing.packByOffset]] builds C_a, C_b per segment with driver
+    * state O(segments). Headroom: C·n products need n_a·n_b < 2⁶³ —
+    * beyond ~3×10⁹ rows per side, scale counts down or subsample one
+    * side (document the trade; the statistic is scale-free in n).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+      scale: Int = 100, numPartitions: Int = 0): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def q(df: DataFrame, name: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * scale).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as(name))
+    val merged = q(a, "ca").join(q(b, "cb"), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism)
+    val grouped = merged.withColumn("__g", Packing.rangeGroup(merged, "v", parts))
+    val segs = grouped.groupBy("__g")
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    if (segs.isEmpty) return Seq.empty[(Long, Long, Long)].toDF("n_a", "n_b", "ks_x1e6")
+    val maxG = segs.keys.max
+    val offs = (0 to maxG).scanLeft((0L, 0L)) { case ((oa, ob), g) =>
+      val (ta, tb) = segs.getOrElse(g, (0L, 0L)); (oa + ta, ob + tb)
+    }
+    val (na, nb) = offs.last
+    val offA = element_at(array(offs.take(maxG + 1).map(o => lit(o._1)): _*), col("__g") + 1)
+    val offB = element_at(array(offs.take(maxG + 1).map(o => lit(o._2)): _*), col("__g") + 1)
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grouped
+      .withColumn("__cA", offA + sum(col("ca")).over(local))
+      .withColumn("__cB", offB + sum(col("cb")).over(local))
+      .agg(max(abs(col("__cA") * nb - col("__cB") * na)).as("__d"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        when(lit(na) === 0 || lit(nb) === 0, lit(null).cast("long"))
+          .otherwise(expr(s"__d * 1000000 DIV (${na}L * ${nb}L)")).as("ks_x1e6"))
+  }
+
   /** Pearson correlation matrix of `cols` — the feature-redundancy /
     * leakage report (two near-perfectly-correlated columns mean a
     * duplicated signal; a label correlating with an id means a leak).

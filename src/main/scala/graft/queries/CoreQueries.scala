@@ -140,6 +140,29 @@ object CoreQueries {
     // data-observability delta report (row growth, null deltas,
     // cardinality growth per column). The oracle recomputes both
     // profiles and differences them.
+    // Exact two-sample KS statistic (binless drift test, vs drift2's
+    // binned PSI): sample = every 3rd event vs the full table, so the
+    // true D is small and any computation error shows. Fixed-point
+    // integers end to end; the cumulative CDFs come from the
+    // range-segmented prefix-sum, never a single global window task.
+    QueryDef("drift3_ks",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.operators.Profile.ksStatistic(
+          ev.filter(col("event_id") % 3 === 0), ev, "value", scale = 100)
+      },
+      Some("""WITH av AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events WHERE value IS NOT NULL AND event_id % 3 = 0),
+             |bv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events WHERE value IS NOT NULL),
+             |ca AS (SELECT v, count(*) AS c FROM av GROUP BY v),
+             |cb AS (SELECT v, count(*) AS c FROM bv GROUP BY v),
+             |m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb FROM ca FULL JOIN cb ON ca.v = cb.v),
+             |n AS (SELECT (SELECT count(*) FROM av) AS na, (SELECT count(*) FROM bv) AS nb),
+             |c AS (SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cA,
+             |sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cB FROM m)
+             |SELECT na AS n_a, nb AS n_b,
+             |CAST(max(abs(cA * nb - cB * na)) * 1000000 // (na * nb) AS BIGINT) AS ks_x1e6
+             |FROM c, n GROUP BY na, nb""".stripMargin.replace("\n", " "))),
+
     QueryDef("drift1_profile_drift",
       (s, dir) => {
         val events = t(s, dir, "events").select("event_id", "user_id", "value")

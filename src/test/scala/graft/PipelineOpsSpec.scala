@@ -177,6 +177,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 == ((22L, 1L)))
   }
 
+  test("ksStatistic: identical=0, disjoint=1e6, hand case, layout-invariant") {
+    import graft.operators.Profile
+    val x = (1 to 100).map(i => Tuple1((i % 10).toDouble)).toDF("v")
+    assert(Profile.ksStatistic(x, x, "v").as[(Long, Long, Long)].collect().head._3 == 0L)
+    val lo = (1 to 50).map(i => Tuple1(i.toDouble)).toDF("v")
+    val hi = (1 to 50).map(i => Tuple1(1000.0 + i)).toDF("v")
+    assert(Profile.ksStatistic(lo, hi, "v").as[(Long, Long, Long)].collect().head._3 == 1000000L)
+    // hand case: a={1,2,3,4}, b={3,4,5,6} → D = 1/2
+    val a = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).map(Tuple1(_)).toDF("v")
+    assert(Profile.ksStatistic(a, b, "v").as[(Long, Long, Long)].collect().head._3 == 500000L)
+    val big = (1 to 500).map(i => Tuple1((i * 13 % 97).toDouble)).toDF("v")
+    val shifted = (1 to 400).map(i => Tuple1((i * 7 % 89).toDouble + 3.0)).toDF("v")
+    val one = Profile.ksStatistic(big, shifted, "v").collect().head
+    val rep = Profile.ksStatistic(
+      big.repartition(13), shifted.repartition(7), "v").collect().head
+    assert(one == rep)
+  }
+
   test("langIdConfidence: margin separates clear wins, ties, and und docs") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"), // en: many hits, others 0

@@ -348,6 +348,48 @@ object TextQueries {
              |FROM inter JOIN cnt ca ON src_a = ca.source JOIN cnt cb ON src_b = cb.source
              |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))),
 
+    // END-TO-END curation funnel with a hash-exact oracle: language
+    // keep → entropy band-pass → exact-dedup first occurrence, each
+    // stage's surviving count in one row. The stages reuse t2/t12/d2's
+    // proven machinery, and the oracle chains their SQL fragments — so
+    // the COMPOSITION is oracle-verified, not just each stage alone
+    // (CurationSpec covers the richer pipeline; this pins a
+    // SQL-expressible slice of it cross-engine).
+    QueryDef("cur2_funnel",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        val lang = base.filter(TextAnalysis.langId(col("text")) === "en")
+        val entIds = TextAnalysis.tokenEntropyScaled(lang)
+          .filter(col("h_x1e9") >= 4200000000L).select("doc_id")
+        val ent = lang.join(entIds, "doc_id")
+        val dedup = ent
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep"))
+        base.agg(count(lit(1)).as("n_total"))
+          .crossJoin(lang.agg(count(lit(1)).as("n_lang")))
+          .crossJoin(ent.agg(count(lit(1)).as("n_entropy")))
+          .crossJoin(dedup.agg(count(lit(1)).as("n_dedup")))
+      },
+      Some {
+        val llist = TextAnalysis.log2Table(256).mkString("[", ", ", "]")
+        s"""WITH lt AS (SELECT $llist AS l),
+           |tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |h AS (SELECT doc_id, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok),
+           |lang AS (SELECT doc_id FROM h WHERE $duckLangCase = 'en'),
+           |trm AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+           |tf AS (SELECT doc_id, count(*) AS c FROM trm GROUP BY doc_id, t),
+           |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |CAST(sum(c * l[c + 1]) AS BIGINT) AS s FROM tf CROSS JOIN lt GROUP BY doc_id),
+           |ent AS (SELECT lang.doc_id FROM lang LEFT JOIN ag USING (doc_id) CROSS JOIN lt
+           |WHERE CASE WHEN ag.n IS NULL OR ag.n = 0 THEN 0 ELSE lt.l[ag.n + 1] - ag.s // ag.n END >= 4200000000),
+           |ded AS (SELECT min(d.doc_id) AS keep FROM documents d JOIN ent USING (doc_id)
+           |GROUP BY md5(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')))
+           |SELECT (SELECT count(*) FROM documents) AS n_total,
+           |(SELECT count(*) FROM lang) AS n_lang,
+           |(SELECT count(*) FROM ent) AS n_entropy,
+           |(SELECT count(*) FROM ded) AS n_dedup""".stripMargin.replace("\n", " ")
+      }),
+
     // Language-ID confidence margin: winner's stopword hits minus the
     // runner-up's — the mixed-language / low-signal gate the bare
     // argmax (t2) can't express. Exact integers; the oracle sorts the

@@ -1275,6 +1275,30 @@ object RelationalQueries {
              |ORDER BY (value IS NOT NULL) DESC, epoch_us(ts) DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // Exact per-group mode (most frequent value, deterministic ties:
+    // highest count then smallest value) — the categorical/discrete
+    // summary `avg` can't give. Two partial-aggregated shuffles
+    // ((key, value) counts, then a struct-argmax per key — er3's
+    // pattern, no window sort); values ride as ×100 longs so the
+    // negated tie-break field is exact (a double negation would emit
+    // -0.0). Oracle: row_number formulation.
+    QueryDef("a14_mode",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("vs"))
+        .groupBy("event_type", "vs").agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type")
+        .agg(max(struct(col("cnt"), (-col("vs")).as("nv"))).as("best"))
+        .select(col("event_type"), col("best.cnt").as("n_mode"),
+          (-col("best.nv")).as("mode_x100"))
+        .orderBy("event_type"),
+      Some("""WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vs, count(*) AS cnt
+             |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT event_type, vs, cnt,
+             |row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, vs) AS rn FROM c)
+             |SELECT event_type, CAST(cnt AS BIGINT) AS n_mode, vs AS mode_x100
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     // OHLC candle rollup per (event_type, hour): open/close via the
     // struct-argmin/argmax trick (er3's pattern — one partial-aggregated
     // shuffle, deterministic (ts, id) tie-break, never a window sort

@@ -121,6 +121,33 @@ object CoreQueries {
              |FROM events e JOIN st ON e.event_type = st.k
              |WHERE e.value IS NOT NULL ORDER BY e.event_id""".stripMargin.replace("\n", " "))),
 
+    // Seasonal robust outlier profile: an2's median/MAD machinery keyed
+    // on (event_type × hour-of-day) — "is this value anomalous FOR THIS
+    // TIME of day" (a nightly-low sensor reading is normal at 03:00 and
+    // an alarm at 15:00; a global cutoff can't see that). Zero new
+    // operator code: the composite key IS the seasonality model.
+    QueryDef("an3_seasonal_mad",
+      (s, dir) => graft.operators.Anomaly.madOutliers(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull)
+          .withColumn("season",
+            concat(col("event_type"), lit(":"),
+              lpad(hour(col("ts")).cast("string"), 2, "0")))
+          .select("season", "value"),
+        "season", "value", z = 3, scale = 100)
+        .select("season", "n", "med2", "mad4", "n_outliers")
+        .orderBy("season"),
+      Some("""WITH sc AS (SELECT event_type || ':' || lpad(CAST(date_part('hour', ts) AS VARCHAR), 2, '0') AS season,
+             |CAST(round(value * 100) AS BIGINT) AS xs FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |m AS (SELECT season, quantile_cont(xs, 0.5) AS med FROM sc GROUP BY 1),
+             |d AS (SELECT sc.season, xs, med, CAST(round(abs(xs - med) * 2) AS BIGINT) AS a2 FROM sc JOIN m USING (season)),
+             |md AS (SELECT season, CAST(round(quantile_cont(a2, 0.5) * 2) AS BIGINT) AS mad4 FROM d GROUP BY 1)
+             |SELECT d.season, count(xs) AS n,
+             |CAST(round(max(med) * 2) AS BIGINT) AS med2, max(md.mad4) AS mad4,
+             |CAST(sum(CASE WHEN 20000 * a2 > 3 * 14826 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (season)
+             |GROUP BY d.season ORDER BY d.season""".stripMargin.replace("\n", " "))),
+
     // Table profile: per-column count/null/distinct/min/max in ONE scan
     // (every column's stats ride the same aggregate) — the trust-a-new-
     // feed report, reshaped to a row per column. The oracle unions

@@ -1275,6 +1275,43 @@ object RelationalQueries {
              |ORDER BY (value IS NOT NULL) DESC, epoch_us(ts) DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
+    // decimal-exact revenue aggregation (q1's discipline: price ×
+    // (1−discount) in DECIMAL, associative and engine-exact), top-10 by
+    // the EXACT decimal with orderkey tiebreak — TakeOrderedAndProject
+    // over a broadcast customer dim + fact join, never a global sort.
+    QueryDef("q3_shipping_priority",
+      (s, dir) => {
+        val cut = "1998-06-01"
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("rev"))
+          .orderBy(col("rev").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+            col("o_date"), col("o_orderpriority"))
+      },
+      Some("""SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue, o_date, o_orderpriority FROM (
+             |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+             |sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY 1, 2, 3 ORDER BY rev DESC, l_orderkey LIMIT 10)
+             |ORDER BY revenue DESC, l_orderkey""".stripMargin.replace("\n", " "))),
+
     // Exact per-group mode (most frequent value, deterministic ties:
     // highest count then smallest value) — the categorical/discrete
     // summary `avg` can't give. Two partial-aggregated shuffles

@@ -1275,6 +1275,29 @@ object RelationalQueries {
              |ORDER BY (value IS NOT NULL) DESC, epoch_us(ts) DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // Cumulative distinct users by day (growth accounting): first-seen
+    // date per user (one partial-agg shuffle over users), daily counts,
+    // then the running sum over a relation that is O(days) — the window
+    // is over ~thousands of rows AFTER aggregation, so "cumulative
+    // distinct" never needs a distinct-over-window on the event log.
+    QueryDef("w11_cumulative_users",
+      (s, dir) => {
+        val fs = t(s, dir, "events").filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day"))
+        val daily = fs.groupBy("day").agg(count(lit(1)).as("new_users"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        daily.withColumn("cum_users", sum(col("new_users")).over(w))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+             |FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+             |dc AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+             |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+             |CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM dc ORDER BY day""".stripMargin.replace("\n", " "))),
+
     // TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
     // decimal-exact revenue aggregation (q1's discipline: price ×
     // (1−discount) in DECIMAL, associative and engine-exact), top-10 by

@@ -330,6 +330,30 @@ object TextQueries {
              |CAST(p // 8 AS BIGINT) AS batch_id, CAST(p % 8 AS BIGINT) AS pos_in_batch
              |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Padding-waste audit for the inference batches: per batch, padded
+    // cost = max length × batch rows, waste = padded − real — the
+    // number that justifies (or indicts) the bucketing choice. Exact
+    // integers over pack2's identical walk.
+    QueryDef("pack3_padding_waste",
+      (s, dir) => graft.operators.Packing.inferenceBatches(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", bucketWidth = 100, batchSize = 8)
+        .groupBy("len_bucket", "batch_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("real_cost"),
+          (max(col("n_chars")) * count(lit(1))).as("padded_cost"))
+        .withColumn("waste", col("padded_cost") - col("real_cost"))
+        .orderBy("len_bucket", "batch_id"),
+      Some("""WITH h AS (SELECT doc_id, n_chars, n_chars // 100 AS len_bucket,
+             |('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT AS k FROM documents),
+             |r AS (SELECT doc_id, n_chars, len_bucket,
+             |(row_number() OVER (PARTITION BY len_bucket ORDER BY k, doc_id) - 1) // 8 AS batch_id FROM h)
+             |SELECT CAST(len_bucket AS BIGINT) AS len_bucket, CAST(batch_id AS BIGINT) AS batch_id,
+             |count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS real_cost,
+             |CAST(max(n_chars) * count(*) AS BIGINT) AS padded_cost,
+             |CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT) AS waste
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // Cross-source contamination matrix: distinct-shingle overlap and
     // fixed-point Jaccard per source pair — the "is src3 a renamed
     // crawl of src7" diagnostic. Shingle-keyed join, never an all-docs

@@ -114,7 +114,21 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val sj = f"""{"start":$sentStart%.3f,"q1":$sentQ1%.3f,"mid":$sentMid%.3f,"q3":$sentQ3%.3f,"end":$sentEnd%.3f,"spread":$spread%.3f}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sentinel":$sj,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sentinel":$sj,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout capture has truncated the tail of this line two rounds
+    // running (driver-side log limits), leaving the official record
+    // unparseable. Persist the full JSON to a file as well so the bench
+    // record is self-contained regardless of log handling.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

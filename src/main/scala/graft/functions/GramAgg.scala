@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   *
   * The buffer stores the upper triangle (the matrix is symmetric);
   * eval mirrors it to the full row-major d² array.
+  *
+  * Null discipline: a null VECTOR is skipped (standard aggregate
+  * semantics); a null ELEMENT inside a vector fails fast — reading it
+  * as a primitive would silently fold an undefined value into a matrix
+  * whose whole contract is bit-exactness.
   */
 case class GramAgg(
     child: Expression,
@@ -63,6 +68,11 @@ case class GramAgg(
       val q = new Array[Long](dim)
       var i = 0
       while (i < dim) {
+        // a null element would read as an undefined primitive and fold
+        // silently into the "exact" matrix — fail fast instead
+        require(!arr.isNullAt(i),
+          s"gram: null element at index $i — the fixed-point Gram contract " +
+            "is exactness; repair or filter null-element vectors upstream")
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         q(i) = math.floor(x * scale).toLong
         i += 1

@@ -71,13 +71,18 @@ object Graph {
     * ROUNDS ARE FIXED, not run-to-fixpoint, and that is the semantics
     * (documented, spec-pinned): each round is pure integer counting, so
     * a bounded unrolling is exactly SQL-expressible for the oracle, and
-    * on real graphs the prune converges in a handful of rounds (the
-    * spec asserts fixpoint on its data; at scale run more rounds or
-    * check Δ|E| = 0 between rounds). Each round: one partial-aggregated
-    * degree count + two semi joins keyed on the endpoint (broadcast
-    * once the survivor set is small), with the edge set re-materialized
-    * per round through [[Materialize]] (lineage would otherwise double
-    * per round).
+    * on real graphs the prune converges in a handful of rounds. A
+    * non-converged prune is NOT silent: every output row carries a
+    * `converged` boolean — true iff every surviving vertex has degree
+    * ≥ k in the surviving subgraph, i.e. one more round would be a
+    * no-op. It costs one scalar aggregate broadcast over the final
+    * degrees (no extra prune round), and it is itself SQL-stateable
+    * (min(deg) >= k over the oracle's final CTE), so the oracle pin
+    * covers it. At scale: if `converged` reads false, re-run with more
+    * rounds. Each round: one partial-aggregated degree count + two semi
+    * joins keyed on the endpoint (broadcast once the survivor set is
+    * small), with the edge set re-materialized per round through
+    * [[Materialize]] (lineage would otherwise double per round).
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int = 5): DataFrame = {
@@ -95,7 +100,11 @@ object Graph {
           .select("u", "v"))
       r += 1
     }
-    degrees(e)
+    val fin = degrees(e)
+    // converged ⟺ the next prune would remove nothing ⟺ no surviving
+    // vertex is below k. One broadcast scalar, in-plan — no driver action.
+    fin.crossJoin(broadcast(fin.agg(min(col("deg")).as("__mindeg"))))
+      .select(col("id"), col("deg"), (col("__mindeg") >= k).as("converged"))
   }
 
   /** Fixed-iteration PageRank over a directed edge list, in FIXED-POINT
@@ -120,13 +129,19 @@ object Graph {
     * ranks on src with the SAME key every iteration, so a pre-partitioned
     * or bucketed edge list reuses its exchange across iterations. Node
     * count and dangling mass stay in-plan (crossJoin(broadcast(...))) —
-    * no driver collect. For deep iteration counts, materialize `ranks`
-    * per iteration via [[Materialize]] to truncate the growing lineage;
-    * at 3 iterations the replayed edge scan is cheaper than the pin.
+    * no driver collect. For deep iteration counts, `materializeEvery`
+    * routes `ranks` through [[Materialize]] every N iterations to
+    * truncate the otherwise-doubling lineage (0 = off, the default: at
+    * the default 3 iterations the replayed edge scan is cheaper than
+    * the pin). Materialization is semantics-neutral — the arithmetic is
+    * all fixed-point integer, so GraphSpec asserts bit-identical ranks
+    * with and without it at 6 iterations.
     */
   def pageRank(edges: DataFrame, src: String, dst: String,
-      iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
+      iterations: Int = 3, scale: Long = 1000000000L,
+      materializeEvery: Int = 0): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
+    require(materializeEvery >= 0, "materializeEvery must be >= 0 (0 = off)")
     val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
@@ -136,7 +151,7 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("id"), expr(s"${scale}L div nn").as("r"))
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       // dangling mass: total rank parked on vertices with no out-edges
       val dangling = ranks
         .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
@@ -153,6 +168,8 @@ object Graph {
         .select(col("id"),
           expr(s"(15 * (${scale}L div nn) + 85 * (coalesce(inflow, 0L) + dang div nn)) div 100")
             .as("r"))
+      if (materializeEvery > 0 && iter % materializeEvery == 0 && iter < iterations)
+        ranks = Materialize(ranks)
     }
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }

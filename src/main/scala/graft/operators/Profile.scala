@@ -88,9 +88,12 @@ object Profile {
     * group to (v, c_a, c_b) first — state is O(distinct quantized
     * values), not O(rows) — then the same range-segmented prefix-sum as
     * [[Packing.packByOffset]] builds C_a, C_b per segment with driver
-    * state O(segments). Headroom: C·n products need n_a·n_b < 2⁶³ —
-    * beyond ~3×10⁹ rows per side, scale counts down or subsample one
-    * side (document the trade; the statistic is scale-free in n).
+    * state O(segments). Headroom: the C·n products need n_a·n_b < 2⁶³
+    * (~3×10⁹ rows per side) and that bound is ENFORCED (require, not
+    * silent wrap-around); the final ×10⁶ scaling runs in decimal(19,0)
+    * so it cannot overflow inside the enforced range. Beyond the
+    * bound, scale counts down or subsample one side (document the
+    * trade; the statistic is scale-free in n).
     */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
       scale: Int = 100, numPartitions: Int = 0): DataFrame = {
@@ -115,6 +118,10 @@ object Profile {
       val (ta, tb) = segs.getOrElse(g, (0L, 0L)); (oa + ta, ob + tb)
     }
     val (na, nb) = offs.last
+    val nanb = BigInt(na) * BigInt(nb)
+    require(nanb <= Long.MaxValue,
+      s"ksStatistic: n_a*n_b = $nanb exceeds 2^63 — the C*n fixed-point " +
+        "products would wrap silently; scale counts down or subsample one side")
     val offA = element_at(array(offs.take(maxG + 1).map(o => lit(o._1)): _*), col("__g") + 1)
     val offB = element_at(array(offs.take(maxG + 1).map(o => lit(o._2)): _*), col("__g") + 1)
     val local = org.apache.spark.sql.expressions.Window
@@ -126,7 +133,8 @@ object Profile {
       .agg(max(abs(col("__cA") * nb - col("__cB") * na)).as("__d"))
       .select(lit(na).as("n_a"), lit(nb).as("n_b"),
         when(lit(na) === 0 || lit(nb) === 0, lit(null).cast("long"))
-          .otherwise(expr(s"__d * 1000000 DIV (${na}L * ${nb}L)")).as("ks_x1e6"))
+          .otherwise(expr(s"CAST(__d AS DECIMAL(19,0)) * 1000000 DIV ${nanb.toLong}L"))
+          .as("ks_x1e6"))
   }
 
   /** Pearson correlation matrix of `cols` — the feature-redundancy /

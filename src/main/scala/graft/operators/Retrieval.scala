@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   * Determinism contract (the oracle-parity discipline of
   * [[graft.queries.QueryDef]]): tf/df/dl are exact integers; the score
   * combines them with a FIXED left-to-right association identical on
-  * both engines, and rounds to 6 decimals before ranking, with doc id
-  * as the final tiebreak — so the top-k is a total order and a 1-ulp
-  * `ln` difference between libm and the JVM cannot reorder it.
+  * both engines, rounds to 6 decimals before ranking, and breaks ties
+  * by doc id — so the top-k is a total order. RESIDUAL RISK, by design:
+  * `ln` is evaluated at query time by each engine's libm, and unlike
+  * the bounded-domain fixed-point log tables elsewhere in the repo
+  * (entropy, bigram LM) the idf argument's domain is data-dependent
+  * (keyed on N and df), so it cannot be pre-tabulated statically. A
+  * 1-ulp libm-vs-JVM difference could in principle flip a score that
+  * lands within ~1e-16 (relative) of a 6-decimal rounding boundary.
+  * This is not left to chance: RetrievalSpec asserts the pinned test
+  * corpora keep every emitted score's distance to the nearest rounding
+  * boundary orders of magnitude above ulp scale, so the oracle pin is
+  * margin-verified, not assumed.
   */
 object Retrieval {
 
@@ -34,7 +43,21 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .select(col(idCol), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+
+  /** Every doc with its UNROUNDED BM25 score (`score_raw`) — the
+    * margin-audit face of [[bm25TopK]]: RetrievalSpec uses it to assert
+    * the pinned corpora keep all scores far from the 6-decimal rounding
+    * boundaries the ranked face snaps to (the libm-ulp residual noted in
+    * the object scaladoc).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.size <= 32,
       "query terms: 1..32 (per-term columns ride one scan)")
     val base0 = docs.select(col(idCol),
@@ -59,8 +82,6 @@ object Retrieval {
     val score = queryTerms.indices.map(contrib)
       .reduceLeft(_ + _) // fixed left-to-right association
     base.crossJoin(broadcast(stats))
-      .select(col(idCol), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(topK)
+      .select(col(idCol), score.as("score_raw"))
   }
 }

@@ -317,6 +317,13 @@ object Sampling {
     * per-group positions: cost 1 makes `budget_run` a 1-based
     * row number computed by distributed prefix-sum instead of one
     * window per group.
+    *
+    * Null discipline: a null group key or a null/uncastable cost FAILS
+    * FAST (IllegalArgumentException in the same aggregation pass that
+    * builds the segment totals — no extra scan). Silently dropping such
+    * rows would corrupt the budget semantics (the kept set must be a
+    * pure function of the full input); callers with legitimately
+    * optional groups filter explicitly first.
     */
   def groupRunningCost(df: DataFrame, groupCol: String, idCol: String,
       costCol: String, salt: String = "graft",
@@ -327,9 +334,18 @@ object Sampling {
       else df.sparkSession.sparkContext.defaultParallelism)
     val keyed = df.withColumn("__k", hashValue(col(idCol), salt))
     val grouped = keyed.withColumn("__g", Packing.rangeGroup(keyed, "__k", parts))
-    val segs = grouped.groupBy(col(groupCol).cast("string").as("__grp"), col("__g"))
-      .agg(sum(col(costCol).cast("long")).as("t"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val segRows = grouped.groupBy(col(groupCol).cast("string").as("__grp"), col("__g"))
+      .agg(sum(col(costCol).cast("long")).as("t"),
+        count(when(col(costCol).isNull || col(costCol).cast("long").isNull,
+          lit(1))).as("__badCost"))
+      .collect()
+    require(segRows.forall(r => !r.isNullAt(0)),
+      s"groupRunningCost: null values in group column '$groupCol' — filter " +
+        "them explicitly first; silently dropping would corrupt the budget walk")
+    require(segRows.forall(_.getLong(3) == 0L),
+      s"groupRunningCost: null or uncastable values in cost column '$costCol' " +
+        "— filter or repair them explicitly first")
+    val segs = segRows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     // exclusive per-group prefix offsets over the ascending segment ids
     val offRows = segs.groupBy(_._1).toSeq.flatMap { case (grp, rows) =>
       val sorted = rows.sortBy(_._2)

@@ -23,9 +23,11 @@ object Timeseries {
     * (truncating division, matching SQL's), so the smoothed series is a
     * pure function of the ordered inputs: partitioning, engine, and
     * re-runs cannot move it, and a recursive-CTE oracle can replay it
-    * row for row. Null keys/values are dropped (a null value has no
-    * place in a recurrence; an audit-friendly variant would carry them
-    * forward unsmoothed).
+    * row for row. Nulls in ANY of key/ts/id/value — including a ts that
+    * fails the timestamp cast or an id that fails the long cast — are
+    * dropped by the same filter (a null has no place in a recurrence,
+    * and a half-null tuple would NPE the primitive encoder; an
+    * audit-friendly variant would carry them forward unsmoothed).
     *
     * Output: (key, id, v_scaled, ewma_scaled), one row per input row.
     */
@@ -36,11 +38,12 @@ object Timeseries {
     val spark = df.sparkSession
     import spark.implicits._
     val prepared: Dataset[(Long, Long, Long, Long)] = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).cast("long").as("__k"),
         unix_micros(col(tsCol).cast("timestamp")).as("__t"),
         col(idCol).cast("long").as("__id"),
         round(col(valueCol) * scale).cast("long").as("__xs"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull &&
+        col("__id").isNotNull && col("__xs").isNotNull)
       .repartition(col("__k"))
       .sortWithinPartitions("__k", "__t", "__id")
       .as[(Long, Long, Long, Long)]

@@ -1589,7 +1589,9 @@ object RelationalQueries {
     // graph2: vertices of degree < 3 drop with their edges, 5 rounds —
     // pure integer counting per round, so the oracle unrolls the prune
     // exactly (generated CTEs). Output = surviving vertices + degree in
-    // the surviving subgraph.
+    // the surviving subgraph + the converged flag (min final degree >= k,
+    // i.e. one more round would prune nothing — non-convergence is
+    // observable, not silent).
     QueryDef("graph3_kcore",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
@@ -1616,8 +1618,9 @@ object RelationalQueries {
            |UNION ALL SELECT CAST(l_partkey AS BIGINT), CAST(l_suppkey + 1000000 AS BIGINT) FROM lineitem WHERE l_orderkey % 7 = 1),
            |e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM base WHERE s <> d),
            |$steps,
-           |fin AS (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY id)
-           |SELECT id, CAST(deg AS BIGINT) AS deg FROM fin ORDER BY id""".stripMargin.replace("\n", " ")
+           |fin AS MATERIALIZED (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY id),
+           |conv AS (SELECT min(deg) >= 3 AS converged FROM fin)
+           |SELECT id, CAST(deg AS BIGINT) AS deg, converged FROM fin CROSS JOIN conv ORDER BY id""".stripMargin.replace("\n", " ")
       }),
 
     // SCD Type 2 dimension build from the event log (gaps-and-islands):

@@ -112,16 +112,47 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       (4L, 5L), (5L, 6L), (1L, 7L)
     ).toDF("src", "dst")
     val core = Graph.kCore(edges, "src", "dst", k = 3, rounds = 5)
-      .orderBy("id").as[(Long, Long)].collect().toSeq
-    // only the K4 survives; inside it every degree is exactly 3
-    assert(core == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    // only the K4 survives; inside it every degree is exactly 3, and the
+    // prune has provably converged (every survivor >= k)
+    assert(core == Seq((1L, 3L, true), (2L, 3L, true), (3L, 3L, true), (4L, 3L, true)))
     // fixpoint: more rounds change nothing on this graph
     val more = Graph.kCore(edges, "src", "dst", k = 3, rounds = 8)
-      .orderBy("id").as[(Long, Long)].collect().toSeq
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
     assert(more == core)
     // k = 2: the 5-6 chain still prunes (degree 1 endpoints cascade)
     val k2 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 5)
-      .orderBy("id").as[(Long, Long)].collect().toSeq
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
     assert(k2.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("kCore: a prune cut short of fixpoint reports converged = false, not a silent wrong core") {
+    import spark.implicits._
+    // A 10-vertex path needs 8 rounds to fully dissolve at k = 2: each
+    // round only peels the two current endpoints. rounds = 1 leaves
+    // degree-1 endpoints in the survivor set — converged must read false
+    // on every row.
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cut = Graph.kCore(chain, "src", "dst", k = 2, rounds = 1)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(cut.nonEmpty && cut.forall(!_._3),
+      s"one-round prune of a chain must be flagged unconverged: $cut")
+    // run to the true fixpoint: everything dissolves — empty output is
+    // the (vacuously converged) answer, not a flagged one
+    val full = Graph.kCore(chain, "src", "dst", k = 2, rounds = 8).collect()
+    assert(full.isEmpty)
+  }
+
+  test("pageRank: materializeEvery is semantics-neutral — bit-identical ranks at 6 iterations") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(400)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).toDF("s", "d")
+    val plain = Graph.pageRank(edges, "s", "d", iterations = 6)
+      .orderBy("id").collect().toSeq
+    val pinned = Graph.pageRank(edges, "s", "d", iterations = 6,
+        materializeEvery = 2)
+      .orderBy("id").collect().toSeq
+    assert(plain == pinned,
+      "per-N materialization must not move a single fixed-point rank")
   }
 }

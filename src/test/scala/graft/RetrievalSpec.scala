@@ -66,6 +66,31 @@ class RetrievalSpec extends SparkSpec {
     assert(zeros.sameElements(zeros.sorted)) // id tiebreak on equal scores
   }
 
+  test("oracle margin: pinned corpora keep every score far from a 6-decimal rounding boundary") {
+    // ret1's determinism rests on round(score, 6) landing identically on
+    // both engines despite libm-vs-JVM ln. That holds as long as no raw
+    // score sits within ulp range (~1e-16 relative) of a x.5e-6 rounding
+    // boundary. Assert the margin on the actual ret1 query (same terms,
+    // same corpus) at both pinned SFs — margin-verified, not assumed.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val raw = Retrieval.bm25Scores(docs, "doc_id", "text",
+        Seq("dup", "spark", "window", "merge"), 1.2, 0.75)
+      val minMargin = raw
+        .select(min(abs(col("score_raw") * 1e6 -
+          floor(col("score_raw") * 1e6) - 0.5)).as("m"))
+        .as[Double].head()
+      // Threshold calibration: a 1-ulp ln() difference propagates to at
+      // most ~4e-15 absolute on a summed 4-term score of O(1..10), i.e.
+      // ~4e-9 micro-units. 1e-6 micro-units (1e-12 absolute) leaves 250x
+      // headroom above that while tolerating the genuinely tight-but-safe
+      // margins real corpora produce (observed 1.6e-4 at sf0.01).
+      assert(minMargin > 1e-6,
+        s"$sf: a BM25 score sits within $minMargin micro-units of a rounding " +
+          "boundary — the ret1 oracle pin is at ulp risk; adjust terms or corpus")
+    }
+  }
+
   test("plan: bounded top-k (TakeOrderedAndProject), no wide shuffle on the scan side") {
     val plan = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("cat"), topK = 5)
       .queryExecution.executedPlan.toString

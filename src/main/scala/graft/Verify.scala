@@ -15,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MATERIALIZE=persist|localCheckpoint|off routes every
+    // Materialize point through the named mode — the fault-tolerance
+    // equivalence sweep (COVERAGE.md) runs the WHOLE registry under
+    // `persist` and diffs against the default-mode run.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(spark.conf.set(graft.operators.Materialize.ConfKey, _))
     new java.io.File(outDir).mkdirs()
     // Iteration aid (driver ignores it): restrict to a comma-separated
     // subset of query names.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Graph, Similarity}
+import graft.operators.{Curation, Dedup, Graph, Pca, Retrieval, Selection, Similarity, Timeseries}
 import graft.sources.{IO, Lakehouse, Layout, SkipIndex}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -171,6 +171,236 @@ class ScaleProbeSpec extends SparkSpec {
         s"stage ${s.stage}: eager=${s.rows} observed=${obs.get(s.stage)}")
     }
     assert(single > 0L && single < nCurationDocs)
+  }
+
+  // --- pageRank: fixed-point reproducibility + mass + hub ordering ---
+  test("pagerank probe: bit-identical under repartitioning, mass bounded, hub on top", Slow) {
+    val nPrVerts = 30000L
+    // Skewed web-ish graph: 90% of edges point INTO a 100-vertex celebrity
+    // core; source uniform. 300k directed edges.
+    val prEdges = spark.range(300000L).select(
+      pmod(xxhash64(col("id"), lit(21)), lit(nPrVerts)).as("src"),
+      when(pmod(xxhash64(col("id"), lit(22)), lit(10)) < 9,
+        pmod(xxhash64(col("id"), lit(23)), lit(100)))
+        .otherwise(pmod(xxhash64(col("id"), lit(24)), lit(nPrVerts))).as("dst"))
+    prEdges.write.mode("overwrite").parquet("target/probe_spec_pr")
+    val mat = spark.read.parquet("target/probe_spec_pr")
+
+    // The fixed-point claim: ranks are a pure function of the edge SET —
+    // partitioning must not move a single bit.
+    val r7 = Graph.pageRank(mat.repartition(7), "src", "dst", iterations = 3)
+    val r64 = Graph.pageRank(mat.repartition(64), "src", "dst", iterations = 3)
+    val diff = r7.join(r64.withColumnRenamed("rank_scaled", "r2"), "id")
+      .filter(col("rank_scaled") =!= col("r2")).count()
+    assert(diff == 0L, "fixed-point ranks must be partition-invariant")
+    assert(r7.count() == r64.count())
+
+    // materializeEvery is semantics-neutral at probe scale too.
+    val rm = Graph.pageRank(mat, "src", "dst", iterations = 4, materializeEvery = 2)
+    val r0 = Graph.pageRank(mat, "src", "dst", iterations = 4)
+    assert(rm.join(r0.withColumnRenamed("rank_scaled", "r2"), "id")
+      .filter(col("rank_scaled") =!= col("r2")).count() == 0L,
+      "materializeEvery must not change a single rank")
+
+    // Integer truncation only ever LOSES mass: sum(r) <= scale, and the
+    // loss per iteration is < n units of 1/scale — far under 5%.
+    val mass = r7.agg(sum(col("rank_scaled"))).head().getLong(0)
+    assert(mass <= 1000000000L && mass > 950000000L,
+      s"rank mass out of truncation envelope: $mass")
+
+    // The celebrity core (ids < 100) receives 90% of all inflow.
+    val topIds = r7.orderBy(col("rank_scaled").desc).limit(50)
+      .select("id").collect().map(_.getLong(0))
+    assert(topIds.forall(_ < 100L), "top ranks must sit in the celebrity core")
+  }
+
+  // --- kCore: convergence flag observable, fixpoint-stable survivors ---
+  test("kcore probe: tree delays convergence observably, clique core pinned", Slow) {
+    // 100k-vertex binary tree (k=2 core EMPTY, but pruning eats exactly
+    // one leaf layer per round — ~17 rounds to drain) ∪ a 50-clique on a
+    // disjoint id range (survives any number of k=2 prunes).
+    val tree = spark.range(1L, 100000L).select(col("id").as("u"), expr("id div 2").as("v"))
+    val clique = spark.range(50L * 49L / 2).select(col("id")) // unrolled upper triangle
+      .select(
+        expr("cast(floor((sqrt(8*id + 1) - 1) / 2) as long)").as("row"),
+        col("id"))
+      .select((col("row") + 1L + 1000000L).as("u"),
+        (col("id") - col("row") * (col("row") + 1L) / 2L + 1000000L).as("v"))
+    val g = tree.unionByName(clique)
+    g.write.mode("overwrite").parquet("target/probe_spec_kcore")
+    val mat = spark.read.parquet("target/probe_spec_kcore")
+    assert(mat.count() == 99999L + 1225L)
+
+    // Cut short: after 3 rounds the tree is far from drained — the
+    // converged flag must say so on EVERY row.
+    val cut = Graph.kCore(mat, "u", "v", k = 2, rounds = 3)
+    assert(cut.filter(col("converged")).count() == 0L,
+      "a non-converged prune must be observable")
+    assert(cut.filter(col("id") < 1000000L).count() > 0L,
+      "tree vertices must still survive a 3-round prune")
+
+    // Run past the drain: converged on every row, survivors are EXACTLY
+    // the clique (50 vertices, each at degree 49), and one more round
+    // moves nothing.
+    val done = Graph.kCore(mat, "u", "v", k = 2, rounds = 20)
+    assert(done.filter(!col("converged")).count() == 0L)
+    assert(done.count() == 50L, "k=2 core of tree ∪ K50 is exactly the clique")
+    assert(done.filter(col("deg") =!= 49L).count() == 0L)
+    val again = Graph.kCore(mat, "u", "v", k = 2, rounds = 21)
+      .select("id", "deg", "converged")
+    assert(done.select("id", "deg", "converged").exceptAll(again).count() == 0L &&
+      again.exceptAll(done.select("id", "deg", "converged")).count() == 0L,
+      "converged output must be a fixpoint")
+  }
+
+  // --- BM25: planted relevance recovered, scores partition-invariant ---
+  test("bm25 probe: positives are exactly the planted docs, partition-invariant", Slow) {
+    val nDocs = 200000L
+    // Every doc: 30 tokens from a 5k vocab; each 500th doc appends the
+    // two query terms (tf 1-3 each) that occur NOWHERE else.
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i, lit(31)), lit(5000))))),
+        when(col("id") % 500 === 0, concat_ws(" ",
+          array_repeat(lit("zebra"), (pmod(xxhash64(col("id"), lit(32)), lit(3)) + 1).cast("int")),
+          array_repeat(lit("quark"), (pmod(xxhash64(col("id"), lit(33)), lit(3)) + 1).cast("int"))))
+          .otherwise(lit(""))).as("text"))
+    docs.write.mode("overwrite").parquet("target/probe_spec_bm25")
+    val mat = spark.read.parquet("target/probe_spec_bm25")
+
+    val scores = Retrieval.bm25Scores(mat, "doc_id", "text", Seq("zebra", "quark"))
+    val positives = scores.filter(col("score_raw") > 0)
+    assert(positives.count() == nDocs / 500,
+      "positive BM25 scores must be exactly the planted docs")
+    assert(positives.filter(col("doc_id") % 500 =!= 0).count() == 0L)
+
+    // Aggregate stats are exact-integer-in-double (dl sums, df counts),
+    // so the full score surface is partition-invariant.
+    val s7 = Retrieval.bm25Scores(mat.repartition(7), "doc_id", "text",
+      Seq("zebra", "quark")).select(col("doc_id"), col("score_raw"))
+    val s64 = Retrieval.bm25Scores(mat.repartition(64), "doc_id", "text",
+      Seq("zebra", "quark")).select(col("doc_id"), col("score_raw"))
+    assert(s7.join(s64.withColumnRenamed("score_raw", "s2"), "doc_id")
+      .filter(col("score_raw") =!= col("s2")).count() == 0L,
+      "BM25 scores must be partition-invariant")
+
+    val top = Retrieval.bm25TopK(mat, "doc_id", "text", Seq("zebra", "quark"), topK = 20)
+    assert(top.count() == 20L)
+    assert(top.filter(col("doc_id") % 500 =!= 0).count() == 0L,
+      "top-k must come from the planted relevant set")
+  }
+
+  // --- DSIR: disjoint-vocab separation, integer scores partition-invariant ---
+  test("dsir probe: disjoint vocabularies separate perfectly, partition-invariant", Slow) {
+    val nDocs = 100000L
+    // Targets: 5k docs over vocab A. Raw: half vocab A, half vocab B.
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      (col("id") < 5000L).as("is_target"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+        concat(
+          when(col("id") < 5000L || pmod(xxhash64(col("id"), lit(41)), lit(2)) === 0,
+            lit("a")).otherwise(lit("b")),
+          pmod(xxhash64(col("id"), i, lit(42)), lit(1000))))).as("text"))
+    docs.write.mode("overwrite").parquet("target/probe_spec_dsir")
+    val mat = spark.read.parquet("target/probe_spec_dsir")
+
+    val scored = Selection.dsirScore(mat, "doc_id", "text", col("is_target"))
+    val joined = scored.join(mat.select(col("doc_id"), col("is_target"),
+      substring(col("text"), 1, 1).as("vocab")), col("id") === col("doc_id"))
+    assert(joined.filter(col("vocab") === "a" && !col("selected")).count() == 0L,
+      "every target-vocabulary doc must be selected")
+    assert(joined.filter(col("vocab") === "b" && col("selected")).count() == 0L,
+      "no off-vocabulary doc may be selected")
+
+    // Bucket counts and the micro-rounded model are pure integer functions
+    // of the corpus — scores cannot move under repartitioning.
+    val d7 = Selection.dsirScore(mat.repartition(7), "doc_id", "text", col("is_target"))
+    val d64 = Selection.dsirScore(mat.repartition(64), "doc_id", "text", col("is_target"))
+    assert(d7.join(d64.select(col("id").as("id2"), col("score_micro").as("s2")),
+        col("id") === col("id2"))
+      .filter(col("score_micro") =!= col("s2")).count() == 0L,
+      "DSIR scores must be partition-invariant")
+  }
+
+  // --- PCA/GramAgg: exact Gram partition-invariance, planted axis found ---
+  test("pca probe: gram matrix partition-invariant, planted dominant axis recovered", Slow) {
+    val nVecsP = 200000L
+    val dim = 32
+    // Coordinate 5 spans ±1.0; all others ±0.05 noise — the uncentered
+    // Gram's dominant eigenvector is e5 by two orders of magnitude.
+    val vecs = spark.range(nVecsP).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        when(d === 5,
+          pmod(xxhash64(col("id"), d, lit(51)), lit(2001)).cast("double") / 1000.0 - 1.0)
+          .otherwise(
+            pmod(xxhash64(col("id"), d, lit(52)), lit(101)).cast("double") / 1000.0 - 0.05))
+        .as("embedding"))
+    vecs.write.mode("overwrite").parquet("target/probe_spec_pca")
+    val mat = spark.read.parquet("target/probe_spec_pca")
+
+    val (g7, n7) = Pca.gramMatrix(mat.repartition(7), "embedding", dim)
+    val (g64, n64) = Pca.gramMatrix(mat.repartition(64), "embedding", dim)
+    assert(n7 == nVecsP && n64 == nVecsP)
+    assert(g7.sameElements(g64),
+      "fixed-point Gram matrix must be partition-invariant to the last bit")
+
+    val comp = Pca.topComponent(mat, "embedding", dim)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val argmax = comp.indices.maxBy(i => math.abs(comp(i)))
+    assert(argmax == 5, s"dominant axis must be the planted one, got $argmax")
+    assert(comp(5) > 0L, "sign convention: pivot coordinate positive")
+    // Noise axes are ~20× weaker in the eigenvector, not just smaller.
+    comp.indices.filter(_ != 5).foreach(i =>
+      assert(math.abs(comp(i)) < math.abs(comp(5)) / 20,
+        s"axis $i unexpectedly strong: ${comp(i)} vs ${comp(5)}"))
+
+    // Projection face: map-only, exact — row count preserved, invariant.
+    val p7 = Pca.projectTop(mat.repartition(7), "vec_id", "embedding", dim)
+    assert(p7.count() == nVecsP)
+  }
+
+  // --- EWMA: recurrence exactness at 1M rows, partition-invariant ---
+  test("ewma probe: 1M-row smoothing is exact, bounded, partition-invariant", Slow) {
+    val nRows = 1000000L
+    val nKeys = 1000L
+    val rows = spark.range(nRows).select(
+      pmod(col("id"), lit(nKeys)).as("key"),
+      // distinct micros per (key, seq): ts = seq * 1s
+      timestamp_micros((col("id") / nKeys).cast("long") * 1000000L).as("ts"),
+      col("id").as("rid"),
+      (pmod(xxhash64(col("id"), lit(61)), lit(20001)).cast("double") / 100.0 - 100.0).as("v"))
+    rows.write.mode("overwrite").parquet("target/probe_spec_ewma")
+    val mat = spark.read.parquet("target/probe_spec_ewma")
+
+    val sm = Timeseries.ewmaSmooth(mat, "key", "ts", "rid", "v").persist()
+    assert(sm.count() == nRows, "every non-null row must survive smoothing")
+
+    // Integer recurrence keeps the smoothed value inside the key's range.
+    val bounds = sm.groupBy("key").agg(
+      min(col("v_scaled")).as("lo"), max(col("v_scaled")).as("hi"),
+      min(col("ewma_scaled")).as("elo"), max(col("ewma_scaled")).as("ehi"))
+    assert(bounds.filter(col("elo") < col("lo") || col("ehi") > col("hi")).count() == 0L,
+      "EWMA must stay inside each key's value envelope")
+
+    // Partition-invariance: the secondary sort fixes the walk order, the
+    // arithmetic is integer — rerun under a different partitioning and
+    // compare the full 1M-row result set exactly.
+    val sm2 = Timeseries.ewmaSmooth(mat.repartition(64), "key", "ts", "rid", "v")
+    assert(sm.exceptAll(sm2).count() == 0L && sm2.exceptAll(sm).count() == 0L,
+      "EWMA output must be partition-invariant")
+
+    // Driver-side replay of one full key (1000 rows), bit for bit.
+    val k7 = sm.filter(col("key") === 7L).orderBy("rid")
+      .select("v_scaled", "ewma_scaled").collect()
+    assert(k7.length == 1000)
+    var e = k7.head.getLong(0)
+    k7.zipWithIndex.foreach { case (r, i) =>
+      val xs = r.getLong(0)
+      if (i == 0) e = xs else e = (xs + 3L * e) / 4L
+      assert(r.getLong(1) == e, s"recurrence diverged at position $i of key 7")
+    }
+    sm.unpersist()
   }
 
   // --- LakehouseScaleProbe's skip-index / z-order / merge claims ---

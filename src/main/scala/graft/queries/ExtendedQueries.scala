@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 breadth: the analytics a platform team reaches for next once
+  * the SURVEY.md §2 surface is green — deeper TPC-H-shape joins, rank
+  * statistics, association-rule strength, changepoint detection, text
+  * novelty/readability scoring, l-diversity, systematic sampling.
+  *
+  * Same oracle-parity discipline as every other family (QueryDef
+  * scaladoc): identical column names, total ORDER BY, decimal-cast money
+  * sums, fixed-point integer micro-units wherever a float reduction
+  * would be order-sensitive, op-for-op double math elsewhere.
+  */
+object ExtendedQueries {
+
+  import QueryDef.t
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** DuckDB-side whitespace tokenization (same contract as
+    * TextAnalysis.tokens / TextQueries.duckToks).
+    */
+  private val duckToks =
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q7-shape: revenue volume between nation pairs by ship year.
+    // Six-way join — the two fact sides (lineitem ⋈ orders ⋈ customer)
+    // shuffle on their keys; supplier and both nation roles are
+    // broadcast (dimension tables stay tiny at any SF, so the 100 TB
+    // fact scan never shuffles for them). Pair orientation pinned
+    // supp < cust for a total order and half the output.
+    QueryDef("q7_nation_volume",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("volume"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year"),
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+             |count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE sn.n_name < cn.n_name
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
+
+    // Period-over-period percent change: monthly revenue per order
+    // priority with a LAG window — the standard growth-dashboard query.
+    // One keyed aggregate + one keyed window; the decimal revenue stays
+    // exact until the final cast, and the pct division is op-for-op
+    // identical on both engines (first month's pct is NULL).
+    QueryDef("w12_pct_change",
+      (s, dir) => {
+        val m = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        val w = Window.partitionBy("priority").orderBy("month")
+        m.select(col("priority"), col("month"),
+            col("rev").cast("double").as("revenue"),
+            round((col("rev") - lag(col("rev"), 1).over(w)).cast("double") /
+              lag(col("rev"), 1).over(w).cast("double") * 100, 6).as("pct_change"))
+          .orderBy("priority", "month")
+      },
+      Some("""WITH m AS (SELECT o_orderpriority AS priority,
+             |strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1, 2)
+             |SELECT priority, month, CAST(rev AS DOUBLE) AS revenue,
+             |ROUND(CAST(rev - lag(rev) OVER w AS DOUBLE) / CAST(lag(rev) OVER w AS DOUBLE) * 100, 6) AS pct_change
+             |FROM m WINDOW w AS (PARTITION BY priority ORDER BY month)
+             |ORDER BY priority, month""".stripMargin.replace("\n", " "))),
+
+    // Spearman rank correlation between quantity and price, TIE-AWARE
+    // (average ranks — the textbook statistic; the 1−6Σd²/n(n²−1)
+    // shortcut only holds for distinct ranks, and lineitem carries no
+    // unique row key to force them). No row identity needed: average
+    // ranks attach per DISTINCT VALUE (doubled to stay integer:
+    // R = 2·cnt_less + cnt_eq + 1), built from one groupBy per axis plus
+    // a running sum over the distinct-value relation — |V| rows, orders
+    // smaller than the corpus (route through Rank.globalRank if |V|
+    // itself ever explodes). Every aggregate is an exact integer; the
+    // final Pearson-on-ranks formula is the only float math, op-for-op
+    // mirrored (rank scaling cancels in the correlation).
+    QueryDef("stat4_spearman",
+      (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        def rankMap(c: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.orderBy(c)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          b.groupBy(c).agg(count(lit(1)).as("c"))
+            .select(col(c),
+              (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + lit(1))
+                .as(s"r$c"))
+        }
+        val dbl = (c: Column) => c.cast("double")
+        b.join(broadcast(rankMap("x")), "x").join(broadcast(rankMap("y")), "y")
+          .agg(count(lit(1)).as("n"),
+            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+            sum(col("rx") * col("ry")).as("sxy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"))
+          .select(col("n"),
+            round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+              sqrt((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+                (dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))), 6)
+              .as("spearman_rho"))
+      },
+      Some("""WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+             |xr AS (SELECT x, 2 * (sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rx
+             |FROM (SELECT x, count(*) AS c FROM b GROUP BY x)),
+             |yr AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS ry
+             |FROM (SELECT y, count(*) AS c FROM b GROUP BY y)),
+             |a AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             |CAST(sum(rx * ry) AS BIGINT) AS sxy, CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy
+             |FROM b JOIN xr USING (x) JOIN yr USING (y))
+             |SELECT n, ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+             |FROM a""".stripMargin.replace("\n", " "))),
+
+    // Association-rule confidence on the mba1 pair base: for each
+    // co-purchased part pair, P(b|a) and P(a|b) in exact integer
+    // micro-units (support·10⁶ div item-count — no float division at
+    // all). Same scale shape as mba1: basket-local pair explosion, one
+    // pair aggregate, broadcast item counts.
+    QueryDef("mba2_confidence",
+      (s, dir) => {
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+        graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
+          .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .join(broadcast(item.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+          .join(broadcast(item.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+          .select(col("pa"), col("pb"), col("support"),
+            expr("CAST((support * 1000000) div ca AS BIGINT)").as("conf_ab_micro"),
+            expr("CAST((support * 1000000) div cb AS BIGINT)").as("conf_ba_micro"))
+          .orderBy("pa", "pb")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |item AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY pk),
+             |pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS support
+             |FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT pa, pb, support,
+             |CAST((support * 1000000) // ia.cnt AS BIGINT) AS conf_ab_micro,
+             |CAST((support * 1000000) // ib.cnt AS BIGINT) AS conf_ba_micro
+             |FROM pairs JOIN item ia ON pairs.pa = ia.pk JOIN item ib ON pairs.pb = ib.pk
+             |ORDER BY pa, pb""".stripMargin.replace("\n", " "))),
+
+    // Systematic sampling: every 20th row of the doc_id order — exact
+    // stratified spacing (hash-Bernoulli samp1 guarantees only the
+    // expectation). Positions via the distributed prefix-sum rank, not
+    // a global window.
+    QueryDef("samp10_systematic",
+      (s, dir) => graft.operators.Rank.globalRank(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", Seq.empty, "pos")
+        .filter((col("pos") - 1) % 20 === 0)
+        .select(col("doc_id"), col("lang"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS pos FROM documents)
+             |SELECT doc_id, lang, pos FROM r WHERE (pos - 1) % 20 = 0
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Per-document n-gram novelty (the curation signal behind "is this
+    // doc mostly re-hashed earlier corpus?"): share of a doc's DISTINCT
+    // word trigrams whose corpus-wide first occurrence (min doc_id) is
+    // this doc. Exact integer micro-units. Two partial-agg shuffles
+    // (per-doc distinct, per-gram min) + one join — no all-pairs
+    // comparison anywhere. Docs under 3 tokens carry no trigram and are
+    // omitted (both sides).
+    QueryDef("t14_ngram_novelty",
+      (s, dir) => {
+        val tri = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+            .as("g"))
+          .distinct()
+        val first = tri.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        tri.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
+          .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+            expr("CAST((novel_grams * 1000000) div n_grams AS BIGINT)").as("novelty_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+              |tri0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM tok WHERE len(toks) >= 3),
+              |tri AS (SELECT DISTINCT doc_id, g FROM tri0),
+              |f AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+              |CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS novelty_micro
+              |FROM tri JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Flesch reading-ease in fixed-point micro-units: words (whitespace
+    // tokens), sentences ([.!?]+ runs, min 1), syllables ([aeiouy]+
+    // vowel runs — the standard heuristic). All-integer formula, so both
+    // engines agree exactly; regexp counting is map-only over the scan.
+    // Empty docs (0 words) are omitted on both sides.
+    QueryDef("t15_readability",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long").as("sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("syllables"))
+        .filter(col("words") > 0)
+        .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          expr("CAST(206835000 - (1015000 * words) div sentences - (84600000 * syllables) div words AS BIGINT)")
+            .as("flesch_micro"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id,
+              |CAST(len($duckToks) AS BIGINT) AS words,
+              |CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+              |CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+              |FROM documents)
+              |SELECT doc_id, words, sentences, syllables,
+              |CAST(206835000 - (1015000 * words) // sentences - (84600000 * syllables) // words AS BIGINT) AS flesch_micro
+              |FROM b WHERE words > 0 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // l-diversity audit (the companion to priv1's k-anonymity): within
+    // each quasi-identifier group, how many DISTINCT sensitive values
+    // appear — a group of 50 rows that all share one sensitive value is
+    // k-anonymous yet fully disclosive. Same single-aggregate shape.
+    QueryDef("priv2_ldiversity",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("sens"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(countDistinct(col("sens")).as("diversity"), count(lit(1)).as("group_rows"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("diversity") < 2, 1L).otherwise(0L)).as("violating_groups"),
+          sum(when(col("diversity") < 2, col("group_rows")).otherwise(0L)).as("rows_at_risk"),
+          min(col("diversity")).as("min_diversity")),
+      Some("""WITH g AS (SELECT c_mktsegment, c_nationkey,
+             |count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END) AS diversity,
+             |count(*) AS group_rows FROM customer GROUP BY 1, 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |CAST(sum(CASE WHEN diversity < 2 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+             |CAST(sum(CASE WHEN diversity < 2 THEN group_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             |CAST(min(diversity) AS BIGINT) AS min_diversity
+             |FROM g""".stripMargin.replace("\n", " "))),
+
+    // CUSUM changepoint statistic per user: S_t = R_t − min(0, min_{j≤t} R_j)
+    // with R the running sum of (value − corpus mean), all in exact centi
+    // units (the recurrence max(0, S+x−k) rewritten as prefix-sum minus
+    // prefix-min — WINDOW-expressible, no sequential state). Keyed
+    // windows only; the two scalar aggregates broadcast. Alarm at 500.00
+    // cumulative drift.
+    QueryDef("an4_cusum",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("vs"))
+        val k = ev.agg(expr("CAST(sum(vs) div count(*) AS BIGINT)").as("k"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.crossJoin(broadcast(k))
+          .withColumn("r", sum(col("vs") - col("k")).over(w))
+          .withColumn("cusum", col("r") - least(min(col("r")).over(w), lit(0L)))
+          .groupBy("user_id")
+          .agg(max(col("cusum")).as("max_cusum_centi"), count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("max_cusum_centi"), col("n_events"),
+            (col("max_cusum_centi") > 50000L).as("alarm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS vs
+             |FROM events WHERE value IS NOT NULL),
+             |k AS (SELECT CAST(sum(vs) // count(*) AS BIGINT) AS k FROM ev),
+             |r AS (SELECT user_id, event_id, ts, sum(vs - k) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r FROM ev CROSS JOIN k),
+             |c AS (SELECT user_id, r - least(min(r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum FROM r)
+             |SELECT user_id, CAST(max(cusum) AS BIGINT) AS max_cusum_centi,
+             |count(*) AS n_events, max(cusum) > 50000 AS alarm
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q18-shape: large-volume orders — a HAVING aggregate on the
+    // fact table that SHRINKS it (60k orders → ~200 survivors) before
+    // the customer join, so the join's build side is the filtered agg,
+    // not the corpus. l_quantity is integral-valued, so its double sum
+    // is exact and associative (no decimal detour needed). Top-100 rides
+    // TakeOrderedAndProject.
+    QueryDef("q18_big_orders",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+             |FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice, total_qty
+             |FROM orders JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q16-shape: distinct supplier counts per part attribute,
+    // EXCLUDING a NOT-IN supplier set (negative balances stand in for
+    // the complaints predicate; the testdata ships no partsupp, so the
+    // observed lineitem part↔supplier pairs are the association). Anti
+    // join on a tiny broadcast exclusion list + one distinct-count
+    // aggregate.
+    QueryDef("q16_supplier_variety",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        pairs.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |ok AS (SELECT l_partkey, l_suppkey FROM pairs
+             |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+             |SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM ok JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin.replace("\n", " "))),
+
+    // Power-of-two (log2) histogram of document lengths — the standard
+    // heavy-tail profile. The bucket is length(bin(x)) − 1 = ⌊log2 x⌋,
+    // exact INTEGER both engines (no transcendental log in sight), one
+    // partial-agg shuffle.
+    QueryDef("h4_log2_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .groupBy((length(bin(col("n_chars"))) - 1).cast("long").as("log2_bucket"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("log2_bucket"),
+      Some("""SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+             |count(*) AS docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents WHERE n_chars > 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+  )
+}

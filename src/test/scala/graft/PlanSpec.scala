@@ -197,4 +197,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"percentiles must broadcast in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"clip join must not shuffle the fact:\n$plan")
   }
+
+  test("Q7-shape nation-pair volume broadcasts all three dimension roles") {
+    val plan = q("q7_nation_volume").queryExecution.executedPlan.toString
+    // supplier + nation×2 broadcast; only the fact-fact joins
+    // (lineitem⋈orders⋈customer) may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected >= 3 broadcast dim joins in:\n$plan")
+    assert(plan.contains("partial_sum"), s"volume agg must map-side combine:\n$plan")
+  }
+
+  test("Q18-shape big orders: HAVING agg shrinks before join, top-k never full-sorts") {
+    val plan = q("q18_big_orders").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must plan TakeOrderedAndProject in:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"quantity agg must map-side combine in:\n$plan")
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Rank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank.globalRank: exact agreement with the single-sort row_number
+  * reference, bucket-boundary ties, null fail-fast.
+  */
+class RankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("globalRank equals the single-sort row_number reference, with ties") {
+    // Heavy ties (only 7 distinct order values over 10k rows) force many
+    // rows per range bucket; the tie column completes the total order.
+    val df = spark.range(10000).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(7)).cast("double").as("v"))
+    val got = Rank.globalRank(df.repartition(8), "v", Seq("id"), "pos")
+      .select("id", "pos")
+    val ref = df.select(col("id"),
+      row_number().over(Window.orderBy("v", "id")).cast("long").as("pos"))
+    assert(got.exceptAll(ref).count() == 0L && ref.exceptAll(got).count() == 0L)
+  }
+
+  test("explicit numPartitions does not change the assignment") {
+    val df = spark.range(5000).select(col("id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double").as("v"))
+    val a = Rank.globalRank(df, "v", Seq("id"), "pos", numPartitions = 3)
+      .select("id", "pos")
+    val b = Rank.globalRank(df, "v", Seq("id"), "pos", numPartitions = 17)
+      .select("id", "pos")
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  test("null order values fail fast") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalRank(df, "v", Seq("id")).count()
+    }
+    assert(e.getMessage.contains("null"))
+  }
+}

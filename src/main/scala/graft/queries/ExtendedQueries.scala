@@ -305,6 +305,39 @@ object ExtendedQueries {
              |count(*) AS n_events, max(cusum) > 50000 AS alarm
              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // Exact WEIGHTED percentiles (p25/median/p75) of price weighted by
+    // quantity, per return flag — the estimator a6/a7's unweighted
+    // percentiles can't express. Convention: lower weighted percentile
+    // (smallest v whose cumulative weight reaches the threshold),
+    // entirely integer comparisons. Weights aggregate per DISTINCT value
+    // first, so value ties cannot make the cumulative walk
+    // order-dependent; the keyed window runs over the (flag, value)
+    // relation — |distinct values| rows, not the corpus.
+    QueryDef("a15_weighted_percentiles",
+      (s, dir) => {
+        val g = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+          .agg(sum(col("l_quantity").cast("long")).as("wgt"))
+        val w = Window.partitionBy("flag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cw", sum(col("wgt")).over(w))
+          .join(broadcast(g.groupBy("flag").agg(sum(col("wgt")).as("tw"))), "flag")
+          .groupBy("flag")
+          .agg(min(when(col("cw") * 4 >= col("tw"), col("v"))).as("wp25"),
+            min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian"),
+            min(when(col("cw") * 4 >= col("tw") * 3, col("v"))).as("wp75"))
+          .orderBy("flag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+             |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wgt FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT flag, v, wgt, sum(wgt) OVER (PARTITION BY flag ORDER BY v
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM g),
+             |tt AS (SELECT flag, sum(wgt) AS tw FROM g GROUP BY flag)
+             |SELECT flag, min(CASE WHEN cw * 4 >= tw THEN v END) AS wp25,
+             |min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian,
+             |min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS wp75
+             |FROM c JOIN tt USING (flag) GROUP BY flag ORDER BY flag""".stripMargin.replace("\n", " "))),
+
     // TPC-H Q18-shape: large-volume orders — a HAVING aggregate on the
     // fact table that SHRINKS it (60k orders → ~200 survivors) before
     // the customer join, so the join's build side is the filtered agg,

@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered queries, grouped by SURVEY.md §2 family. */
   def registry: Seq[QueryDef] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ IoQueries.all ++ ExtendedQueries.all
+      SimilarityQueries.all ++ IoQueries.all ++ ExtendedQueries.all ++
+      TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The documented reference flagship: group-by count over the curated

@@ -403,6 +403,29 @@ class ScaleProbeSpec extends SparkSpec {
     sm.unpersist()
   }
 
+  // --- Rank.globalRank: exact positions at 2M rows by construction ---
+  test("rank probe: global rank over 2M rows is exact and partition-invariant", Slow) {
+    val n = 2000000L
+    // Shuffled identity: ordering by v must put every row at position
+    // v + 1 — the reference is the GENERATOR, no second sort needed.
+    val df = spark.range(n).select(
+      col("id"), pmod(xxhash64(col("id")), lit(1000000)).cast("double").as("noise"))
+      .repartition(32)
+      .select(col("id").cast("double").as("v"), col("id").as("rid"))
+    val ranked = graft.operators.Rank.globalRank(df, "v", Seq("rid"), "pos")
+    assert(ranked.filter(col("pos") =!= col("rid") + 1L).count() == 0L,
+      "rank of the shuffled identity must be id + 1, exactly, at every row")
+    // heavy-tie variant: 1000 distinct values over 2M rows, tie-broken by
+    // rid — positions are then (v * 2000) + (rid div 1000) + 1 by
+    // construction of rid = v + 1000*j
+    val ties = spark.range(n).select(
+      (col("id") % 1000L).cast("double").as("v"), col("id").as("rid"))
+    val tied = graft.operators.Rank.globalRank(ties, "v", Seq("rid"), "pos")
+    assert(tied.filter(col("pos") =!=
+        (col("v").cast("long") * (n / 1000L) + expr("rid div 1000") + 1L)).count() == 0L,
+      "tie-broken ranks must match the closed form")
+  }
+
   // --- LakehouseScaleProbe's skip-index / z-order / merge claims ---
   private val nLakeRows = 2000000L
 

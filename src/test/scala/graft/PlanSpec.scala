@@ -214,4 +214,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"),
       s"quantity agg must map-side combine in:\n$plan")
   }
+
+  test("Q4-shape correlated EXISTS plans a semi join, never a full join + distinct") {
+    val plan = q("q4_order_priority").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan LeftSemi in:\n$plan")
+    assert(!plan.contains("HashAggregate(keys=[o_orderkey"),
+      s"EXISTS must not dedup via aggregate in:\n$plan")
+  }
+
+  test("Q8-shape snowflake broadcasts every dimension arm") {
+    val plan = q("q8_market_share").queryExecution.executedPlan.toString
+    // part-slice, customer, both nation roles, region, supplier — only
+    // lineitem ⋈ orders may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5,
+      s"expected >= 5 broadcast dim joins in:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"only the fact-fact join may SMJ in:\n$plan")
+  }
+
+  test("Q15-shape scalar max joins back as a broadcast, not a shuffle") {
+    val plan = q("q15_top_supplier").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 1-row max must broadcast in:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"revenue view must map-side combine in:\n$plan")
+  }
+
+  test("Q17-shape correlated average joins fact-to-agg on the same key (co-partitioned)") {
+    val plan = q("q17_small_qty_revenue").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"per-part agg must map-side combine in:\n$plan")
+    // brand slice of part must broadcast into the fact scan
+    assert(plan.contains("BroadcastHashJoin"), s"brand slice must broadcast in:\n$plan")
+  }
+
+  test("Q22-shape NOT EXISTS plans a left-anti join; corpus scalar broadcasts") {
+    val plan = q("q22_dormant_customers").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan LeftAnti in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row corpus aggregate must broadcast in:\n$plan")
+  }
 }

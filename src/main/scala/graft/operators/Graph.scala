@@ -174,6 +174,50 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }
 
+  /** Multi-source BFS: shortest hop count (≤ `maxHops`) from any source
+    * vertex, over a DIRECTED edge list (union the reversed edges upstream
+    * for undirected semantics). Output: (id, hops) for every vertex
+    * reachable within the bound — sources themselves at hops = 0.
+    *
+    * The hop bound is part of the SEMANTICS, not a convergence heuristic:
+    * reachability radius queries ("within 3 links of a seed domain",
+    * "2-hop citation neighborhood") want the bound, and a bounded
+    * unrolling is exactly what a recursive-CTE oracle can state. Unlike
+    * float label propagation, hop counts are pure integers — identical
+    * under any partitioning.
+    *
+    * Scale design: per hop, ONE semi join of the edge list against the
+    * frontier (keyed on src every round, so a bucketed/pre-partitioned
+    * edge list reuses its exchange — same invariant [[pageRank]] proves
+    * in PlanSpec) + a distinct on the discovered endpoints + an anti
+    * join against the visited set keyed on id. The frontier — not the
+    * full visited set — drives the edge join, so expansion cost tracks
+    * the wavefront; each frontier is pinned via [[Materialize]] (the
+    * visited union would otherwise re-derive every prior round twice per
+    * new round). Frontiers never route through the driver.
+    */
+  def bfsHops(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    var frontier = Materialize(
+      sources.select(col(idCol).cast("long").as("id"))
+        .filter(col("id").isNotNull).distinct())
+    var visited = frontier.withColumn("hops", lit(0L))
+    var h = 1
+    while (h <= maxHops) {
+      frontier = Materialize(
+        e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti"))
+      visited = visited.unionByName(frontier.withColumn("hops", lit(h.toLong)))
+      h += 1
+    }
+    visited
+  }
+
   /** Exact triangle count via degree orientation. Result: one row
     * (n_triangles). The count is orientation-invariant, so it equals the
     * naive u<v<w 3-way self-join — which is what the DuckDB oracle states.

@@ -406,6 +406,35 @@ object ExtendedQueries {
       Some("""SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
              |count(*) AS docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
              |FROM documents WHERE n_chars > 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // Multi-source BFS reachability radius over the supplier↔part
+    // bipartite graph (pagerank's edge set): shortest hops ≤ 4 from the
+    // seed suppliers. Pure integer hop counts — partitioning-invariant —
+    // against DuckDB's recursive CTE bounded to the same radius.
+    QueryDef("graph4_bfs",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sp = li.filter(col("l_orderkey") % 7 === 0)
+          .select((col("l_suppkey") + 1000000).cast("long").as("src"),
+            col("l_partkey").cast("long").as("dst"))
+        val ps = li.filter(col("l_orderkey") % 7 === 1)
+          .select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey") + 1000000).cast("long").as("dst"))
+        val e = sp.unionByName(ps)
+        val seeds = e.select(col("src").as("seed")).filter(col("seed") % 17 === 0)
+        graft.operators.Graph.bfsHops(e, "src", "dst", seeds, "seed", maxHops = 4)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS src, CAST(l_partkey AS BIGINT) AS dst FROM lineitem WHERE l_orderkey % 7 = 0
+             |UNION
+             |SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src, CAST(l_suppkey + 1000000 AS BIGINT) AS dst FROM lineitem WHERE l_orderkey % 7 = 1),
+             |walk(id, hop) AS (
+             |SELECT DISTINCT src, 0 FROM e WHERE src % 17 = 0
+             |UNION
+             |SELECT e2.dst, walk.hop + 1 FROM walk JOIN e e2 ON walk.id = e2.src WHERE walk.hop < 4)
+             |SELECT id, CAST(min(hop) AS BIGINT) AS hops FROM walk
              |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
   )
 }

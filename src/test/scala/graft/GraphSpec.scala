@@ -155,4 +155,52 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(plain == pinned,
       "per-N materialization must not move a single fixed-point rank")
   }
+
+  private def bruteBfs(edges: Seq[(Long, Long)], sources: Set[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .filterNot(dist.contains)
+      dist = dist ++ frontier.map(_ -> h.toLong)
+    }
+    dist
+  }
+
+  test("bfsHops: chain, cycle, and directedness hand cases") {
+    // chain 1→2→3→4→5, cycle 10→11→12→10, reverse edge 3→2 irrelevant
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("s", "d")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = Graph.bfsHops(edges, "s", "d", seeds, "id", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L, 12L -> 2L),
+      s"hand-computed hop counts differ: $got")
+    // node 5 is 4 hops out — beyond the bound, absent
+    assert(!got.contains(5L))
+  }
+
+  test("bfsHops: random graph matches brute force and is partition-invariant") {
+    val rnd = new scala.util.Random(47)
+    val edges = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val sources = Set(0L, 17L, 34L)
+    val want = bruteBfs(edges, sources, maxHops = 4)
+    for (parts <- Seq(1, 7)) {
+      val df = edges.toDF("s", "d").repartition(parts)
+      val got = Graph.bfsHops(df, "s", "d", sources.toSeq.toDF("id"), "id", 4)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts: BFS disagrees with brute force")
+    }
+  }
+
+  test("bfsHops: maxHops = 0 returns exactly the source set") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.bfsHops(edges, "s", "d", Seq(1L, 9L).toDF("id"), "id", 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 9L -> 0L))
+  }
 }

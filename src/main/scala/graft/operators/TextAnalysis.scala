@@ -130,6 +130,54 @@ object TextAnalysis {
       .otherwise(lit("FAIL"))
   }
 
+  /** Union of every language's stopword list, deduped and sorted — the
+    * language-agnostic "does this look like natural text at all" signal
+    * the Gopher rule battery uses. Public so the oracle SQL interpolates
+    * the identical list.
+    */
+  val unionStopwords: Seq[String] =
+    stopwords.values.flatten.toSeq.distinct.sorted
+
+  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    * Language Models", table A1) as ONE fused map-only pass: five
+    * per-document format/quality rules plus the conjunctive keep bit.
+    * Every rule is an INTEGER comparison — ratio thresholds are
+    * cross-multiplied (`10·symbols ≤ n_words` instead of
+    * `symbols/n_words ≤ 0.1`), so there is no float boundary and no
+    * division anywhere, and the verdicts are bit-identical across
+    * engines and partitionings.
+    *
+    *  - `wc_ok`     word count within [minWords, maxWords]
+    *  - `wlen_ok`   mean word length within [4.0, 5.0] (as 4n ≤ Σlen ≤ 5n)
+    *  - `sym_ok`    symbol-to-word ratio ≤ 0.1 ('#' and '…' as in Gopher)
+    *  - `alpha_ok`  ≥ 80 % of words contain an alphabetic character
+    *  - `stop_ok`   ≥ 2 hits against [[unionStopwords]]
+    *
+    * At 100 TB this is scan-speed curation: five codegen'd expressions in
+    * one projection, no shuffle, no UDF; the keep bit feeds the same
+    * filter-pushdown path as any other predicate. Repetition rules are
+    * deliberately not duplicated here — [[repetitionStats]] and
+    * [[dupSpanStats]] already cover them with their own oracles.
+    */
+  def gopherRules(text: Column, minWords: Int = 20, maxWords: Int = 80): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    // '#' count ×3 + ellipsis bytes, vs 3·n — the ratio ≤0.1 rule with the
+    // /3 of the ellipsis byte count cross-multiplied away.
+    val hashBytes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellBytes = length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val stopHits = size(filter(toks, t =>
+      array_contains(array(unionStopwords.map(lit): _*), t)))
+    struct(
+      (n >= minWords && n <= maxWords).as("wc_ok"),
+      (n > 0 && sumLen >= n * 4 && sumLen <= n * 5).as("wlen_ok"),
+      ((hashBytes * 3 + ellBytes) * 10 <= n * 3).as("sym_ok"),
+      (alphaWords * 5 >= n * 4).as("alpha_ok"),
+      (stopHits >= 2).as("stop_ok"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics). Identical content → identical fingerprint, the
     * exact-dedup key that survives formatting noise.

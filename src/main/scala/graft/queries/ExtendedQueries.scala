@@ -435,6 +435,85 @@ object ExtendedQueries {
              |UNION
              |SELECT e2.dst, walk.hop + 1 FROM walk JOIN e e2 ON walk.id = e2.src WHERE walk.hop < 4)
              |SELECT id, CAST(min(hop) AS BIGINT) AS hops FROM walk
-             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // Pearson chi-squared independence test for two categoricals
+    // (lang × source) — the categorical-drift / bias-audit companion to
+    // PSI (drift2) and KS (drift3). All 128-bit-exact: per-cell
+    // contribution floor((N·o − r·c)² · 10⁶ / (N·r·c)) in DECIMAL(38,0)
+    // (HUGEINT on the oracle side — the ksStatistic overflow lesson
+    // applied from the start), summed over the FULL r×c grid including
+    // absent cells (o = 0 still contributes r·c/N). Shuffle profile at
+    // 100 TB: three partial-agg shuffles of |cells|, |langs|, |sources|
+    // rows; the grid itself is dims × dims, built by broadcast cross
+    // join; N rides in-plan as a broadcast scalar — no driver collect.
+    QueryDef("stat5_chi_square",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rowT = d.groupBy("lang").agg(count(lit(1)).as("r"))
+        val colT = d.groupBy("source").agg(count(lit(1)).as("c"))
+        val tot = d.agg(count(lit(1)).as("n"))
+        rowT.crossJoin(broadcast(colT))
+          .join(cells, Seq("lang", "source"), "left")
+          .na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(tot))
+          .agg(
+            sum(expr("""((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+                       | * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+                       | * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)""".stripMargin.replace("\n", " ")))
+              .cast("long").as("chi2_x1e6"),
+            ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1))
+              .cast("long").as("df"),
+            max(col("n")).cast("long").as("n"))
+      },
+      Some("""WITH r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+             |c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+             |o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |grid AS (SELECT r.lang, c.source, r.r, c.c, COALESCE(o.o, 0) AS o, n.n
+             |  FROM r CROSS JOIN c LEFT JOIN o ON o.lang = r.lang AND o.source = c.source CROSS JOIN n)
+             |SELECT
+             |CAST(sum(((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+             |  * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+             |  * 1000000) // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_x1e6,
+             |CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS df,
+             |CAST(max(n) AS BIGINT) AS n
+             |FROM grid""".stripMargin.replace("\n", " "))),
+
+    // Last-touch marketing attribution: each purchase is credited to the
+    // most recent SAME-USER click within a 7-day lookback, rolled up to
+    // attributed purchases + revenue per purchase day. One window pass
+    // per user (last-ignore-nulls running carry over (ts, event_id) —
+    // the same secondary-sort shape as sessionization, state O(1) per
+    // key), then a partial-agg rollup; lookback compared in exact
+    // microseconds (unix_micros/epoch_us — never float epoch seconds).
+    // Revenue sums as DECIMAL(18,2): exact, associative, engine-stable.
+    QueryDef("w13_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("last_click_us",
+            last(when(col("event_type") === "click", unix_micros(col("ts"))),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("last_click_us").isNotNull &&
+            unix_micros(col("ts")) - col("last_click_us") <= 604800000000L)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_attributed"),
+            sum(dec(col("value"))).cast("double").as("revenue"))
+          .orderBy("day")
+      },
+      Some("""WITH carried AS (SELECT ts, event_type, value,
+             |  last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+             |  FROM events)
+             |SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_attributed,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM carried
+             |WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+             |  AND epoch_us(ts) - last_click_us <= 604800000000
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")))
   )
 }

@@ -385,6 +385,25 @@ object RelationalQueries {
       Some("""SELECT source AS item, count(*) AS cnt FROM documents
              |GROUP BY source ORDER BY cnt DESC, item""".stripMargin.replace("\n", " "))),
 
+    // Count-Min sketch point frequencies — the OVERESTIMATE-only
+    // companion to a9's Misra-Gries lower bounds: a fixed 4×64 counter
+    // matrix per mapper (~2 KB shuffled regardless of how many distinct
+    // items exist), elementwise-add merge, so the sketch is bit-identical
+    // under any partitioning. The five event types are in the sketch's
+    // exact regime (each gets a collision-free row — a property of the
+    // strings alone, asserted by CountMinSpec), so the count(*) oracle
+    // applies verbatim at any sf.
+    QueryDef("a16_cms_counts",
+      (s, dir) => t(s, dir, "events")
+        .agg(graft.functions.CountMinFunctions.count_min(
+          col("event_type"), 64, 4,
+          Seq("click", "error", "purchase", "signup", "view")).as("cms"))
+        .select(explode(col("cms")).as("e"))
+        .select(col("e.item").as("item"), col("e.est_cnt").as("est_cnt"))
+        .orderBy("item"),
+      Some("""SELECT event_type AS item, count(*) AS est_cnt FROM events
+             |GROUP BY 1 ORDER BY item""".stripMargin.replace("\n", " "))),
+
     // Second-moment statistics per group (corr / covariance / stddev /
     // variance) — one partial-aggregated shuffle; the merge step combines
     // per-partition (n, mean, M2, C2) summaries, so the reduction is

@@ -890,6 +890,44 @@ object TextQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(row_number() OVER (ORDER BY
              |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS UBIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Gopher-style quality rule battery: five integer-exact format rules
+    // in one fused map-only projection (cross-multiplied ratios, no
+    // division, no float), plus the conjunctive keep. All thresholds are
+    // shared constants between the Spark expression and this SQL.
+    QueryDef("t16_gopher_rules",
+      (s, dir) => {
+        val g = TextAnalysis.gopherRules(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), g.as("g"))
+          .select(col("doc_id"), col("g.wc_ok"), col("g.wlen_ok"),
+            col("g.sym_ok"), col("g.alpha_ok"), col("g.stop_ok"),
+            (col("g.wc_ok") && col("g.wlen_ok") && col("g.sym_ok") &&
+              col("g.alpha_ok") && col("g.stop_ok")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sw = duckList(TextAnalysis.unionStopwords)
+        s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+           |r AS (SELECT doc_id,
+           |  len(toks) AS n,
+           |  list_sum(list_transform(toks, x -> len(x))) AS sumlen,
+           |  (len(text) - len(replace(text, '#', ''))) AS hashbytes,
+           |  (len(text) - len(replace(text, '...', ''))) AS ellbytes,
+           |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alphaw,
+           |  len(list_filter(toks, x -> list_contains($sw, x))) AS stoph
+           |  FROM t)
+           |SELECT doc_id,
+           |  (n >= 20 AND n <= 80) AS wc_ok,
+           |  (n > 0 AND sumlen >= n * 4 AND sumlen <= n * 5) AS wlen_ok,
+           |  ((hashbytes * 3 + ellbytes) * 10 <= n * 3) AS sym_ok,
+           |  (alphaw * 5 >= n * 4) AS alpha_ok,
+           |  (stoph >= 2) AS stop_ok,
+           |  ((n >= 20 AND n <= 80) AND (n > 0 AND sumlen >= n * 4 AND sumlen <= n * 5)
+           |   AND ((hashbytes * 3 + ellbytes) * 10 <= n * 3)
+           |   AND (alphaw * 5 >= n * 4) AND (stoph >= 2)) AS keep
+           |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      })
   )
 }

@@ -84,4 +84,33 @@ object Retrieval {
     base.crossJoin(broadcast(stats))
       .select(col(idCol), score.as("score_raw"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-retrieval combiner: a lexical (BM25) and a
+    * semantic (embedding kNN) ranking each nominate top-k candidates,
+    * and each candidate scores Σ 1/(kConst + rank) over the lists that
+    * ranked it. Computed in exact integer micro-units
+    * (`10¹² div (kConst + rank)`, missing rank ⇒ 0), so the fused
+    * ordering is engine- and partitioning-exact — no float sum over
+    * reciprocals.
+    *
+    * Inputs are the top-k lists themselves (bounded — both sides of the
+    * full outer join hold ≤ k rows no matter the corpus size), each
+    * carrying `idCol` and a 1-based rank in `rankCol`. The heavy lifting
+    * (scoring 100 TB of text / vectors down to k candidates each) stays
+    * in the upstream operators; fusion is a k-row join + one
+    * TakeOrderedAndProject.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, idCol: String,
+      rankCol: String = "rank", kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(kConst > 0 && topK > 0, "kConst and topK must be positive")
+    val l = lex.select(col(idCol), col(rankCol).cast("long").as("lex_rank"))
+    val s = sem.select(col(idCol), col(rankCol).cast("long").as("sem_rank"))
+    l.join(s, Seq(idCol), "full_outer")
+      .withColumn("rrf_x1e12",
+        coalesce(expr(s"1000000000000 div ($kConst + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000000 div ($kConst + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_x1e12").desc, col(idCol))
+      .limit(topK)
+  }
 }

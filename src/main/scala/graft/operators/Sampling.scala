@@ -386,4 +386,41 @@ object Sampling {
         offsetExpr + row_number().over(local).cast("long") - 1L)
       .drop("__k", "__g")
   }
+
+  /** Temperature-scaled source mixture at α = 1/2 (the UnifiedQA /
+    * multilingual-LM "T = 2" recipe): per-source quotas proportional to
+    * `sqrt(Σ cost)` — between proportional sampling (α = 1, big sources
+    * dominate) and uniform (α = 0, tail sources oversampled to noise).
+    * Where [[mixtureSample]] needs the weights handed in, this derives
+    * them FROM the corpus: quotaₛ = ⌊targetN · sₛ / Σ s⌋ with
+    * sₛ = ⌊√(Σ costₛ)⌋ — floor of an IEEE sqrt, which is exact for any
+    * integer < 2⁵², so the quotas (and therefore the kept set) are
+    * engine- and partitioning-exact with no float boundary.
+    *
+    * Selection is the first `quotaₛ` docs of each source's deterministic
+    * md5 walk, via [[groupRunningCost]] at cost 1 — the distributed
+    * prefix-sum, NOT one window per source (a single reducer per domain
+    * at 100 TB). Per-source totals and quotas are a |sources|-row
+    * broadcast. Monotone in targetN: a larger budget only adds rows.
+    * Emits `mix_pos` (1-based position in the walk) so the pick is
+    * self-auditing.
+    */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+      costCol: String, targetN: Long, salt: String = "graft"): DataFrame = {
+    require(targetN > 0, "targetN must be positive")
+    val stats = df.groupBy(sourceCol)
+      .agg(sum(col(costCol).cast("long")).as("__cost"))
+      .withColumn("__s", floor(sqrt(col("__cost").cast("double"))).cast("long"))
+    val tot = stats.agg(sum(col("__s")).as("__stot"))
+    val quota = stats.crossJoin(broadcast(tot))
+      .withColumn("__quota",
+        expr(s"(CAST($targetN AS BIGINT) * __s) div __stot"))
+      .select(col(sourceCol), col("__quota"))
+    groupRunningCost(df.withColumn("__one", lit(1L)), sourceCol, idCol,
+        "__one", salt)
+      .withColumnRenamed("budget_run", "mix_pos")
+      .join(broadcast(quota), Seq(sourceCol))
+      .filter(col("mix_pos") <= col("__quota"))
+      .drop("__one", "__quota")
+  }
 }

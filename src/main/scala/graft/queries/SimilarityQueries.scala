@@ -23,6 +23,16 @@ object SimilarityQueries {
 
   import QueryDef.t
 
+  /** DuckDB-side whitespace tokenization (same contract as
+    * TextAnalysis.tokens) — ret3's BM25 arm.
+    */
+  private val duckToks =
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+
+  /** ret3's lexical probe: the same one-rare + three-common mix as ret1. */
+  private val rrfTerms = Seq("dup", "spark", "window", "merge")
+
   private val duckCos =
     """(list_sum(list_transform(list_zip(a_vec, b_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       | / (sqrt(list_sum(list_transform(a_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -441,6 +451,56 @@ object SimilarityQueries {
            |SELECT q.vec_id,
            |CAST(sum(q.qi * (CASE WHEN (SELECT p FROM piv) < 0 THEN -f.v ELSE f.v END)) AS BIGINT) AS proj
            |FROM q JOIN fin f ON q.i = f.i GROUP BY q.vec_id
-           |ORDER BY q.vec_id""".stripMargin.replace("\n", " ")))
+           |ORDER BY q.vec_id""".stripMargin.replace("\n", " "))),
+
+    // Hybrid retrieval: BM25 top-50 (lexical) and embedding-cosine
+    // top-50 against doc 0 (semantic, doc_id ≡ vec_id in the testdata)
+    // fused by reciprocal-rank fusion in integer micro-units
+    // (10¹² div (60 + rank), absent rank ⇒ 0) — the fused ordering has
+    // no float sum and is engine-exact. Both candidate lists are
+    // bounded at 50 rows, so the fusion join is k-row work regardless
+    // of corpus size; the rankings themselves reuse ret1/v1 machinery.
+    QueryDef("ret3_rrf_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.operators.Retrieval.bm25TopK(
+            t(s, dir, "documents"), "doc_id", "text",
+            rrfTerms, k1 = 1.2, b = 0.75, topK = 50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+        val emb = t(s, dir, "embeddings")
+        val sem = graft.operators.Similarity.bruteForceKnn(
+            emb, emb.filter(col("vec_id") === 0), k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.operators.Retrieval.rrfFuse(
+          lex.select("doc_id", "rank"), sem, "doc_id", topK = 10)
+      },
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val tfs = rrfTerms.indices.map(i =>
+          s"CAST(len(list_filter(toks, x -> x = '${rrfTerms(i)}')) AS DOUBLE) AS tf$i").mkString(", ")
+        val dfs = rrfTerms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+        val score = rrfTerms.indices.map(i =>
+          s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * " +
+            s"(tf$i * ${k1 + 1.0} / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfs FROM tok),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl, $dfs FROM base),
+           |lexall AS (SELECT doc_id, round($score, 6) AS sc FROM base CROSS JOIN st),
+           |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS lex_rank
+           |  FROM lexall QUALIFY lex_rank <= 50),
+           |qv AS (SELECT embedding AS a_vec FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT vec_id AS doc_id, embedding AS b_vec FROM embeddings WHERE vec_id <> 0),
+           |sems AS (SELECT doc_id, $duckCos AS cos FROM cand CROSS JOIN qv),
+           |sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+           |  FROM sems QUALIFY sem_rank <= 50),
+           |fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+           |  COALESCE(1000000000000 // (60 + l.lex_rank), 0) + COALESCE(1000000000000 // (60 + s.sem_rank), 0) AS rrf_x1e12
+           |  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+           |SELECT doc_id, lex_rank, sem_rank, rrf_x1e12 FROM fused
+           |ORDER BY rrf_x1e12 DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " ")
+      })
   )
 }

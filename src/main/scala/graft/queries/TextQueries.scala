@@ -892,6 +892,27 @@ object TextQueries {
              |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS UBIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Temperature-scaled source mixture (α = 1/2): quotas ∝ √(Σ n_chars)
+    // per source, derived FROM the corpus (samp6 takes weights as
+    // input); selection = first quotaₛ docs of each source's md5 walk
+    // via the distributed prefix-sum. ⌊√int⌋ of an IEEE sqrt is exact
+    // below 2⁵², so quotas and kept set are engine-exact.
+    QueryDef("samp11_temperature",
+      (s, dir) => graft.operators.Sampling.temperatureSample(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", targetN = 200L)
+        .select("doc_id", "source", "mix_pos").orderBy("doc_id"),
+      Some("""WITH st AS (SELECT source, CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS s
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(s) AS stot FROM st),
+             |q AS (SELECT source, (200 * s) // stot AS quota FROM st CROSS JOIN tot),
+             |h AS (SELECT doc_id, source,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT AS k FROM documents),
+             |r AS (SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS mix_pos FROM h)
+             |SELECT r.doc_id, r.source, r.mix_pos FROM r JOIN q USING (source)
+             |WHERE mix_pos <= quota ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Gopher-style quality rule battery: five integer-exact format rules
     // in one fused map-only projection (cross-multiplied ratios, no
     // division, no float), plus the conjunctive keep. All thresholds are

@@ -473,6 +473,27 @@ object Dedup {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, keep every doc
+    * downweighted by its cluster size — weight = ⌊10⁶ / |cluster|⌋
+    * micro-units, so each near-dup cluster contributes ~one doc's worth
+    * of training mass in expectation (the SoftDeDup / "document-level
+    * duplication count" recipe: hard dedup loses the signal that a doc
+    * was popular; soft dedup keeps it, bounded). Exact integer weights —
+    * engine-stable, and Σ weights over a cluster never exceeds 10⁶.
+    *
+    * Composition on top of [[connectedComponents]]: one partial-agg
+    * shuffle for cluster sizes keyed on the component label, one keyed
+    * join back — both scale-safe; singletons get weight exactly 10⁶.
+    */
+  def softDedupWeights(edges: DataFrame, vertices: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(edges, vertices, idCol)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("comp"))
+      .withColumn("weight_x1e6", expr("1000000 div cluster_size"))
+      .select(col(idCol), col("comp"), col("cluster_size"), col("weight_x1e6"))
+  }
+
   /** Orderings for min-label id types (mirrors Spark's `least`/`min`
     * ordering on these types). Unsupported id types fall back to the
     * distributed loop, which orders via Spark itself.

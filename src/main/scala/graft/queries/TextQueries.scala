@@ -245,6 +245,29 @@ object TextQueries {
              |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
              |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Soft dedup: every doc kept, downweighted by near-dup cluster size
+    // (⌊10⁶/|cluster|⌋ micro-units — a cluster contributes ~one doc of
+    // training mass). Composes c1's connected components with one
+    // comp-keyed size agg + join; the oracle extends c1's recursive
+    // closure with the same integer division.
+    QueryDef("d12_soft_dedup",
+      (s, dir) => {
+        val sub = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        val edges = Dedup.ngramJaccardPairs(sub, k = 3, threshold = 0.02)
+          .select("a_id", "b_id")
+        Dedup.softDedupWeights(edges, sub.select("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckShPairs,
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02
+             |  UNION ALL SELECT b_id, a_id FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02),
+             |reach(id, r) AS (SELECT doc_id, doc_id FROM sub
+             |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+             |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+             |sz AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY 1)
+             |SELECT doc_id, comp, cluster_size, 1000000 // cluster_size AS weight_x1e6
+             |FROM comp JOIN sz USING (comp) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Leakage-safe split: train/val/test assignment keyed on the
     // near-dup CLUSTER representative (c1's connected components), so a
     // doc and its near-copy can never straddle train and test. Oracle:

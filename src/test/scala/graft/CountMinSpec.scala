@@ -58,6 +58,24 @@ class CountMinSpec extends SparkSpec {
     assert(est == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("count_min runs inside a streaming aggregation across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDS().toDF("item")
+      .agg(CountMinFunctions.count_min(col("item"), 64, 4, Seq("a", "b")).as("cms"))
+      .select(explode(col("cms")).as("e"))
+      .select("e.item", "e.est_cnt")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      mem.addData("a", "b", "a"); q.processAllAvailable()
+      mem.addData("a", "b"); q.processAllAvailable()
+      val got = spark.table("cms_stream").as[(String, Long)].collect().toMap
+      assert(got == Map("a" -> 3L, "b" -> 2L),
+        s"streaming sketch must equal the batch counts in the exact regime: $got")
+    } finally q.stop()
+  }
+
   test("cell addressing is a stable pure function of the bytes") {
     val idx = CountMinAgg.cellIndex("purchase".getBytes("UTF-8"), 3, 64)
     assert(idx == CountMinAgg.cellIndex("purchase".getBytes("UTF-8"), 3, 64))

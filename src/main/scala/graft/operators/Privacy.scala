@@ -59,4 +59,42 @@ object Privacy {
       .map { case (c, i) => df(c) <=> bad(s"_qid_$i") }.reduce(_ && _)
     df.join(bad, cond, "left_anti")
   }
+
+  /** t-closeness audit (Li et al. 2007) — the third leg of the privacy
+    * triad after k-anonymity and l-diversity: even a diverse group leaks
+    * when its SENSITIVE-VALUE DISTRIBUTION diverges from the corpus
+    * (a group that's 90% one diagnosis is identifying regardless of how
+    * many distinct diagnoses appear once). For a categorical sensitive
+    * attribute the distance is total variation,
+    * TVD(g) = ½ Σ_v |p_gv − q_v|, computed EXACTLY in integers:
+    * |cnt_gv·N − cnt_v·n_g| summed over the FULL value grid (absent
+    * cells contribute cnt_v·n_g), with ONE floor at the end —
+    * `tvd_x1e6 = Σ · 10⁶ div (2·n_g·N)`. DECIMAL(38,0) throughout, so
+    * the audit is engine-exact and safe past int64 at corpus scale
+    * (the stat5/ksStatistic overflow discipline).
+    *
+    * Shuffle profile: cell/group/value counts are three partial-agg
+    * shuffles; the grid is groups × values via broadcast cross join; N
+    * rides in-plan as a broadcast scalar. Output one row per group with
+    * its size and distance — `tvd_x1e6 ≤ t·10⁶` is the release gate.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiIds.nonEmpty, "quasiIds must be non-empty")
+    val qids = quasiIds.map(col)
+    val cells = df.groupBy(qids :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__o"))
+    val groups = df.groupBy(qids: _*).agg(count(lit(1)).as("__ng"))
+    val values = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__nv"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    groups.crossJoin(broadcast(values))
+      .join(cells, quasiIds :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(tot))
+      .groupBy(qids: _*)
+      .agg(max(col("__ng")).as("group_rows"),
+        expr("""(sum(abs(CAST(__o AS DECIMAL(38,0)) * __n - CAST(__nv AS DECIMAL(38,0)) * __ng))
+               | * 1000000) div (2 * CAST(max(__ng) AS DECIMAL(38,0)) * max(__n))"""
+          .stripMargin.replace("\n", " ")).cast("long").as("tvd_x1e6"))
+  }
 }

@@ -514,6 +514,64 @@ object ExtendedQueries {
              |FROM carried
              |WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
              |  AND epoch_us(ts) - last_click_us <= 604800000000
-             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")))
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
+
+    // t-closeness audit — the privacy triad's third leg after priv1
+    // (k-anonymity) and priv2 (l-diversity): exact total-variation
+    // distance between each segment's sensitive-value distribution and
+    // the corpus's, in 128-bit integer arithmetic with one floor at the
+    // end (Privacy.tCloseness scaladoc). Same acctbal banding as priv2.
+    QueryDef("priv3_tcloseness",
+      (s, dir) => graft.operators.Privacy.tCloseness(
+          t(s, dir, "customer").select(col("c_mktsegment"),
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("sens")),
+          Seq("c_mktsegment"), "sens")
+        .orderBy("c_mktsegment"),
+      Some("""WITH b AS (SELECT c_mktsegment AS seg,
+             |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens FROM customer),
+             |cells AS (SELECT seg, sens, count(*) AS o FROM b GROUP BY 1, 2),
+             |g AS (SELECT seg, count(*) AS ng FROM b GROUP BY 1),
+             |v AS (SELECT sens, count(*) AS nv FROM b GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM b),
+             |grid AS (SELECT g.seg, v.sens, g.ng, v.nv, COALESCE(c.o, 0) AS o, n.n
+             |  FROM g CROSS JOIN v LEFT JOIN cells c ON c.seg = g.seg AND c.sens = v.sens CROSS JOIN n)
+             |SELECT seg AS c_mktsegment, CAST(max(ng) AS BIGINT) AS group_rows,
+             |CAST((sum(abs(CAST(o AS HUGEINT) * n - CAST(nv AS HUGEINT) * ng)) * 1000000)
+             |  // (2 * CAST(max(ng) AS HUGEINT) * max(n)) AS BIGINT) AS tvd_x1e6
+             |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // Autocorrelation of the hourly event-count series at lags 1 and 24
+    // (the seasonality diagnostic: does last hour / the same hour
+    // yesterday predict this hour?). The raw stream collapses to one
+    // bounded series per type via a partial-agg shuffle FIRST — the lag
+    // window then runs over O(hours) rows per key, never the event log.
+    // Counts are exact integers; corr merges per-partition moment
+    // summaries (stat1's contract: engines agree to ~1e-12, both sides
+    // round to 6 decimals). Sparse semantics: absent hours are absent
+    // rows (lag skips them) — gap-fill first (w7) for strict-calendar ACF.
+    QueryDef("ts1_autocorr",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        hourly
+          .withColumn("lag1", lag(col("cnt"), 1).over(w))
+          .withColumn("lag24", lag(col("cnt"), 24).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_hours"),
+            round(corr(col("cnt"), col("lag1")), 6).as("acf1"),
+            round(corr(col("cnt"), col("lag24")), 6).as("acf24"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |lagged AS (SELECT event_type, cnt,
+             |  lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY h) AS lag1,
+             |  lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY h) AS lag24 FROM hourly)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |round(corr(cnt, lag1), 6) AS acf1, round(corr(cnt, lag24), 6) AS acf24
+             |FROM lagged GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " ")))
   )
 }

@@ -35,6 +35,23 @@ class PrivacyBootstrapSpec extends AnyFunSuite with SparkSpec {
       Seq("zip", "age_band"), k = 2).count() == 0)
   }
 
+  test("tCloseness: zero for corpus-matching groups, exact TVD for skewed ones") {
+    // corpus: 8 'x' + 8 'y'. Group a matches (4x 4y) -> TVD 0.
+    // Group b is all-x (4x 0y): TVD = 1/2 (|1/2| + |-1/2|) = 1/2.
+    // Group c is 0x 4y: same by symmetry.
+    val df = (Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("c", "y"))).toDF("seg", "sens")
+    val got = Privacy.tCloseness(df, Seq("seg"), "sens")
+      .select("seg", "group_rows", "tvd_x1e6")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 8L, 0L), ("b", 4L, 500000L), ("c", 4L, 500000L)))
+    // partition invariance (exact integers end to end)
+    val re = Privacy.tCloseness(df.repartition(7), Seq("seg"), "sens")
+      .select("seg", "group_rows", "tvd_x1e6")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
   test("bootstrapCount: multiplicities bounded, mean ~1, replicates differ") {
     val df = (1L to 20000L).toDF("id")
       .select(col("id"),

@@ -426,6 +426,58 @@ class ScaleProbeSpec extends SparkSpec {
       "tie-broken ranks must match the closed form")
   }
 
+  test("cms probe: 2M-row sketch exact in the exact regime, partition-invariant", Slow) {
+    import graft.functions.CountMinFunctions
+    val n = 2000000L
+    val items = Seq("click", "error", "purchase", "signup", "view")
+    assert(CountMinFunctions.exactRegime(64, 4, items))
+    // skewed: item i takes ~(i+1)/15 of the stream (xxhash-derived, pure)
+    val df = spark.range(n).select(
+      element_at(array(items.map(lit): _*),
+        (when(pmod(xxhash64(col("id")), lit(15)) < 1, 0)
+          .when(pmod(xxhash64(col("id")), lit(15)) < 3, 1)
+          .when(pmod(xxhash64(col("id")), lit(15)) < 6, 2)
+          .when(pmod(xxhash64(col("id")), lit(15)) < 10, 3)
+          .otherwise(4) + 1).cast("int")).as("item"))
+    val truth = df.groupBy("item").count().as[(String, Long)].collect().toMap
+    def sketch(parts: Int) = df.repartition(parts)
+      .agg(CountMinFunctions.count_min(col("item"), 64, 4, items).as("cms"))
+      .select(explode(col("cms")).as("e"))
+      .select("e.item", "e.est_cnt").as[(String, Long)].collect().toMap
+    val est = sketch(32)
+    println(s"[probe-spec] cms exact-regime counts: $est")
+    assert(est == truth, "exact-regime CMS must equal the true counts at 2M rows")
+    assert(sketch(5) == est, "sketch must be partitioning-invariant")
+    assert(truth.values.sum == n)
+  }
+
+  test("temperature mixture probe: 1M rows, sqrt quotas exact, monotone, invariant", Slow) {
+    import graft.operators.Sampling
+    val n = 1000000L
+    // skewed sources: a 70%, b 25%, c 4%, d 1% — α=1/2 compresses the
+    // 70:1 ratio between a and d to √70 ≈ 8.4:1 in the quotas
+    val df = spark.range(n).select(col("id"),
+      when(col("id") < 700000L, "a").when(col("id") < 950000L, "b")
+        .when(col("id") < 990000L, "c").otherwise("d").as("source"),
+      lit(100L).as("cost"))
+    val counts = Map("a" -> 700000L, "b" -> 250000L, "c" -> 40000L, "d" -> 10000L)
+    val s = counts.map { case (k, c) => k -> math.sqrt((c * 100L).toDouble).toLong }
+    val stot = s.values.sum
+    val targetN = 50000L
+    val wantQuota = s.map { case (k, v) => k -> targetN * v / stot }
+    def run(parts: Int, tn: Long) = Sampling.temperatureSample(
+      df.repartition(parts), "source", "id", "cost", tn)
+    val got = run(32, targetN).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    println(s"[probe-spec] temperature quotas: $got (want $wantQuota)")
+    assert(got == wantQuota, "per-source picks must equal the floor-sqrt quotas")
+    val kept = run(32, targetN).select("id").as[Long].collect().toSet
+    assert(run(7, targetN).select("id").as[Long].collect().toSet == kept,
+      "kept set must not depend on partitioning")
+    val smaller = run(32, targetN / 2).select("id").as[Long].collect().toSet
+    assert(smaller.subsetOf(kept), "halving the budget must only remove rows")
+  }
+
   // --- LakehouseScaleProbe's skip-index / z-order / merge claims ---
   private val nLakeRows = 2000000L
 

@@ -178,6 +178,51 @@ object TextAnalysis {
       (stopHits >= 2).as("stop_ok"))
   }
 
+  /** Duplicated-span REMOVAL — the transform face of [[dupSpanStats]]
+    * (Lee et al. 2022's "deduplicate substrings" recipe): every token
+    * covered by a k-gram that occurs MORE THAN ONCE in the corpus
+    * (across docs or within one) is cut, and the survivors re-join into
+    * `clean_text`. Where t11 only measures the duplicated share, this
+    * produces the training corpus with the boilerplate actually gone.
+    *
+    * Shape at 100 TB: positional k-grams explode once (ordered, NOT the
+    * distinct [[shingles]] set — positions matter here); occurrence
+    * counts are one partial-agg shuffle keyed on the gram; duplicated
+    * positions come back via a gram-keyed join and collapse to ONE
+    * bounded array per doc (≤ doc length, never corpus state); the cut
+    * itself is a map-only higher-order filter — token j survives iff no
+    * duplicated gram start p covers it (p ≤ j ≤ p+k−1). All integer
+    * positions, no hashes — the oracle replays it verbatim.
+    *
+    * Output: (id, n_tokens, n_removed, clean_text).
+    */
+  def removeDupSpans(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, "span gram size k must be >= 2")
+    val toks = tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+      .withColumnRenamed("col", "gram")
+    val occ = grams.groupBy("gram").agg(count(lit(1)).as("__occ"))
+    val dupPos = grams.join(occ.filter(col("__occ") >= 2), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dup_pos"))
+    docs.join(dupPos, Seq(idCol), "left")
+      .withColumn("__dup_pos",
+        coalesce(col("__dup_pos"), array().cast("array<int>")))
+      .withColumn("__t", toks)
+      .withColumn("__kept", filter(col("__t"), (t, j) =>
+        !exists(col("__dup_pos"), p => j >= p && j <= p + (k - 1))))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics). Identical content → identical fingerprint, the
     * exact-dedup key that survives formatting noise.

@@ -268,6 +268,34 @@ object TextQueries {
              |SELECT doc_id, comp, cluster_size, 1000000 // cluster_size AS weight_x1e6
              |FROM comp JOIN sz USING (comp) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Duplicated-span removal (Lee et al. "deduplicate substrings"):
+    // the transform face of t11 — tokens covered by any corpus-repeated
+    // 4-gram are cut, survivors re-join. Exact integer positions; the
+    // oracle replays the positional grams, occurrence counts, and the
+    // index-lambda cut verbatim (DuckDB lambda indexes are 1-based,
+    // Spark's 0-based — the j-1 below is that shift).
+    QueryDef("c5_dup_span_removal",
+      (s, dir) => TextAnalysis.removeDupSpans(
+          t(s, dir, "documents"), k = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+             |g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 3),
+             |  i -> struct_pack(pos := i, g := array_to_string(toks[i+1:i+4], ' ')))) AS u
+             |  FROM t WHERE len(toks) >= 4),
+             |g AS (SELECT doc_id, u.pos AS pos, u.g AS gram FROM g0),
+             |c AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+             |dp AS (SELECT doc_id, list_sort(list(pos)) AS dup_pos
+             |  FROM g JOIN c USING (gram) WHERE occ >= 2 GROUP BY 1),
+             |o AS (SELECT t.doc_id, t.toks, COALESCE(dp.dup_pos, []) AS dup_pos
+             |  FROM t LEFT JOIN dp ON t.doc_id = dp.doc_id),
+             |cut AS (SELECT doc_id, toks,
+             |  list_filter(toks, (x, j) -> NOT len(list_filter(dup_pos,
+             |    p -> j - 1 >= p AND j - 1 <= p + 3)) > 0) AS kept FROM o)
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+             |COALESCE(array_to_string(kept, ' '), '') AS clean_text
+             |FROM cut ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Leakage-safe split: train/val/test assignment keyed on the
     // near-dup CLUSTER representative (c1's connected components), so a
     // doc and its near-copy can never straddle train and test. Oracle:

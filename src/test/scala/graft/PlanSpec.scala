@@ -253,4 +253,49 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"the 1-row corpus aggregate must broadcast in:\n$plan")
   }
+
+  test("chi-square/t-closeness grids broadcast; margins combine map-side; no cartesian") {
+    for (name <- Seq("stat5_chi_square", "priv3_tcloseness")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name grid must come from broadcast cross joins, not a cartesian:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name dims × values grid must broadcast:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"$name margin counts must map-side combine:\n$plan")
+    }
+  }
+
+  test("attribution runs ONE window pass then a partial-agg rollup") {
+    val plan = q("w13_attribution").queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"exactly one window carry expected in:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"daily rollup must map-side combine in:\n$plan")
+  }
+
+  test("count-min sketch plans a partial ObjectHashAggregate (2KB per mapper)") {
+    val plan = q("a16_cms_counts").queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_count_min"), s"no partial sketch stage in:\n$plan")
+  }
+
+  test("rrf fusion bounds output with TakeOrderedAndProject; bm25 stats broadcast") {
+    val plan = q("ret3_rrf_fusion").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fused top-k must not full-sort in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"corpus stats row must broadcast in:\n$plan")
+  }
+
+  test("autocorrelation windows run over the aggregated series, not the event log") {
+    val df = q("ts1_autocorr")
+    val plan = df.queryExecution.executedPlan.toString
+    // the hourly partial agg must sit BELOW the window: partial_count
+    // appears, and the window's child exchange is keyed on event_type
+    assert(plan.contains("partial_count"),
+      s"hourly collapse must map-side combine in:\n$plan")
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"exactly one lag window expected in:\n$plan")
+  }
 }

@@ -140,5 +140,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TDigestAgg(e(0), Seq(doubleArg(e(1), "tdigest_quantile p")))
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName, "count_min"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 4,
+          "count_min(item, width, depth, array('q1', 'q2', ...))")
+        graft.functions.CountMinAgg(e(0),
+          intArg(e(1), "count_min width"), intArg(e(2), "count_min depth"),
+          stringArrayArg(e(3), "count_min queryItems"))
+          .toAggregateExpression()
+      }))
+  }
+
+  /** A SQL `array('a', 'b', ...)` of string literals (or a foldable
+    * array literal) as Seq[String]; anything else fails with the
+    * expected shape.
+    */
+  private def stringArrayArg(e: Expression, name: String): Seq[String] = e match {
+    case arr if arr.foldable &&
+        arr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        arr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType == org.apache.spark.sql.types.StringType =>
+      val data = arr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(
+      s"$name expects array('item', ...) of string literals, got $other")
   }
 }

@@ -322,4 +322,46 @@ object Similarity {
       .select(col("vec_id"), col("comp").as("rep_id"),
         (col("vec_id") === col("comp")).as("kept"))
   }
+
+  /** Embedding centroid-shift drift: per label, the cosine between the
+    * centroid of an OLD slice and a NEW slice — the embedding-space
+    * companion to the scalar drift tests (PSI/KS/chi-square): a cosine
+    * well below 1 means the population a label maps to has MOVED, the
+    * retrain/audit trigger for any model keyed on those embeddings.
+    *
+    * Determinism without order-sensitive float sums: coordinates are
+    * floor-quantized to integers (the Pca.topComponent discipline) and
+    * summed as exact longs — and because cosine is scale-invariant,
+    * cos(centroid_a, centroid_b) = cos(Σa, Σb), so the counts never
+    * divide anything. Only the FINAL cosine is double (dot/(√na·√nb) of
+    * exact longs — one fixed expression both engines evaluate
+    * identically), rounded to 6 decimals.
+    *
+    * Shape at scale: one posexplode scan, ONE (label, dim) partial-agg
+    * shuffle (state = labels × dims longs), one |labels|-row rollup —
+    * never a per-label pairwise pass.
+    */
+  def centroidShift(emb: DataFrame, labelCol: String, vecCol: String,
+      oldSlice: Column, quantScale: Int = 10000): DataFrame = {
+    val q = emb
+      .select(col(labelCol).as("label"), oldSlice.as("__old"),
+        posexplode(col(vecCol)))
+      .select(col("label"), col("__old"), col("pos"),
+        floor(col("col").cast("double") * quantScale).cast("long").as("qi"))
+    val dims = q.groupBy("label", "pos").agg(
+      sum(when(col("__old"), col("qi")).otherwise(0L)).as("a"),
+      sum(when(!col("__old"), col("qi")).otherwise(0L)).as("b"))
+    val rolled = dims.groupBy("label").agg(
+      sum(col("a") * col("b")).as("dot"),
+      sum(col("a") * col("a")).as("na"),
+      sum(col("b") * col("b")).as("nb"))
+    val counts = emb.groupBy(col(labelCol).as("label")).agg(
+      sum(when(oldSlice, 1L).otherwise(0L)).as("n_old"),
+      sum(when(!oldSlice, 1L).otherwise(0L)).as("n_new"))
+    rolled.join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos_shift"))
+  }
 }

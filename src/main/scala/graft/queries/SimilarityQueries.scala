@@ -453,6 +453,36 @@ object SimilarityQueries {
            |FROM q JOIN fin f ON q.i = f.i GROUP BY q.vec_id
            |ORDER BY q.vec_id""".stripMargin.replace("\n", " "))),
 
+    // Embedding centroid-shift drift per label (old slice = even ids):
+    // exact long sums of floor-quantized coordinates; cosine's scale
+    // invariance makes cos(Σa, Σb) = cos(centroid_a, centroid_b), so
+    // ONLY the final cosine is float — one fixed expression, rounded to
+    // 6, identical on both engines. One (label, dim) partial-agg shuffle.
+    QueryDef("drift4_centroid_shift",
+      (s, dir) => Similarity.centroidShift(
+          t(s, dir, "embeddings"), "label", "embedding",
+          col("vec_id") % 2 === 0)
+        .select(col("label").cast("long").as("label"), col("n_old"),
+          col("n_new"), col("cos_shift"))
+        .orderBy("label"),
+      Some("""WITH x AS (SELECT label, vec_id,
+             |  unnest(list_transform(embedding, (v, i) -> struct_pack(i := i, v := v))) AS u FROM embeddings),
+             |q AS (SELECT label, vec_id % 2 = 0 AS old, u.i AS pos,
+             |  CAST(floor(CAST(u.v AS DOUBLE) * 10000) AS BIGINT) AS qi FROM x),
+             |dims AS (SELECT label, pos,
+             |  sum(CASE WHEN old THEN qi ELSE 0 END) AS a,
+             |  sum(CASE WHEN NOT old THEN qi ELSE 0 END) AS b FROM q GROUP BY 1, 2),
+             |rolled AS (SELECT label, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+             |  FROM dims GROUP BY 1),
+             |counts AS (SELECT label,
+             |  sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+             |  sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_new
+             |  FROM embeddings GROUP BY 1)
+             |SELECT CAST(r.label AS BIGINT) AS label, CAST(n_old AS BIGINT) AS n_old,
+             |CAST(n_new AS BIGINT) AS n_new,
+             |round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos_shift
+             |FROM rolled r JOIN counts USING (label) ORDER BY label""".stripMargin.replace("\n", " "))),
+
     // Hybrid retrieval: BM25 top-50 (lexical) and embedding-cosine
     // top-50 against doc 0 (semantic, doc_id ≡ vec_id in the testdata)
     // fused by reciprocal-rank fusion in integer micro-units

@@ -943,6 +943,71 @@ object TextQueries {
              |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS UBIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Round-8 curation funnel v2, composed from THIS round's operators:
+    // Gopher rule keep → duplicated-span removal over the survivors →
+    // exact dedup of the CLEANED text (md5 fingerprint, min-doc_id rep)
+    // → corpus summary (counts + surviving token mass). The oracle
+    // chains the t16, c5, and d2-style SQL fragments over the same
+    // constants — a hash-exact end-to-end pipeline certificate, cur2's
+    // pattern with the new stages.
+    QueryDef("cur3_gopher_funnel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val gr = TextAnalysis.gopherRules(col("text"))
+        val kept = docs.filter(gr.getField("wc_ok") && gr.getField("wlen_ok") &&
+          gr.getField("sym_ok") && gr.getField("alpha_ok") && gr.getField("stop_ok"))
+        val cleaned = TextAnalysis.removeDupSpans(kept, k = 4)
+        val reps = cleaned
+          .withColumn("fp", md5(col("clean_text")))
+          .groupBy("fp")
+          .agg(min(struct(col("doc_id"),
+            (col("n_tokens") - col("n_removed")).as("n_kept"))).as("m"))
+        val nIn = docs.agg(count(lit(1)).as("n_input"))
+        val nRules = kept.agg(count(lit(1)).as("n_rules"))
+        val dedup = reps.agg(count(lit(1)).as("n_dedup"),
+          sum(col("m.n_kept")).as("tokens_kept"))
+        nIn.crossJoin(nRules).crossJoin(dedup)
+          .select(col("n_input"), col("n_rules"), col("n_dedup"),
+            col("tokens_kept").cast("long").as("tokens_kept"))
+      },
+      Some {
+        val sw = duckList(TextAnalysis.unionStopwords)
+        s"""WITH tt AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+           |r AS (SELECT doc_id, toks,
+           |  len(toks) AS n,
+           |  list_sum(list_transform(toks, x -> len(x))) AS sumlen,
+           |  (len(text) - len(replace(text, '#', ''))) AS hashbytes,
+           |  (len(text) - len(replace(text, '...', ''))) AS ellbytes,
+           |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alphaw,
+           |  len(list_filter(toks, x -> list_contains($sw, x))) AS stoph
+           |  FROM tt),
+           |keep AS (SELECT doc_id, toks FROM r
+           |  WHERE (n >= 20 AND n <= 80) AND (n > 0 AND sumlen >= n * 4 AND sumlen <= n * 5)
+           |  AND ((hashbytes * 3 + ellbytes) * 10 <= n * 3)
+           |  AND (alphaw * 5 >= n * 4) AND (stoph >= 2)),
+           |g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 3),
+           |  i -> struct_pack(pos := i, g := array_to_string(toks[i+1:i+4], ' ')))) AS u
+           |  FROM keep WHERE len(toks) >= 4),
+           |g AS (SELECT doc_id, u.pos AS pos, u.g AS gram FROM g0),
+           |c AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+           |dp AS (SELECT doc_id, list(pos) AS dup_pos
+           |  FROM g JOIN c USING (gram) WHERE occ >= 2 GROUP BY 1),
+           |o AS (SELECT keep.doc_id, keep.toks, COALESCE(dp.dup_pos, []) AS dup_pos
+           |  FROM keep LEFT JOIN dp ON keep.doc_id = dp.doc_id),
+           |cut AS (SELECT doc_id,
+           |  list_filter(toks, (x, j) -> NOT len(list_filter(dup_pos,
+           |    p -> j - 1 >= p AND j - 1 <= p + 3)) > 0) AS kept FROM o),
+           |fp AS (SELECT doc_id, len(kept) AS n_kept,
+           |  md5(COALESCE(array_to_string(kept, ' '), '')) AS f FROM cut),
+           |reps AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+           |ded AS (SELECT count(*) AS n_dedup, sum(n_kept) AS tokens_kept
+           |  FROM fp JOIN reps ON fp.doc_id = reps.keep_id)
+           |SELECT (SELECT count(*) FROM documents) AS n_input,
+           |(SELECT count(*) FROM keep) AS n_rules,
+           |CAST(n_dedup AS BIGINT) AS n_dedup, CAST(tokens_kept AS BIGINT) AS tokens_kept
+           |FROM ded""".stripMargin.replace("\n", " ")
+      }),
+
     // Temperature-scaled source mixture (α = 1/2): quotas ∝ √(Σ n_chars)
     // per source, derived FROM the corpus (samp6 takes weights as
     // input); selection = first quotaₛ docs of each source's md5 walk

@@ -36,4 +36,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(6) > 0)
     assert(row.getInt(7) == 4)
   }
+
+  test("aggregate sketches are SQL-callable: count_min over a grouped stream") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.GraftSqlBridge.registerExtensionFunctions(
+      ext, spark.sessionState.functionRegistry)
+
+    import spark.implicits._
+    Seq("a", "b", "a", "a", "b", "c").toDF("item")
+      .createOrReplaceTempView("cms_items")
+    val out = spark.sql(
+      """SELECT e.item, e.est_cnt FROM (
+        |  SELECT explode(count_min(item, 64, 4, array('a', 'b', 'c'))) AS e
+        |  FROM cms_items)
+        |ORDER BY e.item""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+
+    // non-literal query list must fail with the expected shape, not an
+    // opaque cast error
+    val err = intercept[Exception] {
+      spark.sql("SELECT count_min(item, 64, 4, array(item)) FROM cms_items").head()
+    }
+    assert(err.getMessage.contains("string literals"))
+  }
 }

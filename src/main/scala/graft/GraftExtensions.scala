@@ -164,7 +164,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .elementType == org.apache.spark.sql.types.StringType =>
       val data = arr.eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+      (0 until data.numElements()).map { i =>
+        if (data.isNullAt(i)) throw new IllegalArgumentException(
+          s"$name expects array('item', ...) of string literals — element $i is NULL")
+        data.getUTF8String(i).toString
+      }
     case other => throw new IllegalArgumentException(
       s"$name expects array('item', ...) of string literals, got $other")
   }

@@ -82,13 +82,23 @@ object Privacy {
       sensitiveCol: String): DataFrame = {
     require(quasiIds.nonEmpty, "quasiIds must be non-empty")
     val qids = quasiIds.map(col)
+    // cells join back onto the grid NULL-SAFELY (<=>): a null sensitive
+    // value (or null quasi-id) is itself a distribution category — a
+    // plain equi-join would zero its observed count while its margins
+    // still enter the sum, inflating TVD for corpus-matching groups.
+    // Cells are re-aliased first (suppress()'s self-join discipline).
     val cells = df.groupBy(qids :+ col(sensitiveCol): _*)
       .agg(count(lit(1)).as("__o"))
+      .select((quasiIds.zipWithIndex.map { case (c, i) => col(c).as(s"__q_$i") } :+
+        col(sensitiveCol).as("__s") :+ col("__o")): _*)
     val groups = df.groupBy(qids: _*).agg(count(lit(1)).as("__ng"))
     val values = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__nv"))
     val tot = df.agg(count(lit(1)).as("__n"))
-    groups.crossJoin(broadcast(values))
-      .join(cells, quasiIds :+ sensitiveCol, "left")
+    val grid = groups.crossJoin(broadcast(values))
+    val cond = quasiIds.zipWithIndex
+      .map { case (c, i) => grid(c) <=> cells(s"__q_$i") }
+      .reduce(_ && _) && grid(sensitiveCol) <=> cells("__s")
+    grid.join(cells, cond, "left")
       .na.fill(0L, Seq("__o"))
       .crossJoin(broadcast(tot))
       .groupBy(qids: _*)

@@ -38,7 +38,13 @@ object Rank {
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
-    val grouped = df.withColumn("__g", Packing.rangeGroup(df, orderCol, parts))
+    // A null order value must surface as a null bucket for the fail-fast
+    // below. rangeGroup degenerates to a constant bucket when parts <= 1
+    // or the boundary sample is empty (e.g. ALL order values null) — the
+    // explicit isNotNull guard keeps the null path out of EVERY variant,
+    // not just the bucketed one.
+    val grouped = df.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(df, orderCol, parts)))
     val countRows = grouped.groupBy("__g").agg(count(lit(1)).as("n")).collect()
     require(countRows.forall(!_.isNullAt(0)),
       s"globalRank: null values in order column '$orderCol' — filter them " +

@@ -409,8 +409,24 @@ object Sampling {
       costCol: String, targetN: Long, salt: String = "graft"): DataFrame = {
     require(targetN > 0, "targetN must be positive")
     val stats = df.groupBy(sourceCol)
-      .agg(sum(col(costCol).cast("long")).as("__cost"))
+      .agg(sum(col(costCol).cast("long")).as("__cost"),
+        count(when(col(costCol).isNull || col(costCol).cast("long").isNull,
+          lit(1))).as("__badCost"))
       .withColumn("__s", floor(sqrt(col("__cost").cast("double"))).cast("long"))
+    // Degenerate cost input must FAIL, not silently return an empty or
+    // skewed sample (groupRunningCost's null discipline — its own check
+    // never fires here because the walk runs on a synthetic cost of 1):
+    // null/uncastable costs would occupy walk positions while adding no
+    // quota mass; zero total mass would null every quota via div.
+    val statRows = stats.collect()
+    require(statRows.forall(_.getLong(2) == 0L),
+      s"temperatureSample: null or uncastable values in cost column '$costCol' " +
+        "— filter or repair them explicitly first")
+    require(statRows.forall(r => !r.isNullAt(1) && r.getLong(1) >= 0L),
+      s"temperatureSample: cost column '$costCol' must be non-negative per source")
+    require(statRows.map(r =>
+        math.sqrt(r.getLong(1).toDouble).toLong).sum > 0L,
+      "temperatureSample: total sqrt cost mass is zero — no quota can be assigned")
     val tot = stats.agg(sum(col("__s")).as("__stot"))
     val quota = stats.crossJoin(broadcast(tot))
       .withColumn("__quota",

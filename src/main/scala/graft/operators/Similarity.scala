@@ -351,10 +351,15 @@ object Similarity {
     val dims = q.groupBy("label", "pos").agg(
       sum(when(col("__old"), col("qi")).otherwise(0L)).as("a"),
       sum(when(!col("__old"), col("qi")).otherwise(0L)).as("b"))
+    // per-dim sums a,b fit long (rows·quantScale ≲ 10¹⁶), but their
+    // PRODUCTS wrap int64 past ~3·10⁵ rows per slice — the rollup runs
+    // in DECIMAL(38,0) (stat5's overflow discipline), and only the final
+    // cosine converts to double
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val rolled = dims.groupBy("label").agg(
-      sum(col("a") * col("b")).as("dot"),
-      sum(col("a") * col("a")).as("na"),
-      sum(col("b") * col("b")).as("nb"))
+      sum(dec(col("a")) * col("b")).as("dot"),
+      sum(dec(col("a")) * col("a")).as("na"),
+      sum(dec(col("b")) * col("b")).as("nb"))
     val counts = emb.groupBy(col(labelCol).as("label")).agg(
       sum(when(oldSlice, 1L).otherwise(0L)).as("n_old"),
       sum(when(!oldSlice, 1L).otherwise(0L)).as("n_new"))

@@ -116,12 +116,15 @@ object ExtendedQueries {
                 .as(s"r$c"))
         }
         val dbl = (c: Column) => c.cast("double")
+        // moment sums in DECIMAL(38,0): sxy ~ 4n³ wraps int64 past
+        // ~1.3M rows (stat5's overflow discipline; headroom now n ≲ 3e12)
+        val dec = (c: Column) => c.cast("decimal(38,0)")
         b.join(broadcast(rankMap("x")), "x").join(broadcast(rankMap("y")), "y")
           .agg(count(lit(1)).as("n"),
-            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-            sum(col("rx") * col("ry")).as("sxy"),
-            sum(col("rx") * col("rx")).as("sxx"),
-            sum(col("ry") * col("ry")).as("syy"))
+            sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+            sum(dec(col("rx")) * col("ry")).as("sxy"),
+            sum(dec(col("rx")) * col("rx")).as("sxx"),
+            sum(dec(col("ry")) * col("ry")).as("syy"))
           .select(col("n"),
             round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
               sqrt((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
@@ -133,8 +136,8 @@ object ExtendedQueries {
              |FROM (SELECT x, count(*) AS c FROM b GROUP BY x)),
              |yr AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS ry
              |FROM (SELECT y, count(*) AS c FROM b GROUP BY y)),
-             |a AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-             |CAST(sum(rx * ry) AS BIGINT) AS sxy, CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy
+             |a AS (SELECT count(*) AS n, sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+             |sum(CAST(rx AS HUGEINT) * ry) AS sxy, sum(CAST(rx AS HUGEINT) * rx) AS sxx, sum(CAST(ry AS HUGEINT) * ry) AS syy
              |FROM b JOIN xr USING (x) JOIN yr USING (y))
              |SELECT n, ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
              |sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
@@ -449,7 +452,15 @@ object ExtendedQueries {
     // join; N rides in-plan as a broadcast scalar — no driver collect.
     QueryDef("stat5_chi_square",
       (s, dir) => {
+        // null categories are EXCLUDED up front (documented, mirrored in
+        // the oracle): the grid join is a plain equi-join, and a null
+        // lang/source would silently zero its observed cell while its
+        // margins still entered the sum (the tCloseness null lesson —
+        // there nulls are kept via a null-safe join because a null
+        // sensitive value is a real distribution category; here a null
+        // category has no place in an independence test).
         val d = t(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("source").isNotNull)
         val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
         val rowT = d.groupBy("lang").agg(count(lit(1)).as("r"))
         val colT = d.groupBy("source").agg(count(lit(1)).as("c"))
@@ -467,10 +478,12 @@ object ExtendedQueries {
               .cast("long").as("df"),
             max(col("n")).cast("long").as("n"))
       },
-      Some("""WITH r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
-             |c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
-             |o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
-             |n AS (SELECT count(*) AS n FROM documents),
+      Some("""WITH d AS (SELECT lang, source FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+             |r AS (SELECT lang, count(*) AS r FROM d GROUP BY 1),
+             |c AS (SELECT source, count(*) AS c FROM d GROUP BY 1),
+             |o AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n FROM d),
              |grid AS (SELECT r.lang, c.source, r.r, c.c, COALESCE(o.o, 0) AS o, n.n
              |  FROM r CROSS JOIN c LEFT JOIN o ON o.lang = r.lang AND o.source = c.source CROSS JOIN n)
              |SELECT

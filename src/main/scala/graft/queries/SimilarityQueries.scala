@@ -472,7 +472,8 @@ object SimilarityQueries {
              |dims AS (SELECT label, pos,
              |  sum(CASE WHEN old THEN qi ELSE 0 END) AS a,
              |  sum(CASE WHEN NOT old THEN qi ELSE 0 END) AS b FROM q GROUP BY 1, 2),
-             |rolled AS (SELECT label, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+             |rolled AS (SELECT label, sum(CAST(a AS HUGEINT) * b) AS dot,
+             |  sum(CAST(a AS HUGEINT) * a) AS na, sum(CAST(b AS HUGEINT) * b) AS nb
              |  FROM dims GROUP BY 1),
              |counts AS (SELECT label,
              |  sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,

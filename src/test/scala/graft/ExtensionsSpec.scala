@@ -60,5 +60,14 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT count_min(item, 64, 4, array(item)) FROM cms_items").head()
     }
     assert(err.getMessage.contains("string literals"))
+
+    // a NULL element in an otherwise-foldable literal array must fail
+    // with the shaped message too, not an NPE
+    val errNull = intercept[Exception] {
+      spark.sql(
+        "SELECT count_min(item, 64, 4, array('a', CAST(NULL AS STRING))) FROM cms_items")
+        .head()
+    }
+    assert(errNull.getMessage.contains("NULL"), s"got: ${errNull.getMessage}")
   }
 }

@@ -41,6 +41,23 @@ class FusionMixtureSpec extends SparkSpec {
       "kept set must not depend on partitioning")
   }
 
+  test("temperature sampling fails fast on null or zero-mass cost input") {
+    val nullCost = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "b", Some(5L)))
+      .toDF("doc_id", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(nullCost, "source", "doc_id", "n_chars", 10L)
+        .count()
+    }
+    assert(e.getMessage.contains("null or uncastable"))
+    val zeroMass = Seq((1L, "a", 0L), (2L, "b", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(zeroMass, "source", "doc_id", "n_chars", 10L)
+        .count()
+    }
+    assert(e2.getMessage.contains("zero"))
+  }
+
   test("rrf fusion: exact integer scores, missing ranks contribute zero") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val sem = Seq((20L, 1), (40L, 2)).toDF("id", "rank")

@@ -52,6 +52,17 @@ class PrivacyBootstrapSpec extends AnyFunSuite with SparkSpec {
     assert(re == got)
   }
 
+  test("tCloseness: null sensitive values are a real category, not a zeroed cell") {
+    // corpus: 4 null + 4 'x'; group a mirrors it exactly -> TVD must be
+    // 0 (a plain equi-join on the grid would zero the null cell and
+    // report 250000)
+    val df = (Seq.fill(2)(("a", null: String)) ++ Seq.fill(2)(("a", "x")) ++
+      Seq.fill(2)(("b", null: String)) ++ Seq.fill(2)(("b", "x"))).toDF("seg", "sens")
+    val got = Privacy.tCloseness(df, Seq("seg"), "sens")
+      .select("seg", "tvd_x1e6").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 0L), s"null category mis-scored: $got")
+  }
+
   test("bootstrapCount: multiplicities bounded, mean ~1, replicates differ") {
     val df = (1L to 20000L).toDF("id")
       .select(col("id"),

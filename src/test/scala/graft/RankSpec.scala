@@ -41,5 +41,17 @@ class RankSpec extends SparkSpec {
       Rank.globalRank(df, "v", Seq("id")).count()
     }
     assert(e.getMessage.contains("null"))
+    // the check must survive rangeGroup's degenerate single-bucket paths:
+    // explicit numPartitions = 1, and an ALL-null order column (empty
+    // boundary sample) — both previously bypassed the null bucket
+    val e1 = intercept[IllegalArgumentException] {
+      Rank.globalRank(df, "v", Seq("id"), numPartitions = 1).count()
+    }
+    assert(e1.getMessage.contains("null"))
+    val allNull = Seq((1L, None: Option[Double]), (2L, None)).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Rank.globalRank(allNull, "v", Seq("id")).count()
+    }
+    assert(e2.getMessage.contains("null"))
   }
 }

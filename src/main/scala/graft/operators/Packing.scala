@@ -76,6 +76,22 @@ object Packing {
       else graft.functions.QuantileBucket.bucket(col(orderCol).cast("double"), bounds)
     }
 
+  /** The exclusive-prefix-offset lookup shared by the distributed
+    * prefix-sum family ([[graft.operators.Rank.globalRank]],
+    * [[graft.operators.Sampling.deterministicShuffle]]): given the
+    * collected (bucket id → row count) pairs of a [[rangeGroup]]-style
+    * bucketing, an expression mapping the bucket column to the number of
+    * rows in all SMALLER buckets. One definition so the off-by-one
+    * surface (scanLeft seeding, the +1 of element_at's 1-based indexing,
+    * absent-bucket zero fill) is decided once.
+    */
+  private[operators] def bucketOffsetExpr(counts: Map[Int, Long], gCol: Column): Column = {
+    val maxG = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = (0 to maxG).scanLeft(0L)((acc, g) => acc + counts.getOrElse(g, 0L))
+    element_at(
+      array(offsets.take(maxG + 1).map(lit(_)).toIndexedSeq: _*), gCol + 1)
+  }
+
   /** Length-bucketed inference batching: group rows into fixed-size
     * batches WITHIN length buckets, so a batch's padding waste is
     * bounded by the bucket width (batching unsorted docs pads everything

@@ -50,10 +50,7 @@ object Rank {
       s"globalRank: null values in order column '$orderCol' — filter them " +
         "explicitly first; a null has no position in the global order")
     val counts = countRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxG = if (counts.isEmpty) 0 else counts.keys.max
-    val offsets = (0 to maxG).scanLeft(0L)((acc, g) => acc + counts.getOrElse(g, 0L))
-    val offsetExpr = element_at(
-      array(offsets.take(maxG + 1).map(lit(_)).toIndexedSeq: _*), col("__g") + 1)
+    val offsetExpr = Packing.bucketOffsetExpr(counts, col("__g"))
     val local = Window.partitionBy("__g")
       .orderBy((col(orderCol) +: tieCols.map(col)): _*)
     grouped

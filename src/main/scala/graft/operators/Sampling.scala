@@ -376,10 +376,7 @@ object Sampling {
     val grouped = keyed.withColumn("__g", Packing.rangeGroup(keyed, "__k", parts))
     val counts = grouped.groupBy("__g").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxG = if (counts.isEmpty) 0 else counts.keys.max
-    val offsets = (0 to maxG).scanLeft(0L)((acc, g) => acc + counts.getOrElse(g, 0L))
-    val offsetExpr = element_at(
-      array(offsets.take(maxG + 1).map(lit(_)).toIndexedSeq: _*), col("__g") + 1)
+    val offsetExpr = Packing.bucketOffsetExpr(counts, col("__g"))
     val local = Window.partitionBy("__g").orderBy(col("__k"), col(idCol))
     grouped
       .withColumn("shuffle_pos",

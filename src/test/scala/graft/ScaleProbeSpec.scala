@@ -478,6 +478,37 @@ class ScaleProbeSpec extends SparkSpec {
     assert(smaller.subsetOf(kept), "halving the budget must only remove rows")
   }
 
+  test("span-removal probe: 100k docs, planted template spans cut, invariant", Slow) {
+    import graft.operators.TextAnalysis
+    // dedupCorpus at dupPct=100: groups of 5 docs share a template with
+    // ~5% per-token mutations — group-shared 4-gram runs are duplicated
+    // by construction, mutation sites break them, and unique-token tails
+    // survive. All counts xxhash-pure → pinned.
+    dedupCorpus(50000L, dupPct = 100).write.mode("overwrite")
+      .parquet("target/probe_spec_spans")
+    val docs = spark.read.parquet("target/probe_spec_spans")
+    val out = graft.operators.Materialize(
+      TextAnalysis.removeDupSpans(docs, k = 4))
+    val stats = out.agg(
+      sum(col("n_removed")).as("removed"),
+      sum(when(col("n_removed") === 0L, 1L).otherwise(0L)).as("untouched"),
+      sum(when(col("n_removed") === col("n_tokens"), 1L).otherwise(0L)).as("fullyCut"))
+      .head()
+    val (removed, untouched, fullyCut) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    println(s"[probe-spec] span removal: removed=$removed untouched=$untouched fullyCut=$fullyCut")
+    // template sharing must dominate: most tokens are in duplicated
+    // 4-gram runs (group of 5 shares them), only mutation-adjacent
+    // windows survive
+    assert(removed > 50000L * 100L * 6L / 10L,
+      s"planted duplication must cut the majority of tokens, got $removed")
+    assert(fullyCut < 50000L, "mutated docs must keep their unique windows")
+    // partition invariance of the exact removal counts
+    val re = TextAnalysis.removeDupSpans(docs.repartition(64), k = 4)
+      .agg(sum(col("n_removed"))).head().getLong(0)
+    assert(re == removed, s"removal must be partitioning-invariant: $re vs $removed")
+  }
+
   // --- LakehouseScaleProbe's skip-index / z-order / merge claims ---
   private val nLakeRows = 2000000L
 

@@ -33,6 +33,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // a finished query's materializations are dead weight for the next
+      // one; under persist mode the sweep otherwise accrues every
+      // query's pinned blocks (Materialize pins at the RDD level, so
+      // sweep both the cache manager and the persistent-RDD registry —
+      // no-ops under localCheckpoint/off)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

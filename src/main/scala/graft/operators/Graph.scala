@@ -92,12 +92,18 @@ object Graph {
         .groupBy("id").agg(count(lit(1)).as("deg"))
     var e = canonicalEdges(edges, src, dst)
     var r = 0
+    var prevMat: Option[DataFrame] = None
     while (r < rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("id")
       e = Materialize(
         e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
           .select("u", "v"))
+      // the previous round's blocks are superseded the moment this
+      // round is pinned — release them or persist-mode storage grows
+      // linearly with rounds
+      prevMat.foreach(Materialize.release)
+      prevMat = Some(e)
       r += 1
     }
     val fin = degrees(e)
@@ -151,6 +157,7 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("id"), expr(s"${scale}L div nn").as("r"))
+    var prevRanksMat: Option[DataFrame] = None
     for (iter <- 1 to iterations) {
       // dangling mass: total rank parked on vertices with no out-edges
       val dangling = ranks
@@ -168,8 +175,11 @@ object Graph {
         .select(col("id"),
           expr(s"(15 * (${scale}L div nn) + 85 * (coalesce(inflow, 0L) + dang div nn)) div 100")
             .as("r"))
-      if (materializeEvery > 0 && iter % materializeEvery == 0 && iter < iterations)
+      if (materializeEvery > 0 && iter % materializeEvery == 0 && iter < iterations) {
         ranks = Materialize(ranks)
+        prevRanksMat.foreach(Materialize.release)
+        prevRanksMat = Some(ranks)
+      }
     }
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }

@@ -41,9 +41,45 @@ object Materialize {
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
       case "localCheckpoint" => df.localCheckpoint()
-      case "persist"         => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case "persist" =>
+        // Eager RDD-level pin with lineage kept + a FLAT LogicalRDD plan
+        // (GraftSqlBridge.pinWithLineage): Dataset-level persist keeps
+        // the full logical plan, so iterative loops (kCore, pageRank)
+        // double their plan per round — 2^rounds analysis cost, the
+        // graph3_kcore heap exhaustion. Lineage lives on in the RDD DAG,
+        // so a lost block still recomputes from source — the
+        // fault-tolerance property this mode exists for.
+        val (flat, rdd) = org.apache.spark.sql.GraftSqlBridge.pinWithLineage(df)
+        pinned.put(flat, rdd)
+        flat
       case "off"             => df
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be one of localCheckpoint|persist|off, got '$other'")
     }
+
+  /** Pinned-RDD bookkeeping for [[release]]: the flat DataFrame returned
+    * under persist mode carries no cache entry of its own (the pin is
+    * the underlying RDD), so release must find the RDD by the DataFrame
+    * identity. Weak keys: an un-released materialization is reclaimed
+    * with its DataFrame, never leaked.
+    */
+  private val pinned: java.util.Map[DataFrame, org.apache.spark.rdd.RDD[_]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, org.apache.spark.rdd.RDD[_]]())
+
+  /** Release a materialization this loop iteration has superseded:
+    * iterative operators (kCore's pruned edge set, pageRank's ranks)
+    * materialize once per round, and WITHOUT releasing the previous
+    * round the persist-mode storage bill grows linearly with rounds.
+    * Safe under every mode: a localCheckpoint/off DataFrame has no pin
+    * entry and unpersist on it is a no-op. Correctness is untouched —
+    * the pinned RDD keeps its lineage, so a consumer that somehow
+    * re-evaluates the released round recomputes it from source.
+    */
+  def release(df: DataFrame): Unit = {
+    val rdd = pinned.remove(df)
+    if (rdd != null) rdd.unpersist(blocking = false)
+    else df.unpersist(blocking = false)
+    ()
+  }
 }

@@ -26,4 +26,28 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Pin a DataFrame's rows on executor storage WITH the RDD lineage
+    * kept (fault-tolerant: a lost block recomputes from source), while
+    * returning a FLAT LogicalRDD plan — localCheckpoint's plan shape
+    * without its unrecoverable truncation. This is what `persist` on the
+    * Dataset cannot give: Dataset-level persist caches data but keeps
+    * the full logical plan, so an iterative loop's plan doubles per
+    * round (each round references the previous twice) and analysis cost
+    * grows 2^rounds — the graph3_kcore heap exhaustion under the
+    * fault-tolerance sweep. The `.map(_.copy())` is mandatory: codegen
+    * reuses UnsafeRow buffers per partition, and caching uncopied rows
+    * corrupts the store (same copy Dataset.checkpoint performs).
+    *
+    * Returns the flat DataFrame and the pinned RDD (for release).
+    */
+  def pinWithLineage(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = classicDf.sparkSession
+    val rdd = classicDf.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (spark.internalCreateDataFrame(rdd, classicDf.schema), rdd)
+  }
 }

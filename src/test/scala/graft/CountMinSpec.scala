@@ -76,6 +76,29 @@ class CountMinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tdigest runs inside a streaming aggregation with bounded rank error") {
+    // the sketch's merge is NOT order-invariant (unlike CMS), so the
+    // streaming contract is its rank-error bound over everything
+    // arrived, not bit-parity with batch
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val q = mem.toDS().toDF("v")
+      .agg(graft.functions.TDigestFunctions
+        .tdigest_quantiles(col("v"), Seq(0.5), 100).as("qs"))
+      .select(element_at(col("qs"), 1).as("p50"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("td_stream").start()
+    try {
+      val all = (1 to 2000).map(_.toDouble)
+      mem.addData(all.take(1000): _*); q.processAllAvailable()
+      mem.addData(all.drop(1000): _*); q.processAllAvailable()
+      val p50 = spark.table("td_stream").as[Double].head()
+      // true median 1000.5 over 1..2000; 1% rank error = ±20 ranks
+      assert(math.abs(p50 - 1000.5) <= 20.0,
+        s"streaming p50 $p50 outside the 1% rank band of 1000.5")
+    } finally q.stop()
+  }
+
   test("cell addressing is a stable pure function of the bytes") {
     val idx = CountMinAgg.cellIndex("purchase".getBytes("UTF-8"), 3, 64)
     assert(idx == CountMinAgg.cellIndex("purchase".getBytes("UTF-8"), 3, 64))

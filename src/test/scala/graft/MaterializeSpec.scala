@@ -47,6 +47,51 @@ class MaterializeSpec extends SparkSpec {
     assert(counts.forall(_ == 2L), s"expected 2 triangles under all modes, got $counts")
   }
 
+  test("persist pin: flat plan, released pin recomputes from lineage, release safe everywhere") {
+    val df = Seq.tabulate(100)(i => (i.toLong, i * 2L)).toDF("id", "v")
+    withMode("persist") {
+      val pinned = Materialize(df.filter(org.apache.spark.sql.functions.col("id") < 50))
+      // flat LogicalRDD plan: the iterative-loop 2^rounds blowup is gone
+      assert(pinned.queryExecution.logical.toString.contains("LogicalRDD") ||
+        pinned.queryExecution.optimizedPlan.toString.contains("LogicalRDD") ||
+        pinned.queryExecution.logical.toString.contains("ExistingRDD"),
+        s"persist mode must return a flat scan plan:\n${pinned.queryExecution.logical}")
+      val before = pinned.collect().toSeq
+      // releasing the pin must not change results — the RDD lineage
+      // recomputes the rows (the fault-tolerance property)
+      Materialize.release(pinned)
+      val after = pinned.collect().toSeq
+      assert(before == after && before.size == 50)
+    }
+    // release on a localCheckpoint / off materialization is a safe no-op
+    withMode("localCheckpoint") {
+      val lc = Materialize(df)
+      Materialize.release(lc)
+      assert(lc.count() == 100L)
+    }
+    withMode("off") {
+      val off = Materialize(df)
+      Materialize.release(off)
+      assert(off.count() == 100L)
+    }
+  }
+
+  test("kCore loop under persist releases superseded rounds (bounded pins)") {
+    withMode("persist") {
+      val edges = Seq.tabulate(200)(i => (i.toLong, (i + 1).toLong))
+        .toDF("u", "v")
+      val out = Graph.kCore(edges, "u", "v", k = 2, rounds = 6)
+      out.collect() // force the full loop
+      // only the final round's pin (plus possibly one in flight) may
+      // remain registered; 6 rounds must NOT leave 6 pinned RDDs
+      val pinnedNow = spark.sparkContext.getPersistentRDDs.size
+      assert(pinnedNow <= 2,
+        s"superseded k-core rounds must be released, $pinnedNow RDDs still pinned")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("unknown mode fails fast with the contract message") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -529,6 +529,74 @@ object ExtendedQueries {
              |  AND epoch_us(ts) - last_click_us <= 604800000000
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
 
+    // Mann–Whitney U (Wilcoxon rank-sum) between two event populations —
+    // the NON-PARAMETRIC two-sample location test completing the drift
+    // family (KS tests shape, chi-square independence, U location).
+    // stat4's tie-aware DOUBLED average ranks keep everything integer:
+    // U1·2 = Σ_A rank×2 − n1(n1+1), summed in DECIMAL(38,0)/HUGEINT
+    // (rank sums grow n² — the overflow discipline), emitted exact.
+    // One distinct-value rank map broadcast; one pass over the rows.
+    QueryDef("stat6_mannwhitney",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_type").as("g"), col("value").as("v"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rm = b.groupBy("v").agg(count(lit(1)).as("c"))
+          .select(col("v"),
+            (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + lit(1))
+              .as("rv"))
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        b.join(broadcast(rm), "v")
+          .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
+            sum(when(col("g") === "error", 1L).otherwise(0L)).as("n2"),
+            sum(when(col("g") === "click", dec(col("rv"))).otherwise(lit(0)))
+              .as("r1x2"))
+          .select(col("n1"), col("n2"),
+            (col("r1x2") - dec(col("n1")) * (col("n1") + 1))
+              .cast("long").as("u1_x2"))
+      },
+      Some("""WITH b AS (SELECT event_type AS g, value AS v FROM events
+             |  WHERE event_type IN ('click', 'error')),
+             |rm AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rv
+             |  FROM (SELECT v, count(*) AS c FROM b GROUP BY v)),
+             |a AS (SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
+             |  sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS n2,
+             |  sum(CASE WHEN g = 'click' THEN CAST(rv AS HUGEINT) ELSE 0 END) AS r1x2
+             |  FROM b JOIN rm USING (v))
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2
+             |FROM a""".stripMargin.replace("\n", " "))),
+
+    // Share-of-total (ratio-to-report): each event type's share of its
+    // day's revenue, in exact integer micro-units — DECIMAL(18,2) cent
+    // sums (associative), one partial-agg shuffle to (day, type), an
+    // O(types)-row window per day for the denominator, 128-bit division.
+    QueryDef("w14_share_of_total",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("day")
+        daily
+          .withColumn("__day_cents", sum(col("cents")).over(w))
+          .select(col("day"), col("event_type"),
+            (col("cents").cast("double") / 100).as("revenue"),
+            expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div __day_cents")
+              .cast("long").as("share_x1e6"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT day, event_type, cents,
+             |  sum(cents) OVER (PARTITION BY day) AS day_cents FROM daily)
+             |SELECT day, event_type, CAST(cents AS DOUBLE) / 100 AS revenue,
+             |CAST((CAST(cents AS HUGEINT) * 1000000) // day_cents AS BIGINT) AS share_x1e6
+             |FROM tot ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
+
     // t-closeness audit — the privacy triad's third leg after priv1
     // (k-anonymity) and priv2 (l-diversity): exact total-variation
     // distance between each segment's sensitive-value distribution and

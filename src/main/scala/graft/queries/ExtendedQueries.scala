@@ -597,6 +597,52 @@ object ExtendedQueries {
              |CAST((CAST(cents AS HUGEINT) * 1000000) // day_cents AS BIGINT) AS share_x1e6
              |FROM tot ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
 
+    // Benford first-digit audit — the classic fraud / synthetic-data
+    // screen: observed first-significant-digit shares vs Benford's
+    // log10(1+1/d), per digit, with the deviation in micro-units. The
+    // Benford table is GENERATED in Scala and interpolated into both
+    // engines as literals (the log2Table discipline — no runtime
+    // transcendentals, no ulp surface). First digit comes from the
+    // exact DECIMAL(18,2) cent representation (×100 shifts the decimal
+    // point, never the leading digit), so there is no float-truncation
+    // boundary: one map-only projection + one 9-row aggregate.
+    QueryDef("stat7_benford",
+      (s, dir) => {
+        val benford: Map[Int, Long] = (1 to 9).map(d =>
+          d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+        val expect = benford.toSeq.sortBy(_._1)
+          .foldRight(lit(0L)) { case ((d, e), acc) =>
+            when(col("digit") === d, lit(e)).otherwise(acc) }
+        val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+        val digits = t(s, dir, "events")
+          .filter(col("value") > 0)
+          .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        digits
+          .crossJoin(broadcast(digits.agg(sum(col("n")).as("__tot"))))
+          .select(col("digit").cast("long").as("digit"), col("n"),
+            expr("n * 1000000 div __tot").as("observed_x1e6"),
+            expect.as("expected_x1e6"))
+          .withColumn("dev_x1e6",
+            abs(col("observed_x1e6") - col("expected_x1e6")))
+          .orderBy("digit")
+      },
+      Some {
+        val benford = (1 to 9).map(d =>
+          d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+        val arms = benford.map { case (d, e) => s"WHEN digit = $d THEN $e" }
+          .mkString(" ")
+        s"""WITH digits AS (SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM events WHERE value > 0),
+           |counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY 1),
+           |tot AS (SELECT sum(n) AS t FROM counts)
+           |SELECT CAST(digit AS BIGINT) AS digit, n,
+           |CAST(n * 1000000 // t AS BIGINT) AS observed_x1e6,
+           |CAST(CASE $arms ELSE 0 END AS BIGINT) AS expected_x1e6,
+           |abs(CAST(n * 1000000 // t AS BIGINT) - CAST(CASE $arms ELSE 0 END AS BIGINT)) AS dev_x1e6
+           |FROM counts CROSS JOIN tot ORDER BY digit""".stripMargin.replace("\n", " ")
+      }),
+
     // t-closeness audit — the privacy triad's third leg after priv1
     // (k-anonymity) and priv2 (l-diversity): exact total-variation
     // distance between each segment's sensitive-value distribution and

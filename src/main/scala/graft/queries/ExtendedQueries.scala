@@ -597,6 +597,55 @@ object ExtendedQueries {
              |CAST((CAST(cents AS HUGEINT) * 1000000) // day_cents AS BIGINT) AS share_x1e6
              |FROM tot ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
 
+    // Cramér's V effect size for the lang × source dependence — stat5's
+    // chi-squared made interpretable ([0,1], comparable across table
+    // shapes): V² = χ²/(N·min(r−1, c−1)), carried as exact integers to
+    // the end — v2_x1e12 = chi2_x1e6 · 10⁶ div (N·min(r−1,c−1)) in
+    // 128-bit arithmetic. Same broadcast-grid plan as stat5.
+    QueryDef("stat8_cramers_v",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("source").isNotNull)
+        val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rowT = d.groupBy("lang").agg(count(lit(1)).as("r"))
+        val colT = d.groupBy("source").agg(count(lit(1)).as("c"))
+        val tot = d.agg(count(lit(1)).as("n"))
+        rowT.crossJoin(broadcast(colT))
+          .join(cells, Seq("lang", "source"), "left")
+          .na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(tot))
+          .agg(
+            sum(expr("""((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+                       | * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+                       | * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)""".stripMargin.replace("\n", " ")))
+              .as("__chi2_x1e6"),
+            countDistinct(col("lang")).as("__nr"),
+            countDistinct(col("source")).as("__nc"),
+            max(col("n")).as("__n"))
+          .select(
+            expr("""(CAST(__chi2_x1e6 AS DECIMAL(38,0)) * 1000000)
+                   | div (CAST(__n AS DECIMAL(38,0)) * least(__nr - 1, __nc - 1))"""
+              .stripMargin.replace("\n", " ")).cast("long").as("v2_x1e12"),
+            col("__n").cast("long").as("n"))
+      },
+      Some("""WITH d AS (SELECT lang, source FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+             |r AS (SELECT lang, count(*) AS r FROM d GROUP BY 1),
+             |c AS (SELECT source, count(*) AS c FROM d GROUP BY 1),
+             |o AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n FROM d),
+             |grid AS (SELECT r.lang, c.source, r.r, c.c, COALESCE(o.o, 0) AS o, n.n
+             |  FROM r CROSS JOIN c LEFT JOIN o ON o.lang = r.lang AND o.source = c.source CROSS JOIN n),
+             |agg AS (SELECT
+             |  sum(((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+             |    * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+             |    * 1000000) // (CAST(n AS HUGEINT) * r * c)) AS chi2_x1e6,
+             |  count(DISTINCT lang) AS nr, count(DISTINCT source) AS nc, max(n) AS n
+             |  FROM grid)
+             |SELECT CAST((CAST(chi2_x1e6 AS HUGEINT) * 1000000)
+             |  // (CAST(n AS HUGEINT) * least(nr - 1, nc - 1)) AS BIGINT) AS v2_x1e12,
+             |CAST(n AS BIGINT) AS n FROM agg""".stripMargin.replace("\n", " "))),
+
     // Benford first-digit audit — the classic fraud / synthetic-data
     // screen: observed first-significant-digit shares vs Benford's
     // log10(1+1/d), per digit, with the deviation in micro-units. The

@@ -597,6 +597,34 @@ object ExtendedQueries {
              |CAST((CAST(cents AS HUGEINT) * 1000000) // day_cents AS BIGINT) AS share_x1e6
              |FROM tot ORDER BY day, event_type""".stripMargin.replace("\n", " "))),
 
+    // Longest consecutive-day activity streak per user, rolled to a
+    // distribution — the gaps-and-islands pattern (island id = epoch-day
+    // minus per-user row_number, constant exactly across a consecutive
+    // run). One distinct shuffle to (user, day); the window then runs
+    // over O(days) rows per user, never the event log; all integers.
+    QueryDef("w15_streaks",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("d"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days
+          .withColumn("grp", col("d") - row_number().over(w))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max(col("len")).as("streak_days"))
+          .groupBy("streak_days").agg(count(lit(1)).as("n_users"))
+          .orderBy("streak_days")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+             |  CAST(ts AS DATE) - DATE '1970-01-01' AS d FROM events),
+             |isl AS (SELECT user_id, d,
+             |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp FROM days),
+             |st AS (SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp),
+             |lg AS (SELECT user_id, max(len) AS streak_days FROM st GROUP BY 1)
+             |SELECT CAST(streak_days AS BIGINT) AS streak_days, count(*) AS n_users
+             |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // Cramér's V effect size for the lang × source dependence — stat5's
     // chi-squared made interpretable ([0,1], comparable across table
     // shapes): V² = χ²/(N·min(r−1, c−1)), carried as exact integers to

@@ -1106,12 +1106,15 @@ object RelationalQueries {
           s"SELECT i, j, corr FROM ($rows) ORDER BY i, j"
       }),
 
-    // Equi-depth histogram (vs h1's equi-width): boundaries from ONE exact
-    // percentile aggregation (a6 proves Spark percentile == DuckDB
-    // quantile_cont bit-exact), then a map-only bucket assignment against
-    // the broadcast 7-value boundary row — never a global sort/ntile, so
-    // the plan scales: aggregate + broadcast + scan, no single-partition
-    // window. Data is 2-decimal so a boundary ulp can never cross a value.
+    // Equi-depth histogram (vs h1's equi-width): EXACT quantile_cont
+    // boundaries from Histograms.exactQuantiles — a histogram-refinement
+    // pass (min/max/count, constant-state BinCountAgg, candidate-bin
+    // re-read) instead of Spark's percentile, whose value→count buffer is
+    // O(distinct values) and measured 2-3 s alone on sf0.1's 583 k
+    // near-unique prices (the r8 bench regression). Bucket assignment is
+    // then a literal-boundary codegen'd projection — never a global
+    // sort/ntile, no broadcast join, no single-partition window. Data is
+    // 2-decimal so a boundary ulp can never cross a value.
     QueryDef("h2_equidepth",
       (s, dir) => graft.operators.Histograms.equiDepth(
         t(s, dir, "lineitem"), col("l_extendedprice"), buckets = 8, exact = true)

@@ -67,6 +67,47 @@ class HistogramsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exactQuantiles == Spark percentile bit-for-bit on adversarial shapes") {
+    val ps = Seq(0.0, 0.125, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val shapes = Seq(
+      // heavy duplication: one value holds >half the mass (a single bin
+      // dominates; rank walking must cross a fat (value,count) entry)
+      (1 to 1000).map(i => if (i <= 600) 42.0 else i.toDouble),
+      // clustered: all mass in 2 tiny sub-ranges → almost every bin empty
+      // (exercises the empty-bin skip in binOfRank)
+      (1 to 500).map(_ * 1e-9) ++ (1 to 500).map(9e8 + _ * 1.0),
+      // two values only
+      Seq.fill(100)(1.0) ++ Seq.fill(300)(2.0),
+      // negative + irrational spread
+      (1 to 777).map(i => math.sin(i.toDouble) * 1000.0))
+    shapes.zipWithIndex.foreach { case (vals, si) =>
+      val df = vals.toDF("v").repartition(7)
+      val expected = df.agg(expr(
+        s"percentile(v, array(${ps.mkString("D,")}D))")).head().getSeq[Double](0)
+      // small bin count forces multi-value bins and candidate walking
+      val (got, n) = Histograms.exactQuantiles(df, col("v"), ps, bins = 16)
+      assert(n == vals.size)
+      expected.zip(got).zip(ps).foreach { case ((e, g), p) =>
+        assert(java.lang.Double.doubleToLongBits(e) == java.lang.Double.doubleToLongBits(g),
+          s"shape $si p=$p: percentile=$e exactQuantiles=$g")
+      }
+    }
+  }
+
+  test("exactQuantiles edges: empty input, single value, all-equal, nulls") {
+    val empty = Seq.empty[Double].toDF("v")
+    val (b0, n0) = Histograms.exactQuantiles(empty, col("v"), Seq(0.5))
+    assert(n0 == 0 && b0.forall(_.isNaN))
+    val one = Seq(7.0).toDF("v")
+    assert(Histograms.exactQuantiles(one, col("v"), Seq(0.1, 0.9)) == (Seq(7.0, 7.0), 1L))
+    val eq = Seq.fill(50)(3.25).toDF("v")
+    assert(Histograms.exactQuantiles(eq, col("v"), Seq(0.5)) == (Seq(3.25), 50L))
+    val withNulls = (Seq.fill(10)(Option.empty[Double]) ++ (1 to 9).map(i => Some(i.toDouble)))
+      .toDF("v")
+    val (b, n) = Histograms.exactQuantiles(withNulls, col("v"), Seq(0.5))
+    assert(n == 9 && b == Seq(5.0))
+  }
+
   test("profile approxDistinct stays within the HLL error envelope of exact") {
     val df = spark.range(0, 50000).select(
       col("id").as("hi_card"),

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * each substitution is noted on the query).
   *
   * These complete the board started by q1/q3/q5/q7/q16/q18: correlated
-  * EXISTS with a non-equi conjunct (Q4), an 8-way snowflake with a
+  * EXISTS with a non-equi conjunct (Q4), the pure filter-agg forecast
+  * revenue (Q6), an 8-way snowflake with a
   * conditional market-share ratio (Q8), returned-item revenue top-k
   * (Q10), conditional counting over a fact join (Q12), a left-outer
   * count histogram (Q13), a promo revenue share (Q14), a scalar-subquery
@@ -73,6 +74,25 @@ object TpchQueries {
     // numerator and denominator; both are exact decimal sums, and the
     // ratio is one double division in the same association on both
     // engines.
+    // TPC-H Q6: the forecasting-revenue-change query — a pure lineitem
+    // filter + single decimal-exact sum (dates/discount band shifted to
+    // the testdata's 1995-2001 / 0.00-0.10 domain). The simplest shape on
+    // the board and the canonical pushdown check: every predicate reaches
+    // the parquet scan (PushedFilters on l_shipdate/l_discount/
+    // l_quantity), ReadSchema is the 4 referenced columns, and the plan
+    // is scan → partial agg → 1-row final — no shuffle of data rows at
+    // any scale.
+    QueryDef("q6_forecast_revenue",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " "))),
+
     QueryDef("q8_market_share",
       (s, dir) => {
         val america = broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA"))

@@ -18,6 +18,29 @@ class PlanSpec extends SparkSpec {
       s"missing pushdown in:\n$plan")
   }
 
+  test("q6 pushes every predicate to the scan and reads only 4 columns") {
+    val exec = q("q6_forecast_revenue").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // plan.toString elides long PushedFilters lists; read the scan's
+    // untruncated metadata instead
+    val scan = exec.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"filter $f not pushed in: $pushed")
+    assert(scan.metadata("ReadSchema").startsWith(
+      "struct<l_quantity:double,l_extendedprice:double,l_discount:double"),
+      s"scan not pruned to the referenced columns: ${scan.metadata("ReadSchema")}")
+    val plan = exec.toString
+    assert(plan.contains("partial_sum"), s"missing map-side combine in:\n$plan")
+    assert(!plan.contains("Join"), s"q6 must be scan+agg only:\n$plan")
+  }
+
   test("projection prunes the scan schema to selected columns") {
     val plan = q("f1_pseudonymize").queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
@@ -176,11 +199,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max"), s"expected map-side partial max in:\n$plan")
   }
 
-  test("equi-depth histogram broadcasts boundaries; no global sort/window") {
+  test("equi-depth histogram buckets by literal boundaries; no sort/window/join") {
+    // exact path: boundaries are computed by the constant-state
+    // refinement and land in-plan as literals — the bucketing pass is a
+    // pure scan + aggregate, with no join node left at all
     val plan = q("h2_equidepth").queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"bucketing must not use ntile/window:\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"boundary row must broadcast in:\n$plan")
+    assert(!plan.contains("Join"), s"literal boundaries need no join:\n$plan")
+    assert(plan.contains("partial_count"), s"missing map-side combine in:\n$plan")
+    // approx path (h3): the t-digest boundary row still broadcasts
+    val plan3 = q("h3_equidepth_tdigest").queryExecution.executedPlan.toString
+    assert(!plan3.contains("Window"), s"h3 must not use ntile/window:\n$plan3")
+    assert(plan3.contains("BroadcastNestedLoopJoin") || plan3.contains("BroadcastExchange"),
+      s"t-digest boundary row must broadcast in:\n$plan3")
   }
 
   test("basket pair generation scans lineitem once, never a fact self-join") {

@@ -34,13 +34,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // a finished query's materializations are dead weight for the next
-      // one; under persist mode the sweep otherwise accrues every
-      // query's pinned blocks (Materialize pins at the RDD level, so
-      // sweep both the cache manager and the persistent-RDD registry —
-      // no-ops under localCheckpoint/off)
+      // one, so free them at the query boundary: the cache manager for
+      // Dataset-level caches, and Materialize's OWN pin registry for its
+      // RDD-level pins (both modes — localCheckpoint blocks accrue too).
+      // Scoped deliberately: a blanket getPersistentRDDs sweep would also
+      // destroy localCheckpoint'd RDDs it does not own — blocks that are
+      // their RDD's ONLY copy (lineage truncated), safe to drop here only
+      // because the query has finished, and not safe to drop at all for
+      // pins belonging to a concurrently-running plan.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      graft.operators.Materialize.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

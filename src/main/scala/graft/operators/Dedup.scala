@@ -588,12 +588,18 @@ object Dedup {
     val half = loop.createDataFrame(eRdd, eSchema)
     val sym = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     // materialize: truncate lineage AND reset plan stats (see Scaladoc)
+    // each round's pinned RDD is unpersisted as soon as the NEXT round is
+    // materialized (its blocks are dead weight the moment the successor
+    // exists); the final round's pin is handed to Materialize's registry
+    // so the batch-driver sweep frees it at the query boundary
+    var prevPin: org.apache.spark.rdd.RDD[_] = null
     var labels = {
       val df = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
       val rdd = df.rdd
       rdd.localCheckpoint()
       rdd.count()
+      prevPin = rdd
       loop.createDataFrame(rdd, df.schema)
     }
     val loopWidth =
@@ -631,10 +637,13 @@ object Dedup {
         val rdd = next.rdd.map { r => if (r.getBoolean(2)) acc.add(1L); r }
         rdd.localCheckpoint()
         rdd.count()
+        if (prevPin != null) prevPin.unpersist(blocking = false)
+        prevPin = rdd
         changed = acc.value
         labels = loop.createDataFrame(rdd, next.schema).select("id", "comp")
         it += 1
     }
+    if (prevPin != null) Materialize.registerPinned(prevPin)
     // hand the result back as a DataFrame of the CALLER's session (the
     // checkpointed label RDD underneath is session-independent)
     spark.createDataFrame(labels.rdd, labels.schema)

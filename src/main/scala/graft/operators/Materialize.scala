@@ -40,7 +40,10 @@ object Materialize {
 
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
-      case "localCheckpoint" => df.localCheckpoint()
+      case "localCheckpoint" =>
+        val out = df.localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.scanRddOf(out).foreach(registerPinned)
+        out
       case "persist" =>
         // Eager RDD-level pin with lineage kept + a FLAT LogicalRDD plan
         // (GraftSqlBridge.pinWithLineage): Dataset-level persist keeps
@@ -51,6 +54,7 @@ object Materialize {
         // fault-tolerance property this mode exists for.
         val (flat, rdd) = org.apache.spark.sql.GraftSqlBridge.pinWithLineage(df)
         pinned.put(flat, rdd)
+        registerPinned(rdd)
         flat
       case "off"             => df
       case other => throw new IllegalArgumentException(
@@ -78,8 +82,52 @@ object Materialize {
     */
   def release(df: DataFrame): Unit = {
     val rdd = pinned.remove(df)
-    if (rdd != null) rdd.unpersist(blocking = false)
+    if (rdd != null) {
+      live.synchronized {
+        live.removeIf(ref => { val r = ref.get(); r == null || (r eq rdd) })
+      }
+      rdd.unpersist(blocking = false)
+    }
     else df.unpersist(blocking = false)
     ()
+  }
+
+  /** Registry of every RDD this object pinned (both modes) since the
+    * last [[sweep]], so a batch driver (Verify/Bench) can promptly free a
+    * finished query's materializations without touching persistent RDDs
+    * it does not own. WEAK references deliberately: a pin whose DataFrame
+    * has been garbage-collected is already on ContextCleaner's path
+    * (persist registers it for GC-driven cleanup), and holding it
+    * strongly here would defeat that — a session that never sweeps would
+    * accumulate every pin it ever made.
+    */
+  private val live: java.util.List[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]] =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]())
+
+  /** Register an RDD pinned OUTSIDE [[apply]] (e.g. the final round of
+    * Dedup's label-propagation loop, an RDD-level localCheckpoint) so the
+    * batch-driver [[sweep]] frees it at the query boundary like any other
+    * materialization.
+    */
+  private[operators] def registerPinned(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    live.add(new java.lang.ref.WeakReference(rdd)); ()
+  }
+
+  /** Free every materialization registered since the last sweep. Callers
+    * invoke this BETWEEN queries, when no plan that references the
+    * blocks is still live: for a localCheckpoint'd RDD the blocks are
+    * the ONLY copy (lineage truncated), so a mid-query sweep would not
+    * merely deoptimize but FAIL any consumer that re-evaluates — the
+    * boundary, not luck, is what makes the sweep safe.
+    */
+  def sweep(): Unit = {
+    val snapshot = live.synchronized {
+      val s = new java.util.ArrayList(live); live.clear(); s
+    }
+    snapshot.forEach { ref =>
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
+    }
   }
 }

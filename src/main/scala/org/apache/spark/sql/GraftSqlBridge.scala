@@ -41,6 +41,17 @@ object GraftSqlBridge {
     *
     * Returns the flat DataFrame and the pinned RDD (for release).
     */
+  /** The RDD behind a LogicalRDD-planned DataFrame (localCheckpoint /
+    * internalCreateDataFrame output) — the handle an owner needs to
+    * unpersist exactly the blocks IT pinned. None for any other plan
+    * shape, so callers never grab an RDD they don't own.
+    */
+  def scanRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   def pinWithLineage(df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val classicDf = df.asInstanceOf[classic.Dataset[Row]]

@@ -77,6 +77,11 @@ class MaterializeSpec extends SparkSpec {
   }
 
   test("kCore loop under persist releases superseded rounds (bounded pins)") {
+    // drain pins left by earlier tests (plus any weak-ref stragglers GC
+    // has not collected yet) so the bound below measures ONLY the loop
+    Materialize.sweep()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     withMode("persist") {
       val edges = Seq.tabulate(200)(i => (i.toLong, (i + 1).toLong))
         .toDF("u", "v")
@@ -89,6 +94,31 @@ class MaterializeSpec extends SparkSpec {
         s"superseded k-core rounds must be released, $pinnedNow RDDs still pinned")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("sweep frees exactly the pins Materialize owns, in both modes") {
+    Materialize.sweep() // drain pins left behind by the suites before us
+    for (mode <- Seq("localCheckpoint", "persist")) withMode(mode) {
+      // an RDD persisted OUTSIDE Materialize must survive the sweep —
+      // the blanket getPersistentRDDs sweep this replaced would kill it
+      val foreign = spark.sparkContext.parallelize(1 to 10)
+      foreign.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      foreign.count()
+      val baseline = spark.sparkContext.getPersistentRDDs.keySet
+      val m = Materialize(Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+      m.count()
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(added.nonEmpty, s"mode=$mode: Materialize must register a pinned RDD")
+      Materialize.sweep()
+      // unpersist(blocking=false) completes asynchronously; poll briefly
+      def leftover = added.intersect(spark.sparkContext.getPersistentRDDs.keySet)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (leftover.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(leftover.isEmpty, s"mode=$mode: sweep must free Materialize's own pins")
+      assert(spark.sparkContext.getPersistentRDDs.contains(foreign.id),
+        s"mode=$mode: sweep must NOT touch RDDs it does not own")
+      foreign.unpersist(blocking = false)
     }
   }
 

@@ -124,11 +124,18 @@ object CountMinAgg {
   /** Row-i cell index for an item: double hashing over two fixed-seed
     * murmur runs — pure function of the bytes, stable across JVMs.
     */
-  def cellIndex(bytes: Array[Byte], row: Int, width: Int): Int = {
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed1)
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed2)
-    java.lang.Math.floorMod(h1.toLong + row.toLong * h2.toLong, width.toLong).toInt
-  }
+  def cellIndex(bytes: Array[Byte], row: Int, width: Int): Int =
+    rowIndex(scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed1).toLong,
+      scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed2).toLong, row, width)
+
+  /** Kirsch–Mitzenmacher row derivation: h1 + row·h2 mod width. Split
+    * from [[cellIndex]] so the per-row hot paths hash each record ONCE
+    * per seed and derive all `depth` rows from (h1, h2) — not 2·depth
+    * murmur runs per record, which doubled the hashing cost of every
+    * update at 100 TB for no change in the sketch contents.
+    */
+  @inline def rowIndex(h1: Long, h2: Long, row: Int, width: Int): Int =
+    java.lang.Math.floorMod(h1 + row.toLong * h2, width.toLong).toInt
 
   /** depth × width counter matrix; merge = elementwise add. */
   final class Sketch(width: Int, depth: Int) {
@@ -136,19 +143,23 @@ object CountMinAgg {
     var total: Long = 0L
 
     def add(bytes: Array[Byte], weight: Long): Unit = {
+      val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed1).toLong
+      val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed2).toLong
       var r = 0
       while (r < depth) {
-        cells(r * width + cellIndex(bytes, r, width)) += weight
+        cells(r * width + rowIndex(h1, h2, r, width)) += weight
         r += 1
       }
       total += weight
     }
 
     def estimate(bytes: Array[Byte]): Long = {
+      val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed1).toLong
+      val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed2).toLong
       var best = Long.MaxValue
       var r = 0
       while (r < depth) {
-        val c = cells(r * width + cellIndex(bytes, r, width))
+        val c = cells(r * width + rowIndex(h1, h2, r, width))
         if (c < best) best = c
         r += 1
       }

@@ -424,11 +424,23 @@ object Sampling {
     require(statRows.map(r =>
         math.sqrt(r.getLong(1).toDouble).toLong).sum > 0L,
       "temperatureSample: total sqrt cost mass is zero — no quota can be assigned")
-    val tot = stats.agg(sum(col("__s")).as("__stot"))
-    val quota = stats.crossJoin(broadcast(tot))
-      .withColumn("__quota",
-        expr(s"(CAST($targetN AS BIGINT) * __s) div __stot"))
-      .select(col(sourceCol), col("__quota"))
+    // Quotas come straight from the ALREADY-collected |sources|-row stats:
+    // the aggregate runs exactly once. (The previous shape re-ran the
+    // same groupBy twice more as separate jobs — once for Σs, once for
+    // the quota projection.) BigInt division: targetN·s would overflow
+    // BIGINT for petascale budgets and, under ANSI-off, silently null
+    // the quota; driver-side 128-bit math has no such edge.
+    val stot = statRows.map(_.getLong(3)).sum
+    val srcField = stats.schema.head
+    val quotaRows: Seq[org.apache.spark.sql.Row] = statRows.toSeq.map { r =>
+      org.apache.spark.sql.Row(r.get(0),
+        (BigInt(targetN) * r.getLong(3) / stot).toLong)
+    }
+    val quota = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(quotaRows).asJava,
+      org.apache.spark.sql.types.StructType(Seq(srcField,
+        org.apache.spark.sql.types.StructField("__quota",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     groupRunningCost(df.withColumn("__one", lit(1L)), sourceCol, idCol,
         "__one", salt)
       .withColumnRenamed("budget_run", "mix_pos")

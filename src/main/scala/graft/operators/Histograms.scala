@@ -52,14 +52,17 @@ object Histograms {
     * same plan holds on a 1000-executor cluster. Interpolation mirrors
     * Spark's Percentile.getPercentile weighted form bit-for-bit.
     *
-    * Returns (boundaries, total non-null count). NaNs are not supported
-    * (Spark and DuckDB order NaN differently; callers pre-filter).
+    * Returns (boundaries, total non-null count). NaNs are EXCLUDED like
+    * nulls (a NaN has no engine-portable rank: Spark's percentile sorts
+    * it greatest, DuckDB's quantile_cont ignores it) — n counts neither,
+    * so boundaries over NaN-bearing input equal those over the same
+    * input pre-filtered (HistogramsSpec pins this).
     */
   def exactQuantiles(df: DataFrame, value: Column, ps: Seq[Double],
       bins: Int = 8192, maxCandidates: Int = 1 << 20): (Seq[Double], Long) = {
     require(ps.forall(p => p >= 0.0 && p <= 1.0), s"quantiles must be in [0,1]: $ps")
     val data = df.select(value.cast("double").as("__eq_v"))
-      .filter(col("__eq_v").isNotNull)
+      .filter(col("__eq_v").isNotNull && !isnan(col("__eq_v")))
     val head = data.agg(min("__eq_v"), max("__eq_v"), count(lit(1))).head()
     val n = head.getLong(2)
     if (n == 0L) return (Seq.fill(ps.size)(Double.NaN), 0L)
@@ -90,8 +93,16 @@ object Histograms {
     val candBins = neededRanks.map(binOfRank).distinct.sorted
 
     val width = (hi - lo) / bins
-    val binIdx = least(greatest(
-      floor((col("__eq_v") - lit(lo)) / lit(width)).cast("int"), lit(0)), lit(bins - 1))
+    // subnormal-width degenerate case: lo < hi but (hi-lo)/bins rounds to
+    // 0.0. BinCountAgg's width==0 guard put EVERY row in bin 0 in pass 2,
+    // so mirror that here (floor((v-lo)/0.0) would instead be Inf/NaN and
+    // the two passes would disagree — pass 3 then throws on a rank
+    // mapped to an "empty" bin). All rows become candidates; the
+    // maxCandidates guard still bounds the collect.
+    val binIdx =
+      if (width == 0.0) lit(0)
+      else least(greatest(
+        floor((col("__eq_v") - lit(lo)) / lit(width)).cast("int"), lit(0)), lit(bins - 1))
     val cand = data.filter(binIdx.isInCollection(candBins))
       .groupBy("__eq_v").agg(count(lit(1)).as("c"))
       .limit(maxCandidates + 1).collect()
@@ -130,11 +141,16 @@ object Histograms {
     val data = df.select(value.as("__ed_v")).filter(col("__ed_v").isNotNull)
     if (exact) {
       // boundaries land driver-side as literals: bucket assignment is a
-      // pure codegen'd projection, no broadcast join node at all
+      // pure codegen'd projection, no broadcast join node at all.
+      // NaNs are excluded here too (NaN > q is false for every boundary,
+      // so they'd otherwise silently pile into bucket 1 while
+      // exactQuantiles' total ignores them — shares would stop summing
+      // to 1).
       val (bs, total) = exactQuantiles(df, value, ps)
       val bucket = bs.map(q => (col("__ed_v") > lit(q)).cast("long"))
         .reduce(_ + _) + lit(1L)
-      data.groupBy(bucket.as("bucket"))
+      data.filter(!isnan(col("__ed_v").cast("double")))
+        .groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"), min(col("__ed_v")).as("lo"),
           max(col("__ed_v")).as("hi"))
         .select(col("bucket"), col("n"), col("lo"), col("hi"),

@@ -108,6 +108,33 @@ class HistogramsSpec extends AnyFunSuite with SparkSpec {
     assert(n == 9 && b == Seq(5.0))
   }
 
+  test("exactQuantiles excludes NaNs like nulls: n and boundaries match the pre-filtered input") {
+    val clean = (1 to 99).map(_.toDouble)
+    val dirty = (clean.map(Some(_)) ++ Seq.fill(25)(Some(Double.NaN))
+      ++ Seq.fill(10)(Option.empty[Double])).toDF("v")
+    val (bd, nd) = Histograms.exactQuantiles(dirty, col("v"), Seq(0.25, 0.5, 0.75))
+    val (bc, nc) = Histograms.exactQuantiles(clean.toDF("v"), col("v"), Seq(0.25, 0.5, 0.75))
+    assert(nd == 99L && nd == nc)
+    assert(bd.map(java.lang.Double.doubleToLongBits)
+      == bc.map(java.lang.Double.doubleToLongBits))
+    // and the histogram entry point inherits the exclusion
+    val h = Histograms.equiDepth(dirty, col("v"), buckets = 4, exact = true).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == 99L)
+    assert(math.abs(h.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
+  test("subnormal-width domain (hi-lo underflows per-bin): still exact, no pass disagreement") {
+    // lo=0, hi=400*MIN_VALUE: (hi-lo)/8192 rounds to 0.0 — the regime
+    // where pass 2's width==0 guard (all rows → bin 0) must be mirrored
+    // by the candidate filter or pass 3 throws IllegalStateException
+    val mv = java.lang.Double.MIN_VALUE
+    val vals = (0 until 401).map(i => i * mv) // exact: subnormal ulp steps
+    val (b, n) = Histograms.exactQuantiles(vals.toDF("v"), col("v"), Seq(0.0, 0.5, 1.0))
+    assert(n == 401L)
+    assert(b.map(java.lang.Double.doubleToLongBits)
+      == Seq(0.0, 200 * mv, 400 * mv).map(java.lang.Double.doubleToLongBits))
+  }
+
   test("profile approxDistinct stays within the HLL error envelope of exact") {
     val df = spark.range(0, 50000).select(
       col("id").as("hi_card"),

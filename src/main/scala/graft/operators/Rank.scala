@@ -57,4 +57,40 @@ object Rank {
       .withColumn(outCol, offsetExpr + row_number().over(local).cast("long"))
       .drop("__g")
   }
+
+  /** INCLUSIVE running sum of `sumCol` (long) under ORDER BY `orderCol` —
+    * [[globalRank]]'s weighted twin, same two-pass distributed
+    * prefix-sum: range-bucket by the order column, one partial-agg
+    * shuffle for the per-bucket sums (a handful of longs to the driver),
+    * then per-bucket exclusive offsets + an in-bucket running-sum
+    * window. No single-reducer global window at ANY cardinality — this
+    * is the rank-map shape stat6 (Mann–Whitney) runs over its
+    * distinct-value table, where a bare `Window.orderBy` would funnel
+    * every distinct value through one task.
+    *
+    * Rows with equal `orderCol` values share a bucket, so their relative
+    * accumulation order within the tie is unspecified — callers needing
+    * tie determinism aggregate to distinct order values first (stat6
+    * does). Null order values fail fast, as in [[globalRank]].
+    */
+  def globalRunningSum(df: DataFrame, orderCol: String, sumCol: String,
+      outCol: String = "run_sum", numPartitions: Int = 0): DataFrame = {
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    val grouped = df.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(df, orderCol, parts)))
+    val sumRows = grouped.groupBy("__g")
+      .agg(sum(col(sumCol).cast("long")).as("s")).collect()
+    require(sumRows.forall(!_.isNullAt(0)),
+      s"globalRunningSum: null values in order column '$orderCol' — filter " +
+        "them explicitly first; a null has no position in the global order")
+    val sums = sumRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsetExpr = Packing.bucketOffsetExpr(sums, col("__g"))
+    val local = Window.partitionBy("__g").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn(outCol, offsetExpr + sum(col(sumCol).cast("long")).over(local))
+      .drop("__g")
+  }
 }

@@ -27,6 +27,66 @@ object ExtendedQueries {
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
       "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
 
+  /** Exact-arithmetic bound for the chi-squared grid (stat5 / stat8).
+    *
+    * The per-cell contribution is floor((N·o − r·c)²·10⁶ / (N·r·c)) in
+    * DECIMAL(38,0). A valid contingency table has o ≤ min(r, c) and
+    * o ≥ max(0, r + c − N), which bounds the bracket BOTH ways:
+    * N·o − r·c ≤ r(N − c) ≤ N²/4 and N·o − r·c ≥ −(N − r)(N − c) (or
+    * ≥ −r·c when r + c ≤ N), each ≥ −N²/4 by AM–GM. So the numerator is
+    * at most (N²/4)²·10⁶ = N⁴·10⁶/16, which fits 38 digits iff
+    * N < 2·10⁸ (at N = 2·10⁸ the worst case is exactly 10³⁸ — one past
+    * DECIMAL(38,0)'s max). Beyond that, ANSI-off Spark NULLs the
+    * overflowed cell and `sum` silently drops it — a WRONG chi-squared,
+    * not an error — so the term fails fast instead: every cell carries a
+    * `raise_error` guard on N ≥ 2·10⁸. The DuckDB oracle has the same
+    * ceiling (HUGEINT is 127-bit ≈ 1.7·10³⁸; it throws rather than
+    * nulls). For populations past the bound, aggregate at a coarser
+    * grain first or accept double-precision chi-squared — exactness at
+    * unbounded N is not expressible in 128-bit integers.
+    * ChiSquareBoundSpec pins both sides: the worst-case cell at
+    * N = 2·10⁸ − 1 evaluates exactly (BigInt cross-check), and the
+    * guard fires at N = 2·10⁸.
+    */
+  private[graft] val ChiSquareNMax = 200000000L
+
+  /** Per-cell chi-squared term over columns (n, r, c, o) — see
+    * [[ChiSquareNMax]] for the proven overflow bound the guard enforces.
+    */
+  private[graft] val chiCellTerm: String =
+    s"""CASE WHEN n >= $ChiSquareNMax THEN CAST(raise_error(
+       |'chi-squared grid: N >= 2e8 rows exceeds the exact DECIMAL(38,0)
+       | headroom of the per-cell (N*o - r*c)^2 * 1e6 term; aggregate to
+       | a coarser grain first') AS DECIMAL(38,0))
+       |ELSE ((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+       | * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+       | * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c) END"""
+      .stripMargin.replace("\n", " ")
+
+  /** Shared stat5/stat8 plan: the lang × source contingency grid built
+    * by broadcast cross join (dims × dims rows, absent cells kept at
+    * o = 0 — they still contribute r·c/N), N riding in-plan as a
+    * broadcast scalar, reduced to ONE row
+    * (__chi2_x1e6, __nr, __nc, __n). Shuffle profile at 100 TB: three
+    * partial-agg shuffles of |cells|, |langs|, |sources| rows — no
+    * driver collect anywhere.
+    */
+  private def chiSquareGridAgg(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowT = d.groupBy("lang").agg(count(lit(1)).as("r"))
+    val colT = d.groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(expr(chiCellTerm)).as("__chi2_x1e6"),
+        countDistinct(col("lang")).as("__nr"),
+        countDistinct(col("source")).as("__nc"),
+        max(col("n")).as("__n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // TPC-H Q7-shape: revenue volume between nation pairs by ship year.
@@ -442,14 +502,10 @@ object ExtendedQueries {
 
     // Pearson chi-squared independence test for two categoricals
     // (lang × source) — the categorical-drift / bias-audit companion to
-    // PSI (drift2) and KS (drift3). All 128-bit-exact: per-cell
-    // contribution floor((N·o − r·c)² · 10⁶ / (N·r·c)) in DECIMAL(38,0)
-    // (HUGEINT on the oracle side — the ksStatistic overflow lesson
-    // applied from the start), summed over the FULL r×c grid including
-    // absent cells (o = 0 still contributes r·c/N). Shuffle profile at
-    // 100 TB: three partial-agg shuffles of |cells|, |langs|, |sources|
-    // rows; the grid itself is dims × dims, built by broadcast cross
-    // join; N rides in-plan as a broadcast scalar — no driver collect.
+    // PSI (drift2) and KS (drift3). All 128-bit-exact for N < 2·10⁸,
+    // fail-fast past it (the proven DECIMAL(38,0) headroom of the
+    // per-cell term — see [[ChiSquareNMax]]; HUGEINT on the oracle side
+    // has the same ceiling). Plan shape: [[chiSquareGridAgg]].
     QueryDef("stat5_chi_square",
       (s, dir) => {
         // null categories are EXCLUDED up front (documented, mirrored in
@@ -461,22 +517,11 @@ object ExtendedQueries {
         // category has no place in an independence test).
         val d = t(s, dir, "documents")
           .filter(col("lang").isNotNull && col("source").isNotNull)
-        val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
-        val rowT = d.groupBy("lang").agg(count(lit(1)).as("r"))
-        val colT = d.groupBy("source").agg(count(lit(1)).as("c"))
-        val tot = d.agg(count(lit(1)).as("n"))
-        rowT.crossJoin(broadcast(colT))
-          .join(cells, Seq("lang", "source"), "left")
-          .na.fill(0L, Seq("o"))
-          .crossJoin(broadcast(tot))
-          .agg(
-            sum(expr("""((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
-                       | * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
-                       | * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)""".stripMargin.replace("\n", " ")))
-              .cast("long").as("chi2_x1e6"),
-            ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1))
-              .cast("long").as("df"),
-            max(col("n")).cast("long").as("n"))
+        chiSquareGridAgg(d)
+          .select(
+            col("__chi2_x1e6").cast("long").as("chi2_x1e6"),
+            ((col("__nr") - 1) * (col("__nc") - 1)).cast("long").as("df"),
+            col("__n").cast("long").as("n"))
       },
       Some("""WITH d AS (SELECT lang, source FROM documents
              |  WHERE lang IS NOT NULL AND source IS NOT NULL),
@@ -535,17 +580,25 @@ object ExtendedQueries {
     // stat4's tie-aware DOUBLED average ranks keep everything integer:
     // U1·2 = Σ_A rank×2 − n1(n1+1), summed in DECIMAL(38,0)/HUGEINT
     // (rank sums grow n² — the overflow discipline), emitted exact.
-    // One distinct-value rank map broadcast; one pass over the rows.
+    // Null values are EXCLUDED up front and MIRRORED in the oracle: a
+    // null has no rank, and the engines disagree on where one sorts
+    // (Spark windows rank NULLS FIRST, DuckDB NULLS LAST) — without the
+    // filter, parity held only because the testdata had no null value.
+    // The rank map is built by Rank.globalRunningSum — the distributed
+    // two-pass prefix sum over the distinct-value table, NOT a bare
+    // Window.orderBy (a single reducer over O(distinct) rows, the
+    // stat4-documented scale-killer) — then broadcast; one pass over
+    // the rows.
     QueryDef("stat6_mannwhitney",
       (s, dir) => {
         val b = t(s, dir, "events")
-          .filter(col("event_type").isin("click", "error"))
+          .filter(col("event_type").isin("click", "error") &&
+            col("value").isNotNull)
           .select(col("event_type").as("g"), col("value").as("v"))
-        val w = Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val rm = b.groupBy("v").agg(count(lit(1)).as("c"))
+        val cnt = b.groupBy("v").agg(count(lit(1)).as("c"))
+        val rm = graft.operators.Rank.globalRunningSum(cnt, "v", "c", outCol = "__run")
           .select(col("v"),
-            (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + lit(1))
+            (lit(2) * (col("__run") - col("c")) + col("c") + lit(1))
               .as("rv"))
         val dec = (c: Column) => c.cast("decimal(38,0)")
         b.join(broadcast(rm), "v")
@@ -558,7 +611,7 @@ object ExtendedQueries {
               .cast("long").as("u1_x2"))
       },
       Some("""WITH b AS (SELECT event_type AS g, value AS v FROM events
-             |  WHERE event_type IN ('click', 'error')),
+             |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
              |rm AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rv
              |  FROM (SELECT v, count(*) AS c FROM b GROUP BY v)),
              |a AS (SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
@@ -629,27 +682,13 @@ object ExtendedQueries {
     // chi-squared made interpretable ([0,1], comparable across table
     // shapes): V² = χ²/(N·min(r−1, c−1)), carried as exact integers to
     // the end — v2_x1e12 = chi2_x1e6 · 10⁶ div (N·min(r−1,c−1)) in
-    // 128-bit arithmetic. Same broadcast-grid plan as stat5.
+    // 128-bit arithmetic. Same broadcast-grid plan (and the same proven
+    // N < 2·10⁸ fail-fast bound) as stat5: [[chiSquareGridAgg]].
     QueryDef("stat8_cramers_v",
       (s, dir) => {
         val d = t(s, dir, "documents")
           .filter(col("lang").isNotNull && col("source").isNotNull)
-        val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
-        val rowT = d.groupBy("lang").agg(count(lit(1)).as("r"))
-        val colT = d.groupBy("source").agg(count(lit(1)).as("c"))
-        val tot = d.agg(count(lit(1)).as("n"))
-        rowT.crossJoin(broadcast(colT))
-          .join(cells, Seq("lang", "source"), "left")
-          .na.fill(0L, Seq("o"))
-          .crossJoin(broadcast(tot))
-          .agg(
-            sum(expr("""((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
-                       | * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
-                       | * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)""".stripMargin.replace("\n", " ")))
-              .as("__chi2_x1e6"),
-            countDistinct(col("lang")).as("__nr"),
-            countDistinct(col("source")).as("__nc"),
-            max(col("n")).as("__n"))
+        chiSquareGridAgg(d)
           .select(
             expr("""(CAST(__chi2_x1e6 AS DECIMAL(38,0)) * 1000000)
                    | div (CAST(__n AS DECIMAL(38,0)) * least(__nr - 1, __nc - 1))"""

@@ -54,4 +54,28 @@ class RankSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("null"))
   }
+
+  test("globalRunningSum equals the single-sort running-sum reference, at any width") {
+    // skewed weights over distinct order values — the stat6 rank-map shape
+    val df = spark.range(0, 3000).select(
+      col("id").cast("double").as("v"),
+      (pmod(xxhash64(col("id")), lit(50)) + 1).as("c"))
+    val ref = df.select(col("v"),
+      sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run"))
+    for (parts <- Seq(1, 4, 23)) {
+      val got = Rank.globalRunningSum(df.repartition(7), "v", "c", "run", parts)
+        .select("v", "run")
+      assert(got.exceptAll(ref).count() == 0L && ref.exceptAll(got).count() == 0L,
+        s"numPartitions=$parts diverged from the single-sort reference")
+    }
+  }
+
+  test("globalRunningSum null order values fail fast") {
+    val df = Seq((Some(1.0), 2L), (None, 3L), (Some(2.0), 4L)).toDF("v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalRunningSum(df, "v", "c").count()
+    }
+    assert(e.getMessage.contains("null"))
+  }
 }

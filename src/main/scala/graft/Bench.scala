@@ -86,10 +86,13 @@ object Bench {
       else if (i == q1Pos) sentQ1 = sentinel()
       // A crashing query reports -1, never its elapsed-to-crash time —
       // failures must be distinguishable from fast passes in BENCH output.
-      // GC between queries so a query is never charged the allocation
-      // debt (dead broadcasts, codegen classes, agg buffers) of the 50+
-      // queries before it — without this, late-running queries measure
-      // the session's garbage, not their own cost.
+      // Sweep the previous query's materializations (Materialize's own
+      // registry — see Verify for why the blanket getPersistentRDDs sweep
+      // is wrong), then GC, so a query is never charged the storage or
+      // allocation debt (dead broadcasts, codegen classes, agg buffers)
+      // of the 50+ queries before it — without this, late-running queries
+      // measure the session's garbage, not their own cost.
+      graft.operators.Materialize.sweep()
       System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -99,6 +102,38 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val sentEnd = sentinel()
+    // Streaming throughput micro-bench (rate source → Firehose-analog
+    // landing sink): a fixed ~6 s wall budget of 1 s triggers at a rate
+    // well above what one trigger can admit, so the measured figure is
+    // SINK-BOUND rows/s (sum of input rows over completed triggers ÷ sum
+    // of their triggerExecution time), not the configured rate. Skipped
+    // under SPARK_GRAFT_BENCH_ONLY iteration runs. Informational — no
+    // regression gate yet.
+    val streaming = if (only.isDefined) "null" else try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sbench")
+      val readings = graft.streaming.Streams.syntheticIotStream(
+        spark, Seq("metropolis", "gotham", "atlantis", "zion"),
+        sensorsPerCity = 4, rowsPerSecond = 200000)
+      val q = graft.streaming.Streams.startRawLandingSink(readings,
+        s"$tmp/out", s"$tmp/ckpt", s"$tmp/err",
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      val deadline = System.nanoTime() + 6L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline) Thread.sleep(100)
+      q.stop()
+      q.awaitTermination(30000)
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val rows = prog.map(_.numInputRows).sum
+      val secs = prog.map(_.durationMs.get("triggerExecution").toLong).sum / 1e3
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+        f.delete(); ()
+      }
+      rmRf(tmp.toFile)
+      if (secs > 0) f"""{"rows_per_sec":${rows / secs}%.0f,"triggers":${prog.length},"rows":$rows}"""
+      else "null"
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: streaming micro-bench failed: $e"); "null"
+    }
     // Spread drops the single worst in-sweep probe before taking max/min.
     // Rationale: the contamination this sentinel exists to flag — a
     // concurrent build/test run — lasts minutes and inflates at LEAST
@@ -114,13 +149,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val sj = f"""{"start":$sentStart%.3f,"q1":$sentQ1%.3f,"mid":$sentMid%.3f,"q3":$sentQ3%.3f,"end":$sentEnd%.3f,"spread":$spread%.3f}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sentinel":$sj,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sentinel":$sj,"streaming":$streaming,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // Stdout capture has truncated the tail of this line two rounds
+    // Stdout capture has truncated the tail of this line four rounds
     // running (driver-side log limits), leaving the official record
-    // unparseable. Persist the full JSON to a file as well so the bench
-    // record is self-contained regardless of log handling.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // unparseable. The authoritative record is therefore this file — at a
+    // TRACKED path by default (bench/ is not gitignored), so every
+    // bench run leaves a committable, parseable artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -259,6 +259,12 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, src: String, dst: String,
       materializeOriented: Boolean = false): DataFrame = {
+    // The canonical edge set appears three times in this ONE plan (both
+    // degree projections + the orientation join) but needs no pin:
+    // within a single physical plan Spark's exchange reuse dedups the
+    // identical distinct subtree (measured: pinning it changed nothing
+    // at sf0.1). Contrast pageRank/bfsHops, whose replays span SEPARATE
+    // jobs where no reuse applies — those pin.
     val e = canonicalEdges(edges, src, dst)
     // degree per vertex (over the canonical edge set)
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))

@@ -622,6 +622,31 @@ object ExtendedQueries {
              |CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2
              |FROM a""".stripMargin.replace("\n", " "))),
 
+    // Global running total WITHOUT the single-reducer window: cumulative
+    // revenue (exact integer cents) over the unique event_id order via
+    // Rank.globalRunningSum — the distributed two-pass prefix sum
+    // (range-bucket, per-bucket sums to the driver as a handful of
+    // longs, offsets + in-bucket window). The oracle states the same
+    // thing as the textbook unpartitioned window, so this entry pins the
+    // scale-shaped formulation against the single-sort semantics —
+    // per-row over the WHOLE relation, the shape a bare Window.orderBy
+    // funnels through one task at 100 TB.
+    QueryDef("rank1_running_revenue",
+      (s, dir) => {
+        val rows = t(s, dir, "events")
+          .select(col("event_id").cast("long").as("event_id"),
+            (dec(col("value")) * 100).cast("long").as("cents"))
+        graft.operators.Rank.globalRunningSum(rows, "event_id", "cents",
+            outCol = "run_cents")
+          .select(col("event_id"), col("cents"), col("run_cents"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT CAST(event_id AS BIGINT) AS event_id,
+             |CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |  OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // Share-of-total (ratio-to-report): each event type's share of its
     // day's revenue, in exact integer micro-units — DECIMAL(18,2) cent
     // sums (associative), one partial-agg shuffle to (day, type), an

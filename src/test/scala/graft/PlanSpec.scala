@@ -41,6 +41,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"q6 must be scan+agg only:\n$plan")
   }
 
+  test("distributed prefix-sum queries plan NO unpartitioned window") {
+    // stat6's rank map and rank1's running total both claim the
+    // two-pass globalRunningSum shape; an unpartitioned WindowExec
+    // (empty partition spec = every row through ONE task) anywhere in
+    // their plans means the claim silently regressed
+    for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue")) {
+      val exec = q(name).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val bad = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned window (single-reducer sort):\n${bad.headOption}")
+    }
+  }
+
   test("projection prunes the scan schema to selected columns") {
     val plan = q("f1_pseudonymize").queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),

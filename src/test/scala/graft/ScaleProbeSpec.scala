@@ -623,6 +623,30 @@ class ScaleProbeSpec extends SparkSpec {
     assert(BigInt(chi2) == acc, s"grid chi-squared diverged from BigInt truth $acc")
   }
 
+  test("prefix-sum probe: 5M-row running sum invariant across widths, pinned grand total", Slow) {
+    // the globalRunningSum shape at 3 orders above its bench size:
+    // 5M distinct order keys with skewed weights, two bucket widths,
+    // and the analytic grand total as ground truth (the last row's
+    // running sum MUST equal the sum of all weights)
+    val n = 5000000L
+    val df = spark.range(0, n).select(col("id").cast("double").as("v"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(1000)) + 1).as("c"))
+    df.write.mode("overwrite").parquet("target/probe_spec_prefix")
+    val mat = spark.read.parquet("target/probe_spec_prefix")
+    val total = mat.agg(sum("c")).head().getLong(0)
+    val runs = Seq(4, 37).map { w =>
+      val out = graft.operators.Rank.globalRunningSum(
+        mat.repartition(11), "v", "c", "run", numPartitions = w)
+      val last = out.orderBy(col("v").desc).select("run").head().getLong(0)
+      assert(last == total,
+        s"width=$w: final running sum $last != grand total $total")
+      out.agg(sum(col("run"))).head().getLong(0)
+    }
+    println(s"[probe-spec] prefix-sum total=$total runsum-checksum=${runs.head}")
+    assert(runs.distinct.size == 1,
+      "running-sum assignment must be identical across bucket widths")
+  }
+
   test("ppjoin probe: 1M docs, prefix-filter join is partition-invariant with no false positives", Slow) {
     // 1M short docs (20 tokens) with a planted 10% near-dup group rate;
     // the prefix-filter inverted index is the object under test — the

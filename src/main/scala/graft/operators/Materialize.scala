@@ -24,9 +24,16 @@ import org.apache.spark.storage.StorageLevel
   *    choice for long-running 100 TB jobs, at the cost of keeping the
   *    (cheap, spillable) recompute path alive.
   *  - `off`: no pinning; the upstream pass runs once per consumer.
-  *    Correct always — the escape hatch when executor storage is the
-  *    scarcer resource (results are identical under every mode, spec-
-  *    pinned by DedupSimilaritySpec/GraphSpec).
+  *    Semantics-identical under every mode (spec-pinned by
+  *    DedupSimilaritySpec/GraphSpec) — but the escape hatch is for
+  *    ONE-SHOT multi-consumer points (the signature snapshot, the
+  *    oriented edge set), NOT for iterative loops: without per-round
+  *    truncation a loop's plan references its predecessor several
+  *    times per round, so plan size and analysis cost grow
+  *    O(consumers^rounds) — a full-SF kCore(rounds = 5) under `off`
+  *    exhausts a 16 GB driver heap in Catalyst before a task runs
+  *    (observed round 10). Run iterative operators under
+  *    `localCheckpoint` or `persist`.
   *
   * The RDD-level checkpoints inside the label-propagation loop
   * ([[Dedup]] connected components) are NOT governed by this knob: they

@@ -647,6 +647,80 @@ object ExtendedQueries {
              |  OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
              |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // Gini concentration of customer revenue — the Lorenz-curve summary
+    // ([0,1]: 0 = every customer equal, →1 = one whale), the same metric
+    // a curation pipeline runs over docs-per-source to audit corpus
+    // concentration. Exact integers end to end: revenue as DECIMAL
+    // cents, ascending position from Rank.globalRank (distributed
+    // two-pass prefix sum — no single-reducer sort), then
+    // G·10⁹ = (2·Σ r·x − (n+1)·Σx)·10⁹ div (n·Σx) in 128-bit
+    // arithmetic. Ties in cents take arbitrary-but-distinct adjacent
+    // ranks, which leaves Σ r·x unchanged (equal x within a tie run) —
+    // deterministic under any partitioning. The numerator is
+    // non-negative by the Chebyshev sum inequality, so floor division
+    // agrees across engines. Headroom: Σ r·x ≤ n²·max_cents — at
+    // n = 10¹⁰ customers and 10⁹ max cents that is 10²⁹·10⁹ = 10³⁸
+    // edge; real revenue distributions sit orders below.
+    QueryDef("stat10_gini",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val ranked = graft.operators.Rank.globalRank(rev, "cents",
+          Seq("custkey"), outCol = "r")
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        ranked.agg(
+            count(lit(1)).as("__n"),
+            sum(d38(col("cents"))).as("__sx"),
+            sum(d38(col("r")) * d38(col("cents"))).as("__sxr"))
+          .select(col("__n").cast("long").as("n_customers"),
+            expr("""CAST(((2 * __sxr - (CAST(__n AS DECIMAL(38,0)) + 1) * __sx)
+                   | * 1000000000) div (CAST(__n AS DECIMAL(38,0)) * __sx) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")).as("gini_x1e9"))
+      },
+      Some("""WITH rev AS (SELECT o_custkey AS custkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |rk AS (SELECT cents, row_number() OVER (ORDER BY cents, custkey) AS r FROM rev),
+             |a AS (SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sx,
+             |  sum(CAST(r AS HUGEINT) * cents) AS sxr FROM rk)
+             |SELECT CAST(n AS BIGINT) AS n_customers,
+             |CAST(((2 * sxr - (CAST(n AS HUGEINT) + 1) * sx) * 1000000000)
+             |  // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_x1e9
+             |FROM a""".stripMargin.replace("\n", " "))),
+
+    // Lorenz deciles — the curve stat10's Gini summarizes: customers in
+    // ascending-revenue order cut into 10 equi-count buckets (decile =
+    // (r−1)·10 div n over the SAME globalRank positions — no ntile, no
+    // single-reducer window), each bucket's exact revenue share in
+    // integer micro-units. The whole output is 10 rows; everything
+    // heavier than the per-bucket partial agg stays distributed.
+    QueryDef("w16_lorenz_deciles",
+      (s, dir) => {
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        val rev = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val ranked = graft.operators.Rank.globalRank(rev, "cents",
+          Seq("custkey"), outCol = "r")
+        val tot = ranked.agg(count(lit(1)).as("__n"), sum(d38(col("cents"))).as("__t"))
+        ranked.crossJoin(broadcast(tot))
+          .groupBy(expr("CAST(((r - 1) * 10) div __n AS BIGINT)").as("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            expr("CAST((sum(CAST(cents AS DECIMAL(38,0))) * 1000000) div max(__t) AS BIGINT)")
+              .as("share_x1e6"))
+          .orderBy("decile")
+      },
+      Some("""WITH rev AS (SELECT o_custkey AS custkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |rk AS (SELECT custkey, cents, row_number() OVER (ORDER BY cents, custkey) AS r FROM rev),
+             |t AS (SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS t FROM rk)
+             |SELECT CAST(((r - 1) * 10) // n AS BIGINT) AS decile,
+             |count(*) AS n_customers,
+             |CAST((sum(CAST(cents AS HUGEINT)) * 1000000) // max(t) AS BIGINT) AS share_x1e6
+             |FROM rk CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // Share-of-total (ratio-to-report): each event type's share of its
     // day's revenue, in exact integer micro-units — DECIMAL(18,2) cent
     // sums (associative), one partial-agg shuffle to (day, type), an

@@ -38,13 +38,19 @@ object Rank {
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
+    // The operator is inherently multi-pass over its input (quantile
+    // boundary sample, bucket-count collect, final ranked pass), so pin
+    // it once — otherwise the caller's upstream lineage re-executes
+    // three times. Governed by graft.materialize.mode like every other
+    // multi-consumer point; a one-shot use, safe under `off`.
+    val base = Materialize(df)
     // A null order value must surface as a null bucket for the fail-fast
     // below. rangeGroup degenerates to a constant bucket when parts <= 1
     // or the boundary sample is empty (e.g. ALL order values null) — the
     // explicit isNotNull guard keeps the null path out of EVERY variant,
     // not just the bucketed one.
-    val grouped = df.withColumn("__g",
-      when(col(orderCol).isNotNull, Packing.rangeGroup(df, orderCol, parts)))
+    val grouped = base.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val countRows = grouped.groupBy("__g").agg(count(lit(1)).as("n")).collect()
     require(countRows.forall(!_.isNullAt(0)),
       s"globalRank: null values in order column '$orderCol' — filter them " +
@@ -78,8 +84,10 @@ object Rank {
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
-    val grouped = df.withColumn("__g",
-      when(col(orderCol).isNotNull, Packing.rangeGroup(df, orderCol, parts)))
+    // Same multi-pass shape as globalRank — pin the input once.
+    val base = Materialize(df)
+    val grouped = base.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val sumRows = grouped.groupBy("__g")
       .agg(sum(col(sumCol).cast("long")).as("s")).collect()
     require(sumRows.forall(!_.isNullAt(0)),

@@ -42,11 +42,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("distributed prefix-sum queries plan NO unpartitioned window") {
-    // stat6's rank map and rank1's running total both claim the
-    // two-pass globalRunningSum shape; an unpartitioned WindowExec
-    // (empty partition spec = every row through ONE task) anywhere in
-    // their plans means the claim silently regressed
-    for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue")) {
+    // stat6's rank map and rank1's running total claim the two-pass
+    // globalRunningSum shape, stat10/w16's revenue ranks the globalRank
+    // one; an unpartitioned WindowExec (empty partition spec = every
+    // row through ONE task) anywhere in their plans means the claim
+    // silently regressed
+    for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue",
+        "stat10_gini", "w16_lorenz_deciles")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p

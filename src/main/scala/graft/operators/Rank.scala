@@ -74,13 +74,28 @@ object Rank {
     * distinct-value table, where a bare `Window.orderBy` would funnel
     * every distinct value through one task.
     *
-    * Rows with equal `orderCol` values share a bucket, so their relative
-    * accumulation order within the tie is unspecified — callers needing
-    * tie determinism aggregate to distinct order values first (stat6
-    * does). Null order values fail fast, as in [[globalRank]].
+    * `seriesCols` names columns that split the input into INDEPENDENT
+    * series, each accumulating its own running sum (stat4 runs its two
+    * rank maps — one per correlation axis — through ONE call this way:
+    * the alternative is one full quantile-sample/count/window pass per
+    * series, or a `Window.partitionBy(series)` that funnels each series
+    * through one task — the same single-reducer shape with extra
+    * steps). The bucket boundaries are sampled over ALL series at once
+    * — within a series that is merely a finer range split, so
+    * correctness is untouched; per-(series, bucket) offsets ride back
+    * in one broadcast join. The offset table the driver holds is
+    * O(|series| · buckets) — callers keep series cardinality bounded
+    * (it is collected either way).
+    *
+    * Rows with equal (`seriesCols`, `orderCol`) values share a bucket,
+    * so their relative accumulation order within the tie is unspecified
+    * — callers needing tie determinism aggregate to distinct order
+    * values first (stat6 does). Null order values fail fast, as in
+    * [[globalRank]].
     */
   def globalRunningSum(df: DataFrame, orderCol: String, sumCol: String,
-      outCol: String = "run_sum", numPartitions: Int = 0): DataFrame = {
+      outCol: String = "run_sum", numPartitions: Int = 0,
+      seriesCols: Seq[String] = Nil): DataFrame = {
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
@@ -88,17 +103,48 @@ object Rank {
     val base = Materialize(df)
     val grouped = base.withColumn("__g",
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
-    val sumRows = grouped.groupBy("__g")
+    val keyCols = seriesCols :+ "__g"
+    val sumRows = grouped.groupBy(keyCols.map(col): _*)
       .agg(sum(col(sumCol).cast("long")).as("s")).collect()
-    require(sumRows.forall(!_.isNullAt(0)),
+    val gIdx = seriesCols.length
+    require(sumRows.forall(!_.isNullAt(gIdx)),
       s"globalRunningSum: null values in order column '$orderCol' — filter " +
         "them explicitly first; a null has no position in the global order")
-    val sums = sumRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsetExpr = Packing.bucketOffsetExpr(sums, col("__g"))
-    val local = Window.partitionBy("__g").orderBy(orderCol)
+    val local = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grouped
-      .withColumn(outCol, offsetExpr + sum(col(sumCol).cast("long")).over(local))
-      .drop("__g")
+    val inBucket = sum(col(sumCol).cast("long")).over(local)
+    if (seriesCols.isEmpty) {
+      val sums = sumRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsetExpr = Packing.bucketOffsetExpr(sums, col("__g"))
+      grouped.withColumn(outCol, offsetExpr + inBucket).drop("__g")
+    } else {
+      // per-series exclusive prefix offsets, shipped back as a
+      // broadcast (series, bucket, offset) table — the general-key
+      // sibling of bucketOffsetExpr's int-indexed array
+      val spark = df.sparkSession
+      val offRows = sumRows
+        .groupBy(r => (0 until gIdx).map(r.get).toSeq).iterator
+        .flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_.getInt(gIdx))
+          val offs = sorted.scanLeft(0L)((acc, r) => acc + r.getLong(gIdx + 1))
+          sorted.zip(offs).map { case (r, off) =>
+            // Seq[Any], NOT Seq(...): weak-lub inference would widen the
+            // Int bucket id to Long and break the IntegerType schema slot
+            org.apache.spark.sql.Row.fromSeq(
+              (0 until gIdx).map(r.get) ++
+                Seq[Any](r.getInt(gIdx), off)) }
+        }.toSeq
+      val offSchema = org.apache.spark.sql.types.StructType(
+        seriesCols.map(c => base.schema(c)) ++ Seq(
+          org.apache.spark.sql.types.StructField("__g",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("__off",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      val offDf = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava, offSchema)
+      grouped.join(broadcast(offDf), keyCols)
+        .withColumn(outCol, col("__off") + inBucket)
+        .drop("__g", "__off")
+    }
   }
 }

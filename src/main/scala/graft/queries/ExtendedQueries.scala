@@ -158,11 +158,17 @@ object ExtendedQueries {
     // unique row key to force them). No row identity needed: average
     // ranks attach per DISTINCT VALUE (doubled to stay integer:
     // R = 2·cnt_less + cnt_eq + 1), built from one groupBy per axis plus
-    // a running sum over the distinct-value relation — |V| rows, orders
-    // smaller than the corpus (route through Rank.globalRank if |V|
-    // itself ever explodes). Every aggregate is an exact integer; the
-    // final Pearson-on-ranks formula is the only float math, op-for-op
-    // mirrored (rank scaling cancels in the correlation).
+    // a running sum over the distinct-value relation. DESIGN DOMAIN:
+    // the rank maps are BROADCAST back onto the rows, so the whole
+    // query presumes |V| (distinct values per axis) fits a broadcast —
+    // within that domain the single-task window over |V| rows is
+    // bounded by the same constant and measurably cheaper than the
+    // distributed prefix sum's extra passes. Past it, swap BOTH the
+    // window for Rank.globalRunningSum(seriesCols = Seq(axis)) — one
+    // distributed prefix-sum pass covering both axes, RankSpec-pinned —
+    // AND the broadcast joins for shuffle joins. Every aggregate is an
+    // exact integer; the final Pearson-on-ranks formula is the only
+    // float math, op-for-op mirrored (rank scaling cancels).
     QueryDef("stat4_spearman",
       (s, dir) => {
         val b = t(s, dir, "lineitem")
@@ -178,13 +184,13 @@ object ExtendedQueries {
         val dbl = (c: Column) => c.cast("double")
         // moment sums in DECIMAL(38,0): sxy ~ 4n³ wraps int64 past
         // ~1.3M rows (stat5's overflow discipline; headroom now n ≲ 3e12)
-        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val dec38 = (c: Column) => c.cast("decimal(38,0)")
         b.join(broadcast(rankMap("x")), "x").join(broadcast(rankMap("y")), "y")
           .agg(count(lit(1)).as("n"),
-            sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
-            sum(dec(col("rx")) * col("ry")).as("sxy"),
-            sum(dec(col("rx")) * col("rx")).as("sxx"),
-            sum(dec(col("ry")) * col("ry")).as("syy"))
+            sum(dec38(col("rx"))).as("sx"), sum(dec38(col("ry"))).as("sy"),
+            sum(dec38(col("rx")) * col("ry")).as("sxy"),
+            sum(dec38(col("rx")) * col("rx")).as("sxx"),
+            sum(dec38(col("ry")) * col("ry")).as("syy"))
           .select(col("n"),
             round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
               sqrt((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *

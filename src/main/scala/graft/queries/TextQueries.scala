@@ -963,8 +963,16 @@ object TextQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val gr = TextAnalysis.gopherRules(col("text"))
-        val kept = docs.filter(gr.getField("wc_ok") && gr.getField("wlen_ok") &&
-          gr.getField("sym_ok") && gr.getField("alpha_ok") && gr.getField("stop_ok"))
+        // survivors PINNED: the rule struct (tokenization + four regex
+        // scans per doc) is the funnel's expensive predicate, and both
+        // the n_rules count and the dup-span stage consume the same
+        // survivor set — unpinned, the rules would run once per branch
+        // and the corpus would be scanned three times instead of
+        // 1 survivor pass + 1 count-only scan
+        val kept = graft.operators.Materialize(
+          docs.select(col("doc_id"), col("text"))
+            .filter(gr.getField("wc_ok") && gr.getField("wlen_ok") &&
+              gr.getField("sym_ok") && gr.getField("alpha_ok") && gr.getField("stop_ok")))
         val cleaned = TextAnalysis.removeDupSpans(kept, k = 4)
         val reps = cleaned
           .withColumn("fp", md5(col("clean_text")))

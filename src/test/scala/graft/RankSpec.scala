@@ -71,6 +71,22 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("seriesCols runs independent per-series running sums in one call") {
+    // two series with overlapping value domains but different weights —
+    // each must accumulate exactly as its own single-series call would
+    val df = spark.range(0, 2000).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("axis"),
+      (col("id") / lit(3)).cast("double").as("v"),
+      (pmod(xxhash64(col("id")), lit(50)) + 1).as("c"))
+    val got = Rank.globalRunningSum(df.repartition(7), "v", "c", "run",
+        numPartitions = 11, seriesCols = Seq("axis"))
+      .select("axis", "v", "run")
+    val ref = df.select(col("axis"), col("v"),
+      sum(col("c")).over(Window.partitionBy("axis").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run"))
+    assert(got.exceptAll(ref).count() == 0L && ref.exceptAll(got).count() == 0L)
+  }
+
   test("globalRunningSum null order values fail fast") {
     val df = Seq((Some(1.0), 2L), (None, 3L), (Some(2.0), 4L)).toDF("v", "c")
     val e = intercept[IllegalArgumentException] {

@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ IoQueries.all ++ ExtendedQueries.all ++
-      TpchQueries.all
+      TpchQueries.all ++ EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The documented reference flagship: group-by count over the curated

@@ -147,4 +147,69 @@ object Rank {
         .drop("__g", "__off")
     }
   }
+
+  /** Previous row's `valueCol` under global ORDER BY `orderCol` —
+    * `lag(value, 1) OVER (ORDER BY order)` without the single-reducer
+    * sort, completing the distributed prefix family ([[globalRank]],
+    * [[globalRunningSum]]). Same two-pass shape: range-bucket, an
+    * in-bucket `lag` window, and for each bucket's FIRST row the
+    * previous non-empty bucket's last value, carried back as a tiny
+    * broadcast (bucket → value) table (O(buckets) driver state). The
+    * global first row gets null, as `lag` would.
+    *
+    * Order values must be DISTINCT — "the previous row" is ambiguous
+    * under ties, and a tie straddling work would silently depend on
+    * partitioning — so duplicates fail fast (checked on the same
+    * bucket-stats pass that collects the carry values; equal order
+    * values always share a bucket, so the per-bucket check is
+    * complete). Aggregate to distinct order values first (the
+    * interval-sweep consumer does). Null order values fail fast as in
+    * [[globalRank]].
+    *
+    * Consumers: interval-union coverage (ivl2 — gap length between
+    * consecutive sweep boundaries), global gap detection, any
+    * "difference from the previous row of the WHOLE relation" need.
+    */
+  def globalLag(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String = "lag_val", numPartitions: Int = 0): DataFrame = {
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    // Multi-pass over the input (boundary sample, bucket stats, final
+    // windowed pass) — pin once, like the siblings.
+    val base = Materialize(df)
+    val grouped = base.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
+    val stats = grouped.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      count_distinct(col(orderCol)).as("nd"),
+      max_by(col(valueCol), col(orderCol)).as("last_v")).collect()
+    require(stats.forall(!_.isNullAt(0)),
+      s"globalLag: null values in order column '$orderCol' — filter them " +
+        "explicitly first; a null has no position in the global order")
+    require(stats.forall(r => r.getLong(1) == r.getLong(2)),
+      s"globalLag: duplicate values in order column '$orderCol' — the " +
+        "previous row is ambiguous under ties; aggregate to distinct " +
+        "order values first")
+    // carry[g] = last value of the nearest NON-EMPTY bucket below g
+    val sorted = stats.sortBy(_.getInt(0))
+    val carryRows = sorted.zipWithIndex.collect {
+      case (r, i) if i > 0 =>
+        org.apache.spark.sql.Row(r.getInt(0), sorted(i - 1).get(3))
+    }.toSeq
+    val vType = base.schema(valueCol).dataType
+    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__carry", vType)))
+    val carryDf = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(carryRows).asJava,
+      carrySchema)
+    val local = Window.partitionBy("__g").orderBy(orderCol)
+    grouped.join(broadcast(carryDf), Seq("__g"), "left")
+      .withColumn(outCol,
+        when(row_number().over(local) === 1, col("__carry"))
+          .otherwise(lag(col(valueCol), 1).over(local)))
+      .drop("__g", "__carry")
+  }
 }

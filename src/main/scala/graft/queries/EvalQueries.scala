@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.operators.{Materialize, Rank}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and sweep analytics — the metrics a training-data
+  * pipeline runs over its own filter models: per-class precision/recall/F1
+  * for the language-ID heuristic, rank-sum AUC for the quality filter,
+  * calibration bins for its score, interval-union coverage of the event
+  * stream, and the degree profile of the supplier↔part graph.
+  *
+  * Same discipline as every family: exact integer / fixed-point
+  * arithmetic on both sides (all numerators non-negative, so DuckDB's
+  * floor `//` and Spark's truncating `DIV` agree), identical column
+  * names, total ORDER BY. The quality "model" is the t6 broadcast linear
+  * score with all-POSITIVE weights so scores (and every division
+  * numerator) stay non-negative.
+  */
+object EvalQueries {
+
+  import QueryDef.t
+  import TextQueries.{duckToks, duckHits, duckLangCase, langs}
+
+  /** Positive-weight quality score (the AUC/calibration subject): all
+    * signals are non-negative counts, so the score is too — integer,
+    * map-only, engine-exact. Overflow headroom: score ≤ 2·n_tokens +
+    * punct + 50·stopword_hits ≲ 100·n_chars, far inside long for any
+    * real document.
+    */
+  private val qualityWeights =
+    Map("n_tokens" -> 2L, "punct_count" -> 1L, "stopword_hits" -> 50L)
+
+  private def score(c: Column): Column =
+    TextAnalysis.qualityModelScore(c, qualityWeights, bias = 0L)
+
+  /** DuckDB twin of [[score]] over the `tok` CTE's (text, toks). */
+  private val duckScore: String =
+    "CAST(2*len(toks) + (length(text) - length(regexp_replace(text, " +
+      s"'[[:punct:]]', '', 'g'))) + 50*(${duckHits("en")}) AS BIGINT)"
+
+  /** Shared (label, score) projection: positive class = lang 'en'. */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      score(col("text")).as("sc"))
+
+  private val duckScored =
+    s"""tok AS (SELECT lang, text, $duckToks AS toks FROM documents),
+       |b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |  $duckScore AS sc FROM tok)""".stripMargin.replace("\n", " ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Language-ID evaluation: confusion-matrix margins → per-true-class
+    // precision / recall / F1 in exact ×1e6 fixed point (tp·1e6 and
+    // 2·tp·1e6 fit BIGINT up to ~4.6e12 true positives — beyond any
+    // 100 TB corpus's document count; numerators non-negative so DIV
+    // and // agree). Plan: one map pass (the langId argmax is a
+    // codegen'd integer expression), ONE partial-agg shuffle to the
+    // (actual × predicted) cell table — O(|langs|²) rows, pinned once —
+    // then all three margins re-aggregate the tiny cell table, never
+    // the corpus. Precision is NULL for a class never predicted (0/0),
+    // mirrored CASE in the oracle.
+    QueryDef("ml1_langid_eval",
+      (s, dir) => {
+        val pred = t(s, dir, "documents").select(
+          col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        val cells = Materialize(
+          pred.groupBy("actual", "predicted").agg(count(lit(1)).as("o")))
+        val ac = cells.groupBy("actual").agg(sum("o").as("support"))
+        val pc = cells.groupBy("predicted").agg(sum("o").as("predicted_n"))
+        val tp = cells.filter(col("actual") === col("predicted"))
+          .select(col("actual"), col("o").as("tp"))
+        ac.join(pc, ac("actual") === pc("predicted"), "left")
+          .join(tp, Seq("actual"), "left")
+          .select(col("actual").as("lang"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            col("support").cast("long").as("support"),
+            coalesce(col("predicted_n"), lit(0L)).cast("long")
+              .as("predicted_n"))
+          .withColumn("precision_x1e6", expr(
+            "CASE WHEN predicted_n > 0 THEN CAST((tp * 1000000) DIV predicted_n AS BIGINT) END"))
+          .withColumn("recall_x1e6",
+            expr("CAST((tp * 1000000) DIV support AS BIGINT)"))
+          .withColumn("f1_x1e6", expr(
+            "CAST((2 * tp * 1000000) DIV (support + predicted_n) AS BIGINT)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH tok AS (SELECT lang AS actual, $duckToks AS toks FROM documents),
+              |h AS (SELECT actual, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok),
+              |p AS (SELECT actual, $duckLangCase AS predicted FROM h),
+              |cells AS (SELECT actual, predicted, count(*) AS o FROM p GROUP BY 1, 2),
+              |ac AS (SELECT actual, sum(o) AS support FROM cells GROUP BY 1),
+              |pc AS (SELECT predicted, sum(o) AS predicted_n FROM cells GROUP BY 1),
+              |tp AS (SELECT actual, o AS tp FROM cells WHERE actual = predicted)
+              |SELECT ac.actual AS lang, CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+              |CAST(ac.support AS BIGINT) AS support,
+              |CAST(coalesce(pc.predicted_n, 0) AS BIGINT) AS predicted_n,
+              |CASE WHEN coalesce(pc.predicted_n, 0) > 0
+              |  THEN CAST((coalesce(tp.tp, 0) * 1000000) // pc.predicted_n AS BIGINT) END AS precision_x1e6,
+              |CAST((coalesce(tp.tp, 0) * 1000000) // ac.support AS BIGINT) AS recall_x1e6,
+              |CAST((2 * coalesce(tp.tp, 0) * 1000000) // (ac.support + coalesce(pc.predicted_n, 0)) AS BIGINT) AS f1_x1e6
+              |FROM ac LEFT JOIN pc ON ac.actual = pc.predicted
+              |LEFT JOIN tp ON ac.actual = tp.actual
+              |ORDER BY lang""".stripMargin.replace("\n", " "))),
+
+    // AUC of the quality score against the en/non-en label, by the
+    // rank-sum identity AUC = U1/(n1·n0) with stat6's tie-aware DOUBLED
+    // average ranks: auc·2·n1·n0 = Σ_pos rv − n1(n1+1), all exact
+    // integers, emitted as ×1e9 fixed point via 128-bit floor division
+    // (numerator = 2·U1 ≥ 0 by the minimum-rank-sum bound, so the
+    // engines' division semantics agree). The rank map rides
+    // Rank.globalRunningSum over the DISTINCT-score table — never a
+    // single-reducer global window — and broadcasts back (scores are
+    // small ints, O(distinct) ≪ corpus). Headroom: Σrv ≤ 2n², ×1e9
+    // inside DECIMAL(38,0) up to n ≈ 5·10¹³ rows.
+    QueryDef("ml2_auc",
+      (s, dir) => {
+        val b = Materialize(scored(s, dir))
+        val cnt = b.groupBy("sc").agg(count(lit(1)).as("c"))
+        val rm = Rank.globalRunningSum(cnt, "sc", "c", outCol = "__run")
+          .select(col("sc"),
+            (lit(2) * (col("__run") - col("c")) + col("c") + lit(1)).as("rv"))
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        b.join(broadcast(rm), "sc")
+          .agg(sum(col("y")).as("n_pos"),
+            sum(lit(1L) - col("y")).as("n_neg"),
+            sum(when(col("y") === 1, d38(col("rv"))).otherwise(lit(0)))
+              .as("__r1x2"))
+          .select(col("n_pos").cast("long").as("n_pos"),
+            col("n_neg").cast("long").as("n_neg"),
+            expr("""CAST(((__r1x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                   | * 1000000000) DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+                   | AS BIGINT)""".stripMargin.replace("\n", " "))
+              .as("auc_x1e9"))
+      },
+      Some(s"""WITH $duckScored,
+              |rm AS (SELECT sc, 2 * (sum(c) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rv
+              |  FROM (SELECT sc, count(*) AS c FROM b GROUP BY sc)),
+              |a AS (SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg,
+              |  sum(CASE WHEN y = 1 THEN CAST(rv AS HUGEINT) ELSE 0 END) AS r1x2
+              |  FROM b JOIN rm USING (sc))
+              |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+              |CAST(((r1x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000000)
+              |  // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_x1e9
+              |FROM a""".stripMargin.replace("\n", " "))),
+
+    // Calibration / reliability bins for the quality score: 10
+    // equi-WIDTH bins over the observed [min, max] score range (the
+    // +1 denominator puts the max in bin 9 without a clamp), per-bin
+    // count, positive count, and exact ×1e6 positive rate. The range
+    // scalars ride the plan as a broadcast 1-row cross join — no
+    // collect — then ONE partial-agg shuffle of 10 groups. Bin ids,
+    // rates: all non-negative integer arithmetic, engine-exact.
+    QueryDef("ml3_calibration",
+      (s, dir) => {
+        val b = Materialize(scored(s, dir))
+        val ext = b.crossJoin(broadcast(
+          b.agg(min("sc").as("__smin"), max("sc").as("__smax"))))
+        ext
+          .withColumn("bin", expr(
+            """CAST(CASE WHEN __smax = __smin THEN 0
+              | ELSE ((sc - __smin) * 10) DIV (__smax - __smin + 1)
+              | END AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+            min("sc").as("min_score"), max("sc").as("max_score"))
+          .select(col("bin"), col("n"), col("n_pos").cast("long").as("n_pos"),
+            expr("CAST((n_pos * 1000000) DIV n AS BIGINT)")
+              .as("pos_rate_x1e6"),
+            col("min_score"), col("max_score"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $duckScored,
+              |r AS (SELECT min(sc) AS smin, max(sc) AS smax FROM b),
+              |binned AS (SELECT y, sc,
+              |  CASE WHEN r.smax = r.smin THEN 0
+              |    ELSE ((sc - r.smin) * 10) // (r.smax - r.smin + 1) END AS bin
+              |  FROM b CROSS JOIN r)
+              |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+              |CAST(sum(y) AS BIGINT) AS n_pos,
+              |CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_x1e6,
+              |min(sc) AS min_score, max(sc) AS max_score
+              |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin.replace("\n", " "))),
+
+    // Interval-union coverage: total micros of the timeline covered by
+    // ≥1 of the [ts, ts+10min) event intervals — the classic sweep-line
+    // (+1/−1 boundary deltas, running count, sum the gaps where the
+    // count is positive), with BOTH global passes distributed:
+    // Rank.globalRunningSum for the sweep count and Rank.globalLag for
+    // the previous-boundary time — no single-reducer window at any
+    // cardinality (the boundary table is O(2·distinct ts); a bare
+    // Window.orderBy would funnel it through one task). Exact long
+    // microseconds end to end; the run at the PREVIOUS boundary is
+    // recovered as run − delta (the running sum is inclusive), so no
+    // second lag is needed.
+    QueryDef("ivl2_interval_coverage",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(unix_micros(col("ts")).as("t0"))
+        val bounds = ev.select(col("t0").as("bt"), lit(1L).as("d"))
+          .unionByName(
+            ev.select((col("t0") + 600000000L).as("bt"), lit(-1L).as("d")))
+        val agg = bounds.groupBy("bt").agg(sum("d").as("delta"))
+        val run = Rank.globalRunningSum(agg, "bt", "delta", outCol = "run")
+        val lagd = Rank.globalLag(run, "bt", "bt", outCol = "prev_t")
+        lagd.agg(
+          sum(when(col("prev_t").isNotNull && (col("run") - col("delta")) > 0,
+            col("bt") - col("prev_t")).otherwise(0L)).as("covered_us"),
+          count(lit(1)).as("n_boundaries"))
+      },
+      Some("""WITH b AS (SELECT epoch_us(ts) AS bt, 1 AS d FROM events
+             |  UNION ALL SELECT epoch_us(ts) + 600000000, -1 FROM events),
+             |a AS (SELECT bt, sum(d) AS delta FROM b GROUP BY bt),
+             |w AS (SELECT bt, delta,
+             |  sum(delta) OVER (ORDER BY bt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+             |  lag(bt) OVER (ORDER BY bt) AS prev_t FROM a)
+             |SELECT CAST(sum(CASE WHEN prev_t IS NOT NULL AND run - delta > 0
+             |  THEN bt - prev_t ELSE 0 END) AS BIGINT) AS covered_us,
+             |count(*) AS n_boundaries FROM w""".stripMargin.replace("\n", " "))),
+
+    // Degree distribution of the supplier↔part bipartite graph (the
+    // edge set graph1–graph4 analyze): distinct observed pairs, degree
+    // = incident distinct edges per node, histogram over degrees. Three
+    // partial-agg shuffles, each smaller than the last — the profile
+    // you check BEFORE running pagerank/k-core to see whether the graph
+    // has the celebrity-core skew the iterative operators salt for.
+    QueryDef("graph5_degree_dist",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem")
+          .select((col("l_suppkey") + 1000000L).cast("long").as("a"),
+            col("l_partkey").cast("long").as("b"))
+          .distinct()
+        pairs.select(col("a").as("node"))
+          .unionByName(pairs.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS a,
+             |  CAST(l_partkey AS BIGINT) AS b FROM lineitem),
+             |nodes AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
+             |deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
+             |SELECT degree, count(*) AS n_nodes FROM deg
+             |GROUP BY 1 ORDER BY degree""".stripMargin.replace("\n", " "))))
+}

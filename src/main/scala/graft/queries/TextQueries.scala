@@ -13,14 +13,14 @@ object TextQueries {
   import QueryDef.t
 
   /** DuckDB tokenization identical to TextAnalysis.tokens. */
-  private val duckToks =
+  private[queries] val duckToks =
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
       "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
 
   private def duckList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+  private[queries] val langs = TextAnalysis.stopwords.keys.toSeq.sorted
 
   /** BM25 probe: one rare, discriminating term plus three common ones. */
   private val bm25Terms = Seq("dup", "spark", "window", "merge")
@@ -37,10 +37,10 @@ object TextQueries {
       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)""".stripMargin.replace("\n", " ")
 
   /** DuckDB stopword-hit count for one language. */
-  private def duckHits(lang: String): String =
+  private[queries] def duckHits(lang: String): String =
     s"len(list_filter(toks, t -> list_contains(${duckList(TextAnalysis.stopwords(lang))}, t)))"
 
-  private val duckLangCase: String = {
+  private[queries] val duckLangCase: String = {
     val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
     val arms = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
     s"CASE WHEN $best = 0 THEN 'und' $arms ELSE 'und' END"

@@ -94,4 +94,41 @@ class RankSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("null"))
   }
+
+  test("globalLag equals the single-sort lag reference, at any width") {
+    // distinct order values (the operator's contract); payload differs
+    // from the order column so the carry path moves real values
+    val df = spark.range(0, 4000).select(
+      col("id").cast("double").as("v"),
+      xxhash64(col("id")).as("p"))
+    val ref = df.select(col("v"),
+      lag(col("p"), 1).over(Window.orderBy("v")).as("prev"))
+    for (parts <- Seq(1, 2, 13)) {
+      val got = Rank.globalLag(df.repartition(5), "v", "p", "prev",
+          numPartitions = parts)
+        .select("v", "prev")
+      assert(got.exceptAll(ref).count() == 0L && ref.exceptAll(got).count() == 0L,
+        s"numPartitions=$parts diverged from the single-sort lag reference")
+    }
+    // exactly one row (the global first) has a null lag
+    val one = Rank.globalLag(df, "v", "p", "prev", numPartitions = 7)
+    assert(one.filter(col("prev").isNull).select("v").as[Double].collect()
+      .toSeq == Seq(0.0))
+  }
+
+  test("globalLag duplicate order values fail fast") {
+    val df = Seq((1.0, 10L), (2.0, 20L), (2.0, 30L)).toDF("v", "p")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalLag(df, "v", "p").count()
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("globalLag null order values fail fast") {
+    val df = Seq((Some(1.0), 10L), (None, 20L)).toDF("v", "p")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalLag(df, "v", "p").count()
+    }
+    assert(e.getMessage.contains("null"))
+  }
 }

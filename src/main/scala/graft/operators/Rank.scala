@@ -170,6 +170,73 @@ object Rank {
     * consecutive sweep boundaries), global gap detection, any
     * "difference from the previous row of the WHOLE relation" need.
     */
+  /** Fusion of [[globalRunningSum]] + [[globalLag]]-of-the-order-column
+    * for the sweep-line consumer: one bucketing, ONE stats collect
+    * (per-bucket sum, row/distinct counts, last order value), one
+    * windowed pass emitting BOTH the inclusive running sum of `sumCol`
+    * (`runOut`) and the previous order value (`lagOut`). Chaining the
+    * two standalone operators costs two materializations, two boundary
+    * samples, two stats shuffles and two window passes over the same
+    * table; a sweep needs both outputs on every row, so the fusion
+    * halves the passes with identical results. Same contract as
+    * [[globalLag]]: order values must be distinct and non-null (both
+    * fail fast, checked on the single stats pass).
+    *
+    * Consumers: ivl2 (interval-union coverage: `run − delta > 0` over
+    * the gap `order − prev`), global gap/idle-time detection, any
+    * sweep over +1/−1 boundary deltas.
+    */
+  def globalSweep(df: DataFrame, orderCol: String, sumCol: String,
+      runOut: String = "run_sum", lagOut: String = "prev_ord",
+      numPartitions: Int = 0): DataFrame = {
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    // Multi-pass over the input (boundary sample, fused stats collect,
+    // final windowed pass) — pin once, like the siblings.
+    val base = Materialize(df)
+    val grouped = base.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
+    val stats = grouped.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      count_distinct(col(orderCol)).as("nd"),
+      sum(col(sumCol).cast("long")).as("s"),
+      max(col(orderCol)).as("last_o")).collect()
+    require(stats.forall(!_.isNullAt(0)),
+      s"globalSweep: null values in order column '$orderCol' — filter them " +
+        "explicitly first; a null has no position in the global order")
+    require(stats.forall(r => r.getLong(1) == r.getLong(2)),
+      s"globalSweep: duplicate values in order column '$orderCol' — the " +
+        "previous row is ambiguous under ties; aggregate to distinct " +
+        "order values first")
+    val sums = stats.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val offsetExpr = Packing.bucketOffsetExpr(sums, col("__g"))
+    // carry[g] = last order value of the nearest bucket below g (every
+    // stats row is a non-empty bucket — groupBy emits observed keys only)
+    val sorted = stats.sortBy(_.getInt(0))
+    val carryRows = sorted.zipWithIndex.collect {
+      case (r, i) if i > 0 =>
+        org.apache.spark.sql.Row(r.getInt(0), sorted(i - 1).get(4))
+    }.toSeq
+    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__carry",
+        base.schema(orderCol).dataType)))
+    val carryDf = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(carryRows).asJava,
+      carrySchema)
+    val local = Window.partitionBy("__g").orderBy(orderCol)
+    val inBucket = sum(col(sumCol).cast("long"))
+      .over(local.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grouped.join(broadcast(carryDf), Seq("__g"), "left")
+      .withColumn(runOut, offsetExpr + inBucket)
+      .withColumn(lagOut,
+        when(row_number().over(local) === 1, col("__carry"))
+          .otherwise(lag(col(orderCol), 1).over(local)))
+      .drop("__g", "__carry")
+  }
+
   def globalLag(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "lag_val", numPartitions: Int = 0): DataFrame = {
     val parts = math.max(1,

@@ -189,24 +189,31 @@ object EvalQueries {
     // Interval-union coverage: total micros of the timeline covered by
     // ≥1 of the [ts, ts+10min) event intervals — the classic sweep-line
     // (+1/−1 boundary deltas, running count, sum the gaps where the
-    // count is positive), with BOTH global passes distributed:
-    // Rank.globalRunningSum for the sweep count and Rank.globalLag for
-    // the previous-boundary time — no single-reducer window at any
-    // cardinality (the boundary table is O(2·distinct ts); a bare
-    // Window.orderBy would funnel it through one task). Exact long
-    // microseconds end to end; the run at the PREVIOUS boundary is
-    // recovered as run − delta (the running sum is inclusive), so no
-    // second lag is needed.
+    // count is positive), with BOTH global passes fused into ONE
+    // distributed Rank.globalSweep (running count + previous-boundary
+    // time from a single bucketing/stats/window pass) — no
+    // single-reducer window at any cardinality (the boundary table is
+    // O(2·distinct ts); a bare Window.orderBy would funnel it through
+    // one task). Exact long microseconds end to end; the run at the
+    // PREVIOUS boundary is recovered as run − delta (the running sum is
+    // inclusive), so no second lag is needed.
     QueryDef("ivl2_interval_coverage",
       (s, dir) => {
+        // Boundary generation as a union of two single-column projections
+        // of the pruned scan (ts only, ~8 B/row each pass) feeding ONE
+        // map-side-combined shuffle on bt. Rejected alternatives, both
+        // benched no faster here: explode(array(struct,struct)) trades
+        // the second pruned-column pass for per-row Generate allocation;
+        // pre-aggregating on t0 first adds a same-size shuffle whenever
+        // timestamps are near-unique, as event-stream micros are.
         val ev = t(s, dir, "events").select(unix_micros(col("ts")).as("t0"))
         val bounds = ev.select(col("t0").as("bt"), lit(1L).as("d"))
           .unionByName(
             ev.select((col("t0") + 600000000L).as("bt"), lit(-1L).as("d")))
         val agg = bounds.groupBy("bt").agg(sum("d").as("delta"))
-        val run = Rank.globalRunningSum(agg, "bt", "delta", outCol = "run")
-        val lagd = Rank.globalLag(run, "bt", "bt", outCol = "prev_t")
-        lagd.agg(
+        val sw = Rank.globalSweep(agg, "bt", "delta",
+          runOut = "run", lagOut = "prev_t")
+        sw.agg(
           sum(when(col("prev_t").isNotNull && (col("run") - col("delta")) > 0,
             col("bt") - col("prev_t")).otherwise(0L)).as("covered_us"),
           count(lit(1)).as("n_boundaries"))

@@ -116,6 +116,38 @@ class RankSpec extends SparkSpec {
       .toSeq == Seq(0.0))
   }
 
+  test("globalSweep equals the chained runningSum+lag reference, at any width") {
+    // distinct order values; deltas mix signs like a real sweep's ±1
+    val df = spark.range(0, 4000).select(
+      col("id").cast("double").as("v"),
+      (when(col("id") % 3 === 0, -1L).otherwise(1L)).as("d"))
+    val w = Window.orderBy("v")
+    val ref = df.select(col("v"),
+      sum(col("d")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("run"),
+      lag(col("v"), 1).over(w).as("prev"))
+    for (parts <- Seq(1, 2, 13)) {
+      val got = Rank.globalSweep(df.repartition(5), "v", "d",
+          runOut = "run", lagOut = "prev", numPartitions = parts)
+        .select("v", "run", "prev")
+      assert(got.exceptAll(ref).count() == 0L && ref.exceptAll(got).count() == 0L,
+        s"numPartitions=$parts diverged from the single-sort reference")
+    }
+  }
+
+  test("globalSweep duplicate and null order values fail fast") {
+    val dup = Seq((1.0, 1L), (2.0, 1L), (2.0, -1L)).toDF("v", "d")
+    val e1 = intercept[IllegalArgumentException] {
+      Rank.globalSweep(dup, "v", "d").count()
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val nul = Seq((Some(1.0), 1L), (None, -1L)).toDF("v", "d")
+    val e2 = intercept[IllegalArgumentException] {
+      Rank.globalSweep(nul, "v", "d").count()
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
   test("globalLag duplicate order values fail fast") {
     val df = Seq((1.0, 10L), (2.0, 20L), (2.0, 30L)).toDF("v", "p")
     val e = intercept[IllegalArgumentException] {

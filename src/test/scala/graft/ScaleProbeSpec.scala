@@ -647,6 +647,41 @@ class ScaleProbeSpec extends SparkSpec {
       "running-sum assignment must be identical across bucket widths")
   }
 
+  test("sweep probe: 5M-row fused run+lag, telescoping identity across widths", Slow) {
+    // globalSweep (ivl2's engine) at 3 orders above its bench size: 5M
+    // distinct boundaries with mixed-sign deltas. Ground truths are
+    // analytic: the final running sum is the grand total, the lag column
+    // telescopes — Σ(v − prev) over non-null prevs = max(v) − min(v) —
+    // and exactly ONE row (the global first) has a null prev. All three
+    // must hold at any bucket width, and the (run, prev) assignment must
+    // be width-invariant.
+    val n = 5000000L
+    val df = spark.range(0, n).select(col("id").cast("double").as("v"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(200)) - 99).as("d"))
+    df.write.mode("overwrite").parquet("target/probe_spec_sweep")
+    val mat = spark.read.parquet("target/probe_spec_sweep")
+    val total = mat.agg(sum("d")).head().getLong(0)
+    val sums = Seq(5, 41).map { w =>
+      val out = graft.operators.Rank.globalSweep(
+        mat.repartition(13), "v", "d", "run", "prev", numPartitions = w)
+      val row = out.agg(
+        max_by(col("run"), col("v")),
+        sum(col("v") - col("prev")),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)),
+        sum(col("run"))).head()
+      assert(row.getLong(0) == total,
+        s"width=$w: final running sum ${row.getLong(0)} != grand total $total")
+      assert(row.getDouble(1) == (n - 1).toDouble,
+        s"width=$w: telescoped lag sum ${row.getDouble(1)} != max-min ${n - 1}")
+      assert(row.getLong(2) == 1L,
+        s"width=$w: expected exactly one null prev, got ${row.getLong(2)}")
+      row.getLong(3)
+    }
+    println(s"[probe-spec] sweep total=$total runsum-checksum=${sums.head}")
+    assert(sums.distinct.size == 1,
+      "sweep assignment must be identical across bucket widths")
+  }
+
   test("ppjoin probe: 1M docs, prefix-filter join is partition-invariant with no false positives", Slow) {
     // 1M short docs (20 tokens) with a planted 10% near-dup group rate;
     // the prefix-filter inverted index is the object under test — the

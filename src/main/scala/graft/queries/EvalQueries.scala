@@ -148,6 +148,51 @@ object EvalQueries {
               |  // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_x1e9
               |FROM a""".stripMargin.replace("\n", " "))),
 
+    // Precision/recall curve of the quality score: at every distinct
+    // score threshold t, precision and recall of "predict positive iff
+    // score ≥ t" — the threshold-sweep companion of ml2's single-number
+    // AUC. Both cumulative margins (rows ≥ t, positives ≥ t) ride ONE
+    // multi-series Rank.globalRunningSum call over the melted
+    // O(distinct-scores) count table (series = margin kind, order =
+    // negated score so the ascending prefix sum accumulates from the
+    // top) — never a single-reducer window, and the corpus is touched
+    // exactly once (the groupBy). All-integer ×1e6 fixed point,
+    // non-negative numerators, so DIV and // agree.
+    QueryDef("ml4_pr_curve",
+      (s, dir) => {
+        val b = scored(s, dir)
+        val cnt = b.groupBy("sc")
+          .agg(count(lit(1)).as("n"), sum("y").as("npos"))
+        val melted = cnt.select(col("sc"), (-col("sc")).as("__negsc"),
+          explode(map(lit("n"), col("n"), lit("p"), col("npos")))
+            .as(Seq("kind", "v")))
+        val run = Rank.globalRunningSum(melted, "__negsc", "v",
+          outCol = "cum", seriesCols = Seq("kind"))
+        val wide = run.groupBy("sc").agg(
+          max(when(col("kind") === "n", col("cum"))).as("cum_n"),
+          max(when(col("kind") === "p", col("cum"))).as("cum_pos"))
+        wide.crossJoin(broadcast(
+            cnt.agg(sum("npos").cast("long").as("__tot_pos"))))
+          .select(col("sc").as("score"), col("cum_n"), col("cum_pos"),
+            expr("CAST((cum_pos * 1000000) DIV cum_n AS BIGINT)")
+              .as("precision_x1e6"),
+            expr("CAST((cum_pos * 1000000) DIV __tot_pos AS BIGINT)")
+              .as("recall_x1e6"))
+          .orderBy("score")
+      },
+      Some(s"""WITH $duckScored,
+              |cnt AS (SELECT sc, count(*) AS n, sum(y) AS npos FROM b GROUP BY sc),
+              |r AS (SELECT sc,
+              |  sum(n) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+              |  sum(npos) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+              |  FROM cnt),
+              |tot AS (SELECT sum(npos) AS tp FROM cnt)
+              |SELECT sc AS score, CAST(cum_n AS BIGINT) AS cum_n,
+              |CAST(cum_pos AS BIGINT) AS cum_pos,
+              |CAST((cum_pos * 1000000) // cum_n AS BIGINT) AS precision_x1e6,
+              |CAST((cum_pos * 1000000) // tp AS BIGINT) AS recall_x1e6
+              |FROM r, tot ORDER BY score""".stripMargin.replace("\n", " "))),
+
     // Calibration / reliability bins for the quality score: 10
     // equi-WIDTH bins over the observed [min, max] score range (the
     // +1 denominator puts the max in bin 9 without a clamp), per-bin

@@ -74,6 +74,25 @@ class EvalQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("auc_x1e9") == expected)
   }
 
+  test("ml4_pr_curve: hand-computed precision/recall at every threshold") {
+    val dir = tmpDir()
+    def zz(k: Int) = Seq.fill(k)("zz").mkString(" ")
+    // same fixture as ml2: pos scores {6,4,4}, neg {4,2,2}
+    writeDocs(dir, Seq(
+      "en" -> zz(3), "en" -> zz(2), "en" -> zz(2),
+      "fr" -> zz(2), "de" -> zz(1), "es" -> zz(1)))
+    val got = SparkEntry.queries("ml4_pr_curve")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("score"), r.getAs[Long]("cum_n"),
+        r.getAs[Long]("cum_pos"), r.getAs[Long]("precision_x1e6"),
+        r.getAs[Long]("recall_x1e6")))
+    // t=6: 1 of 1 predicted is pos, recall 1/3; t=4: 3/4, recall 1;
+    // t=2: 3/6, recall 1
+    assert(got.toSeq == Seq(
+      (2L, 6L, 3L, 500000L, 1000000L),
+      (4L, 4L, 3L, 750000L, 1000000L),
+      (6L, 1L, 1L, 1000000L, 333333L)))
+  }
+
   test("ml3_calibration: bin ids, counts and rates from first principles") {
     val dir = tmpDir()
     def zz(k: Int) = Seq.fill(k)("zz").mkString(" ")

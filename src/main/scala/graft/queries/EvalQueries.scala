@@ -157,7 +157,9 @@ object EvalQueries {
     // negated score so the ascending prefix sum accumulates from the
     // top) — never a single-reducer window, and the corpus is touched
     // exactly once (the groupBy). All-integer ×1e6 fixed point,
-    // non-negative numerators, so DIV and // agree.
+    // non-negative numerators, so DIV and // agree. Headroom:
+    // cum_pos·1e6 ≤ n·1e6 fits BIGINT to n ≈ 9·10¹² documents — an
+    // order beyond any 100 TB corpus's document count.
     QueryDef("ml4_pr_curve",
       (s, dir) => {
         val b = scored(s, dir)

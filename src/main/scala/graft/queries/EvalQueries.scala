@@ -107,6 +107,58 @@ object EvalQueries {
               |LEFT JOIN tp ON ac.actual = tp.actual
               |ORDER BY lang""".stripMargin.replace("\n", " "))),
 
+    // Cohen's kappa of the langid heuristic against the labeled lang —
+    // chance-corrected agreement from the same O(|langs|²) cell table
+    // as ml1: κ = (N·Σtp − Σ r_k·c_k) / (N² − Σ r_k·c_k) over the
+    // marginal products of classes observed on BOTH sides. One corpus
+    // pass; every re-aggregation runs over the pinned cells. The
+    // marginal-product sum stays EXACT in DECIMAL(38,0) (Σ r·c ≤ N²
+    // — inside 38 digits to N = 10¹⁹ rows; each product is cast
+    // before multiplying so no intermediate exceeds it either); only
+    // the final κ leaves integers, as SCALAR double ops in an
+    // identical operation order on both engines (a float SUM would be
+    // partial-agg-order-dependent — the sums here are all integer).
+    QueryDef("ml5_cohens_kappa",
+      (s, dir) => {
+        val pred = t(s, dir, "documents").select(
+          col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        val cells = Materialize(
+          pred.groupBy("actual", "predicted").agg(count(lit(1)).as("o")))
+        val rm = cells.groupBy("actual").agg(sum("o").as("r"))
+        val cm = cells.groupBy("predicted").agg(sum("o").as("c"))
+        val rc = rm.join(cm, rm("actual") === cm("predicted"))
+          .agg(sum(col("r").cast("decimal(19,0)") * col("c")).as("__rc"))
+        val tot = cells.agg(sum("o").as("__n"),
+          sum(when(col("actual") === col("predicted"), col("o"))
+            .otherwise(lit(0L))).as("__agree"))
+        tot.crossJoin(rc).select(
+          col("__n").cast("long").as("n"),
+          col("__agree").cast("long").as("agree"),
+          col("__rc").cast("double").as("chance_pairs"),
+          expr("""(CAST(__n AS DOUBLE) * CAST(__agree AS DOUBLE)
+                 |  - CAST(__rc AS DOUBLE))
+                 | / (CAST(__n AS DOUBLE) * CAST(__n AS DOUBLE)
+                 |  - CAST(__rc AS DOUBLE))""".stripMargin.replace("\n", " "))
+            .as("kappa"))
+      },
+      Some(s"""WITH tok AS (SELECT lang AS actual, $duckToks AS toks FROM documents),
+              |h AS (SELECT actual, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok),
+              |p AS (SELECT actual, $duckLangCase AS predicted FROM h),
+              |cells AS (SELECT actual, predicted, count(*) AS o FROM p GROUP BY 1, 2),
+              |rm AS (SELECT actual, sum(o) AS r FROM cells GROUP BY 1),
+              |cm AS (SELECT predicted, sum(o) AS c FROM cells GROUP BY 1),
+              |rc AS (SELECT sum(CAST(r AS HUGEINT) * c) AS rc
+              |  FROM rm JOIN cm ON rm.actual = cm.predicted),
+              |tot AS (SELECT sum(o) AS n,
+              |  sum(CASE WHEN actual = predicted THEN o ELSE 0 END) AS agree
+              |  FROM cells)
+              |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+              |CAST(rc AS DOUBLE) AS chance_pairs,
+              |(CAST(n AS DOUBLE) * CAST(agree AS DOUBLE) - CAST(rc AS DOUBLE))
+              | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rc AS DOUBLE)) AS kappa
+              |FROM tot, rc""".stripMargin.replace("\n", " "))),
+
     // AUC of the quality score against the en/non-en label, by the
     // rank-sum identity AUC = U1/(n1·n0) with stat6's tie-aware DOUBLED
     // average ranks: auc·2·n1·n0 = Σ_pos rv − n1(n1+1), all exact

@@ -55,6 +55,20 @@ class EvalQueriesSpec extends SparkSpec {
     assert(zh.getAs[Long]("recall_x1e6") == 0L && zh.getAs[Long]("f1_x1e6") == 0L)
   }
 
+  test("ml5_cohens_kappa: hand-computed kappa on the ml1 fixture") {
+    val dir = tmpDir()
+    writeDocs(dir, Seq(
+      "en" -> "the the the", "en" -> "el la los",
+      "es" -> "el la los", "zh" -> "the the the"))
+    // cells: en/en 1, en/es 1, es/es 1, zh/en 1 -> N=4, agree=2
+    // marginal products over classes on BOTH sides: en 2*2 + es 1*2 = 6
+    // (zh never predicted -> excluded); kappa = (4*2-6)/(16-6) = 0.2
+    val r = SparkEntry.queries("ml5_cohens_kappa")(spark, dir).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("agree") == 2L)
+    assert(r.getAs[Double]("chance_pairs") == 6.0)
+    assert(r.getAs[Double]("kappa") == 0.2)
+  }
+
   test("ml2_auc matches the O(n^2) pairwise definition with ties") {
     val dir = tmpDir()
     // score = 2*n_tokens for stopword-free unpunctuated text: "zz"*k -> 2k.

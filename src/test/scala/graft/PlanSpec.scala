@@ -47,8 +47,11 @@ class PlanSpec extends SparkSpec {
     // one; an unpartitioned WindowExec (empty partition spec = every
     // row through ONE task) anywhere in their plans means the claim
     // silently regressed
+    // ml2/ml4 ride globalRunningSum for their rank/threshold margins,
+    // ivl2 the fused globalSweep — same claim, same pin
     for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue",
-        "stat10_gini", "w16_lorenz_deciles")) {
+        "stat10_gini", "w16_lorenz_deciles", "ml2_auc", "ml4_pr_curve",
+        "ivl2_interval_coverage")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p

@@ -46,6 +46,26 @@ object EvalQueries {
       when(col("lang") === "en", 1L).otherwise(0L).as("y"),
       score(col("text")).as("sc"))
 
+  /** Shared confusion-cell table for the langid evaluations (ml1, ml5):
+    * one corpus pass (langId is a codegen'd integer argmax), ONE
+    * partial-agg shuffle to the O(|langs|²) (actual, predicted, o)
+    * table, pinned — every margin both consumers need re-aggregates
+    * the tiny cell table, never the corpus.
+    */
+  private def langCells(s: SparkSession, dir: String): DataFrame =
+    Materialize(t(s, dir, "documents")
+      .select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("o")))
+
+  /** DuckDB twin of [[langCells]] (the `cells` CTE and its inputs). */
+  private val duckCells: String =
+    s"""tok AS (SELECT lang AS actual, $duckToks AS toks FROM documents),
+       |h AS (SELECT actual, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok),
+       |p AS (SELECT actual, $duckLangCase AS predicted FROM h),
+       |cells AS (SELECT actual, predicted, count(*) AS o FROM p GROUP BY 1, 2)"""
+      .stripMargin.replace("\n", " ")
+
   private val duckScored =
     s"""tok AS (SELECT lang, text, $duckToks AS toks FROM documents),
        |b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
@@ -65,11 +85,7 @@ object EvalQueries {
     // mirrored CASE in the oracle.
     QueryDef("ml1_langid_eval",
       (s, dir) => {
-        val pred = t(s, dir, "documents").select(
-          col("lang").as("actual"),
-          TextAnalysis.langId(col("text")).as("predicted"))
-        val cells = Materialize(
-          pred.groupBy("actual", "predicted").agg(count(lit(1)).as("o")))
+        val cells = langCells(s, dir)
         val ac = cells.groupBy("actual").agg(sum("o").as("support"))
         val pc = cells.groupBy("predicted").agg(sum("o").as("predicted_n"))
         val tp = cells.filter(col("actual") === col("predicted"))
@@ -89,10 +105,7 @@ object EvalQueries {
             "CAST((2 * tp * 1000000) DIV (support + predicted_n) AS BIGINT)"))
           .orderBy("lang")
       },
-      Some(s"""WITH tok AS (SELECT lang AS actual, $duckToks AS toks FROM documents),
-              |h AS (SELECT actual, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok),
-              |p AS (SELECT actual, $duckLangCase AS predicted FROM h),
-              |cells AS (SELECT actual, predicted, count(*) AS o FROM p GROUP BY 1, 2),
+      Some(s"""WITH $duckCells,
               |ac AS (SELECT actual, sum(o) AS support FROM cells GROUP BY 1),
               |pc AS (SELECT predicted, sum(o) AS predicted_n FROM cells GROUP BY 1),
               |tp AS (SELECT actual, o AS tp FROM cells WHERE actual = predicted)
@@ -120,11 +133,7 @@ object EvalQueries {
     // partial-agg-order-dependent — the sums here are all integer).
     QueryDef("ml5_cohens_kappa",
       (s, dir) => {
-        val pred = t(s, dir, "documents").select(
-          col("lang").as("actual"),
-          TextAnalysis.langId(col("text")).as("predicted"))
-        val cells = Materialize(
-          pred.groupBy("actual", "predicted").agg(count(lit(1)).as("o")))
+        val cells = langCells(s, dir)
         val rm = cells.groupBy("actual").agg(sum("o").as("r"))
         val cm = cells.groupBy("predicted").agg(sum("o").as("c"))
         val rc = rm.join(cm, rm("actual") === cm("predicted"))
@@ -142,10 +151,7 @@ object EvalQueries {
                  |  - CAST(__rc AS DOUBLE))""".stripMargin.replace("\n", " "))
             .as("kappa"))
       },
-      Some(s"""WITH tok AS (SELECT lang AS actual, $duckToks AS toks FROM documents),
-              |h AS (SELECT actual, ${langs.map(l => s"${duckHits(l)} AS h_$l").mkString(", ")} FROM tok),
-              |p AS (SELECT actual, $duckLangCase AS predicted FROM h),
-              |cells AS (SELECT actual, predicted, count(*) AS o FROM p GROUP BY 1, 2),
+      Some(s"""WITH $duckCells,
               |rm AS (SELECT actual, sum(o) AS r FROM cells GROUP BY 1),
               |cm AS (SELECT predicted, sum(o) AS c FROM cells GROUP BY 1),
               |rc AS (SELECT sum(CAST(r AS HUGEINT) * c) AS rc
@@ -225,8 +231,12 @@ object EvalQueries {
         val wide = run.groupBy("sc").agg(
           max(when(col("kind") === "n", col("cum"))).as("cum_n"),
           max(when(col("kind") === "p", col("cum"))).as("cum_pos"))
+        // total positives = the positives margin at the lowest threshold
+        // — read it off the run table (whose input globalRunningSum
+        // pinned) instead of re-aggregating cnt, which would replay the
+        // corpus scan+score+groupBy a second time
         wide.crossJoin(broadcast(
-            cnt.agg(sum("npos").cast("long").as("__tot_pos"))))
+            wide.agg(max("cum_pos").as("__tot_pos"))))
           .select(col("sc").as("score"), col("cum_n"), col("cum_pos"),
             expr("CAST((cum_pos * 1000000) DIV cum_n AS BIGINT)")
               .as("precision_x1e6"),

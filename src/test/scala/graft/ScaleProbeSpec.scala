@@ -661,6 +661,12 @@ class ScaleProbeSpec extends SparkSpec {
     df.write.mode("overwrite").parquet("target/probe_spec_sweep")
     val mat = spark.read.parquet("target/probe_spec_sweep")
     val total = mat.agg(sum("d")).head().getLong(0)
+    // checksums must be ASSIGNMENT-sensitive, not just multiset-level:
+    // Σ run·v (exact decimal — the long sum would overflow at ~6e19)
+    // moves if any run value lands on the wrong row, and Σ (v−prev)²
+    // (dense v ⇒ every correct gap is exactly 1, so the sum is n−1)
+    // moves if a carry or in-bucket lag is mis-wired even when the
+    // prev MULTISET — and hence the telescoped Σ(v−prev) — survives
     val sums = Seq(5, 41).map { w =>
       val out = graft.operators.Rank.globalSweep(
         mat.repartition(13), "v", "d", "run", "prev", numPartitions = w)
@@ -668,18 +674,22 @@ class ScaleProbeSpec extends SparkSpec {
         max_by(col("run"), col("v")),
         sum(col("v") - col("prev")),
         sum(when(col("prev").isNull, 1L).otherwise(0L)),
-        sum(col("run"))).head()
+        sum((col("run") * col("v").cast("long")).cast("decimal(38,0)")),
+        sum((col("v") - col("prev")) * (col("v") - col("prev")))).head()
       assert(row.getLong(0) == total,
         s"width=$w: final running sum ${row.getLong(0)} != grand total $total")
       assert(row.getDouble(1) == (n - 1).toDouble,
         s"width=$w: telescoped lag sum ${row.getDouble(1)} != max-min ${n - 1}")
       assert(row.getLong(2) == 1L,
         s"width=$w: expected exactly one null prev, got ${row.getLong(2)}")
-      row.getLong(3)
+      assert(row.getDouble(4) == (n - 1).toDouble,
+        s"width=$w: squared-gap sum ${row.getDouble(4)} != ${n - 1} — a " +
+          "lag landed on the wrong row")
+      row.getDecimal(3)
     }
-    println(s"[probe-spec] sweep total=$total runsum-checksum=${sums.head}")
+    println(s"[probe-spec] sweep total=$total runxv-checksum=${sums.head}")
     assert(sums.distinct.size == 1,
-      "sweep assignment must be identical across bucket widths")
+      "sweep (run, prev) assignment must be identical across bucket widths")
   }
 
   test("ppjoin probe: 1M docs, prefix-filter join is partition-invariant with no false positives", Slow) {

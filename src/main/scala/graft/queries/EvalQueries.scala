@@ -337,6 +337,35 @@ object EvalQueries {
              |  THEN bt - prev_t ELSE 0 END) AS BIGINT) AS covered_us,
              |count(*) AS n_boundaries FROM w""".stripMargin.replace("\n", " "))),
 
+    // Largest idle gaps in the event stream: the k longest stretches
+    // between consecutive DISTINCT event timestamps — Rank.globalLag's
+    // standalone oracle consumer (global gap detection; ivl2 rides the
+    // fused sweep instead). Distinct-ts aggregation first (globalLag's
+    // contract AND one map-side-combined shuffle over the fact table),
+    // the lag itself never single-reducer, then a native
+    // TakeOrderedAndProject top-k — total order by (gap DESC, start
+    // ASC). Exact long microseconds.
+    QueryDef("ivl3_largest_gaps",
+      (s, dir) => {
+        val ts = t(s, dir, "events")
+          .select(unix_micros(col("ts")).as("t0")).distinct()
+        Rank.globalLag(ts, "t0", "t0", outCol = "prev_t")
+          .filter(col("prev_t").isNotNull)
+          .select(col("prev_t").as("gap_start_us"),
+            col("t0").as("gap_end_us"),
+            (col("t0") - col("prev_t")).as("gap_us"))
+          .orderBy(col("gap_us").desc, col("gap_start_us"))
+          .limit(5)
+      },
+      Some("""WITH d AS (SELECT DISTINCT epoch_us(ts) AS t0 FROM events),
+             |w AS (SELECT lag(t0) OVER (ORDER BY t0) AS gap_start_us,
+             |  t0 AS gap_end_us FROM d)
+             |SELECT gap_start_us, gap_end_us,
+             |gap_end_us - gap_start_us AS gap_us FROM w
+             |WHERE gap_start_us IS NOT NULL
+             |ORDER BY gap_us DESC, gap_start_us LIMIT 5"""
+        .stripMargin.replace("\n", " "))),
+
     // Degree distribution of the supplier↔part bipartite graph (the
     // edge set graph1–graph4 analyze): distinct observed pairs, degree
     // = incident distinct edges per node, histogram over degrees. Three

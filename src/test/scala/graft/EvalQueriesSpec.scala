@@ -146,6 +146,23 @@ class EvalQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_boundaries") == 7L)
   }
 
+  test("ivl3_largest_gaps: hand-built gap structure, duplicate ts collapse") {
+    val dir = tmpDir()
+    // seconds 0, 10, 10 (dup), 40, 100, 101 -> gaps 10, 30, 60, 1
+    val secs = Seq(0L, 10L, 10L, 40L, 100L, 101L)
+    secs.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, new java.sql.Timestamp(sec * 1000L), 1L, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ivl3_largest_gaps")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("gap_start_us") / 1000000L,
+        r.getAs[Long]("gap_end_us") / 1000000L,
+        r.getAs[Long]("gap_us") / 1000000L))
+    assert(got.toSeq == Seq((40L, 100L, 60L), (10L, 40L, 30L),
+      (0L, 10L, 10L), (100L, 101L, 1L)))
+  }
+
   test("graph5_degree_dist: hand-computed histogram") {
     val dir = tmpDir()
     // edges: s1-{p1,p2,p3}, s2-{p1} (duplicate observation collapses)

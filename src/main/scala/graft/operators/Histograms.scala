@@ -138,19 +138,21 @@ object Histograms {
       exact: Boolean = false): DataFrame = {
     require(buckets >= 2, s"equiDepth needs >= 2 buckets, got $buckets")
     val ps = (1 until buckets).map(_.toDouble / buckets)
-    val data = df.select(value.as("__ed_v")).filter(col("__ed_v").isNotNull)
+    // nulls AND NaNs are excluded for BOTH modes: a NaN has no rank
+    // (exactQuantiles skips it, the t-digest would absorb it), and
+    // Spark orders NaN above every double, so unfiltered NaNs would
+    // silently pile into the TOP bucket while the totals disagreed
+    // between modes — shares would stop summing to 1
+    val data = df.select(value.as("__ed_v"))
+      .filter(col("__ed_v").isNotNull &&
+        !isnan(col("__ed_v").cast("double")))
     if (exact) {
       // boundaries land driver-side as literals: bucket assignment is a
-      // pure codegen'd projection, no broadcast join node at all.
-      // NaNs are excluded here too (NaN > q is false for every boundary,
-      // so they'd otherwise silently pile into bucket 1 while
-      // exactQuantiles' total ignores them — shares would stop summing
-      // to 1).
+      // pure codegen'd projection, no broadcast join node at all
       val (bs, total) = exactQuantiles(df, value, ps)
       val bucket = bs.map(q => (col("__ed_v") > lit(q)).cast("long"))
         .reduce(_ + _) + lit(1L)
-      data.filter(!isnan(col("__ed_v").cast("double")))
-        .groupBy(bucket.as("bucket"))
+      data.groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"), min(col("__ed_v")).as("lo"),
           max(col("__ed_v")).as("hi"))
         .select(col("bucket"), col("n"), col("lo"), col("hi"),

@@ -49,7 +49,14 @@ object Materialize {
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
       case "localCheckpoint" =>
         val out = df.localCheckpoint()
-        org.apache.spark.sql.GraftSqlBridge.scanRddOf(out).foreach(registerPinned)
+        // record the checkpoint RDD for release() too — df.unpersist on
+        // the returned frame cannot reach RDD-level blocks, so without
+        // this entry per-round release would free nothing under the
+        // DEFAULT mode and an iterative loop's storage would grow
+        // linearly with rounds until the batch-boundary sweep
+        org.apache.spark.sql.GraftSqlBridge.scanRddOf(out).foreach { r =>
+          pinned.put(out, r); registerPinned(r)
+        }
         out
       case "persist" =>
         // Eager RDD-level pin with lineage kept + a FLAT LogicalRDD plan
@@ -81,11 +88,15 @@ object Materialize {
   /** Release a materialization this loop iteration has superseded:
     * iterative operators (kCore's pruned edge set, pageRank's ranks)
     * materialize once per round, and WITHOUT releasing the previous
-    * round the persist-mode storage bill grows linearly with rounds.
-    * Safe under every mode: a localCheckpoint/off DataFrame has no pin
-    * entry and unpersist on it is a no-op. Correctness is untouched —
-    * the pinned RDD keeps its lineage, so a consumer that somehow
-    * re-evaluates the released round recomputes it from source.
+    * round the storage bill grows linearly with rounds under BOTH
+    * pinning modes. Call it only once the successor round is pinned
+    * (Materialize is eager, so by the time apply returns, the new
+    * checkpoint has already consumed the old one's blocks): under
+    * `persist` the released RDD keeps its lineage and a late consumer
+    * recomputes from source, but under `localCheckpoint` the freed
+    * blocks were the ONLY copy — re-evaluating a released round fails,
+    * exactly like re-reading after a mid-query [[sweep]] would. Under
+    * `off` there is no pin entry and the call is a no-op.
     */
   def release(df: DataFrame): Unit = {
     val rdd = pinned.remove(df)

@@ -91,7 +91,9 @@ object Rank {
     * so their relative accumulation order within the tie is unspecified
     * — callers needing tie determinism aggregate to distinct order
     * values first (stat6 does). Null order values fail fast, as in
-    * [[globalRank]].
+    * [[globalRank]]; so do null SERIES values — the per-series offset
+    * equi-join could not match them (null ≠ null) and the rows would
+    * otherwise vanish silently.
     */
   def globalRunningSum(df: DataFrame, orderCol: String, sumCol: String,
       outCol: String = "run_sum", numPartitions: Int = 0,
@@ -110,6 +112,13 @@ object Rank {
     require(sumRows.forall(!_.isNullAt(gIdx)),
       s"globalRunningSum: null values in order column '$orderCol' — filter " +
         "them explicitly first; a null has no position in the global order")
+    // a null series key would silently VANISH at the offset equi-join
+    // below (null never equals null) — fail fast like the null-order
+    // case instead of returning a smaller relation
+    require(sumRows.forall(r => (0 until gIdx).forall(i => !r.isNullAt(i))),
+      s"globalRunningSum: null values in series column(s) " +
+        s"${seriesCols.mkString(", ")} — filter or coalesce them first; " +
+        "the offset join would silently drop those rows")
     val local = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = sum(col(sumCol).cast("long")).over(local)
@@ -211,21 +220,8 @@ object Rank {
         "order values first")
     val sums = stats.map(r => r.getInt(0) -> r.getLong(3)).toMap
     val offsetExpr = Packing.bucketOffsetExpr(sums, col("__g"))
-    // carry[g] = last order value of the nearest bucket below g (every
-    // stats row is a non-empty bucket — groupBy emits observed keys only)
-    val sorted = stats.sortBy(_.getInt(0))
-    val carryRows = sorted.zipWithIndex.collect {
-      case (r, i) if i > 0 =>
-        org.apache.spark.sql.Row(r.getInt(0), sorted(i - 1).get(4))
-    }.toSeq
-    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__g",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__carry",
-        base.schema(orderCol).dataType)))
-    val carryDf = df.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(carryRows).asJava,
-      carrySchema)
+    val carryDf = carryTable(df, stats, valueIdx = 4,
+      base.schema(orderCol).dataType)
     val local = Window.partitionBy("__g").orderBy(orderCol)
     val inBucket = sum(col(sumCol).cast("long"))
       .over(local.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -235,6 +231,30 @@ object Rank {
         when(row_number().over(local) === 1, col("__carry"))
           .otherwise(lag(col(orderCol), 1).over(local)))
       .drop("__g", "__carry")
+  }
+
+  /** The (bucket → previous non-empty bucket's value) broadcast table
+    * shared by [[globalLag]] and [[globalSweep]]: given the collected
+    * per-bucket stats rows (bucket id at index 0, the carried value at
+    * `valueIdx`), one Row per bucket AFTER the first, holding the
+    * nearest lower bucket's value (every stats row is a non-empty
+    * bucket — groupBy emits observed keys only). One definition so the
+    * off-by-one surface (the sorted(i−1) lookup, the i > 0 guard that
+    * leaves the FIRST bucket joining to null) is decided once.
+    */
+  private def carryTable(df: DataFrame, stats: Array[org.apache.spark.sql.Row],
+      valueIdx: Int, vType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val sorted = stats.sortBy(_.getInt(0))
+    val rows = sorted.zipWithIndex.collect {
+      case (r, i) if i > 0 =>
+        org.apache.spark.sql.Row(r.getInt(0), sorted(i - 1).get(valueIdx))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__carry", vType)))
+    df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   def globalLag(df: DataFrame, orderCol: String, valueCol: String,
@@ -258,20 +278,8 @@ object Rank {
       s"globalLag: duplicate values in order column '$orderCol' — the " +
         "previous row is ambiguous under ties; aggregate to distinct " +
         "order values first")
-    // carry[g] = last value of the nearest NON-EMPTY bucket below g
-    val sorted = stats.sortBy(_.getInt(0))
-    val carryRows = sorted.zipWithIndex.collect {
-      case (r, i) if i > 0 =>
-        org.apache.spark.sql.Row(r.getInt(0), sorted(i - 1).get(3))
-    }.toSeq
-    val vType = base.schema(valueCol).dataType
-    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__g",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__carry", vType)))
-    val carryDf = df.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(carryRows).asJava,
-      carrySchema)
+    val carryDf = carryTable(df, stats, valueIdx = 3,
+      base.schema(valueCol).dataType)
     val local = Window.partitionBy("__g").orderBy(orderCol)
     grouped.join(broadcast(carryDf), Seq("__g"), "left")
       .withColumn(outCol,

@@ -141,14 +141,19 @@ object EvalQueries {
         val tot = cells.agg(sum("o").as("__n"),
           sum(when(col("actual") === col("predicted"), col("o"))
             .otherwise(lit(0L))).as("__agree"))
+        // κ is undefined when chance agreement is total (Σr·c = N² —
+        // a single-class corpus): emit NULL on BOTH engines via an
+        // EXACT integer guard — left to the double division, Spark
+        // would produce Infinity/NaN where DuckDB nulls out
         tot.crossJoin(rc).select(
           col("__n").cast("long").as("n"),
           col("__agree").cast("long").as("agree"),
           col("__rc").cast("double").as("chance_pairs"),
-          expr("""(CAST(__n AS DOUBLE) * CAST(__agree AS DOUBLE)
+          expr("""CASE WHEN CAST(__n AS DECIMAL(38,0)) * __n = __rc THEN NULL
+                 | ELSE (CAST(__n AS DOUBLE) * CAST(__agree AS DOUBLE)
                  |  - CAST(__rc AS DOUBLE))
                  | / (CAST(__n AS DOUBLE) * CAST(__n AS DOUBLE)
-                 |  - CAST(__rc AS DOUBLE))""".stripMargin.replace("\n", " "))
+                 |  - CAST(__rc AS DOUBLE)) END""".stripMargin.replace("\n", " "))
             .as("kappa"))
       },
       Some(s"""WITH $duckCells,
@@ -161,8 +166,9 @@ object EvalQueries {
               |  FROM cells)
               |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
               |CAST(rc AS DOUBLE) AS chance_pairs,
-              |(CAST(n AS DOUBLE) * CAST(agree AS DOUBLE) - CAST(rc AS DOUBLE))
-              | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rc AS DOUBLE)) AS kappa
+              |CASE WHEN CAST(n AS HUGEINT) * n = rc THEN NULL
+              | ELSE (CAST(n AS DOUBLE) * CAST(agree AS DOUBLE) - CAST(rc AS DOUBLE))
+              | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rc AS DOUBLE)) END AS kappa
               |FROM tot, rc""".stripMargin.replace("\n", " "))),
 
     // AUC of the quality score against the en/non-en label, by the
@@ -174,7 +180,10 @@ object EvalQueries {
     // Rank.globalRunningSum over the DISTINCT-score table — never a
     // single-reducer global window — and broadcasts back (scores are
     // small ints, O(distinct) ≪ corpus). Headroom: Σrv ≤ 2n², ×1e9
-    // inside DECIMAL(38,0) up to n ≈ 5·10¹³ rows.
+    // inside DECIMAL(38,0) up to n ≈ 5·10¹³ rows. Degenerate corpus
+    // (single-class → n_pos·n_neg = 0): NULL on BOTH engines — Spark's
+    // ANSI-off DIV and this DuckDB's integer // both null out a zero
+    // divisor (probed), so parity holds where AUC is undefined.
     QueryDef("ml2_auc",
       (s, dir) => {
         val b = Materialize(scored(s, dir))
@@ -374,9 +383,12 @@ object EvalQueries {
     // has the celebrity-core skew the iterative operators salt for.
     QueryDef("graph5_degree_dist",
       (s, dir) => {
+        // parity-encode the two node sets (2k parts, 2k+1 suppliers) —
+        // collision-free at ANY scale factor, unlike a fixed offset,
+        // which l_partkey outgrows at SF ≥ 5 (200k parts per SF)
         val pairs = t(s, dir, "lineitem")
-          .select((col("l_suppkey") + 1000000L).cast("long").as("a"),
-            col("l_partkey").cast("long").as("b"))
+          .select((col("l_suppkey") * 2L + 1L).cast("long").as("a"),
+            (col("l_partkey") * 2L).cast("long").as("b"))
           .distinct()
         pairs.select(col("a").as("node"))
           .unionByName(pairs.select(col("b").as("node")))
@@ -384,8 +396,8 @@ object EvalQueries {
           .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
           .orderBy("degree")
       },
-      Some("""WITH pairs AS (SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS a,
-             |  CAST(l_partkey AS BIGINT) AS b FROM lineitem),
+      Some("""WITH pairs AS (SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS a,
+             |  CAST(l_partkey * 2 AS BIGINT) AS b FROM lineitem),
              |nodes AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
              |deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
              |SELECT degree, count(*) AS n_nodes FROM deg

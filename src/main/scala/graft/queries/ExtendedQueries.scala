@@ -709,10 +709,12 @@ object ExtendedQueries {
           .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
         val ranked = graft.operators.Rank.globalRank(rev, "cents",
           Seq("custkey"), outCol = "r")
-        // Totals from the pre-rank aggregate: ranks don't change n or
-        // Σcents, and hanging this branch off `rev` keeps globalRank's
-        // bucket/window pipeline out of the (re-evaluated) totals side.
-        val tot = rev.agg(count(lit(1)).as("__n"), sum(d38(col("cents"))).as("__t"))
+        // Totals from `ranked`, like stat10: globalRank pinned its
+        // input, so this branch re-reads the pin plus the cheap
+        // O(customers) window — hanging it off `rev` instead would
+        // replay the orders scan + per-customer aggregation from source
+        val tot = ranked.agg(count(lit(1)).as("__n"),
+          sum(d38(col("cents"))).as("__t"))
         ranked.crossJoin(broadcast(tot))
           .groupBy(expr("CAST(((r - 1) * 10) div __n AS BIGINT)").as("decile"))
           .agg(count(lit(1)).as("n_customers"),

@@ -69,6 +69,15 @@ class EvalQueriesSpec extends SparkSpec {
     assert(r.getAs[Double]("kappa") == 0.2)
   }
 
+  test("ml5_cohens_kappa: single-class corpus yields NULL kappa (not Inf/NaN)") {
+    val dir = tmpDir()
+    writeDocs(dir, Seq("en" -> "the the the", "en" -> "the a of"))
+    val r = SparkEntry.queries("ml5_cohens_kappa")(spark, dir).head()
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("agree") == 2L)
+    assert(r.isNullAt(r.fieldIndex("kappa")),
+      "kappa must be NULL when chance agreement is total")
+  }
+
   test("ml2_auc matches the O(n^2) pairwise definition with ties") {
     val dir = tmpDir()
     // score = 2*n_tokens for stopword-free unpunctuated text: "zz"*k -> 2k.

@@ -117,10 +117,19 @@ class HistogramsSpec extends AnyFunSuite with SparkSpec {
     assert(nd == 99L && nd == nc)
     assert(bd.map(java.lang.Double.doubleToLongBits)
       == bc.map(java.lang.Double.doubleToLongBits))
-    // and the histogram entry point inherits the exclusion
-    val h = Histograms.equiDepth(dirty, col("v"), buckets = 4, exact = true).collect()
-    assert(h.map(_.getAs[Long]("n")).sum == 99L)
-    assert(math.abs(h.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    // and the histogram entry point inherits the exclusion — in BOTH
+    // modes: unfiltered NaNs would pile into the t-digest branch's top
+    // bucket (Spark orders NaN above every double) and the two modes
+    // of the same API would disagree on identical data
+    for (exact <- Seq(true, false)) {
+      val h = Histograms.equiDepth(dirty, col("v"), buckets = 4,
+        exact = exact).collect()
+      assert(h.map(_.getAs[Long]("n")).sum == 99L,
+        s"exact=$exact must exclude NaNs from every bucket")
+      assert(math.abs(h.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+      assert(h.map(_.getAs[Double]("hi")).forall(!_.isNaN),
+        s"exact=$exact leaked a NaN into a bucket bound")
+    }
   }
 
   test("subnormal-width domain (hi-lo underflows per-bin): still exact, no pass disagreement") {

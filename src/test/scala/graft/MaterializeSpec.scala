@@ -63,16 +63,41 @@ class MaterializeSpec extends SparkSpec {
       val after = pinned.collect().toSeq
       assert(before == after && before.size == 50)
     }
-    // release on a localCheckpoint / off materialization is a safe no-op
+    // localCheckpoint: release frees the checkpoint blocks (the ONLY
+    // copy — the released frame must not be re-read, same contract as a
+    // post-sweep re-read), so per-round loop storage stays bounded
+    // under the DEFAULT mode too
     withMode("localCheckpoint") {
       val lc = Materialize(df)
-      Materialize.release(lc)
       assert(lc.count() == 100L)
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Materialize.release(lc)
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after < before,
+        s"release must drop the localCheckpoint pin ($before -> $after)")
     }
     withMode("off") {
       val off = Materialize(df)
       Materialize.release(off)
       assert(off.count() == 100L)
+    }
+  }
+
+  test("kCore loop under localCheckpoint releases superseded rounds (bounded pins)") {
+    Materialize.sweep()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    withMode("localCheckpoint") {
+      val edges = Seq.tabulate(200)(i => (i.toLong, (i + 1).toLong))
+        .toDF("u", "v")
+      val out = Graph.kCore(edges, "u", "v", k = 2, rounds = 6)
+      out.collect()
+      val pinnedNow = spark.sparkContext.getPersistentRDDs.size
+      assert(pinnedNow <= 2,
+        s"superseded k-core rounds must be released under the default " +
+          s"mode too, $pinnedNow RDDs still pinned")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -116,6 +116,15 @@ class RankSpec extends SparkSpec {
       .toSeq == Seq(0.0))
   }
 
+  test("globalRunningSum null series values fail fast (would vanish at the offset join)") {
+    val df = Seq((Some("a"), 1.0, 1L), (None, 2.0, 1L), (Some("a"), 3.0, 1L))
+      .toDF("axis", "v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalRunningSum(df, "v", "c", seriesCols = Seq("axis")).count()
+    }
+    assert(e.getMessage.contains("series"))
+  }
+
   test("globalSweep equals the chained runningSum+lag reference, at any width") {
     // distinct order values; deltas mix signs like a real sweep's ±1
     val df = spark.range(0, 4000).select(

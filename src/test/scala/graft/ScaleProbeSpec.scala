@@ -647,6 +647,39 @@ class ScaleProbeSpec extends SparkSpec {
       "running-sum assignment must be identical across bucket widths")
   }
 
+  test("eval probe: 200k-doc AUC closed-form endpoints through the full ml2 path", Slow) {
+    // Two cases with EXACT expected outputs at any size and any
+    // partitioning: complete separation (every positive outscores every
+    // negative → auc_x1e9 = 1000000000 exactly) and all-ties (every doc
+    // identical → exactly 500000000). 200 distinct scores exercise the
+    // rank-map broadcast + globalRunningSum path at realistic
+    // cardinality; "zz" tokens keep punct and stopword hits at zero so
+    // score = 2·n_tokens exactly.
+    val n = 200000L
+    val sep = "target/probe_spec_auc_sep"
+    spark.range(n).select(col("id"),
+        (pmod(col("id"), lit(100)) + 1 +
+          when(col("id") % 2 === 0, 100L).otherwise(0L)).as("__k"))
+      .select(col("id").as("doc_id"),
+        expr("repeat('zz ', cast(__k as int))").as("text"),
+        when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"),
+        lit("probe").as("source"), (col("__k") * 3).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$sep/documents.parquet")
+    val r1 = graft.SparkEntry.queries("ml2_auc")(spark, sep).head()
+    assert(r1.getAs[Long]("n_pos") == n / 2 && r1.getAs[Long]("n_neg") == n / 2)
+    assert(r1.getAs[Long]("auc_x1e9") == 1000000000L,
+      s"separated corpus must score AUC exactly 1e9, got ${r1.getAs[Long]("auc_x1e9")}")
+    val tie = "target/probe_spec_auc_tie"
+    spark.range(n).select(col("id").as("doc_id"), lit("zz zz").as("text"),
+        when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"),
+        lit("probe").as("source"), lit(5L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tie/documents.parquet")
+    val r2 = graft.SparkEntry.queries("ml2_auc")(spark, tie).head()
+    assert(r2.getAs[Long]("auc_x1e9") == 500000000L,
+      s"all-ties corpus must score AUC exactly 5e8, got ${r2.getAs[Long]("auc_x1e9")}")
+    println(s"[probe-spec] auc endpoints: sep=${r1.getAs[Long]("auc_x1e9")} tie=${r2.getAs[Long]("auc_x1e9")}")
+  }
+
   test("sweep probe: 5M-row fused run+lag, telescoping identity across widths", Slow) {
     // globalSweep (ivl2's engine) at 3 orders above its bench size: 5M
     // distinct boundaries with mixed-sign deltas. Ground truths are

@@ -165,6 +165,23 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outPath: $e")
     }
+    // Cross-round trend record: bench.json is overwritten per run, and
+    // same-machine drift (71-105 s observed across same-day runs) makes
+    // "regression or noise?" undecidable from a single snapshot. One
+    // compact APPENDED line per run — timestamp, totals, sentinel spread,
+    // query count — so drift vs regression is a one-file diff. Full
+    // per-query detail stays in bench.json / BENCH_r{N}.json.
+    try {
+      val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+      val hist = f"""{"utc":"$ts","total":$total%.1f,"failed":$failed,"n_queries":${results.size},"spread":$spread%.3f,"runs":$runs,"cpus":$cpus,"sf":"$sfDir","subset":${only.isDefined}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench/history.jsonl"),
+        (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not append bench/history.jsonl: $e")
+    }
     spark.stop()
   }
 }

@@ -104,7 +104,7 @@ object Graph {
       // the previous round's blocks are superseded the moment this
       // round is pinned — release them or persist-mode storage grows
       // linearly with rounds
-      prevMat.foreach(Materialize.release)
+      prevMat.foreach(Materialize.releaseSuperseded)
       prevMat = Some(e)
       r += 1
     }
@@ -198,7 +198,7 @@ object Graph {
             .as("r"))
       if (materializeEvery > 0 && iter % materializeEvery == 0 && iter < iterations) {
         ranks = Materialize(ranks)
-        prevRanksMat.foreach(Materialize.release)
+        prevRanksMat.foreach(Materialize.releaseSuperseded)
         prevRanksMat = Some(ranks)
       }
     }

@@ -55,7 +55,7 @@ object Materialize {
         // DEFAULT mode and an iterative loop's storage would grow
         // linearly with rounds until the batch-boundary sweep
         org.apache.spark.sql.GraftSqlBridge.scanRddOf(out).foreach { r =>
-          pinned.put(out, r); registerPinned(r)
+          pinned.put(out, Pin(r, truncated = true)); registerPinned(r)
         }
         out
       case "persist" =>
@@ -67,7 +67,7 @@ object Materialize {
         // so a lost block still recomputes from source — the
         // fault-tolerance property this mode exists for.
         val (flat, rdd) = org.apache.spark.sql.GraftSqlBridge.pinWithLineage(df)
-        pinned.put(flat, rdd)
+        pinned.put(flat, Pin(rdd, truncated = false))
         registerPinned(rdd)
         flat
       case "off"             => df
@@ -81,11 +81,33 @@ object Materialize {
     * identity. Weak keys: an un-released materialization is reclaimed
     * with its DataFrame, never leaked.
     */
-  private val pinned: java.util.Map[DataFrame, org.apache.spark.rdd.RDD[_]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[DataFrame, org.apache.spark.rdd.RDD[_]]())
+  private final case class Pin(rdd: org.apache.spark.rdd.RDD[_],
+      truncated: Boolean)
 
-  /** Release a materialization this loop iteration has superseded:
+  private val pinned: java.util.Map[DataFrame, Pin] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Pin]())
+
+  /** Release a materialization that is SAFE to re-evaluate afterwards:
+    * frees the pin when lineage was kept (`persist` mode — a late
+    * consumer recomputes from source) and is a deliberate no-op when the
+    * pin's lineage was TRUNCATED (`localCheckpoint` — the blocks are the
+    * only copy, so freeing them would fail any later consumer at
+    * runtime). This is the public-API-safe entry point: calling it and
+    * then re-reading the frame never fails under any mode. Loop-internal
+    * callers that KNOW the frame is superseded and will never be read
+    * again use [[releaseSuperseded]], which frees under both modes.
+    * Truncated pins left behind by release are still freed at the next
+    * query boundary by [[sweep]] (or by GC via the weak map).
+    */
+  def release(df: DataFrame): Unit = {
+    val pin = pinned.get(df)
+    if (pin != null) { if (!pin.truncated) releaseSuperseded(df) }
+    else df.unpersist(blocking = false)
+    ()
+  }
+
+  /** Release a materialization this loop iteration has SUPERSEDED:
     * iterative operators (kCore's pruned edge set, pageRank's ranks)
     * materialize once per round, and WITHOUT releasing the previous
     * round the storage bill grows linearly with rounds under BOTH
@@ -94,17 +116,20 @@ object Materialize {
     * checkpoint has already consumed the old one's blocks): under
     * `persist` the released RDD keeps its lineage and a late consumer
     * recomputes from source, but under `localCheckpoint` the freed
-    * blocks were the ONLY copy — re-evaluating a released round fails,
-    * exactly like re-reading after a mid-query [[sweep]] would. Under
-    * `off` there is no pin entry and the call is a no-op.
+    * blocks were the ONLY copy — re-evaluating a released round FAILS,
+    * exactly like re-reading after a mid-query [[sweep]] would. That
+    * makes this the loop-internal knife; external callers unsure
+    * whether a frame will be read again want [[release]], which never
+    * frees an only-copy. Under `off` there is no pin entry and the call
+    * is a no-op.
     */
-  def release(df: DataFrame): Unit = {
-    val rdd = pinned.remove(df)
-    if (rdd != null) {
+  def releaseSuperseded(df: DataFrame): Unit = {
+    val pin = pinned.remove(df)
+    if (pin != null) {
       live.synchronized {
-        live.removeIf(ref => { val r = ref.get(); r == null || (r eq rdd) })
+        live.removeIf(ref => { val r = ref.get(); r == null || (r eq pin.rdd) })
       }
-      rdd.unpersist(blocking = false)
+      pin.rdd.unpersist(blocking = false)
     }
     else df.unpersist(blocking = false)
     ()

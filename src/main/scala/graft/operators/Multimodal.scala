@@ -9,14 +9,28 @@ import org.apache.spark.sql.functions._
   * batches (the Scala analog of `mapInPandas` batching — one JVM-side
   * iterator per partition, no per-row task overhead).
   *
-  * The actual codecs (JPEG decode, audio resample, video frame-grab) are
-  * STUBBED: this container ships no image/audio libraries, so
-  * `FakeCodec` derives deterministic pseudo-features from the payload
-  * bytes. Everything around the stub — schema, batch shape, partitioning,
-  * null/corrupt handling — is the real engine surface and is tested; swap
-  * `FakeCodec` for a real decoder to productionize.
+  * The codec is a pluggable seam ([[MediaCodec]]):
+  *
+  *  - [[ImageIoCodec]] decodes REAL image bytes (PNG/JPEG/BMP/GIF via
+  *    the JDK's own `javax.imageio` — zero external deps) into an 8×8
+  *    block-luma feature grid, plus real resample (`Graphics2D`) and a
+  *    one-pixel perturbation for planted near-dup verification.
+  *  - [[FakeCodec]] remains for the audio/video faces: this container
+  *    ships no audio or video libraries (the JDK has none), so those
+  *    derive deterministic pseudo-features from the payload bytes.
+  *    Everything around the stub — schema, batch shape, partitioning,
+  *    null/corrupt handling — is the real engine surface either way.
   */
 object Multimodal {
+
+  /** The codec seam: bytes in, fixed-dim feature vector out (None =
+    * corrupt/undecodable). Implementations must be Serializable — they
+    * ride inside `mapPartitions` closures to the executors.
+    */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    def decode(payload: Array[Byte]): Option[Array[Float]]
+  }
 
   /** One media item: payload is the opaque binary column; metadata is the
     * typed face the catalog sees.
@@ -30,12 +44,14 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       sha256: String, feature: Array[Float], decode_ok: Boolean)
 
-  /** ======== STUB ======== deterministic fake decoder. A real build
-    * replaces this object (and only this object) with e.g. TwelveMonkeys
-    * ImageIO / JavaCV calls. Features are a stable function of the bytes
-    * so tests and re-runs are reproducible.
+  /** ======== STUB ======== deterministic fake decoder — the remaining
+    * stand-in for the AUDIO/VIDEO faces only (the JDK ships no audio
+    * resampler or video demuxer; images go through the REAL
+    * [[ImageIoCodec]]). A production build replaces this object (and
+    * only this object) with e.g. JavaCV calls. Features are a stable
+    * function of the bytes so tests and re-runs are reproducible.
     */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     val featureDim = 8
 
     def decode(payload: Array[Byte]): Option[Array[Float]] = {
@@ -52,6 +68,115 @@ object Multimodal {
       while (d < featureDim) { out(d) = out(d) / math.max(1, payload.length / featureDim); d += 1 }
       Some(out)
     }
+  }
+
+  /** REAL image codec on the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF
+    * readers ship in every JRE — no external deps). Feature = the
+    * classic perceptual-hash input: decode, average luma
+    * (0.299R+0.587G+0.114B, normalized to [0,1]) over an 8×8 grid of
+    * equal pixel blocks → 64 floats. Block averaging (not point
+    * sampling) makes the feature locality-sensitive: a one-pixel edit
+    * moves exactly one cell by ≤ delta/blockPixels, so [[perceptualHash]]
+    * over these features flips at most a couple of bits — the property
+    * [[mediaNearDups]] banding relies on. Undecodable / truncated /
+    * zero-size images → None, surfaced as `decode_ok = false`.
+    *
+    * `ImageIO` instances are not thread-safe to share, but the static
+    * `read`/`write` entry points used here create per-call readers and
+    * disk caching is disabled once per JVM (executor threads each call
+    * into their own stream).
+    */
+  object ImageIoCodec extends MediaCodec {
+    val grid = 8
+    val featureDim: Int = grid * grid
+
+    // imageio's default temp-file cache is pure overhead for in-memory
+    // byte arrays (and writes to a scratch dir executors may not own)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.length == 0) None
+      else try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+          .filter(im => im.getWidth > 0 && im.getHeight > 0)
+      } catch { case _: java.io.IOException => None }
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      readImage(payload).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val sums = new Array[Double](featureDim)
+        val counts = new Array[Long](featureDim)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(grid - 1, y * grid / h)
+          var x = 0
+          while (x < w) {
+            val cell = cy * grid + math.min(grid - 1, x * grid / w)
+            val rgb = im.getRGB(x, y)
+            sums(cell) += 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(featureDim)(c =>
+          if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+      }
+
+    /** Encode an RGB pixel grid as PNG bytes (deterministic: PNG is
+      * lossless and the JDK encoder is stable for equal pixel data).
+      */
+    def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { im.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real resample: decode, `Graphics2D` bilinear scale to w×h,
+      * re-encode PNG. None when the payload does not decode.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      readImage(payload).map { im =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, w, h, null); ()
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
+    /** One-pixel perturbation IN PIXEL SPACE (decode, nudge pixel (0,0)'s
+      * red channel by ±16, re-encode) — the planted-near-dup edit for
+      * real images. Flipping a raw payload byte (the byte-space
+      * [[perturb]]) would corrupt a PNG signature or a deflate stream
+      * rather than edit the picture; this keeps the file valid and the
+      * visual change minimal. None when the payload does not decode.
+      */
+    def perturbPixel(payload: Array[Byte]): Option[Array[Byte]] =
+      readImage(payload).map { im =>
+        val rgb = im.getRGB(0, 0)
+        val r0 = (rgb >> 16) & 0xFF
+        val r1 = if (r0 >= 240) r0 - 16 else r0 + 16
+        im.setRGB(0, 0, (rgb & 0x00FFFF) | (r1 << 16))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.toByteArray
+      }
   }
 
   /** Synthetic media table: deterministic binary payloads + metadata.
@@ -71,17 +196,19 @@ object Multimodal {
   }
 
   /** Feature extraction as partition-iterator batches: one pass per
-    * partition, payload decoded by the (stubbed) codec, corrupt payloads
-    * flagged rather than dropped. This is the mapInPandas-shaped surface:
-    * batch in, batch out, schema fixed, embarrassingly parallel — the
-    * operator never shuffles.
+    * partition, payload decoded by the pluggable codec ([[ImageIoCodec]]
+    * for real image bytes, [[FakeCodec]] for the stub faces), corrupt
+    * payloads flagged rather than dropped. This is the mapInPandas-shaped
+    * surface: batch in, batch out, schema fixed, embarrassingly parallel
+    * — the operator never shuffles.
     */
-  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaItem],
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
-        val feat = FakeCodec.decode(m.payload)
+        val feat = codec.decode(m.payload)
         MediaFeatures(m.media_id, m.kind,
           if (m.payload == null) 0L else m.payload.length.toLong,
           digest.digest(if (m.payload == null) Array.empty else m.payload)
@@ -89,6 +216,59 @@ object Multimodal {
           feat.getOrElse(Array.empty[Float]),
           feat.isDefined)
       }
+    }
+  }
+
+  /** Synthetic REAL-image table: every payload is a valid PNG the
+    * [[ImageIoCodec]] round-trips. Pixels are 4×4 constant blocks with a
+    * deterministic per-(id, block) gray level, aligned with the codec's
+    * 8×8 feature grid: each feature cell is (nearly) one flat level, so
+    * unrelated images differ in many pHash bits while a one-pixel edit
+    * moves one cell by ≤ 16/(255·blockPixels) — the separation the
+    * near-dup banding needs. Generated distributed via spark.range
+    * (PNG encoding runs on executors, no driver loop); deterministic
+    * because PNG is lossless and pixels are a pure function of the id.
+    */
+  def syntheticImages(spark: SparkSession, n: Long,
+      width: Int = 32, height: Int = 32): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val payload = ImageIoCodec.encodePng(width, height, (x, y) => {
+        var h = id * 0x9E3779B97F4A7C15L + (x / 4) * 0xC2B2AE3D27D4EB4FL +
+          (y / 4) * 0x165667B19E3779F9L
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        val g = (h & 0xFF).toInt
+        (g << 16) | (g << 8) | g
+      })
+      MediaItem(id, "image", "png", width, height, 0L, payload)
+    }
+  }
+
+  /** Real-image resample over the table: decode → bilinear scale →
+    * re-encode, metadata updated to the new dimensions; undecodable
+    * payloads pass through as null with their original metadata (the
+    * decode_ok surface downstream flags them).
+    */
+  def resizeImages(media: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      ImageIoCodec.resize(m.payload, w, h) match {
+        case Some(p) => m.copy(width = w, height = h, payload = p)
+        case None    => m.copy(payload = null)
+      }
+    }
+  }
+
+  /** Planted near-duplicates for REAL images: one pixel nudged in pixel
+    * space (see [[ImageIoCodec.perturbPixel]] — a byte-space flip would
+    * corrupt the PNG instead of editing it), ids offset. Undecodable
+    * originals are dropped rather than planted corrupt.
+    */
+  def perturbImages(media: Dataset[MediaItem], idOffset: Long): Dataset[MediaItem] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      ImageIoCodec.perturbPixel(m.payload)
+        .map(p => m.copy(media_id = m.media_id + idOffset, payload = p))
     }
   }
 

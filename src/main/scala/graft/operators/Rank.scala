@@ -210,7 +210,8 @@ object Rank {
       count(lit(1)).as("n"),
       count_distinct(col(orderCol)).as("nd"),
       sum(col(sumCol).cast("long")).as("s"),
-      max(col(orderCol)).as("last_o")).collect()
+      max(col(orderCol)).as("last_o"),
+      count(col(sumCol)).as("nn")).collect()
     require(stats.forall(!_.isNullAt(0)),
       s"globalSweep: null values in order column '$orderCol' — filter them " +
         "explicitly first; a null has no position in the global order")
@@ -218,6 +219,15 @@ object Rank {
       s"globalSweep: duplicate values in order column '$orderCol' — the " +
         "previous row is ambiguous under ties; aggregate to distinct " +
         "order values first")
+    // Same fail-fast style as the order-column checks, and on the SAME
+    // stats pass: a null delta has no defined contribution to a running
+    // sum (SQL SUM skips it; a +1/−1 sweep would silently drop a
+    // boundary), so surface it instead of letting getLong(3) NPE on an
+    // all-null bucket or nulls vanish as zeros in a mixed one.
+    require(stats.forall(r => r.getLong(1) == r.getLong(5)),
+      s"globalSweep: null values in sum column '$sumCol' — coalesce or " +
+        "filter them explicitly first; a null delta is ambiguous in a " +
+        "running sum")
     val sums = stats.map(r => r.getInt(0) -> r.getLong(3)).toMap
     val offsetExpr = Packing.bucketOffsetExpr(sums, col("__g"))
     val carryDf = carryTable(df, stats, valueIdx = 4,

@@ -396,8 +396,8 @@ object EvalQueries {
           .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
           .orderBy("degree")
       },
-      Some("""WITH pairs AS (SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS a,
-             |  CAST(l_partkey * 2 AS BIGINT) AS b FROM lineitem),
+      Some("""WITH pairs AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 + 1 AS a,
+             |  CAST(l_partkey AS BIGINT) * 2 AS b FROM lineitem),
              |nodes AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
              |deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
              |SELECT degree, count(*) AS n_nodes FROM deg

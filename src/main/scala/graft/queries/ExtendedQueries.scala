@@ -649,8 +649,8 @@ object ExtendedQueries {
       },
       Some("""SELECT CAST(event_id AS BIGINT) AS event_id,
              |CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-             |sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-             |  OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+             |CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |  OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
              |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     // Gini concentration of customer revenue — the Lorenz-curve summary

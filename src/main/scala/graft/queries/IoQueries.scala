@@ -406,6 +406,71 @@ object IoQueries {
           .orderBy("a_id")
       },
       Some("""SELECT r AS a_id, r + 1000 AS b_id, TRUE AS found
-             |FROM range(0, 60) t(r) ORDER BY a_id""".stripMargin.replace("\n", " ")))
+             |FROM range(0, 60) t(r) ORDER BY a_id""".stripMargin.replace("\n", " "))),
+
+    // REAL image decode (javax.imageio, zero external deps): every
+    // synthetic payload is a valid PNG, so decode_ok and the 8×8=64
+    // feature grid are closed-form per media_id — SQL-stateable like m1.
+    // The feature VALUES (block-luma averages) are pixel math DuckDB
+    // cannot restate; those are pinned exactly in MultimodalSpec
+    // (hand-computed block averages on a known image).
+    QueryDef("m3_imageio_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractFeatures(Multimodal.syntheticImages(s, 120),
+            Multimodal.ImageIoCodec)
+          .select(col("media_id"), col("decode_ok"),
+            size(col("feature")).as("feat_dim"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT r AS media_id, TRUE AS decode_ok,
+             |CAST(64 AS INTEGER) AS feat_dim
+             |FROM range(0, 120) t(r) ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    // Perceptual near-dup over REAL images: pHash on ImageIoCodec block-
+    // luma features, planted one-PIXEL edits (ids ≥ 1000; a byte-space
+    // flip would corrupt the PNG, so the edit is decode → nudge →
+    // re-encode). PROPERTY-BOUND ORACLE like m2: the planting rule is
+    // closed-form and MultimodalSpec proves a one-pixel edit stays
+    // within Hamming 5, so "every planted pair is found" is SQL-
+    // stateable; a missed pair flips found to false.
+    QueryDef("m4_imageio_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.syntheticImages(s, 150)
+        val dups = Multimodal.perturbImages(
+          media.filter(col("media_id") < 40), 1000L)
+        val pairs = Multimodal.mediaNearDups(
+          Multimodal.extractFeatures(media.union(dups),
+            Multimodal.ImageIoCodec).toDF(), maxHamming = 5)
+          .select(col("a_id"), col("b_id"), lit(true).as("found"))
+        media.toDF().filter(col("media_id") < 40)
+          .select(col("media_id").as("a_id"), (col("media_id") + 1000).as("b_id"))
+          .join(pairs, Seq("a_id", "b_id"), "left")
+          .select(col("a_id"), col("b_id"), coalesce(col("found"), lit(false)).as("found"))
+          .orderBy("a_id")
+      },
+      Some("""SELECT r AS a_id, r + 1000 AS b_id, TRUE AS found
+             |FROM range(0, 40) t(r) ORDER BY a_id""".stripMargin.replace("\n", " "))),
+
+    // REAL image resample: decode → Graphics2D bilinear scale 32×32 →
+    // 16×16 → re-encode PNG → decode again. Output metadata and
+    // re-decodability are closed-form (every input is a valid PNG and
+    // resize preserves validity); the pixel-level resample semantics
+    // (bilinear block averaging) are spec-pinned in MultimodalSpec.
+    QueryDef("m5_imageio_resize",
+      (s, dir) => {
+        import s.implicits._
+        val resized = Multimodal.resizeImages(
+          Multimodal.syntheticImages(s, 80), 16, 16)
+        Multimodal.extractFeatures(resized, Multimodal.ImageIoCodec)
+          .join(resized.select(col("media_id"), col("width"), col("height")),
+            "media_id")
+          .select(col("media_id"), col("width"), col("height"), col("decode_ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT r AS media_id, CAST(16 AS INTEGER) AS width,
+             |CAST(16 AS INTEGER) AS height, TRUE AS decode_ok
+             |FROM range(0, 80) t(r) ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -63,22 +63,27 @@ class MaterializeSpec extends SparkSpec {
       val after = pinned.collect().toSeq
       assert(before == after && before.size == 50)
     }
-    // localCheckpoint: release frees the checkpoint blocks (the ONLY
-    // copy — the released frame must not be re-read, same contract as a
-    // post-sweep re-read), so per-round loop storage stays bounded
-    // under the DEFAULT mode too
+    // localCheckpoint: the checkpoint blocks are the ONLY copy, so the
+    // SAFE release() must be a no-op (the frame stays re-readable), and
+    // the loop-internal releaseSuperseded() frees the blocks so
+    // per-round loop storage stays bounded under the DEFAULT mode too
     withMode("localCheckpoint") {
       val lc = Materialize(df)
       assert(lc.count() == 100L)
       val before = spark.sparkContext.getPersistentRDDs.size
       Materialize.release(lc)
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "safe release() must not free a lineage-truncated pin")
+      assert(lc.count() == 100L, "frame must stay readable after release()")
+      Materialize.releaseSuperseded(lc)
       val after = spark.sparkContext.getPersistentRDDs.size
       assert(after < before,
-        s"release must drop the localCheckpoint pin ($before -> $after)")
+        s"releaseSuperseded must drop the localCheckpoint pin ($before -> $after)")
     }
     withMode("off") {
       val off = Materialize(df)
       Materialize.release(off)
+      Materialize.releaseSuperseded(off)
       assert(off.count() == 100L)
     }
   }

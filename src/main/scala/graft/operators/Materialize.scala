@@ -48,16 +48,22 @@ object Materialize {
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
       case "localCheckpoint" =>
-        val out = df.localCheckpoint()
-        // record the checkpoint RDD for release() too — df.unpersist on
-        // the returned frame cannot reach RDD-level blocks, so without
-        // this entry per-round release would free nothing under the
+        // NOT Dataset.localCheckpoint: that preserves the ORIGIN plan's
+        // estimated Statistics, whose sizeInBytes SQUARES per round when
+        // an iterative loop joins a round's pin against itself — the
+        // BigInt's digits then double per round and planning cost turns
+        // exponential (see GraftSqlBridge.pinLocalCheckpoint). The
+        // bridge pins the same blocks but attaches the MEASURED block
+        // size as the stats — exact, loop-stable, broadcast-friendly.
+        // The RDD entry also makes releaseSuperseded work — df.unpersist
+        // on the returned frame cannot reach RDD-level blocks, so
+        // without it per-round release would free nothing under the
         // DEFAULT mode and an iterative loop's storage would grow
-        // linearly with rounds until the batch-boundary sweep
-        org.apache.spark.sql.GraftSqlBridge.scanRddOf(out).foreach { r =>
-          pinned.put(out, Pin(r, truncated = true)); registerPinned(r)
-        }
-        out
+        // linearly with rounds until the batch-boundary sweep.
+        val (flat, rdd) = org.apache.spark.sql.GraftSqlBridge.pinLocalCheckpoint(df)
+        pinned.put(flat, Pin(rdd, truncated = true))
+        registerPinned(rdd)
+        flat
       case "persist" =>
         // Eager RDD-level pin with lineage kept + a FLAT LogicalRDD plan
         // (GraftSqlBridge.pinWithLineage): Dataset-level persist keeps

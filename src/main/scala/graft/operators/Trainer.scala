@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model TRAINING over the lake — the step the ml1–ml5 eval family
+  * grades but nothing produced until now. Two fits a training-data
+  * pipeline actually runs:
+  *
+  *  - [[logisticFit]]: the quality-classifier trainer (the CCNet /
+  *    GPT-3-style "train a linear filter on labeled docs, score the
+  *    corpus" shape). Full-batch gradient descent: every iteration is
+  *    ONE distributed aggregation returning d+2 doubles (per-feature
+  *    gradient, bias gradient, log-loss) — O(d) driver state, O(iters)
+  *    scans, no per-row driver traffic. At 100 TB the intended use is
+  *    fit-on-sample → [[logisticScore]] the full corpus (scoring is a
+  *    map-only codegen'd expression); the trainer itself still scales —
+  *    each pass is a partial-aggregated scan — but iters × 100 TB scans
+  *    is a choice, not a default.
+  *  - [[bradleyTerryFit]]: preference-strength MLE over pairwise
+  *    comparisons (the RLHF preference-data / arena-ranking operator)
+  *    via the Hunter (2004) MM iteration. State (per-item strengths)
+  *    stays DISTRIBUTED — items can be millions, so strengths live in a
+  *    DataFrame, each round is two joins + one aggregation over the
+  *    aggregated pair-count table, and the loop pins rounds with
+  *    [[Materialize]] / releaseSuperseded like kCore/pageRank. Driver
+  *    state is O(1) (the normalization constant).
+  */
+object Trainer {
+
+  /** Fitted logistic model in RAW feature space: score = sigmoid(bias +
+    * w·x) applies directly to unstandardized columns (standardization
+    * happens inside the fit and is folded back into the weights).
+    */
+  final case class LogisticModel(featCols: Seq[String], weights: Array[Double],
+      bias: Double, itersRun: Int, finalLogLoss: Double)
+
+  /** Full-batch logistic regression by IRLS (iteratively reweighted
+    * least squares — Newton's method on the L2-penalized mean log-loss).
+    *
+    * One stats pass standardizes features (mean/std folded into the
+    * iteration EXPRESSIONS — the raw frame is scanned each round, never
+    * copied), then each Newton round is ONE distributed aggregation of
+    * the (d+1)×(d+1) Hessian upper triangle Σ p(1−p)·xₐx_b, the gradient
+    * Σ (y−p)·xₐ, and the log-loss — O(d²) doubles to the driver, which
+    * solves the tiny normal system (Gaussian elimination, partial
+    * pivoting) and steps. Quadratic convergence: typical fits finish in
+    * 5–10 PASSES where gradient descent needs hundreds — at 100 TB the
+    * pass count IS the cost, which is why Newton, not GD, is the right
+    * distributed shape for d up to a few hundred. Early-stops when the
+    * max-abs gradient or step falls under `tol`.
+    *
+    * `l2` (default 1e-4, mean-loss scale, intercept unpenalized) keeps
+    * the optimum finite and the Hessian invertible on SEPARABLE data,
+    * where the unpenalized MLE diverges. Labels must be non-null 0/1;
+    * constant features fail fast (a silent divide-by-zero std would NaN
+    * every weight).
+    *
+    * Determinism note: floating-point partial sums reorder across
+    * partitionings, so weights are reproducible to FP noise, not
+    * bitwise — consumers that need an exact oracle should state a
+    * margin-robust property (see ml6), not weight values.
+    */
+  def logisticFit(df: DataFrame, featCols: Seq[String], labelCol: String,
+      iters: Int = 25, l2: Double = 1e-4, tol: Double = 1e-8): LogisticModel = {
+    require(featCols.nonEmpty, "logisticFit: no feature columns")
+    val d = featCols.size
+    // One narrow projection, pinned: the loop re-scans it each round.
+    val data = Materialize(df.select(
+      (col(labelCol).cast("double").as("__y")) +:
+        featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*))
+    try {
+      val statsRow = data.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y").isNull || (col("__y") =!= 0.0 && col("__y") =!= 1.0), 1)
+          .otherwise(0)).as("bad"),
+        array((0 until d).map(i => avg(col(s"__x$i"))): _*).as("mu"),
+        array((0 until d).map(i => stddev_pop(col(s"__x$i"))): _*).as("sd")).collect()(0)
+      val n = statsRow.getLong(0)
+      require(n > 0, "logisticFit: empty input")
+      require(statsRow.getLong(1) == 0,
+        s"logisticFit: label column '$labelCol' must be non-null 0/1")
+      val mu = statsRow.getSeq[Double](2).toArray
+      val sd = statsRow.getSeq[Double](3).toArray
+      val flat = featCols.zip(sd).collect { case (c, s) if s == 0.0 => c }
+      require(flat.isEmpty,
+        s"logisticFit: zero-variance feature(s) ${flat.mkString(", ")} — " +
+          "drop constants before fitting")
+
+      val m = d + 1 // beta(0) = intercept, beta(i+1) = standardized feature i
+      val beta = new Array[Double](m)
+      var loss = Double.NaN
+      var it = 0
+      var converged = false
+      // standardized feature columns; x(0) = 1 (intercept)
+      val xs: Array[Column] = lit(1.0) +: Array.tabulate(d)(i =>
+        (col(s"__x$i") - lit(mu(i))) / lit(sd(i)))
+      while (it < iters && !converged) {
+        val margin = (0 until m).map(a => lit(beta(a)) * xs(a))
+          .reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val wgt = p * (lit(1.0) - p)
+        val resid = col("__y") - p
+        // log-loss via the numerically-stable margin form:
+        // ln(1+e^m) − y·m  (never ln(0) for saturated p)
+        val ll = when(margin > 30, margin).when(margin < -30, lit(0.0))
+          .otherwise(log(lit(1.0) + exp(margin))) - col("__y") * margin
+        val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
+        val row = data.agg(
+          array(upper.map { case (a, b) => sum(wgt * xs(a) * xs(b)) }: _*).as("h"),
+          array((0 until m).map(a => sum(resid * xs(a))): _*).as("g"),
+          sum(ll).as("loss")).collect()(0)
+        val hFlat = row.getSeq[Double](0).toArray
+        val g = row.getSeq[Double](1).toArray.map(_ / n)
+        loss = row.getDouble(2) / n
+        // penalized Newton system on the MEAN objective:
+        //   (H/n + l2·I_feat) Δ = g − l2·β_feat    (intercept unpenalized)
+        val h = Array.ofDim[Double](m, m)
+        var k = 0
+        for { a <- 0 until m; b <- a until m } {
+          h(a)(b) = hFlat(k) / n; h(b)(a) = h(a)(b); k += 1
+        }
+        val rhs = new Array[Double](m)
+        var maxG = 0.0
+        for (a <- 0 until m) {
+          val pen = if (a == 0) 0.0 else l2
+          h(a)(a) += pen
+          rhs(a) = g(a) - pen * beta(a)
+          if (math.abs(rhs(a)) > maxG) maxG = math.abs(rhs(a))
+        }
+        val delta = solve(h, rhs)
+        var maxStep = 0.0
+        for (a <- 0 until m) {
+          beta(a) += delta(a)
+          if (math.abs(delta(a)) > maxStep) maxStep = math.abs(delta(a))
+        }
+        it += 1
+        converged = maxG < tol || maxStep < tol
+      }
+      // Fold standardization back: β·(x−μ)/σ + b = (β/σ)·x + (b − Σ βμ/σ)
+      val rawW = Array.tabulate(d)(i => beta(i + 1) / sd(i))
+      val rawB = beta(0) - (0 until d).map(i => beta(i + 1) * mu(i) / sd(i)).sum
+      LogisticModel(featCols, rawW, rawB, it, loss)
+    } finally Materialize.releaseSuperseded(data)
+  }
+
+  /** Solve the m×m system h·x = rhs in place — Gaussian elimination with
+    * partial pivoting. m = features+1, so this is driver-side microwork;
+    * singularity (which l2 > 0 prevents) fails fast.
+    */
+  private def solve(h: Array[Array[Double]], rhs: Array[Double]): Array[Double] = {
+    val m = rhs.length
+    val a = Array.tabulate(m)(i => h(i).clone())
+    val b = rhs.clone()
+    for (colIdx <- 0 until m) {
+      var piv = colIdx
+      for (r <- colIdx + 1 until m)
+        if (math.abs(a(r)(colIdx)) > math.abs(a(piv)(colIdx))) piv = r
+      require(math.abs(a(piv)(colIdx)) > 1e-300,
+        "logisticFit: singular Newton system — increase l2")
+      if (piv != colIdx) {
+        val t = a(piv); a(piv) = a(colIdx); a(colIdx) = t
+        val tb = b(piv); b(piv) = b(colIdx); b(colIdx) = tb
+      }
+      for (r <- colIdx + 1 until m) {
+        val f = a(r)(colIdx) / a(colIdx)(colIdx)
+        if (f != 0.0) {
+          for (c <- colIdx until m) a(r)(c) -= f * a(colIdx)(c)
+          b(r) -= f * b(colIdx)
+        }
+      }
+    }
+    val x = new Array[Double](m)
+    for (r <- (m - 1) to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until m) s -= a(r)(c) * x(c)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+
+  /** Map-only scoring column: σ(bias + w·x) over raw feature columns —
+    * codegen'd built-ins only, the shape that scores 100 TB at scan
+    * speed after a sampled fit.
+    */
+  def logisticScore(model: LogisticModel): Column = {
+    val margin = model.featCols.zip(model.weights)
+      .map { case (c, wi) => col(c).cast("double") * lit(wi) }
+      .foldLeft(lit(model.bias): Column)(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** Bradley–Terry strength MLE over raw pairwise outcomes
+    * (`winnerCol`, `loserCol` item ids per comparison row) via the
+    * Hunter (2004) MM update
+    *   wᵢ ← Wᵢ / Σ_j nᵢⱼ / (wᵢ + wⱼ),
+    * normalized each round to geometric mean 1 (the likelihood is
+    * scale-invariant; without renormalizing, strengths drift).
+    *
+    * Scale shape: comparisons aggregate ONCE to unordered pair counts
+    * (the only pass over the raw log — billions of comparisons become
+    * O(observed pairs) rows); each MM round is then two broadcast-or-
+    * shuffle joins of the pair table against the current strengths and
+    * one per-item aggregation — state stays distributed (items can be
+    * millions), rounds pinned via [[Materialize]] and released with
+    * releaseSuperseded like kCore/pageRank. Driver state: one double
+    * (the geometric-mean normalizer).
+    *
+    * MLE existence (Ford 1957) needs every item to both win and lose at
+    * least once — items violating that send wᵢ to 0/∞, so they FAIL
+    * FAST with a descriptive message (checked on the pair-count pass).
+    * Connectivity of the comparison graph is the caller's contract (the
+    * full check is a connected-components run — compose with
+    * Graph/Dedup.connectedComponents when the design is not known).
+    *
+    * Returns (item, strength, wins, comparisons).
+    */
+  def bradleyTerryFit(comparisons: DataFrame, winnerCol: String,
+      loserCol: String, rounds: Int = 30): DataFrame = {
+    val raw = comparisons.select(col(winnerCol).cast("long").as("__w"),
+      col(loserCol).cast("long").as("__l"))
+    // One pass: unordered pair counts with per-side win splits.
+    val pairs = Materialize(raw
+      .select(least(col("__w"), col("__l")).as("i"),
+        greatest(col("__w"), col("__l")).as("j"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("wi"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("nij"), sum(col("wi")).as("wins_i")))
+    try {
+      require(pairs.filter(col("i") === col("j")).isEmpty,
+        "bradleyTerryFit: self-comparisons (winner == loser) are undefined")
+      // Per-item totals — also the Ford-condition fail-fast pass.
+      val totals = Materialize(
+        pairs.select(col("i").as("item"), col("wins_i").as("w"), (col("nij") - col("wins_i")).as("l"))
+          .unionByName(pairs.select(col("j").as("item"),
+            (col("nij") - col("wins_i")).as("w"), col("wins_i").as("l")))
+          .groupBy("item")
+          .agg(sum("w").as("wins"), sum("l").as("losses"),
+            (sum("w") + sum("l")).as("comparisons")))
+      val degenerate = totals.filter(col("wins") === 0 || col("losses") === 0)
+      require(degenerate.isEmpty,
+        "bradleyTerryFit: item(s) with zero wins or zero losses — the MLE " +
+          s"diverges (Ford 1957); first offenders: ${degenerate.limit(3).collect().mkString(", ")}")
+
+      // UN-normalized strengths are pinned each round; the geometric-mean
+      // division rides as a lazy projection over the pin, so the round's
+      // join chain is evaluated ONCE (the pin) and the normalizer agg
+      // reads the 4-to-millions cached rows, never the joins again.
+      var pin = Materialize(totals.select(col("item"), lit(1.0).as("s")))
+      var strengths: DataFrame = pin
+      var prevPin: Option[DataFrame] = None
+      var r = 0
+      while (r < rounds) {
+        val si = strengths.select(col("item").as("i"), col("s").as("s_i"))
+        val sj = strengths.select(col("item").as("j"), col("s").as("s_j"))
+        val contrib = pairs.join(si, "i").join(sj, "j")
+          .select(col("i"), col("j"),
+            (col("nij").cast("double") / (col("s_i") + col("s_j"))).as("c"))
+        val denom = contrib.select(col("i").as("item"), col("c"))
+          .unionByName(contrib.select(col("j").as("item"), col("c")))
+          .groupBy("item").agg(sum("c").as("denom"))
+        val next = Materialize(totals.join(denom, "item")
+          .select(col("item"), (col("wins").cast("double") / col("denom")).as("s")))
+        // geometric-mean renormalization (the likelihood is scale-
+        // invariant; without it strengths drift): one tiny agg on the pin
+        val logMean = next.agg(avg(log(col("s")))).collect()(0).getDouble(0)
+        prevPin.foreach(Materialize.releaseSuperseded)
+        prevPin = Some(pin)
+        pin = next
+        strengths = next.select(col("item"),
+          (col("s") / lit(math.exp(logMean))).as("s"))
+        r += 1
+      }
+      prevPin.foreach(Materialize.releaseSuperseded)
+      strengths.join(totals.select("item", "wins", "comparisons"), "item")
+        .select(col("item"), col("s").as("strength"), col("wins"),
+          col("comparisons"))
+    } finally Materialize.releaseSuperseded(pairs)
+  }
+}

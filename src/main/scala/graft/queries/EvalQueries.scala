@@ -401,5 +401,74 @@ object EvalQueries {
              |nodes AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
              |deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
              |SELECT degree, count(*) AS n_nodes FROM deg
-             |GROUP BY 1 ORDER BY degree""".stripMargin.replace("\n", " "))))
+             |GROUP BY 1 ORDER BY degree""".stripMargin.replace("\n", " "))),
+
+    // Quality-classifier TRAINING (the step ml1-ml5 only evaluate): a
+    // distributed full-batch logistic regression on two closed-form doc
+    // features (n_chars, word count), labeled by a linear rule with a
+    // MARGIN BAND EXCLUDED (|n_chars − 5.5·words| > 5). The margin is
+    // what makes the oracle airtight despite FP: ANY separating boundary
+    // GD finds inside the empty band classifies every kept doc correctly,
+    // so per-doc correctness is partitioning- and rounding-robust.
+    // DuckDB cannot restate gradient descent; it CAN restate the planted
+    // separability property — every kept doc scored on the right side.
+    // Weight-level semantics (convergence, standardization fold-back,
+    // fail-fasts) are pinned in TrainerSpec.
+    QueryDef("ml6_logreg_train",
+      (s, dir) => {
+        val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
+        val z = col("n_chars").cast("double") - lit(5.5) * words.cast("double")
+        val train = t(s, dir, "documents")
+          .filter(abs(z) > 5.0)
+          .select(col("doc_id"), col("n_chars").cast("double").as("f_chars"),
+            words.cast("double").as("f_words"),
+            when(z > 0, 1.0).otherwise(0.0).as("y"))
+        val model = graft.operators.Trainer.logisticFit(train,
+          Seq("f_chars", "f_words"), "y")
+        train.select(col("doc_id"),
+            ((graft.operators.Trainer.logisticScore(model) > 0.5) ===
+              (col("y") === 1.0)).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS correct FROM documents
+             |WHERE abs(CAST(n_chars AS DOUBLE)
+             |  - 5.5*(length(text) - length(replace(text, ' ', '')) + 1)) > 5
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Preference-strength ranking (the RLHF preference-data / arena
+    // operator): Bradley–Terry MLE via the Hunter (2004) MM iteration,
+    // strengths kept DISTRIBUTED (two joins + one agg per round over the
+    // once-aggregated pair counts — items can be millions). PLANTED
+    // ORACLE: 8 items with strengths 1.6^i, every pair plays 40 matches
+    // with the win split at its closed-form expectation, so the fitted
+    // ranking must reproduce the planted order exactly — rank k-i for
+    // item i. Strength values themselves are FP and engine-internal;
+    // the recovered ORDER is the invariant (TrainerSpec pins strength
+    // ratios and the Ford fail-fasts).
+    QueryDef("pref1_bradley_terry",
+      (s, dir) => {
+        import s.implicits._
+        val k = 8
+        val pairIdx = (for { i <- 0 until k; j <- (i + 1) until k }
+          yield (i.toLong, j.toLong)).toDF("i", "j")
+        val si = pow(lit(1.6), col("i")); val sj = pow(lit(1.6), col("j"))
+        val winsI = round(lit(40) * si / (si + sj)).cast("long")
+        val comps = pairIdx.select(col("i"), col("j"), winsI.as("wi"))
+          .select(explode(concat(
+            transform(sequence(lit(1L), col("wi")),
+              _ => struct(col("i").as("w"), col("j").as("l"))),
+            transform(sequence(lit(1L), lit(40L) - col("wi")),
+              _ => struct(col("j").as("w"), col("i").as("l"))))).as("m"))
+          .select(col("m.w").as("winner"), col("m.l").as("loser"))
+        // 12 MM rounds: ranking (the oracle's subject) locks in within a
+        // few rounds for 1.6x-separated strengths; each extra round is a
+        // full pin+agg pass, so don't buy precision the oracle can't see
+        graft.operators.Trainer.bradleyTerryFit(comps, "winner", "loser", rounds = 12)
+          .select(col("item"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("strength").desc, col("item"))).as("rank"))
+          .orderBy("item")
+      },
+      Some("""SELECT r AS item, CAST(8 - r AS INTEGER) AS rank
+             |FROM range(0, 8) t(r) ORDER BY item""".stripMargin.replace("\n", " "))))
 }

@@ -41,17 +41,6 @@ object GraftSqlBridge {
     *
     * Returns the flat DataFrame and the pinned RDD (for release).
     */
-  /** The RDD behind a LogicalRDD-planned DataFrame (localCheckpoint /
-    * internalCreateDataFrame output) — the handle an owner needs to
-    * unpersist exactly the blocks IT pinned. None for any other plan
-    * shape, so callers never grab an RDD they don't own.
-    */
-  def scanRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-      case _ => None
-    }
-
   def pinWithLineage(df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val classicDf = df.asInstanceOf[classic.Dataset[Row]]
@@ -60,5 +49,49 @@ object GraftSqlBridge {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.count()
     (spark.internalCreateDataFrame(rdd, classicDf.schema), rdd)
+  }
+
+  /** localCheckpoint-mode pin with MEASURED statistics — the fix for the
+    * iterative-loop planning blow-up `Dataset.localCheckpoint` has in its
+    * originStats: fromDataset preserves the ORIGIN plan's ESTIMATED
+    * Statistics, and when a loop's round joins the previous round's
+    * checkpoint against itself (Bradley–Terry's si⋈sj, any
+    * self-comparing propagation), the estimate SQUARES per round —
+    * sizeInBytes is a BigInt, so its digit count doubles per round and
+    * BigInt arithmetic inside join-size estimation turns planning
+    * exponential (observed: constant 0.25 s/round through round 14, then
+    * 2.3×/round — 128 s at round 22 — on a FOUR-ROW table; constant
+    * forever once stats are measured). The blocks are already on the
+    * executors when this returns, so instead of propagating the
+    * estimate we attach the TRUE post-checkpoint size from the block
+    * manager — strictly better information for broadcast planning, and
+    * a fixed point under any loop algebra.
+    */
+  def pinLocalCheckpoint(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = classicDf.sparkSession
+    // same row copy Dataset.checkpoint performs — codegen reuses
+    // UnsafeRow buffers per partition; caching uncopied rows corrupts
+    val rdd = classicDf.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    val measured = spark.sparkContext.getRDDStorageInfo
+      .find(_.id == rdd.id)
+      .map(i => BigInt(i.memSize + i.diskSize))
+      .filter(_ > 0)
+      .map(bytes => catalyst.plans.logical.Statistics(sizeInBytes = bytes))
+    // fromDataset for the parts worth preserving — output attributes and
+    // the REWRITTEN outputPartitioning/outputOrdering (losing those makes
+    // every loop that re-aggregates on the same key re-shuffle each
+    // round) — then rebuild the node with the measured stats in place of
+    // the compounding estimate, and no origin constraints (they carry
+    // whole expression trees round over round).
+    val template = execution.LogicalRDD.fromDataset(rdd, classicDf, isStreaming = false)
+    val plan = execution.LogicalRDD(template.output, template.rdd,
+      template.outputPartitioning, template.outputOrdering,
+      template.isStreaming, template.stream)(spark,
+      originStats = measured, originConstraints = None)
+    (classic.Dataset.ofRows(spark, plan), rdd)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Graph, Materialize}
+import org.apache.spark.sql.functions._
 
 /** The graft.materialize.mode knob: every mode must produce identical
   * results — the conf trades fault-tolerance against speed, never
@@ -85,6 +86,36 @@ class MaterializeSpec extends SparkSpec {
       Materialize.release(off)
       Materialize.releaseSuperseded(off)
       assert(off.count() == 100L)
+    }
+  }
+
+  test("localCheckpoint pin carries MEASURED stats that stay bounded through a self-joining loop") {
+    // Dataset.localCheckpoint preserves the ORIGIN plan's estimated
+    // Statistics; when a loop joins a round's pin against itself, that
+    // estimate SQUARES per round — sizeInBytes is a BigInt, so its digit
+    // count doubles per round and planning goes exponential (observed:
+    // 0.25 s/round through round 14, then 2.3x/round on a FOUR-ROW
+    // table). Materialize must instead attach the true post-checkpoint
+    // block size: exact, and a fixed point under any loop algebra.
+    val df = Seq.tabulate(50)(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    withMode("localCheckpoint") {
+      var cur = Materialize(df)
+      val firstSize = cur.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(firstSize > 0 && firstSize < BigInt(10).pow(9),
+        s"expected measured block size, got $firstSize")
+      for (_ <- 1 to 12) {
+        val a = cur.select(col("k"), col("v").as("va"))
+        val b = cur.select(col("k"), col("v").as("vb"))
+        val next = Materialize(a.join(b, "k")
+          .select(col("k"), (col("va") + col("vb")).as("v")))
+        Materialize.releaseSuperseded(cur)
+        cur = next
+        val bits = cur.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+        assert(bits < 64,
+          s"pin stats must not compound round over round (sizeInBytes has $bits bits)")
+      }
+      assert(cur.count() == 50)
+      Materialize.releaseSuperseded(cur)
     }
   }
 

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.Trainer
+import org.apache.spark.sql.functions._
+
+/** Trainer operators: logistic-regression fit/score semantics
+  * (planted-boundary recovery, standardization fold-back, partition
+  * invariance, fail-fasts) and Bradley–Terry strength MLE (planted-order
+  * recovery, strength-ratio fidelity, Ford-condition fail-fasts).
+  */
+class TrainerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def planted(n: Int, margin: Double) = {
+    // y = [x1 + 2·x2 > 0], margin band excluded — deterministic grid
+    val rows = for {
+      i <- 0 until n
+      x1 = -5.0 + 10.0 * i / n
+      x2 = math.sin(i * 2.39996) * 3.0 // deterministic spread
+      z = x1 + 2.0 * x2
+      if math.abs(z) > margin
+    } yield (x1, x2, if (z > 0) 1.0 else 0.0)
+    rows.toDF("x1", "x2", "y")
+  }
+
+  test("logisticFit separates planted margin data exactly and recovers the direction") {
+    val df = planted(400, margin = 0.5)
+    val model = Trainer.logisticFit(df, Seq("x1", "x2"), "y")
+    val preds = df.select(col("y"),
+      (Trainer.logisticScore(model) > 0.5).cast("double").as("p"))
+    assert(preds.filter(col("y") =!= col("p")).isEmpty,
+      "every margin-excluded point must classify correctly")
+    // direction: w2/w1 ≈ 2 (the planted boundary normal), sign positive
+    assert(model.weights(0) > 0 && model.weights(1) > 0)
+    val ratio = model.weights(1) / model.weights(0)
+    assert(math.abs(ratio - 2.0) < 0.4, s"w2/w1 = $ratio, expected ~2")
+    // Newton converges in a handful of PASSES — the scale property GD
+    // lacks (each pass is a full scan at 100 TB)
+    assert(model.itersRun <= 15, s"IRLS took ${model.itersRun} rounds")
+    assert(model.finalLogLoss < 0.2)
+  }
+
+  test("standardization folds back: a 1000x-rescaled feature yields the same predictions") {
+    val df = planted(300, margin = 0.5)
+    val scaled = df.select((col("x1") * 1000).as("x1"), col("x2"), col("y"))
+    val m1 = Trainer.logisticFit(df, Seq("x1", "x2"), "y")
+    val m2 = Trainer.logisticFit(scaled, Seq("x1", "x2"), "y")
+    // fits run in standardized space, so the returned raw-space models
+    // must agree after undoing the rescale: w1' == w1/1000 (to FP noise)
+    assert(math.abs(m2.weights(0) * 1000 - m1.weights(0)) <
+      1e-6 * math.abs(m1.weights(0)) + 1e-9)
+    assert(math.abs(m2.weights(1) - m1.weights(1)) <
+      1e-6 * math.abs(m1.weights(1)) + 1e-9)
+    val p1 = df.select((Trainer.logisticScore(m1) > 0.5).as("p")).collect()
+    val p2 = scaled.select((Trainer.logisticScore(m2) > 0.5).as("p")).collect()
+    assert(p1.sameElements(p2))
+  }
+
+  test("logisticFit predictions are partition-invariant on margin data") {
+    val df = planted(300, margin = 0.5)
+    val preds = Seq(1, 7, 32).map { parts =>
+      val m = Trainer.logisticFit(df.repartition(parts), Seq("x1", "x2"), "y",
+        iters = 100)
+      df.orderBy("x1", "x2")
+        .select((Trainer.logisticScore(m) > 0.5).as("p")).collect().toSeq
+    }
+    assert(preds.distinct.size == 1,
+      "margin-band classification must not depend on partitioning")
+  }
+
+  test("logisticFit fail-fasts: bad label, constant feature, empty input") {
+    val bad = Seq((1.0, 2.0), (2.0, 0.5)).toDF("x1", "y")
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.logisticFit(bad, Seq("x1"), "y", iters = 5))
+    assert(e1.getMessage.contains("0/1"))
+    val const = Seq((1.0, 3.0, 0.0), (2.0, 3.0, 1.0)).toDF("x1", "x2", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.logisticFit(const, Seq("x1", "x2"), "y", iters = 5))
+    assert(e2.getMessage.contains("zero-variance") && e2.getMessage.contains("x2"))
+    val e3 = intercept[IllegalArgumentException](
+      Trainer.logisticFit(bad.filter(lit(false)), Seq("x1"), "y", iters = 5))
+    assert(e3.getMessage.contains("empty"))
+  }
+
+  private def plantedComparisons(strengths: Seq[Double], matches: Int) = {
+    val rows = for {
+      i <- strengths.indices
+      j <- (i + 1) until strengths.size
+      wi = math.round(matches * strengths(i) / (strengths(i) + strengths(j))).toInt
+      (w, l) <- Seq.fill(wi)((i.toLong, j.toLong)) ++
+        Seq.fill(matches - wi)((j.toLong, i.toLong))
+    } yield (w, l)
+    rows.toDF("winner", "loser")
+  }
+
+  test("bradleyTerryFit recovers planted order and approximate strength ratios") {
+    val planted = Seq(1.0, 2.0, 4.0, 8.0)
+    val fit = Trainer.bradleyTerryFit(
+      plantedComparisons(planted, matches = 200), "winner", "loser", rounds = 25)
+      .orderBy("item").collect()
+    assert(fit.map(_.getLong(0)).sameElements(Array(0L, 1L, 2L, 3L)))
+    val s = fit.map(_.getDouble(1))
+    assert(s.sliding(2).forall(p => p(0) < p(1)), s"order: ${s.mkString(",")}")
+    // balanced design at the expected win split → MLE ≈ planted (up to
+    // the integer rounding of win counts): each consecutive ratio ~2
+    for (i <- 0 until 3) {
+      val r = s(i + 1) / s(i)
+      assert(r > 1.6 && r < 2.5, s"ratio ${i + 1}/${i} = $r, planted 2.0")
+    }
+    // wins/comparisons bookkeeping: 3 opponents x 200 matches each
+    assert(fit.map(_.getLong(3)).forall(_ == 600L))
+  }
+
+  test("bradleyTerryFit is invariant to the partitioning of the comparison log") {
+    val comps = plantedComparisons(Seq(1.0, 3.0, 9.0), matches = 100)
+    val ranks = Seq(1, 8).map { p =>
+      Trainer.bradleyTerryFit(comps.repartition(p), "winner", "loser", rounds = 15)
+        .orderBy(col("strength").desc).select("item").as[Long].collect().toSeq
+    }
+    assert(ranks.distinct.size == 1 && ranks.head == Seq(2L, 1L, 0L))
+  }
+
+  test("bradleyTerryFit fail-fasts: undefeated item, self-comparison") {
+    // item 2 never loses → MLE diverges → descriptive require
+    val undefeated = Seq((2L, 0L), (2L, 1L), (0L, 1L), (1L, 0L))
+      .toDF("winner", "loser")
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.bradleyTerryFit(undefeated, "winner", "loser", rounds = 3))
+    assert(e1.getMessage.contains("zero wins or zero losses"))
+    val self = Seq((1L, 1L), (0L, 1L), (1L, 0L)).toDF("winner", "loser")
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.bradleyTerryFit(self, "winner", "loser", rounds = 3))
+    assert(e2.getMessage.contains("self-comparisons"))
+  }
+}

@@ -144,6 +144,72 @@ object Trainer {
     } finally Materialize.releaseSuperseded(data)
   }
 
+  /** Fitted linear model in raw feature space: prediction = bias + w·x. */
+  final case class LinearModel(featCols: Seq[String], weights: Array[Double],
+      bias: Double, n: Long)
+
+  /** Closed-form ridge regression in ONE distributed pass — the shape
+    * every trainer here aspires to: a single aggregation collects the
+    * raw moment matrix (Σxₐx_b upper triangle, Σxₐy, Σxₐ, Σy, n —
+    * O(d²) doubles), the driver centers it (Cov = Σxx/n − μμᵀ, far
+    * better conditioned than raw normal equations), solves the tiny
+    * (Cov + l2·I)w = cov(x,y) system, and back-solves the intercept
+    * b = ȳ − w·μ. No iterations, no second scan: 100 TB costs exactly
+    * one partial-aggregated pass. Use it for linear quality scores,
+    * trend fits, and as the least-squares building block; logistic
+    * (non-quadratic loss) needs [[logisticFit]]'s Newton rounds.
+    *
+    * Zero-variance features fail fast (the centered system is singular
+    * in that direction regardless of l2's tie-break); labels/features
+    * must be non-null (same fail-fast pass).
+    */
+  def ridgeFit(df: DataFrame, featCols: Seq[String], labelCol: String,
+      l2: Double = 1e-9): LinearModel = {
+    require(featCols.nonEmpty, "ridgeFit: no feature columns")
+    val d = featCols.size
+    val x = Array.tabulate(d)(i => col(s"__x$i"))
+    val data = df.select(
+      (col(labelCol).cast("double").as("__y")) +:
+        featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*)
+    val upper = for { a <- 0 until d; b <- a until d } yield (a, b)
+    val row = data.agg(
+      count(lit(1)).as("n"),
+      sum(when(x.map(_.isNull).foldLeft(col("__y").isNull)(_ || _), 1)
+        .otherwise(0)).as("bad"),
+      array(upper.map { case (a, b) => sum(x(a) * x(b)) }: _*).as("xx"),
+      array((0 until d).map(a => sum(x(a) * col("__y"))): _*).as("xy"),
+      array((0 until d).map(a => sum(x(a))): _*).as("sx"),
+      sum(col("__y")).as("sy")).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "ridgeFit: empty input")
+    require(row.getLong(1) == 0,
+      s"ridgeFit: null feature/label values — filter or impute first")
+    val xx = row.getSeq[Double](2).toArray
+    val xy = row.getSeq[Double](3).toArray
+    val mu = row.getSeq[Double](4).toArray.map(_ / n)
+    val ybar = row.getDouble(5) / n
+    // centered second moments: cov(a,b) = Σxaxb/n − μaμb
+    val h = Array.ofDim[Double](d, d)
+    var k = 0
+    for { a <- 0 until d; b <- a until d } {
+      h(a)(b) = xx(k) / n - mu(a) * mu(b); h(b)(a) = h(a)(b); k += 1
+    }
+    val flat = (0 until d).collect { case a if h(a)(a) <= 0.0 => featCols(a) }
+    require(flat.isEmpty,
+      s"ridgeFit: zero-variance feature(s) ${flat.mkString(", ")} — " +
+        "drop constants before fitting")
+    val rhs = Array.tabulate(d)(a => xy(a) / n - mu(a) * ybar)
+    for (a <- 0 until d) h(a)(a) += l2
+    val w = solve(h, rhs)
+    LinearModel(featCols, w, ybar - (0 until d).map(a => w(a) * mu(a)).sum, n)
+  }
+
+  /** Map-only prediction column: bias + w·x over raw feature columns. */
+  def linearScore(model: LinearModel): Column =
+    model.featCols.zip(model.weights)
+      .map { case (c, wi) => col(c).cast("double") * lit(wi) }
+      .foldLeft(lit(model.bias): Column)(_ + _)
+
   /** Solve the m×m system h·x = rhs in place — Gaussian elimination with
     * partial pivoting. m = features+1, so this is driver-side microwork;
     * singularity (which l2 > 0 prevents) fails fast.
@@ -157,7 +223,7 @@ object Trainer {
       for (r <- colIdx + 1 until m)
         if (math.abs(a(r)(colIdx)) > math.abs(a(piv)(colIdx))) piv = r
       require(math.abs(a(piv)(colIdx)) > 1e-300,
-        "logisticFit: singular Newton system — increase l2")
+        "Trainer: singular normal system — increase l2")
       if (piv != colIdx) {
         val t = a(piv); a(piv) = a(colIdx); a(colIdx) = t
         val tb = b(piv); b(piv) = b(colIdx); b(colIdx) = tb

@@ -435,6 +435,30 @@ object EvalQueries {
              |  - 5.5*(length(text) - length(replace(text, ' ', '')) + 1)) > 5
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Closed-form ridge regression in ONE distributed pass (moment
+    // matrix + driver solve — no iterations, the cheapest trainer shape
+    // at 100 TB). PLANTED EXACT-FIT ORACLE: the label is a noiseless
+    // linear function of the two features (y = 2·chars − 3·words + 5),
+    // so the fitted model must reproduce it — per-doc |pred − y| < 1e-4
+    // is robust to the FP reorder across partitionings (values ≤ ~10³,
+    // solver residual ~1e-10). Weight-level semantics in TrainerSpec.
+    QueryDef("ml7_ridge_fit",
+      (s, dir) => {
+        val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
+        val train = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("f_chars"),
+            words.cast("double").as("f_words"))
+          .withColumn("y", lit(2.0) * col("f_chars") - lit(3.0) * col("f_words") + lit(5.0))
+        val model = graft.operators.Trainer.ridgeFit(train,
+          Seq("f_chars", "f_words"), "y")
+        train.select(col("doc_id"),
+            (abs(graft.operators.Trainer.linearScore(model) - col("y")) < 1e-4)
+              .as("exact"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS exact FROM documents
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Preference-strength ranking (the RLHF preference-data / arena
     // operator): Bradley–Terry MLE via the Hunter (2004) MM iteration,
     // strengths kept DISTRIBUTED (two joins + one agg per round over the

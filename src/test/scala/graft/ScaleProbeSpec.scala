@@ -764,4 +764,79 @@ class ScaleProbeSpec extends SparkSpec {
       .filter(col("j") < 0.7).count()
     assert(recheck == 0L, s"$recheck emitted pairs fail an independent jaccard recheck")
   }
+
+  test("trainer probe: 2M-row IRLS fit separates the planted margin in <=12 passes, invariant", Slow) {
+    // xxhash64-derived features in [-10, 10], planted boundary
+    // x1 + 2·x2 = 0 with the |z| <= 0.5 band excluded: ANY separator GD
+    // finds inside the empty band classifies every kept row correctly,
+    // so the assertion is exact at any FP reorder
+    def feat(salt: Int) =
+      (pmod(xxhash64(col("id"), lit(salt)), lit(2001)) - 1000).cast("double") / 100.0
+    val rows = spark.range(2000000L)
+      .select(feat(1).as("x1"), feat(2).as("x2"))
+      .withColumn("z", col("x1") + col("x2") * 2.0)
+      .filter(abs(col("z")) > 0.5)
+      .select(col("x1"), col("x2"), when(col("z") > 0, 1.0).otherwise(0.0).as("y"))
+    rows.write.mode("overwrite").parquet("target/probe_spec_trainer")
+    val data = spark.read.parquet("target/probe_spec_trainer")
+    val n = data.count()
+    assert(n > 1800000L, s"margin band removed too much: $n")
+    val wrong = Seq(8, 32).map { p =>
+      val m = graft.operators.Trainer.logisticFit(data.repartition(p),
+        Seq("x1", "x2"), "y")
+      assert(m.itersRun <= 12,
+        s"Newton must converge in a handful of PASSES at scale, took ${m.itersRun}")
+      data.filter((graft.operators.Trainer.logisticScore(m) > 0.5) =!=
+        (col("y") === 1.0)).count()
+    }
+    println(s"[probe-spec] trainer logistic n=$n wrong=$wrong")
+    assert(wrong.forall(_ == 0L),
+      s"margin-excluded rows misclassified under some partitioning: $wrong")
+    // one-pass ridge at the same size: noiseless planted line recovered
+    val lin = data.withColumn("t", lit(3.0) * col("x1") - lit(0.5) * col("x2") + lit(2.0))
+    val lm = graft.operators.Trainer.ridgeFit(lin, Seq("x1", "x2"), "t")
+    assert(math.abs(lm.weights(0) - 3.0) < 1e-6 &&
+      math.abs(lm.weights(1) + 0.5) < 1e-6 && math.abs(lm.bias - 2.0) < 1e-6,
+      s"ridge drifted: ${lm.weights.toSeq} / ${lm.bias}")
+  }
+
+  test("trainer probe: Bradley-Terry on 1M comparisons over 5k items orders the planted tiers", Slow) {
+    // 5000 items in 5 strength tiers (1.5^tier); each item meets 10
+    // xxhash-chosen partners for 20 matches at the closed-form expected
+    // win split — every item both wins and loses (worst pair ratio
+    // 1.5^4 ≈ 5 → 3/20 wins), so the Ford fail-fast stays quiet
+    val items = 5000L
+    val pairs = spark.range(items)
+      .select(col("id").as("i"),
+        explode(sequence(lit(1), lit(10))).as("k"))
+      .select(col("i"),
+        pmod(xxhash64(col("i"), col("k")), lit(items)).as("j"))
+      .filter(col("i") =!= col("j"))
+    val tier = (c: Column) => (c / lit(1000)).cast("int")
+    val si = pow(lit(1.5), tier(col("i")).cast("double"))
+    val sj = pow(lit(1.5), tier(col("j")).cast("double"))
+    val comps = pairs
+      .select(col("i"), col("j"),
+        round(lit(20) * si / (si + sj)).cast("int").as("wi"))
+      .select(explode(concat(
+        transform(sequence(lit(1), col("wi")),
+          _ => struct(col("i").as("w"), col("j").as("l"))),
+        transform(sequence(lit(1), lit(20) - col("wi")),
+          _ => struct(col("j").as("w"), col("i").as("l"))))).as("m"))
+      .select(col("m.w").as("winner"), col("m.l").as("loser"))
+    comps.write.mode("overwrite").parquet("target/probe_spec_bt")
+    val log = spark.read.parquet("target/probe_spec_bt")
+    val nComps = log.count()
+    assert(nComps > 900000L, s"comparison log too small: $nComps")
+    val fit = graft.operators.Trainer.bradleyTerryFit(log, "winner", "loser",
+      rounds = 15)
+    val tierMeans = fit.groupBy(tier(col("item")).as("t"))
+      .agg(avg("strength").as("s")).orderBy("t")
+      .collect().map(r => r.getDouble(1))
+    println(s"[probe-spec] bt n=$nComps tierMeans=${tierMeans.mkString(",")}")
+    assert(tierMeans.length == 5)
+    for (t <- 0 until 4)
+      assert(tierMeans(t + 1) > tierMeans(t) * 1.2,
+        s"planted tier order lost: ${tierMeans.mkString(",")}")
+  }
 }

@@ -83,6 +83,42 @@ class TrainerSpec extends SparkSpec {
     assert(e3.getMessage.contains("empty"))
   }
 
+  test("ridgeFit recovers a noiseless planted linear model exactly in one pass") {
+    val df = (0 until 500).map { i =>
+      val x1 = i * 0.37 % 11.0; val x2 = math.cos(i * 1.7) * 4.0
+      (x1, x2, 2.5 * x1 - 1.25 * x2 + 7.0)
+    }.toDF("x1", "x2", "y")
+    val m = Trainer.ridgeFit(df, Seq("x1", "x2"), "y")
+    assert(math.abs(m.weights(0) - 2.5) < 1e-6, s"w1 = ${m.weights(0)}")
+    assert(math.abs(m.weights(1) + 1.25) < 1e-6, s"w2 = ${m.weights(1)}")
+    assert(math.abs(m.bias - 7.0) < 1e-6, s"b = ${m.bias}")
+    assert(m.n == 500)
+    val worst = df.select(max(abs(Trainer.linearScore(m) - col("y"))))
+      .collect()(0).getDouble(0)
+    assert(worst < 1e-6, s"worst residual $worst")
+  }
+
+  test("ridgeFit is partition-invariant to FP noise and fail-fasts on bad input") {
+    val df = (0 until 300).map { i =>
+      val x = i / 10.0; (x, 3.0 * x - 2.0 + (i % 7) * 0.01)
+    }.toDF("x1", "y")
+    val fits = Seq(1, 8).map(p =>
+      Trainer.ridgeFit(df.repartition(p), Seq("x1"), "y"))
+    assert(math.abs(fits(0).weights(0) - fits(1).weights(0)) < 1e-9)
+    assert(math.abs(fits(0).bias - fits(1).bias) < 1e-9)
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.ridgeFit(df.filter(lit(false)), Seq("x1"), "y"))
+    assert(e1.getMessage.contains("empty"))
+    val const = Seq((1.0, 2.0, 1.0), (1.0, 3.0, 2.0)).toDF("x1", "x2", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.ridgeFit(const, Seq("x1", "x2"), "y"))
+    assert(e2.getMessage.contains("zero-variance") && e2.getMessage.contains("x1"))
+    val nulls = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("x1", "y")
+    val e3 = intercept[IllegalArgumentException](
+      Trainer.ridgeFit(nulls, Seq("x1"), "y"))
+    assert(e3.getMessage.contains("null"))
+  }
+
   private def plantedComparisons(strengths: Seq[Double], matches: Int) = {
     val rows = for {
       i <- strengths.indices

@@ -210,6 +210,115 @@ object Trainer {
       .map { case (c, wi) => col(c).cast("double") * lit(wi) }
       .foldLeft(lit(model.bias): Column)(_ + _)
 
+  /** Isotonic (PAV) calibration model: step function over score knots.
+    * Calibrated values are exact RATIONALS (pooled label-sum / count) —
+    * PAV runs on the collected per-knot integer counts, so the model is
+    * bit-identical under any partitioning, and `x1e9` fixed-point export
+    * keeps the engine-exact discipline of the query board.
+    */
+  final case class IsotonicModel(knots: Array[Double], num: Array[Long],
+      den: Array[Long]) {
+    def calibratedX1e9: Array[Long] = Array.tabulate(knots.length)(i =>
+      (BigInt(num(i)) * 1000000000L / BigInt(den(i))).toLong)
+  }
+
+  /** Isotonic-regression calibration (pool-adjacent-violators) of a
+    * 0/1 label against a score — the monotone calibrator a quality
+    * classifier's raw score goes through before its threshold means
+    * anything (the non-parametric sibling of ml3's fixed-bin
+    * calibration).
+    *
+    * Scale shape: ONE distributed aggregation to per-DISTINCT-SCORE
+    * (count, label-sum) pairs — the caller bins continuous scores first
+    * (quantile or fixed-width; a training pipeline calibrates a binned
+    * score anyway), and `maxKnots` fail-fasts when the score column is
+    * effectively continuous, because O(knots) is the driver state this
+    * operator is allowed. PAV itself is the textbook stack pass over
+    * the sorted knots, in integer arithmetic (pool when the previous
+    * block's mean EXCEEDS the next's, compared by cross-multiplication —
+    * no FP ties). Apply with [[calibrate]]: a broadcast RANGE join of
+    * the step function, map-side only — scoring 100 TB costs a scan.
+    *
+    * Nulls in score or label, and labels outside {0,1}, fail fast on
+    * the same aggregation pass.
+    */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+      maxKnots: Int = 100000): IsotonicModel = {
+    val rows = df.groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("w"),
+        sum(when(col(labelCol).isNull ||
+          (col(labelCol) =!= 0 && col(labelCol) =!= 1), 1).otherwise(0)).as("bad"))
+      .limit(maxKnots + 1)
+      .collect()
+    require(rows.nonEmpty, "isotonicFit: empty input")
+    require(rows.length <= maxKnots,
+      s"isotonicFit: more than $maxKnots distinct scores — bin the score " +
+        "first (quantile or fixed-width); per-knot state lives on the driver")
+    require(rows.forall(r => !r.isNullAt(0)),
+      s"isotonicFit: null values in score column '$scoreCol'")
+    require(rows.forall(_.getLong(3) == 0),
+      s"isotonicFit: label column '$labelCol' must be non-null 0/1")
+    val sorted = rows.sortBy(_.getDouble(0))
+    // PAV: maintain a stack of pooled blocks (startIdx, num, den); pool
+    // while the previous block's mean exceeds the current's (num/den
+    // compared by cross-multiplication — exact)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for ((r, i) <- sorted.zipWithIndex) {
+      // agg row layout: __s at 0, n (count) at 1, w (label sum) at 2
+      stack += ((i, r.getLong(2), r.getLong(1)))
+      while (stack.length >= 2 && {
+        val (_, n1, d1) = stack(stack.length - 2)
+        val (_, n2, d2) = stack(stack.length - 1)
+        BigInt(n1) * d2 > BigInt(n2) * d1 // prev mean > cur mean → violation
+      }) {
+        val (i2, n2, d2) = stack.remove(stack.length - 1)
+        val (i1, n1, d1) = stack.remove(stack.length - 1)
+        val _ = i2
+        stack += ((i1, n1 + n2, d1 + d2))
+      }
+    }
+    val knots = sorted.map(_.getDouble(0))
+    val num = new Array[Long](knots.length)
+    val den = new Array[Long](knots.length)
+    for (b <- stack.indices) {
+      val (start, n, d) = stack(b)
+      val end = if (b + 1 < stack.length) stack(b + 1)._1 else knots.length
+      for (i <- start until end) { num(i) = n; den(i) = d }
+    }
+    IsotonicModel(knots, num, den)
+  }
+
+  /** Apply an isotonic model as a broadcast RANGE join: each knot owns
+    * the half-open interval up to the next knot, the first/last clamp to
+    * ±∞ (sklearn's clip behavior), so every score maps and the join is
+    * map-side only. Adds `outCol` = calibrated probability ×10⁹ (long).
+    */
+  def calibrate(df: DataFrame, scoreCol: String, model: IsotonicModel,
+      outCol: String = "calibrated_x1e9"): DataFrame = {
+    val spark = df.sparkSession
+    val cal = model.calibratedX1e9
+    val rows = model.knots.indices.map { i =>
+      org.apache.spark.sql.Row(
+        if (i == 0) Double.NegativeInfinity else model.knots(i),
+        if (i + 1 < model.knots.length) model.knots(i + 1)
+        else Double.PositiveInfinity,
+        cal(i))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__lo",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("__hi",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val knotDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    df.join(broadcast(knotDf),
+        col(scoreCol).cast("double") >= col("__lo") &&
+          col(scoreCol).cast("double") < col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Solve the m×m system h·x = rhs in place — Gaussian elimination with
     * partial pivoting. m = features+1, so this is driver-side microwork;
     * singularity (which l2 > 0 prevents) fails fast.

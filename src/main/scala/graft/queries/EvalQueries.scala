@@ -459,6 +459,39 @@ object EvalQueries {
       Some("""SELECT doc_id, TRUE AS exact FROM documents
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Isotonic (PAV) calibration of a quality-ish score — the
+    // non-parametric sibling of ml3's fixed-bin calibration. Exact
+    // integer PAV on per-knot (count, label-sum) pairs → bit-identical
+    // model under any partitioning; applied back via a broadcast RANGE
+    // join (map-side scoring). PROPERTY-BOUND ORACLE: the knot set and
+    // per-knot counts are closed-form in DuckDB, and PAV's defining
+    // post-conditions — calibrated values monotone in score and inside
+    // [0, 1] — are SQL-stateable as a per-knot TRUE; the pooled VALUES
+    // are pinned exactly (hand-computed blocks) in TrainerSpec.
+    QueryDef("ml8_isotonic_calibration",
+      (s, dir) => {
+        val score = expr(
+          "CAST((length(text) - length(replace(text, ' ', '')) + 1) DIV 10 AS BIGINT)")
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          score.as("score"),
+          when(col("n_chars") % 100 < least(score * 17, lit(100)), 1)
+            .otherwise(0).as("y"))
+        val model = graft.operators.Trainer.isotonicFit(scored, "score", "y")
+        val knots = scored.groupBy("score").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+        graft.operators.Trainer.calibrate(knots, "score", model)
+          .withColumn("ok",
+            (coalesce(lag(col("calibrated_x1e9"), 1).over(w),
+              lit(0L)) <= col("calibrated_x1e9")) &&
+              col("calibrated_x1e9").between(0L, 1000000000L))
+          .select(col("score"), col("n"), col("ok"))
+          .orderBy("score")
+      },
+      Some("""WITH b AS (SELECT (length(text) - length(replace(text, ' ', '')) + 1) // 10 AS score
+             |  FROM documents)
+             |SELECT score, count(*) AS n, TRUE AS ok FROM b
+             |GROUP BY 1 ORDER BY score""".stripMargin.replace("\n", " "))),
+
     // Preference-strength ranking (the RLHF preference-data / arena
     // operator): Bradley–Terry MLE via the Hunter (2004) MM iteration,
     // strengths kept DISTRIBUTED (two joins + one agg per round over the

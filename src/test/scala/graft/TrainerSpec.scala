@@ -119,6 +119,61 @@ class TrainerSpec extends SparkSpec {
     assert(e3.getMessage.contains("null"))
   }
 
+  test("isotonicFit pools exactly the violating blocks, in exact integer arithmetic") {
+    // per-score (count, positives): means 0.2, 0.6, 0.4, 0.8 — PAV pools
+    // the middle violation into (3+2)/(5+5) = 0.5, leaves the ends alone
+    val rows = Seq.tabulate(5)(i => (1.0, if (i < 1) 1 else 0)) ++
+      Seq.tabulate(5)(i => (2.0, if (i < 3) 1 else 0)) ++
+      Seq.tabulate(5)(i => (3.0, if (i < 2) 1 else 0)) ++
+      Seq.tabulate(5)(i => (4.0, if (i < 4) 1 else 0))
+    val df = rows.toDF("score", "y")
+    val m = Trainer.isotonicFit(df, "score", "y")
+    assert(m.knots.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(m.calibratedX1e9.toSeq ==
+      Seq(200000000L, 500000000L, 500000000L, 800000000L),
+      s"got ${m.calibratedX1e9.toSeq}")
+    // already-monotone input is untouched
+    val mono = Seq((1.0, 0), (1.0, 0), (2.0, 1), (2.0, 0), (3.0, 1), (3.0, 1))
+      .toDF("score", "y")
+    val m2 = Trainer.isotonicFit(mono, "score", "y")
+    assert(m2.calibratedX1e9.toSeq == Seq(0L, 500000000L, 1000000000L))
+    // exact partition invariance: integer counts in, integer knots out
+    val m3 = Trainer.isotonicFit(df.repartition(7), "score", "y")
+    assert(m3.calibratedX1e9.toSeq == m.calibratedX1e9.toSeq)
+    // mass preservation: pooled numerators sum to the total positives
+    assert(m.num.zip(m.den).distinct.map(_._1).sum == 10L)
+  }
+
+  test("calibrate maps every score through the step function, clamping the ends") {
+    val df = Seq((1.0, 0), (2.0, 1), (2.0, 1), (3.0, 1)).toDF("score", "y")
+    val m = Trainer.isotonicFit(df, "score", "y")
+    val probe = Seq(0.5, 1.0, 1.7, 2.0, 2.9, 3.0, 99.0).toDF("score")
+    val out = Trainer.calibrate(probe, "score", m)
+      .orderBy("score").select("calibrated_x1e9").as[Long].collect()
+    // knots 1→0, 2→1, 3→1; intervals clamp: below 1 → 0, [1,2) → 0,
+    // [2,3) → 1e9, [3,∞) → 1e9
+    assert(out.toSeq == Seq(0L, 0L, 0L, 1000000000L, 1000000000L,
+      1000000000L, 1000000000L))
+  }
+
+  test("isotonicFit fail-fasts: too many knots, null score, non-0/1 label, empty") {
+    val wide = spark.range(200).selectExpr("CAST(id AS DOUBLE) AS score",
+      "CAST(id % 2 AS INT) AS y")
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.isotonicFit(wide, "score", "y", maxKnots = 100))
+    assert(e1.getMessage.contains("distinct scores"))
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.isotonicFit(Seq((Option.empty[Double], 1), (Some(1.0), 0))
+        .toDF("score", "y"), "score", "y"))
+    assert(e2.getMessage.contains("null values in score"))
+    val e3 = intercept[IllegalArgumentException](
+      Trainer.isotonicFit(Seq((1.0, 2), (2.0, 0)).toDF("score", "y"), "score", "y"))
+    assert(e3.getMessage.contains("0/1"))
+    val e4 = intercept[IllegalArgumentException](
+      Trainer.isotonicFit(wide.filter(lit(false)), "score", "y"))
+    assert(e4.getMessage.contains("empty"))
+  }
+
   private def plantedComparisons(strengths: Seq[Double], matches: Int) = {
     val rows = for {
       i <- strengths.indices

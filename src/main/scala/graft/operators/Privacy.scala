@@ -107,4 +107,36 @@ object Privacy {
                | * 1000000) div (2 * CAST(max(__ng) AS DECIMAL(38,0)) * max(__n))"""
           .stripMargin.replace("\n", " ")).cast("long").as("tvd_x1e6"))
   }
+
+  /** Disparate-impact audit of a binary outcome across groups — the
+    * four-fifths-rule check a filter model (quality gate, safety
+    * classifier) goes through before its keep/drop decisions ship: for
+    * each group, the positive-outcome rate and its ratio to the
+    * MOST-FAVORED group's rate (so di_x1e9 ≤ 8·10⁸ flags a group the
+    * 80% rule would question).
+    *
+    * Exact integer fixed-point end to end: `rate_x1e9 = pos·10⁹ div n`
+    * per group, then `di_x1e9 = rate_x1e9·10⁹ div max(rate_x1e9)` — two
+    * floors, both on non-negative integers, so Spark's `div` and an
+    * oracle's `//` agree bit-for-bit at any partitioning. One
+    * partial-agg shuffle keyed on the group plus a broadcast scalar for
+    * the max; O(groups) state. Fails fast when the most-favored rate is
+    * zero (no group has a positive outcome — the ratio is undefined,
+    * and silently emitting 0 would read as "perfectly fair").
+    */
+  def disparateImpact(df: DataFrame, groupCol: String,
+      outcome: Column): DataFrame = {
+    val rates = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(outcome, 1L).otherwise(0L)).as("pos"))
+      .withColumn("rate_x1e9", expr("pos * 1000000000 div n"))
+    val top = rates.agg(max(col("rate_x1e9")).as("__max_rate"))
+    rates.crossJoin(broadcast(top))
+      .select(col(groupCol), col("n"), col("pos"), col("rate_x1e9"),
+        when(col("__max_rate") === 0,
+          raise_error(lit("disparateImpact: no group has a positive " +
+            "outcome — the impact ratio is undefined")))
+          .otherwise(expr("rate_x1e9 * 1000000000 div __max_rate"))
+          .as("di_x1e9"))
+  }
 }

@@ -894,6 +894,27 @@ object ExtendedQueries {
              |  // (2 * CAST(max(ng) AS HUGEINT) * max(n)) AS BIGINT) AS tvd_x1e6
              |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
+    // Disparate-impact audit — the privacy/governance quartet's fairness
+    // leg: per-group positive rate of a keep/drop outcome and its ratio
+    // to the MOST-FAVORED group (four-fifths rule: di_x1e9 ≤ 8·10⁸
+    // flags a group). Exact integer fixed point, two floors on
+    // non-negative integers — Spark `div` == DuckDB `//` bit-for-bit.
+    // Outcome = a balance-threshold keep gate over customer segments.
+    QueryDef("priv4_disparate_impact",
+      (s, dir) => graft.operators.Privacy.disparateImpact(
+          t(s, dir, "customer"), "c_mktsegment",
+          col("c_acctbal") >= 1000)
+        .orderBy("c_mktsegment"),
+      Some("""WITH r AS (SELECT c_mktsegment, count(*) AS n,
+             |  sum(CASE WHEN c_acctbal >= 1000 THEN 1 ELSE 0 END) AS pos
+             |  FROM customer GROUP BY 1),
+             |x AS (SELECT c_mktsegment, n, pos, pos * 1000000000 // n AS rate_x1e9 FROM r),
+             |m AS (SELECT max(rate_x1e9) AS mx FROM x)
+             |SELECT c_mktsegment, n, CAST(pos AS BIGINT) AS pos,
+             |CAST(rate_x1e9 AS BIGINT) AS rate_x1e9,
+             |CAST(rate_x1e9 * 1000000000 // mx AS BIGINT) AS di_x1e9
+             |FROM x CROSS JOIN m ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
+
     // Autocorrelation of the hourly event-count series at lags 1 and 24
     // (the seasonality diagnostic: does last hour / the same hour
     // yesterday predict this hour?). The raw stream collapses to one

@@ -63,6 +63,38 @@ class PrivacyBootstrapSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("a" -> 0L, "b" -> 0L), s"null category mis-scored: $got")
   }
 
+  test("disparateImpact: exact fixed-point rates, four-fifths flag, fail-fast on all-negative") {
+    // group a: 3/4 positive, group b: 2/4, group c: 4/4 (most favored)
+    val df = Seq(
+      ("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", true), ("b", false), ("b", false),
+      ("c", true), ("c", true), ("c", true), ("c", true)
+    ).toDF("g", "keep")
+    val out = Privacy.disparateImpact(df, "g", col("keep"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 4L, 3L, 750000000L, 750000000L),
+      ("b", 4L, 2L, 500000000L, 500000000L),
+      ("c", 4L, 4L, 1000000000L, 1000000000L)))
+    // four-fifths rule reads straight off di_x1e9 (0.75 and 0.5 both
+    // sit under the 0.8 line; the most-favored group never flags)
+    assert(out.filter(_._5 < 800000000L).map(_._1).toSeq == Seq("a", "b"))
+    // exact partition invariance (integer arithmetic end to end)
+    val out2 = Privacy.disparateImpact(df.repartition(7), "g", col("keep"))
+      .orderBy("g").collect().map(_.toString)
+    assert(out2.toSeq == out.map(_ => "").zip(out2).map(_._2).toSeq &&
+      out2.sameElements(Privacy.disparateImpact(df, "g", col("keep"))
+        .orderBy("g").collect().map(_.toString)))
+    // no positive outcome anywhere → ratio undefined → descriptive error
+    val none = Seq(("a", false), ("b", false)).toDF("g", "keep")
+    val e = intercept[Exception] {
+      Privacy.disparateImpact(none, "g", col("keep")).collect()
+    }
+    assert(e.getMessage.contains("no group has a positive outcome") ||
+      Option(e.getCause).exists(_.getMessage.contains("no group has a positive outcome")))
+  }
+
   test("bootstrapCount: multiplicities bounded, mean ~1, replicates differ") {
     val df = (1L to 20000L).toDF("id")
       .select(col("id"),

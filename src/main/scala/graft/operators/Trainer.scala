@@ -4,19 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model TRAINING over the lake — the step the ml1–ml5 eval family
-  * grades but nothing produced until now. Two fits a training-data
-  * pipeline actually runs:
+  * grades but nothing produced until now. Four fits a training-data
+  * pipeline actually runs, each at its cheapest distributed shape:
   *
+  *  - [[ridgeFit]]: least squares in ONE aggregation pass (moment
+  *    matrix to the driver, closed-form solve) — the floor every other
+  *    trainer is measured against.
   *  - [[logisticFit]]: the quality-classifier trainer (the CCNet /
   *    GPT-3-style "train a linear filter on labeled docs, score the
-  *    corpus" shape). Full-batch gradient descent: every iteration is
-  *    ONE distributed aggregation returning d+2 doubles (per-feature
-  *    gradient, bias gradient, log-loss) — O(d) driver state, O(iters)
-  *    scans, no per-row driver traffic. At 100 TB the intended use is
-  *    fit-on-sample → [[logisticScore]] the full corpus (scoring is a
-  *    map-only codegen'd expression); the trainer itself still scales —
-  *    each pass is a partial-aggregated scan — but iters × 100 TB scans
-  *    is a choice, not a default.
+  *    corpus" shape). IRLS/Newton: each round is ONE distributed
+  *    aggregation of the (d+1)² Hessian triangle + gradient — O(d²)
+  *    driver state, 5–10 passes where gradient descent needs hundreds.
+  *    At 100 TB the intended use is fit-on-sample → [[logisticScore]]
+  *    the corpus (a map-only codegen'd expression); the trainer itself
+  *    still scales — each pass is a partial-aggregated scan.
+  *  - [[isotonicFit]]: monotone (PAV) calibration of a fitted score,
+  *    exact integer pooling over one per-knot aggregation; applied back
+  *    as a broadcast range join ([[calibrate]]).
   *  - [[bradleyTerryFit]]: preference-strength MLE over pairwise
   *    comparisons (the RLHF preference-data / arena-ranking operator)
   *    via the Hunter (2004) MM iteration. State (per-item strengths)
@@ -292,6 +296,13 @@ object Trainer {
     * the half-open interval up to the next knot, the first/last clamp to
     * ±∞ (sklearn's clip behavior), so every score maps and the join is
     * map-side only. Adds `outCol` = calibrated probability ×10⁹ (long).
+    *
+    * Cost note: a non-equi broadcast join is a nested-loop compare —
+    * O(rows × knots) predicate evaluations. Calibration step functions
+    * are tens-to-hundreds of knots (the [[isotonicFit]] contract is a
+    * pre-binned score), where that is cheaper than any shuffle; for a
+    * pathological knot count, re-bin the score rather than widening
+    * `maxKnots`.
     */
   def calibrate(df: DataFrame, scoreCol: String, model: IsotonicModel,
       outCol: String = "calibrated_x1e9"): DataFrame = {

@@ -123,6 +123,11 @@ object Privacy {
     * the max; O(groups) state. Fails fast when the most-favored rate is
     * zero (no group has a positive outcome — the ratio is undefined,
     * and silently emitting 0 would read as "perfectly fair").
+    *
+    * A NULL outcome counts as NOT positive (the `when(outcome, 1)`
+    * otherwise-branch): an unknown decision is a non-keep for impact
+    * purposes. A null GROUP is its own group, as in the k-anonymity
+    * family — fairness over an "unknown segment" is still fairness.
     */
   def disparateImpact(df: DataFrame, groupCol: String,
       outcome: Column): DataFrame = {

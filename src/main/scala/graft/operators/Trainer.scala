@@ -303,6 +303,11 @@ object Trainer {
     * pre-binned score), where that is cheaper than any shuffle; for a
     * pathological knot count, re-bin the score rather than widening
     * `maxKnots`.
+    *
+    * NULL scores have no position on the step function and DROP OUT of
+    * the inner join — the apply-side face of [[isotonicFit]]'s
+    * null-score fail-fast. Filter or impute nulls first if they must
+    * survive calibration.
     */
   def calibrate(df: DataFrame, scoreCol: String, model: IsotonicModel,
       outCol: String = "calibrated_x1e9"): DataFrame = {

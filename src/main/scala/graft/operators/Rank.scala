@@ -87,13 +87,17 @@ object Rank {
     * O(|series| · buckets) — callers keep series cardinality bounded
     * (it is collected either way).
     *
-    * Rows with equal (`seriesCols`, `orderCol`) values share a bucket,
-    * so their relative accumulation order within the tie is unspecified
-    * — callers needing tie determinism aggregate to distinct order
-    * values first (stat6 does). Null order values fail fast, as in
-    * [[globalRank]]; so do null SERIES values — the per-series offset
-    * equi-join could not match them (null ≠ null) and the rows would
-    * otherwise vanish silently.
+    * Order values must be DISTINCT within a series — under ties the
+    * per-row running sum depends on the tie rows' accumulation order,
+    * which no total order pins down, so the output would silently vary
+    * with partitioning. Like the siblings [[globalLag]]/[[globalSweep]],
+    * duplicates FAIL FAST (checked per (series, bucket) on the existing
+    * stats pass — equal order values within a series always share a
+    * bucket, so the per-bucket check is complete); aggregate to distinct
+    * order values first (stat4/stat6/ml2/ml4 all do). Null order values
+    * fail fast, as in [[globalRank]]; so do null SERIES values — the
+    * per-series offset equi-join could not match them (null ≠ null) and
+    * the rows would otherwise vanish silently.
     */
   def globalRunningSum(df: DataFrame, orderCol: String, sumCol: String,
       outCol: String = "run_sum", numPartitions: Int = 0,
@@ -107,11 +111,21 @@ object Rank {
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val keyCols = seriesCols :+ "__g"
     val sumRows = grouped.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(sumCol).cast("long")).as("s")).collect()
+      .agg(sum(col(sumCol).cast("long")).as("s"),
+        count(lit(1)).as("n"),
+        count_distinct(col(orderCol)).as("nd")).collect()
     val gIdx = seriesCols.length
     require(sumRows.forall(!_.isNullAt(gIdx)),
       s"globalRunningSum: null values in order column '$orderCol' — filter " +
         "them explicitly first; a null has no position in the global order")
+    // same duplicate-order fail-fast as globalLag/globalSweep, on the
+    // same stats pass: ties make the per-row running sum depend on an
+    // unspecified accumulation order — a silent partitioning dependence
+    require(sumRows.forall(r => r.getLong(gIdx + 2) == r.getLong(gIdx + 3)),
+      s"globalRunningSum: duplicate values in order column '$orderCol'" +
+        (if (seriesCols.isEmpty) "" else s" within a (${seriesCols.mkString(", ")}) series") +
+        " — the running sum at a tied row is ambiguous; aggregate to " +
+        "distinct order values first")
     // a null series key would silently VANISH at the offset equi-join
     // below (null never equals null) — fail fast like the null-order
     // case instead of returning a smaller relation

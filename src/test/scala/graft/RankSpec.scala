@@ -95,6 +95,40 @@ class RankSpec extends SparkSpec {
     assert(e.getMessage.contains("null"))
   }
 
+  test("globalRunningSum duplicate order values fail fast (siblings' contract)") {
+    // a tied order value makes the per-row running sum depend on the
+    // tie rows' accumulation order — must fail fast like globalLag /
+    // globalSweep, not silently vary with partitioning (rank1's hazard)
+    val df = Seq((1.0, 2L), (2.0, 3L), (2.0, 4L), (3.0, 5L)).toDF("v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalRunningSum(df.repartition(3), "v", "c").count()
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // degenerate single-bucket path must catch it too
+    val e1 = intercept[IllegalArgumentException] {
+      Rank.globalRunningSum(df, "v", "c", numPartitions = 1).count()
+    }
+    assert(e1.getMessage.contains("duplicate"))
+  }
+
+  test("globalRunningSum duplicate check is PER SERIES: cross-series repeats pass, in-series ties fail") {
+    // the same order value in two different series is NOT a tie — each
+    // series accumulates independently (this is ml4's melted shape)
+    val ok = Seq(("a", 1.0, 2L), ("b", 1.0, 3L), ("a", 2.0, 4L), ("b", 2.0, 5L))
+      .toDF("axis", "v", "c")
+    val got = Rank.globalRunningSum(ok.repartition(3), "v", "c", "run",
+        seriesCols = Seq("axis"))
+      .orderBy("axis", "v").select("axis", "v", "run")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("a", 1.0, 2L), ("a", 2.0, 6L), ("b", 1.0, 3L), ("b", 2.0, 8L)))
+    // but a repeat WITHIN one series is a genuine tie — fail fast
+    val bad = ok.unionByName(Seq(("a", 2.0, 9L)).toDF("axis", "v", "c"))
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalRunningSum(bad, "v", "c", seriesCols = Seq("axis")).count()
+    }
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("series"))
+  }
+
   test("globalLag equals the single-sort lag reference, at any width") {
     // distinct order values (the operator's contract); payload differs
     // from the order column so the carry path moves real values

@@ -647,6 +647,44 @@ class ScaleProbeSpec extends SparkSpec {
       "running-sum assignment must be identical across bucket widths")
   }
 
+  test("prefix-sum probe: 5M-row MULTI-SERIES running sums, per-series analytic totals", Slow) {
+    // the ml4 melted shape (several independent series through ONE
+    // bucketing) at 3 orders above its bench size: 5 series × 1M
+    // distinct in-series order keys, overlapping order domains across
+    // series, skewed weights. Ground truth per series: the series' last
+    // running sum MUST equal that series' own weight total — checked
+    // for EVERY series independently, at two bucket widths, plus a
+    // cross-width checksum of the full assignment.
+    val n = 5000000L
+    val df = spark.range(0, n).select(
+      concat(lit("s"), pmod(col("id"), lit(5))).as("axis"),
+      // v = id DIV 5: every series sees the IDENTICAL 0..999999 order
+      // domain — repeats across series must pass the per-series
+      // duplicate check and never cross-contaminate at the offset join
+      expr("CAST(id DIV 5 AS DOUBLE)").as("v"),
+      (pmod(xxhash64(col("id"), lit(21)), lit(1000)) + 1).as("c"))
+    df.write.mode("overwrite").parquet("target/probe_spec_prefix_multi")
+    val mat = spark.read.parquet("target/probe_spec_prefix_multi")
+    val totals = mat.groupBy("axis").agg(sum("c").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals.size == 5)
+    val runs = Seq(4, 37).map { w =>
+      val out = graft.operators.Rank.globalRunningSum(
+        mat.repartition(11), "v", "c", "run", numPartitions = w,
+        seriesCols = Seq("axis"))
+      val lasts = out.groupBy("axis")
+        .agg(max_by(col("run"), col("v")).as("last")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((axis, t) <- totals)
+        assert(lasts(axis) == t,
+          s"width=$w series=$axis: final running sum ${lasts(axis)} != series total $t")
+      out.agg(sum(col("run"))).head().getLong(0)
+    }
+    println(s"[probe-spec] multi-series prefix totals=$totals checksum=${runs.head}")
+    assert(runs.distinct.size == 1,
+      "multi-series running-sum assignment must be identical across bucket widths")
+  }
+
   test("eval probe: 200k-doc AUC closed-form endpoints through the full ml2 path", Slow) {
     // Two cases with EXACT expected outputs at any size and any
     // partitioning: complete separation (every positive outscores every

@@ -118,7 +118,14 @@ object Privacy {
     * Exact integer fixed-point end to end: `rate_x1e9 = pos·10⁹ div n`
     * per group, then `di_x1e9 = rate_x1e9·10⁹ div max(rate_x1e9)` — two
     * floors, both on non-negative integers, so Spark's `div` and an
-    * oracle's `//` agree bit-for-bit at any partitioning. One
+    * oracle's `//` agree bit-for-bit at any partitioning. The FIRST
+    * multiply runs in DECIMAL(38,0): `pos·10⁹` exceeds a long once a
+    * group's positive count passes ~9.2·10⁹ — a realistic group size at
+    * 100 TB — and non-ANSI Spark would wrap SILENTLY while a DuckDB
+    * oracle (HUGEINT sums) stays exact; the widening matches the
+    * sibling TVD operator's `tvd_x1e6` discipline (and the rate it
+    * floors back to is ≤ 10⁹, so the long cast after the div is always
+    * safe, as is the second multiply: rate·10⁹ ≤ 10¹⁸ < 2⁶³). One
     * partial-agg shuffle keyed on the group plus a broadcast scalar for
     * the max; O(groups) state. Fails fast when the most-favored rate is
     * zero (no group has a positive outcome — the ratio is undefined,
@@ -129,12 +136,20 @@ object Privacy {
     * purposes. A null GROUP is its own group, as in the k-anonymity
     * family — fairness over an "unknown segment" is still fairness.
     */
+  /** The per-group rate stage, exposed for the overflow-bound spec: the
+    * `pos·10⁹` product is computed in DECIMAL(38,0) (int128-class, like
+    * the oracle's HUGEINT) so it cannot wrap at any achievable count;
+    * `div` floors it back under 10⁹, where the long cast is exact.
+    */
+  private[graft] val rateX1e9Sql: String =
+    "CAST(CAST(pos AS DECIMAL(38,0)) * 1000000000 div n AS BIGINT)"
+
   def disparateImpact(df: DataFrame, groupCol: String,
       outcome: Column): DataFrame = {
     val rates = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(when(outcome, 1L).otherwise(0L)).as("pos"))
-      .withColumn("rate_x1e9", expr("pos * 1000000000 div n"))
+      .withColumn("rate_x1e9", expr(rateX1e9Sql))
     val top = rates.agg(max(col("rate_x1e9")).as("__max_rate"))
     rates.crossJoin(broadcast(top))
       .select(col(groupCol), col("n"), col("pos"), col("rate_x1e9"),

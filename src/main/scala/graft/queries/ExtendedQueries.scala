@@ -450,14 +450,14 @@ object ExtendedQueries {
           .select(col("s_suppkey"))
         pairs.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
           .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .groupBy(col("p_brand"), col("p_size"))
+          .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
       },
       Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
              |ok AS (SELECT l_partkey, l_suppkey FROM pairs
              |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
-             |SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
              |FROM ok JOIN part ON l_partkey = p_partkey
              |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin.replace("\n", " "))),
 
@@ -630,7 +630,11 @@ object ExtendedQueries {
 
     // Global running total WITHOUT the single-reducer window: cumulative
     // revenue (exact integer cents) over the unique event_id order via
-    // Rank.globalRunningSum — the distributed two-pass prefix sum
+    // Rank.globalRunningSum — event_id uniqueness is no longer an
+    // unchecked data property: the operator now FAILS FAST on duplicate
+    // order values (like its globalLag/globalSweep siblings), so a tied
+    // order could never silently make run_cents partitioning-dependent.
+    // It is the distributed two-pass prefix sum
     // (range-bucket, per-bucket sums to the driver as a handful of
     // longs, offsets + in-bucket window). The oracle states the same
     // thing as the textbook unpartitioned window, so this entry pins the
@@ -898,7 +902,10 @@ object ExtendedQueries {
     // leg: per-group positive rate of a keep/drop outcome and its ratio
     // to the MOST-FAVORED group (four-fifths rule: di_x1e9 ≤ 8·10⁸
     // flags a group). Exact integer fixed point, two floors on
-    // non-negative integers — Spark `div` == DuckDB `//` bit-for-bit.
+    // non-negative integers — Spark `div` == DuckDB `//` bit-for-bit;
+    // the pos·10⁹ product is DECIMAL(38,0) on the Spark side exactly
+    // because DuckDB's is HUGEINT (sum of integers widens): both engines
+    // stay exact past pos ≈ 9.2·10⁹, where a long would wrap silently.
     // Outcome = a balance-threshold keep gate over customer segments.
     QueryDef("priv4_disparate_impact",
       (s, dir) => graft.operators.Privacy.disparateImpact(

@@ -95,6 +95,35 @@ class PrivacyBootstrapSpec extends AnyFunSuite with SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("no group has a positive outcome")))
   }
 
+  test("disparateImpact rate arithmetic survives the long-overflow bound (DECIMAL(38,0) product)") {
+    // pos·10⁹ wraps a long once pos > ~9.2·10⁹ — a realistic group's
+    // positive count at 100 TB. The production expression (exposed as
+    // Privacy.rateX1e9Sql) widens the product to DECIMAL(38,0); drive it
+    // with pre-aggregated (pos, n) literals at and beyond the bound and
+    // check against BigInt ground truth. Same arithmetic as DuckDB's
+    // HUGEINT sums, so the oracle agrees past the bound too.
+    val cases = Seq(
+      (9223372036L, 10000000000L),      // just under Long.Max/1e9
+      (9223372037L, 10000000000L),      // first wrapping pos value
+      (15000000000L, 20000000000L),     // deep past the bound
+      (9999999999999L, 10000000000000L) // 10^13-scale groups
+    )
+    val df = cases.toDF("pos", "n")
+    val got = df.select(col("pos"), col("n"),
+        expr(Privacy.rateX1e9Sql).as("rate_x1e9"))
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    val want = cases.sortBy(_._1).map { case (p, n) =>
+      (p, n, (BigInt(p) * 1000000000L / BigInt(n)).toLong) }
+    assert(got == want, s"decimal rate diverged from BigInt truth: $got vs $want")
+    // and the naive long form really does break there (wraps under
+    // non-ANSI, throws under ANSI — either way not the exact rate)
+    val naiveOk = try {
+      Seq((9223372037L, 10000000000L)).toDF("pos", "n")
+        .select(expr("pos * 1000000000 div n")).as[Long].head() == 922337203L
+    } catch { case _: Throwable => false }
+    assert(!naiveOk, "naive long arithmetic unexpectedly exact — bound stale?")
+  }
+
   test("bootstrapCount: multiplicities bounded, mean ~1, replicates differ") {
     val df = (1L to 20000L).toDF("id")
       .select(col("id"),

@@ -56,9 +56,11 @@ object Trainer {
     *
     * `l2` (default 1e-4, mean-loss scale, intercept unpenalized) keeps
     * the optimum finite and the Hessian invertible on SEPARABLE data,
-    * where the unpenalized MLE diverges. Labels must be non-null 0/1;
-    * constant features fail fast (a silent divide-by-zero std would NaN
-    * every weight).
+    * where the unpenalized MLE diverges. Labels must be non-null 0/1 and
+    * features non-null (a null feature would silently drop its row from
+    * every Hessian/gradient/loss sum while n still counts it — biased
+    * weights and a wrong reported loss); constant features fail fast (a
+    * silent divide-by-zero std would NaN every weight).
     *
     * Determinism note: floating-point partial sums reorder across
     * partitionings, so weights are reproducible to FP noise, not
@@ -74,16 +76,23 @@ object Trainer {
       (col(labelCol).cast("double").as("__y")) +:
         featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*))
     try {
+      // bad rows = non-0/1-or-null label OR any null feature (same
+      // check ridgeFit runs): a null feature nulls the whole row's
+      // margin, so the row would silently DROP from every Hessian /
+      // gradient / loss sum while n still counts it — biased weights
+      // and a wrong reported log-loss, or an NPE on an all-null column.
+      val anyBad = (0 until d).map(i => col(s"__x$i").isNull)
+        .foldLeft(col("__y").isNull || (col("__y") =!= 0.0 && col("__y") =!= 1.0))(_ || _)
       val statsRow = data.agg(
         count(lit(1)).as("n"),
-        sum(when(col("__y").isNull || (col("__y") =!= 0.0 && col("__y") =!= 1.0), 1)
-          .otherwise(0)).as("bad"),
+        sum(when(anyBad, 1).otherwise(0)).as("bad"),
         array((0 until d).map(i => avg(col(s"__x$i"))): _*).as("mu"),
         array((0 until d).map(i => stddev_pop(col(s"__x$i"))): _*).as("sd")).collect()(0)
       val n = statsRow.getLong(0)
       require(n > 0, "logisticFit: empty input")
       require(statsRow.getLong(1) == 0,
-        s"logisticFit: label column '$labelCol' must be non-null 0/1")
+        s"logisticFit: label column '$labelCol' must be non-null 0/1 and " +
+          "feature columns non-null — filter or impute first")
       val mu = statsRow.getSeq[Double](2).toArray
       val sd = statsRow.getSeq[Double](3).toArray
       val flat = featCols.zip(sd).collect { case (c, s) if s == 0.0 => c }
@@ -400,14 +409,38 @@ object Trainer {
     * MLE existence (Ford 1957) needs every item to both win and lose at
     * least once — items violating that send wᵢ to 0/∞, so they FAIL
     * FAST with a descriptive message (checked on the pair-count pass).
-    * Connectivity of the comparison graph is the caller's contract (the
-    * full check is a connected-components run — compose with
-    * Graph/Dedup.connectedComponents when the design is not known).
+    * CONNECTIVITY of the comparison graph is by default the caller's
+    * contract (a disconnected graph fits each component on its own
+    * arbitrary scale — cross-component comparisons are meaningless);
+    * pass `checkConnectivity = true` to verify it up front with a
+    * [[Dedup.connectedComponents]] run over the pair table (one extra
+    * bounded pass; worth it whenever the comparison design is not known
+    * by construction) — a disconnected graph then fails fast naming the
+    * component count instead of silently fitting per-component scales.
+    *
+    * `tol` > 0 enables EARLY STOPPING: the fit ends once no item's
+    * normalized log-strength moved more than `tol` in a round (MM
+    * converges linearly, so a fixed `rounds` either under-iterates a
+    * hard fit or buys precision nothing reads on an easy one — and each
+    * round is a full pin+join+agg pass, the real cost at scale). The
+    * movement check rides the existing per-round normalizer aggregation
+    * — same pass count, two extra scalars: max/min of
+    * log(s_new/s_old) over a join of the round's pin against the
+    * previous one, recentred by the normalizer shift. `tol = 0`
+    * (default) keeps the exact fixed-`rounds` behavior. The rounds
+    * actually run land in [[btRoundsRun]] (driver-side diagnostic).
     *
     * Returns (item, strength, wins, comparisons).
     */
+  /** MM rounds the last [[bradleyTerryFit]] actually ran (driver-side
+    * diagnostic for specs/ops dashboards — early-stopped fits report
+    * fewer than their `rounds` cap). Not part of the result contract.
+    */
+  val btRoundsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def bradleyTerryFit(comparisons: DataFrame, winnerCol: String,
-      loserCol: String, rounds: Int = 30): DataFrame = {
+      loserCol: String, rounds: Int = 30, tol: Double = 0.0,
+      checkConnectivity: Boolean = false): DataFrame = {
     val raw = comparisons.select(col(winnerCol).cast("long").as("__w"),
       col(loserCol).cast("long").as("__l"))
     // One pass: unordered pair counts with per-side win splits.
@@ -432,6 +465,17 @@ object Trainer {
       require(degenerate.isEmpty,
         "bradleyTerryFit: item(s) with zero wins or zero losses — the MLE " +
           s"diverges (Ford 1957); first offenders: ${degenerate.limit(3).collect().mkString(", ")}")
+      if (checkConnectivity) {
+        val nComp = Dedup.connectedComponents(
+            pairs.select(col("i").as("a_id"), col("j").as("b_id")),
+            totals.select(col("item")), idCol = "item")
+          .agg(count_distinct(col("comp"))).collect()(0).getLong(0)
+        require(nComp <= 1L,
+          s"bradleyTerryFit: comparison graph has $nComp connected " +
+            "components — strengths across components share no scale " +
+            "(each component's likelihood is invariant to its own " +
+            "multiplier); fit per component, or add bridging comparisons")
+      }
 
       // UN-normalized strengths are pinned each round; the geometric-mean
       // division rides as a lazy projection over the pin, so the round's
@@ -441,7 +485,9 @@ object Trainer {
       var strengths: DataFrame = pin
       var prevPin: Option[DataFrame] = None
       var r = 0
-      while (r < rounds) {
+      var lmPrev = 0.0 // avg log of the CURRENT pin (all-ones → 0)
+      var converged = false
+      while (r < rounds && !converged) {
         val si = strengths.select(col("item").as("i"), col("s").as("s_i"))
         val sj = strengths.select(col("item").as("j"), col("s").as("s_j"))
         val contrib = pairs.join(si, "i").join(sj, "j")
@@ -453,15 +499,34 @@ object Trainer {
         val next = Materialize(totals.join(denom, "item")
           .select(col("item"), (col("wins").cast("double") / col("denom")).as("s")))
         // geometric-mean renormalization (the likelihood is scale-
-        // invariant; without it strengths drift): one tiny agg on the pin
-        val logMean = next.agg(avg(log(col("s")))).collect()(0).getDouble(0)
+        // invariant; without it strengths drift): one tiny agg on the pin.
+        // With tol > 0 the SAME pass also measures convergence: join the
+        // new pin against the previous one and take max/min of
+        // d = log(s_new/s_old); in normalized space each item moved
+        // d − (lmNext − lmPrev), so max-abs movement over ALL items is
+        // max(maxD − shift, shift − minD) — two extra scalars, no extra
+        // round trip.
+        val logMean =
+          if (tol > 0) {
+            val d = log(col("s")) - log(col("s_old"))
+            val row = next
+              .join(pin.select(col("item"), col("s").as("s_old")), "item")
+              .agg(avg(log(col("s"))), max(d), min(d)).collect()(0)
+            val lmNext = row.getDouble(0)
+            val shift = lmNext - lmPrev
+            val move = math.max(row.getDouble(1) - shift, shift - row.getDouble(2))
+            converged = move < tol
+            lmNext
+          } else next.agg(avg(log(col("s")))).collect()(0).getDouble(0)
         prevPin.foreach(Materialize.releaseSuperseded)
         prevPin = Some(pin)
         pin = next
+        lmPrev = logMean
         strengths = next.select(col("item"),
           (col("s") / lit(math.exp(logMean))).as("s"))
         r += 1
       }
+      btRoundsRun.set(r)
       prevPin.foreach(Materialize.releaseSuperseded)
       strengths.join(totals.select("item", "wins", "comparisons"), "item")
         .select(col("item"), col("s").as("strength"), col("wins"),

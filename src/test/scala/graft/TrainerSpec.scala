@@ -81,6 +81,14 @@ class TrainerSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Trainer.logisticFit(bad.filter(lit(false)), Seq("x1"), "y", iters = 5))
     assert(e3.getMessage.contains("empty"))
+    // a null FEATURE would silently drop its row from the Hessian /
+    // gradient / loss sums while n still counts it (biased weights,
+    // wrong reported loss) — same fail-fast pass as ridgeFit
+    val nullFeat = Seq((Some(1.0), 2.0, 0.0), (None, 1.0, 1.0),
+      (Some(3.0), 0.5, 1.0)).toDF("x1", "x2", "y")
+    val e4 = intercept[IllegalArgumentException](
+      Trainer.logisticFit(nullFeat, Seq("x1", "x2"), "y", iters = 5))
+    assert(e4.getMessage.contains("non-null"))
   }
 
   test("ridgeFit recovers a noiseless planted linear model exactly in one pass") {
@@ -210,6 +218,46 @@ class TrainerSpec extends SparkSpec {
         .orderBy(col("strength").desc).select("item").as[Long].collect().toSeq
     }
     assert(ranks.distinct.size == 1 && ranks.head == Seq(2L, 1L, 0L))
+  }
+
+  test("bradleyTerryFit early-stops under tol with the identical ranking (and fewer rounds)") {
+    // MM converges LINEARLY (probed on this design: ~10× more movement
+    // precision per ~10 rounds — 1e-3 at 22, 1e-6 at 51), so the test
+    // pins a (cap, tol) pair with real slack on both sides: tol=1e-3
+    // fires around round 22, far under the 60 cap, far over round 1
+    val comps = plantedComparisons(Seq(1.0, 3.0, 9.0, 27.0), matches = 150)
+    val fixed = Trainer.bradleyTerryFit(comps, "winner", "loser", rounds = 60)
+      .orderBy(col("strength").desc).select("item").as[Long].collect().toSeq
+    assert(Trainer.btRoundsRun.get() == 60)
+    val early = Trainer.bradleyTerryFit(comps, "winner", "loser", rounds = 60,
+        tol = 1e-3)
+      .orderBy(col("strength").desc).select("item").as[Long].collect().toSeq
+    val ran = Trainer.btRoundsRun.get()
+    assert(ran > 5 && ran < 60,
+      s"tol=1e-3 should converge after a real fit but before the 60-round cap, ran $ran")
+    assert(early == fixed, s"early-stopped ranking $early != fixed-round $fixed")
+  }
+
+  test("bradleyTerryFit checkConnectivity fail-fasts on two disconnected cliques") {
+    // items {0,1} and {10,11} each play internally but never across —
+    // each component's strengths are on an arbitrary private scale, so
+    // a cross-component ranking would be meaningless
+    val twoCliques = Seq((0L, 1L), (1L, 0L), (0L, 1L),
+        (10L, 11L), (11L, 10L), (10L, 11L))
+      .toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException](
+      Trainer.bradleyTerryFit(twoCliques, "winner", "loser", rounds = 3,
+        checkConnectivity = true))
+    assert(e.getMessage.contains("2 connected components"))
+    // without the flag the (documented) caller contract applies — it fits
+    val unflagged = Trainer.bradleyTerryFit(twoCliques, "winner", "loser",
+      rounds = 3)
+    assert(unflagged.count() == 4L)
+    // and a CONNECTED graph passes the flag untouched
+    val connected = plantedComparisons(Seq(1.0, 2.0, 4.0), matches = 50)
+    val ok = Trainer.bradleyTerryFit(connected, "winner", "loser", rounds = 5,
+      checkConnectivity = true)
+    assert(ok.count() == 3L)
   }
 
   test("bradleyTerryFit fail-fasts: undefeated item, self-comparison") {

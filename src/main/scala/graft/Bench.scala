@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Locale-pinned fixed-point formatter for the JSON artifacts: the
+    * f-interpolator uses the JVM default locale, and a comma-decimal
+    * default (de_DE, fr_FR, …) would emit `97,8` — invalid JSON — into
+    * bench.json / history.jsonl. Every numeric field below goes through
+    * this instead.
+    */
+  private def jn(x: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + prec + "f", Double.box(x))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -129,7 +138,7 @@ object Bench {
         f.delete(); ()
       }
       rmRf(tmp.toFile)
-      if (secs > 0) f"""{"rows_per_sec":${rows / secs}%.0f,"triggers":${prog.length},"rows":$rows}"""
+      if (secs > 0) s"""{"rows_per_sec":${jn(rows / secs, 0)},"triggers":${prog.length},"rows":$rows}"""
       else "null"
     } catch { case e: Throwable =>
       System.err.println(s"bench: streaming micro-bench failed: $e"); "null"
@@ -148,7 +157,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val sj = f"""{"start":$sentStart%.3f,"q1":$sentQ1%.3f,"mid":$sentMid%.3f,"q3":$sentQ3%.3f,"end":$sentEnd%.3f,"spread":$spread%.3f}"""
+    val sj = s"""{"start":${jn(sentStart, 3)},"q1":${jn(sentQ1, 3)},"mid":${jn(sentMid, 3)},"q3":${jn(sentQ3, 3)},"end":${jn(sentEnd, 3)},"spread":${jn(spread, 3)}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sentinel":$sj,"streaming":$streaming,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Stdout capture has truncated the tail of this line four rounds
@@ -174,7 +183,7 @@ object Bench {
     try {
       val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
         .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
-      val hist = f"""{"utc":"$ts","total":$total%.1f,"failed":$failed,"n_queries":${results.size},"spread":$spread%.3f,"runs":$runs,"cpus":$cpus,"sf":"$sfDir","subset":${only.isDefined}}"""
+      val hist = s"""{"utc":"$ts","total":${jn(total, 1)},"failed":$failed,"n_queries":${results.size},"spread":${jn(spread, 3)},"runs":$runs,"cpus":$cpus,"sf":"$sfDir","subset":${only.isDefined}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench/history.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

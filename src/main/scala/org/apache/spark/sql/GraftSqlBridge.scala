@@ -75,12 +75,24 @@ object GraftSqlBridge {
     // UnsafeRow buffers per partition; caching uncopied rows corrupts
     val rdd = classicDf.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
+    val rowCount = rdd.count()
+    // Prefer the TRUE post-checkpoint block size; when the block manager
+    // has no entry or reports 0 (empty result — nothing was stored — or
+    // a racing eviction), never fall through to None: LogicalRDD's
+    // computeStats would then take spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) and the pinned frame could never broadcast — a
+    // regression vs even the old localCheckpoint path. An EMPTY result
+    // is honestly tiny (sizeInBytes = 1, the convention empty relations
+    // get); otherwise carry the origin plan's estimate — one estimate on
+    // one round cannot compound, because the next round's pin measures.
     val measured = spark.sparkContext.getRDDStorageInfo
       .find(_.id == rdd.id)
       .map(i => BigInt(i.memSize + i.diskSize))
       .filter(_ > 0)
       .map(bytes => catalyst.plans.logical.Statistics(sizeInBytes = bytes))
+      .orElse(Some(
+        if (rowCount == 0L) catalyst.plans.logical.Statistics(sizeInBytes = 1)
+        else classicDf.queryExecution.optimizedPlan.stats))
     // fromDataset for the parts worth preserving — output attributes and
     // the REWRITTEN outputPartitioning/outputOrdering (losing those makes
     // every loop that re-aggregates on the same key re-shuffle each

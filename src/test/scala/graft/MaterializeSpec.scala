@@ -119,6 +119,25 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("localCheckpoint pin of an EMPTY frame stays broadcastable (no Long.MaxValue stats)") {
+    // When the block manager has nothing stored for the pinned RDD (an
+    // empty result stores no blocks), originStats must NOT fall through
+    // to None: LogicalRDD.computeStats would then take
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) and the pin could
+    // never broadcast — a regression vs the plain localCheckpoint path.
+    // An empty relation is honestly tiny: sizeInBytes = 1.
+    val df = Seq.tabulate(50)(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .filter(col("k") < 0)
+    withMode("localCheckpoint") {
+      val pin = Materialize(df)
+      val size = pin.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(size < BigInt(10).pow(6),
+        s"empty pin must carry tiny stats, got $size")
+      assert(pin.count() == 0L)
+      Materialize.releaseSuperseded(pin)
+    }
+  }
+
   test("kCore loop under localCheckpoint releases superseded rounds (bounded pins)") {
     Materialize.sweep()
     spark.sparkContext.getPersistentRDDs.values

@@ -45,9 +45,18 @@ object Verify {
       spark.sharedState.cacheManager.clearCache()
       graft.operators.Materialize.sweep()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(only))
+    spark.stop()
+  }
+
+  /** The oracle map as the JSON document the driver (and the
+    * OracleLintSpec type gate) consume — ONE serializer so the escaping
+    * rules are decided once. Escapes backslash, quote, and ALL control
+    * chars (<0x20): a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness.
+    */
+  def oracleJson(only: Option[Set[String]] = None): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -57,10 +66,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -232,11 +232,14 @@ object CoreQueries {
     QueryDef("p2_range_filter",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_quantity") < 5 || col("l_quantity") > 45)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
+        // int32 passthrough upcast to long: the board's output contract
+        // is the closed 64-bit type set (OracleLintSpec)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
         // (orderkey, linenumber) is NOT unique in the testdata — the
         // quantity tiebreak makes the ordering total on both engines
         .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
-      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity")),
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity")),
 
     // P5 — derived unit conversion, op-for-op the reference formula
     // round(x * 9/5 + 32, 2) (transform.py:171-173).
@@ -281,10 +284,10 @@ object CoreQueries {
     // F2 — deterministic sensor-id derivation (stream_generate/lambda_function.py:33-36).
     QueryDef("f2_sensor_id",
       (s, dir) => t(s, dir, "nation")
-        .select(col("n_nationkey"),
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
           Transforms.sensorId(col("n_name"), col("n_nationkey")).as("sensor_id"))
         .orderBy("n_nationkey"),
-      Some("SELECT n_nationkey, 'sensor-' || substring(sha256(printf('%s_%03d', lower(replace(n_name, ' ', '_')), n_nationkey)), 1, 12) AS sensor_id FROM nation ORDER BY n_nationkey")),
+      Some("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, 'sensor-' || substring(sha256(printf('%s_%03d', lower(replace(n_name, ' ', '_')), n_nationkey)), 1, 12) AS sensor_id FROM nation ORDER BY n_nationkey")),
 
     // F3 — string normalization for storage keys (batch_ingest/lambda_function.py:82).
     QueryDef("f3_normalize",
@@ -292,6 +295,26 @@ object CoreQueries {
         .select(col("p_partkey"), Transforms.normalizeCity(col("p_name")).as("p_key"))
         .orderBy("p_partkey"),
       Some("SELECT p_partkey, lower(replace(p_name, ' ', '_')) AS p_key FROM part ORDER BY p_partkey")),
+
+    // F5 — ingestion-time stamping (batch_ingest/lambda_function.py:71):
+    // the live operator stamps current_timestamp(), which no oracle can
+    // restate, so the board entry FREEZES the clock through the
+    // operator's own clock parameter — the formatter, the UTC session
+    // zone, and the plumbing are all value-checked; only the clock
+    // source is substituted. The same formatter also runs over each
+    // row's own event ts so the per-row ISO-8601 path (not just a
+    // constant) is exercised.
+    QueryDef("f5_timestamp_stamping",
+      (s, dir) => Transforms.stampIngestedAt(
+          t(s, dir, "events").select(col("event_id"), col("ts")),
+          clock = to_timestamp(lit("2026-08-15 12:00:00")))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("event_iso"),
+          col("ingested_at"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS event_iso,
+             |'2026-08-15T12:00:00Z' AS ingested_at
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     // F6 — JSON field extraction (the from_json/to_json surface; events.props
     // is a JSON string per FIXTURES.md §B).

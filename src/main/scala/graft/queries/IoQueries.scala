@@ -97,6 +97,42 @@ object IoQueries {
       },
       Some("SELECT event_id, user_id, event_type, value, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso FROM events ORDER BY event_id")),
 
+    // S10 — the Firehose-analog streaming landing path, END TO END on the
+    // oracle board (previously spec-only): a bounded synthetic batch
+    // becomes a file STREAM (parquet source + schema), flows through the
+    // reading projection and the real foreachBatch landing sink
+    // (arrival-date partitions, dead-letter path) under
+    // Trigger.AvailableNow, and the landed NDJSON is read back and
+    // aggregated per city. Every stage is deterministic except the
+    // arrival-partition values, which the aggregation is invariant to —
+    // so the oracle can state the exact per-city counts: 20 ticks × 4
+    // sensors per city. Watermark/session/stateful faces remain
+    // spec-only (their outputs depend on trigger timing).
+    QueryDef("s10_streaming_landing",
+      (s, dir) => {
+        val in = qtmp("s10stream_in"); val out = qtmp("s10stream_out")
+        val cities = Seq("atlantis", "gotham", "metropolis")
+        val perTick = cities.size.toLong * 4
+        s.range(perTick * 20)
+          .withColumn("event_ts",
+            timestamp_seconds(lit(1754982000L) + (col("id") / perTick).cast("long") * 300))
+          .write.mode("overwrite").parquet(in)
+        val src = s.readStream
+          .schema(StructType(Seq(StructField("id", LongType),
+            StructField("event_ts", TimestampType))))
+          .parquet(in)
+        val readings = graft.operators.Ingest.readingProjection(src, cities, 4)
+        val q = graft.streaming.Streams.startRawLandingSink(readings,
+          s"$out/land", s"$out/ckpt", s"$out/err",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        s.read.json(s"$out/land")
+          .groupBy("city").agg(count(lit(1)).as("n"))
+          .orderBy("city")
+      },
+      Some("""SELECT c AS city, CAST(80 AS BIGINT) AS n FROM (VALUES ('atlantis'), ('gotham'), ('metropolis')) t(c)
+             |ORDER BY city""".stripMargin.replace("\n", " "))),
+
     // G1 — parallel-array zip-flatten: rows → per-group parallel arrays →
     // arrays_zip + explode back to rows; identity proves index alignment.
     QueryDef("g1_zip_flatten",
@@ -420,11 +456,11 @@ object IoQueries {
         Multimodal.extractFeatures(Multimodal.syntheticImages(s, 120),
             Multimodal.ImageIoCodec)
           .select(col("media_id"), col("decode_ok"),
-            size(col("feature")).as("feat_dim"))
+            size(col("feature")).cast("long").as("feat_dim"))
           .orderBy("media_id")
       },
       Some("""SELECT r AS media_id, TRUE AS decode_ok,
-             |CAST(64 AS INTEGER) AS feat_dim
+             |CAST(64 AS BIGINT) AS feat_dim
              |FROM range(0, 120) t(r) ORDER BY media_id""".stripMargin.replace("\n", " "))),
 
     // Perceptual near-dup over REAL images: pHash on ImageIoCodec block-
@@ -466,11 +502,12 @@ object IoQueries {
         Multimodal.extractFeatures(resized, Multimodal.ImageIoCodec)
           .join(resized.select(col("media_id"), col("width"), col("height")),
             "media_id")
-          .select(col("media_id"), col("width"), col("height"), col("decode_ok"))
+          .select(col("media_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"), col("decode_ok"))
           .orderBy("media_id")
       },
-      Some("""SELECT r AS media_id, CAST(16 AS INTEGER) AS width,
-             |CAST(16 AS INTEGER) AS height, TRUE AS decode_ok
+      Some("""SELECT r AS media_id, CAST(16 AS BIGINT) AS width,
+             |CAST(16 AS BIGINT) AS height, TRUE AS decode_ok
              |FROM range(0, 80) t(r) ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -446,15 +446,15 @@ object RelationalQueries {
     QueryDef("f7_levenshtein",
       (s, dir) => {
         val n = t(s, dir, "nation")
-        n.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
-          .crossJoin(n.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name")))
+        n.select(col("n_nationkey").cast("long").as("a_key"), col("n_name").as("a_name"))
+          .crossJoin(n.select(col("n_nationkey").cast("long").as("b_key"), col("n_name").as("b_name")))
           .filter(col("a_key") < col("b_key"))
           .select(col("a_key"), col("b_key"),
-            levenshtein(col("a_name"), col("b_name")).as("dist"))
+            levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
           .orderBy("a_key", "b_key")
       },
-      Some("""SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
-             |CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+      Some("""SELECT CAST(a.n_nationkey AS BIGINT) AS a_key, CAST(b.n_nationkey AS BIGINT) AS b_key,
+             |CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
              |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
              |ORDER BY a_key, b_key""".stripMargin.replace("\n", " "))),
 
@@ -483,16 +483,16 @@ object RelationalQueries {
     QueryDef("u1_unpivot",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric", "value"),
-      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey % 10 = 0
-             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0
-             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey % 10 = 0
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey % 10 = 0
+             |UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0
+             |UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem WHERE l_orderkey % 10 = 0
              |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin.replace("\n", " "))),
 
     // Range (interval-point) join via the bucketed reformulation — clicks
@@ -932,10 +932,11 @@ object RelationalQueries {
     // over their union; the oracle is the NOT EXISTS dominance definition.
     QueryDef("sky1_skyline",
       (s, dir) => graft.operators.Skyline.skyline(
-        t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"), col("p_retailprice")),
         Seq(("p_retailprice", true), ("p_size", false)))
         .orderBy("p_partkey"),
-      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+      Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, p_retailprice FROM part a
              |WHERE NOT EXISTS (SELECT 1 FROM part b
              |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
              |  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
@@ -947,10 +948,11 @@ object RelationalQueries {
     // stack end-to-end against the same oracle as sky1.
     QueryDef("sky2_skyline_exec",
       (s, dir) => graft.operators.Skyline.skylineExec(
-        t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"), col("p_retailprice")),
         Seq(("p_retailprice", true), ("p_size", false)))
         .orderBy("p_partkey"),
-      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+      Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, p_retailprice FROM part a
              |WHERE NOT EXISTS (SELECT 1 FROM part b
              |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
              |  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
@@ -1030,15 +1032,15 @@ object RelationalQueries {
     QueryDef("er2_jaro_winkler",
       (s, dir) => {
         val n = t(s, dir, "nation")
-        n.select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
-          .crossJoin(n.select(col("n_nationkey").as("b_key"), col("n_name").as("b_name")))
+        n.select(col("n_nationkey").cast("long").as("a_key"), col("n_name").as("a_name"))
+          .crossJoin(n.select(col("n_nationkey").cast("long").as("b_key"), col("n_name").as("b_name")))
           .filter(col("a_key") < col("b_key"))
           .select(col("a_key"), col("b_key"),
             round(graft.functions.JaroWinklerSim.jaro_winkler(
               col("a_name"), col("b_name")), 6).as("jw"))
           .orderBy("a_key", "b_key")
       },
-      Some("""SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+      Some("""SELECT CAST(a.n_nationkey AS BIGINT) AS a_key, CAST(b.n_nationkey AS BIGINT) AS b_key,
              |ROUND(jaro_winkler_similarity(a.n_name, b.n_name), 6) AS jw
              |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
              |ORDER BY a_key, b_key""".stripMargin.replace("\n", " "))),

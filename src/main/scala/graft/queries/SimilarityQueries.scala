@@ -378,7 +378,8 @@ object SimilarityQueries {
     // are deterministic (min/max are reduction-order-exact; the affine
     // map is op-for-op mirrored), so the oracle restates the whole
     // encode in SQL. Long form (vec_id, pos, code) keeps the compare
-    // total-ordered; code widened to INT for the cross-engine schema.
+    // total-ordered; code widened to BIGINT — the board's closed
+    // 64-bit output set (OracleLintSpec).
     QueryDef("emb1_int8_quant",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -387,7 +388,7 @@ object SimilarityQueries {
           .select(col("id").as("vec_id"),
             posexplode(col("codes")).as(Seq("pos", "code")))
           .select(col("vec_id"), col("pos").cast("long").as("pos"),
-            col("code").cast("int").as("code"))
+            col("code").cast("long").as("code"))
           .orderBy("vec_id", "pos")
       },
       Some("""WITH x AS (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(i := i - 1, v := x))) AS u FROM embeddings),
@@ -395,7 +396,7 @@ object SimilarityQueries {
              |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos)
              |SELECT e.vec_id, CAST(e.pos AS BIGINT) AS pos,
              |CAST(CASE WHEN st.mx = st.mn THEN -128
-             |ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS INTEGER) - 128 END AS INTEGER) AS code
+             |ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS INTEGER) - 128 END AS BIGINT) AS code
              |FROM e JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")))
   ,
 

@@ -139,9 +139,10 @@ object TextQueries {
     QueryDef("samp7_kfold",
       (s, dir) => graft.operators.Sampling.kFold(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", k = 5)
-        .groupBy("source", "fold").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"), col("fold").cast("long").as("fold"))
+        .agg(count(lit(1)).as("cnt"))
         .orderBy("source", "fold"),
-      Some("""SELECT source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS INT) AS fold, count(*) AS cnt
+      Some("""SELECT source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS BIGINT) AS fold, count(*) AS cnt
              |FROM documents GROUP BY 1, 2 ORDER BY source, fold""".stripMargin.replace("\n", " "))),
 
     // Poisson-bootstrap uncertainty: 10 deterministic replicates of the
@@ -805,12 +806,12 @@ object TextQueries {
         val w = Map("n_tokens" -> 2L, "punct_count" -> -3L, "stopword_hits" -> 50L)
         t(s, dir, "documents").select(col("doc_id"),
             TextAnalysis.qualityModelScore(col("text"), w, bias = -100L).as("score"))
-          .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))
+          .withColumn("kept", when(col("score") >= 0, 1L).otherwise(0L))
           .orderBy("doc_id")
       },
       Some(s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
               |sc AS (SELECT doc_id, CAST(-100 + 2*len(toks) - 3*(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) + 50*(${duckHits("en")}) AS BIGINT) AS score FROM tok)
-              |SELECT doc_id, score, CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+              |SELECT doc_id, score, CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Corpus bigram LM predictability (the CCNet/KenLM perplexity-filter
     // shape): conditional bigram probabilities from corpus-trained

@@ -40,6 +40,25 @@ object Transforms {
     */
   def normalizeCity(city: Column): Column = lower(regexp_replace(city, " ", "_"))
 
+  /** F5 — ingestion-time stamping: `datetime.now(UTC).isoformat()` →
+    * `ingested_at` (reference scripts/batch_ingest/lambda_function.py:71,
+    * stream_generate/lambda_function.py:56), as the ISO-8601 second-
+    * precision string under `spark.sql.session.timeZone=UTC` (zero
+    * offset renders as `Z`, matching Python's `+00:00`-normalized form
+    * the reference sinks re-parse).
+    *
+    * `clock` defaults to the live `current_timestamp()` — one value per
+    * query (Spark pins it at plan time), exactly the reference's one
+    * stamp per Lambda invocation. Pass a LITERAL clock to make the
+    * output deterministic: the oracle board's f5 entry freezes it so
+    * the formatter/UTC plumbing is value-checked, and a replayed
+    * pipeline stamps the ORIGINAL batch's clock, not replay time.
+    */
+  def stampIngestedAt(df: DataFrame,
+      clock: Column = current_timestamp()): DataFrame =
+    df.withColumn("ingested_at",
+      date_format(clock, "yyyy-MM-dd'T'HH:mm:ssXXX"))
+
   /** P7 — three-arm quality score (transform.py:239-251):
     * PASS if battery>=50 and temp/humidity/aqi all non-null;
     * WARN if battery>=20; else FAIL.

@@ -344,6 +344,90 @@ object Trainer {
       .drop("__lo", "__hi")
   }
 
+  /** K-fold cross-validated ridge evaluation — the held-out-error loop a
+    * training pipeline runs before trusting a fitted quality score.
+    * Folds come from [[Sampling.kFold]] (md5(id‖salt) mod k — a pure
+    * function of the id, so the SAME rows land in the same fold under
+    * any partitioning, engine, or re-run: CV results are reproducible
+    * and leakage-auditable at corpus scale).
+    *
+    * Scale shape: ONE narrow projection pinned once (the loop re-scans
+    * it 2k times), then per fold one [[ridgeFit]] aggregation over the
+    * k−1 training folds and one test aggregation (count + max abs
+    * error) over the held-out fold — 2k partial-aggregated passes
+    * total, O(k·d²) driver state, no shuffle beyond the aggregations.
+    * Empty folds fail fast (an empty TRAIN side would throw deep inside
+    * ridgeFit; an empty TEST side would make max() silently null).
+    *
+    * Returns one row per fold: (fold, n_test, max_abs_err).
+    */
+  def crossValidateRidge(df: DataFrame, featCols: Seq[String],
+      labelCol: String, idCol: String, k: Int = 5,
+      l2: Double = 1e-9): DataFrame = {
+    val spark = df.sparkSession
+    val folded = Materialize(Sampling.kFold(
+      df.select((col(idCol) +: col(labelCol) +: featCols.map(col)): _*), idCol, k))
+    try {
+      val rows = (0 until k).map { f =>
+        val train = folded.filter(col("fold") =!= f)
+        val test = folded.filter(col("fold") === f)
+        val model = ridgeFit(train, featCols, labelCol, l2)
+        val r = test.agg(count(lit(1)).as("n"),
+          max(abs(linearScore(model) - col(labelCol).cast("double"))).as("err"))
+          .collect()(0)
+        require(r.getLong(0) > 0,
+          s"crossValidateRidge: fold $f holds no rows — k=$k is too large " +
+            "for this input (or the id column is near-constant)")
+        org.apache.spark.sql.Row(f.toLong, r.getLong(0), r.getDouble(1))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fold",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_test",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_abs_err",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    } finally Materialize.releaseSuperseded(folded)
+  }
+
+  /** Arena-style pairwise win-rate leaderboard with the Wilson score
+    * LOWER bound — the ranking a preference pipeline publishes when a
+    * full [[bradleyTerryFit]] is overkill or its preconditions (Ford,
+    * connectivity) don't hold: an item's rank is its rate's
+    * conservative confidence floor, so sparsely-compared items can't
+    * top the board on a lucky 2/2.
+    *
+    * One pass: the comparison log unions into (item, win?) rows and
+    * partial-aggregates to per-item totals — no iteration, no joins.
+    * `win_rate_x1e6` is exact fixed point with the DECIMAL(38,0)
+    * product discipline (wins·10⁶ would wrap a long past ~9.2·10¹²
+    * wins — reachable for a popular item at 100 TB of comparisons).
+    * `wilson_lo` is double math in a FIXED operation order
+    *   (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+    * so an oracle restating the same order reproduces it bit-for-bit
+    * (+,·,/ and √ are all IEEE-exact); consumers round for display.
+    */
+  def winRateLeaderboard(comparisons: DataFrame, winnerCol: String,
+      loserCol: String, z: Double = 1.96): DataFrame = {
+    val raw = comparisons.select(col(winnerCol).cast("long").as("__w"),
+      col(loserCol).cast("long").as("__l"))
+    val totals = raw.select(col("__w").as("item"), lit(1L).as("w"))
+      .unionByName(raw.select(col("__l").as("item"), lit(0L).as("w")))
+      .groupBy("item")
+      .agg(sum(col("w")).as("wins"), count(lit(1)).as("comparisons"))
+    val n = col("comparisons").cast("double")
+    val p = col("wins").cast("double") / n
+    val z2 = lit(z * z)
+    val num = p + z2 / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    totals.select(col("item"), col("wins"), col("comparisons"),
+      expr("CAST(CAST(wins AS DECIMAL(38,0)) * 1000000 div comparisons AS BIGINT)")
+        .as("win_rate_x1e6"),
+      (num / (lit(1.0) + z2 / n)).as("wilson_lo"))
+  }
+
   /** Solve the m×m system h·x = rhs in place — Gaussian elimination with
     * partial pivoting. m = features+1, so this is driver-side microwork;
     * singularity (which l2 > 0 prevents) fails fast.

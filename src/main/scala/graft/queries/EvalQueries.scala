@@ -549,5 +549,72 @@ object EvalQueries {
           .orderBy("item")
       },
       Some("""SELECT r AS item, CAST(8 - r AS BIGINT) AS rank
-             |FROM range(0, 8) t(r) ORDER BY item""".stripMargin.replace("\n", " "))))
+             |FROM range(0, 8) t(r) ORDER BY item""".stripMargin.replace("\n", " "))),
+
+    // K-fold cross-validated ridge evaluation — the held-out-error loop
+    // run before trusting a fitted quality score. Folds are a pure
+    // md5(id) function (samp7's formula — reproducible under any
+    // partitioning); the label is the same noiseless planted line as
+    // ml7, so every fold's held-out max |pred − y| must sit at solver
+    // noise (< 1e-4, FP-reorder-robust). The oracle restates the fold
+    // assignment and sizes closed-form; the 2k-aggregation-pass CV loop
+    // itself is what the engine is being graded on.
+    QueryDef("ml9_cv_ridge",
+      (s, dir) => {
+        val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
+        val train = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("f_chars"),
+            words.cast("double").as("f_words"))
+          .withColumn("y",
+            lit(2.0) * col("f_chars") - lit(3.0) * col("f_words") + lit(5.0))
+        graft.operators.Trainer.crossValidateRidge(train,
+            Seq("f_chars", "f_words"), "y", "doc_id", k = 5)
+          .select(col("fold"), col("n_test"),
+            (col("max_abs_err") < 1e-4).as("exact"))
+          .orderBy("fold")
+      },
+      Some("""SELECT CAST(fold AS BIGINT) AS fold, count(*) AS n_test, TRUE AS exact
+             |FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS fold FROM documents)
+             |GROUP BY 1 ORDER BY fold""".stripMargin.replace("\n", " "))),
+
+    // Arena-style win-rate leaderboard with the Wilson lower bound — the
+    // preference ranking published when a full BT fit is overkill or
+    // its Ford/connectivity preconditions don't hold. Comparisons are
+    // derived closed-form from the event log (items = user_id digits
+    // base 8; the winner rule biases toward the higher item id, so
+    // rates spread), so the whole pipeline — derivation, one-pass
+    // totals, DECIMAL(38,0) fixed-point rate, Wilson interval in a
+    // FIXED double operation order — is SQL-stateable; both engines
+    // round the interval to 6 decimals (the stat1/er2 float contract).
+    QueryDef("pref2_wilson_leaderboard",
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(pmod(col("user_id"), lit(8)).as("a"),
+            pmod(expr("user_id DIV 8"), lit(8)).as("b"),
+            pmod(col("event_id"), lit(100)).as("r"))
+          .filter(col("a") =!= col("b"))
+        val comps = c.select(
+          when(col("r") < lit(50) + lit(7) * (col("a") - col("b")),
+            col("a")).otherwise(col("b")).as("winner"),
+          when(col("r") < lit(50) + lit(7) * (col("a") - col("b")),
+            col("b")).otherwise(col("a")).as("loser"))
+        graft.operators.Trainer.winRateLeaderboard(comps, "winner", "loser")
+          .select(col("item"), col("wins"), col("comparisons"),
+            col("win_rate_x1e6"), round(col("wilson_lo"), 6).as("wilson_lo"))
+          .orderBy("item")
+      },
+      Some("""WITH c AS (SELECT user_id % 8 AS a, (user_id // 8) % 8 AS b, event_id % 100 AS r
+             |  FROM events WHERE user_id IS NOT NULL),
+             |p AS (SELECT CASE WHEN r < 50 + 7*(a-b) THEN a ELSE b END AS winner,
+             |  CASE WHEN r < 50 + 7*(a-b) THEN b ELSE a END AS loser FROM c WHERE a <> b),
+             |u AS (SELECT winner AS item, 1 AS w FROM p UNION ALL SELECT loser, 0 FROM p),
+             |tt AS (SELECT item, CAST(sum(w) AS BIGINT) AS wins, count(*) AS comparisons FROM u GROUP BY 1),
+             |x AS (SELECT item, wins, comparisons,
+             |  CAST(wins AS DOUBLE) / CAST(comparisons AS DOUBLE) AS pd,
+             |  CAST(comparisons AS DOUBLE) AS nd FROM tt)
+             |SELECT item, wins, comparisons,
+             |CAST(CAST(wins AS HUGEINT) * 1000000 // comparisons AS BIGINT) AS win_rate_x1e6,
+             |round((pd + (1.96*1.96)/(2.0*nd) - 1.96*sqrt(pd*(1.0 - pd)/nd + (1.96*1.96)/(4.0*nd*nd))) / (1.0 + (1.96*1.96)/nd), 6) AS wilson_lo
+             |FROM x ORDER BY item""".stripMargin.replace("\n", " "))))
 }

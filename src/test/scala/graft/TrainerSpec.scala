@@ -260,6 +260,60 @@ class TrainerSpec extends SparkSpec {
     assert(ok.count() == 3L)
   }
 
+  test("crossValidateRidge: held-out error at solver noise on a planted line, folds partition") {
+    val df = (0 until 2000).map { i =>
+      val x1 = i * 0.37 % 11.0; val x2 = math.cos(i * 1.7) * 4.0
+      (i.toLong, x1, x2, 2.5 * x1 - 1.25 * x2 + 7.0)
+    }.toDF("id", "x1", "x2", "y")
+    val cv = Trainer.crossValidateRidge(df.repartition(7), Seq("x1", "x2"),
+      "y", "id", k = 4).orderBy("fold").collect()
+    assert(cv.length == 4)
+    assert(cv.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // folds partition the input exactly
+    assert(cv.map(_.getLong(1)).sum == 2000L)
+    assert(cv.forall(_.getLong(1) > 300L), "md5 folds should be near-balanced")
+    // noiseless planted label → every held-out error is solver noise
+    assert(cv.forall(_.getDouble(2) < 1e-6),
+      s"held-out errors: ${cv.map(_.getDouble(2)).mkString(",")}")
+    // fold assignment is a pure id function → identical across widths
+    val cv2 = Trainer.crossValidateRidge(df.repartition(2), Seq("x1", "x2"),
+      "y", "id", k = 4).orderBy("fold").collect()
+    assert(cv.map(_.getLong(1)).toSeq == cv2.map(_.getLong(1)).toSeq)
+    // k larger than the row count leaves an empty fold → descriptive error
+    val tiny = df.limit(2)
+    val e = intercept[IllegalArgumentException](
+      Trainer.crossValidateRidge(tiny, Seq("x1", "x2"), "y", "id", k = 5))
+    assert(e.getMessage.contains("fold"))
+  }
+
+  test("winRateLeaderboard: exact rates, Wilson floor demotes the lucky 2/2") {
+    // item 1 beats item 0 seventy of 100 times; item 9 "wins" both of
+    // its only two comparisons (vs 0) — raw rate ranks 9 first, the
+    // Wilson lower bound must rank the well-measured 70% item above it
+    val comps =
+      (Seq.fill(70)((1L, 0L)) ++ Seq.fill(30)((0L, 1L)) ++
+        Seq.fill(2)((9L, 0L))).toDF("winner", "loser")
+    val out = Trainer.winRateLeaderboard(comps.repartition(5), "winner", "loser")
+      .orderBy("item").collect()
+    val byItem = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byItem(0L)._1 == 30L && byItem(0L)._2 == 102L)
+    assert(byItem(1L) == ((70L, 100L, 700000L, byItem(1L)._4)))
+    assert(byItem(9L) == ((2L, 2L, 1000000L, byItem(9L)._4)))
+    // driver-side Wilson ground truth (the operator's documented op order)
+    def wilson(w: Long, n: Long, z: Double = 1.96): Double = {
+      val nd = n.toDouble; val p = w.toDouble / nd; val z2 = z * z
+      (p + z2 / (2.0 * nd) - z * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))) /
+        (1.0 + z2 / nd)
+    }
+    for ((i, (w, n, _, lo)) <- byItem)
+      assert(math.abs(lo - wilson(w, n)) < 1e-12, s"item $i wilson $lo")
+    // the motivating inversion: 70/100 outranks 2/2 on the floor
+    assert(byItem(1L)._4 > byItem(9L)._4,
+      s"well-measured 70% (${byItem(1L)._4}) must outrank lucky 2/2 (${byItem(9L)._4})")
+    assert(byItem(9L)._4 < 0.66 && byItem(1L)._4 > 0.60)
+  }
+
   test("bradleyTerryFit fail-fasts: undefeated item, self-comparison") {
     // item 2 never loses → MLE diverges → descriptive require
     val undefeated = Seq((2L, 0L), (2L, 1L), (0L, 1L), (1L, 0L))

@@ -344,6 +344,115 @@ object Trainer {
       .drop("__lo", "__hi")
   }
 
+  /** "Many models": an independent ridge regression PER GROUP (per
+    * source, per sensor, per store — the fit-a-model-per-key pattern),
+    * still in ONE distributed aggregation pass: the per-group raw moment
+    * matrices (Σxₐx_b triangle, Σxₐy, Σxₐ, Σy, n — O(d²) doubles per
+    * group) partial-aggregate in a single groupBy shuffle, and the
+    * driver centers + solves each group's tiny system exactly as
+    * [[ridgeFit]] does. Driver state is O(groups·d²), made explicit by
+    * `maxGroups` with a fail-fast (the [[isotonicFit]] maxKnots
+    * discipline) — group-wise model state is collected either way, so
+    * the bound is the contract, not a limitation. 100 TB and a million
+    * sensors is still ONE scan; only the solve loop is driver-side.
+    *
+    * Same fail-fasts as the single-model fit, per group and NAMING the
+    * group: empty never occurs (groupBy emits observed keys), nulls in
+    * label/features, zero-variance features. Null GROUP keys fail fast
+    * — the model row would silently never join back (null ≠ null) at
+    * scoring time.
+    *
+    * Returns one model row per group: (groupCol, n, bias, weights) —
+    * apply with [[scorePerGroup]] (broadcast join + dot product:
+    * scoring 100 TB is map-side).
+    */
+  def ridgeFitPerGroup(df: DataFrame, groupCol: String, featCols: Seq[String],
+      labelCol: String, l2: Double = 1e-9,
+      maxGroups: Int = 100000): DataFrame = {
+    require(featCols.nonEmpty, "ridgeFitPerGroup: no feature columns")
+    val spark = df.sparkSession
+    val d = featCols.size
+    val x = Array.tabulate(d)(i => col(s"__x$i"))
+    val data = df.select(
+      col(groupCol).as("__g") +: col(labelCol).cast("double").as("__y") +:
+        featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*)
+    val upper = for { a <- 0 until d; b <- a until d } yield (a, b)
+    val rows = data.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      sum(when(x.map(_.isNull).foldLeft(col("__y").isNull)(_ || _), 1)
+        .otherwise(0)).as("bad"),
+      array(upper.map { case (a, b) => sum(x(a) * x(b)) }: _*).as("xx"),
+      array((0 until d).map(a => sum(x(a) * col("__y"))): _*).as("xy"),
+      array((0 until d).map(a => sum(x(a))): _*).as("sx"),
+      sum(col("__y")).as("sy"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(rows.nonEmpty, "ridgeFitPerGroup: empty input")
+    require(rows.length <= maxGroups,
+      s"ridgeFitPerGroup: more than $maxGroups groups — per-group model " +
+        "state lives on the driver; raise maxGroups deliberately or " +
+        "coarsen the group key")
+    require(rows.forall(!_.isNullAt(0)),
+      s"ridgeFitPerGroup: null values in group column '$groupCol' — the " +
+        "model row could never join back at scoring time (null ≠ null); " +
+        "filter or coalesce them first")
+    val badGroups = rows.filter(_.getLong(2) != 0).map(_.get(0)).take(3)
+    require(badGroups.isEmpty,
+      s"ridgeFitPerGroup: null feature/label values in group(s) " +
+        s"${badGroups.mkString(", ")} — filter or impute first")
+    val modelRows = rows.map { r =>
+      val n = r.getLong(1)
+      val xx = r.getSeq[Double](3).toArray
+      val xy = r.getSeq[Double](4).toArray
+      val mu = r.getSeq[Double](5).toArray.map(_ / n)
+      val ybar = r.getDouble(6) / n
+      val h = Array.ofDim[Double](d, d)
+      var k = 0
+      for { a <- 0 until d; b <- a until d } {
+        h(a)(b) = xx(k) / n - mu(a) * mu(b); h(b)(a) = h(a)(b); k += 1
+      }
+      val flat = (0 until d).collect { case a if h(a)(a) <= 0.0 => featCols(a) }
+      require(flat.isEmpty,
+        s"ridgeFitPerGroup: zero-variance feature(s) ${flat.mkString(", ")} " +
+          s"in group ${r.get(0)} — drop constants (or that group) before fitting")
+      val rhs = Array.tabulate(d)(a => xy(a) / n - mu(a) * ybar)
+      for (a <- 0 until d) h(a)(a) += l2
+      val w = solve(h, rhs)
+      val bias = ybar - (0 until d).map(a => w(a) * mu(a)).sum
+      org.apache.spark.sql.Row(r.get(0), n, bias, w.toSeq)
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol, data.schema("__g").dataType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bias",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("weights",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(modelRows).asJava, schema)
+  }
+
+  /** Apply a [[ridgeFitPerGroup]] model table: broadcast equi-join on
+    * the group key + per-row dot product — map-side only, scoring
+    * 100 TB costs a scan. Rows whose group has no model DROP OUT of the
+    * inner join (the apply-side face of the fit's null-group fail-fast);
+    * left-join + coalesce yourself if unmatched groups must survive.
+    */
+  def scorePerGroup(df: DataFrame, model: DataFrame, groupCol: String,
+      featCols: Seq[String], outCol: String = "pred"): DataFrame = {
+    val dot = featCols.zipWithIndex.foldLeft(col("bias")) {
+      case (acc, (c, i)) =>
+        acc + col(c).cast("double") * element_at(col("weights"), i + 1)
+    }
+    df.join(broadcast(model.select(col(groupCol), col("bias"), col("weights"))),
+        groupCol)
+      .withColumn(outCol, dot)
+      .drop("bias", "weights")
+  }
+
   /** K-fold cross-validated ridge evaluation — the held-out-error loop a
     * training pipeline runs before trusting a fitted quality score.
     * Folds come from [[Sampling.kFold]] (md5(id‖salt) mod k — a pure

@@ -577,6 +577,40 @@ object EvalQueries {
              |FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS fold FROM documents)
              |GROUP BY 1 ORDER BY fold""".stripMargin.replace("\n", " "))),
 
+    // "Many models" — an independent ridge fit PER SOURCE in ONE
+    // aggregation pass (per-group moment matrices partial-aggregate in
+    // a single groupBy shuffle; the driver solves each tiny system),
+    // scored back through a broadcast join + dot product. PLANTED
+    // per-group oracle: each source's label is a DIFFERENT noiseless
+    // linear function (slope and intercept depend on the source index),
+    // so a single global fit CANNOT satisfy it — only genuinely
+    // separate per-group models do. Features chosen non-collinear
+    // (word count, doc_id mod 7) so every group's centered system is
+    // well-conditioned at any SF.
+    QueryDef("ml10_per_group_ridge",
+      (s, dir) => {
+        val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
+        val idx = expr("CAST(substring(source, 4) AS DOUBLE)")
+        val dfl = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            words.cast("double").as("f_words"),
+            expr("CAST(doc_id % 7 AS DOUBLE)").as("f_mod"))
+          .withColumn("y",
+            (lit(2.0) + idx) * col("f_words") - lit(3.0) * col("f_mod") +
+              lit(10.0) * idx)
+        val model = graft.operators.Trainer.ridgeFitPerGroup(dfl, "source",
+          Seq("f_words", "f_mod"), "y")
+        graft.operators.Trainer.scorePerGroup(dfl, model, "source",
+            Seq("f_words", "f_mod"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            max(abs(col("pred") - col("y"))).as("__err"))
+          .select(col("source"), col("n"), (col("__err") < 1e-4).as("exact"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n, TRUE AS exact
+             |FROM documents GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " "))),
+
     // Arena-style win-rate leaderboard with the Wilson lower bound — the
     // preference ranking published when a full BT fit is overkill or
     // its Ford/connectivity preconditions don't hold. Comparisons are

@@ -286,6 +286,49 @@ class TrainerSpec extends SparkSpec {
     assert(e.getMessage.contains("fold"))
   }
 
+  test("ridgeFitPerGroup: per-group planted lines recovered; group-naming fail-fasts") {
+    // three groups, each its OWN noiseless line — a global fit cannot
+    // satisfy all three, so exact per-group recovery proves the models
+    // are genuinely independent
+    val df = (0 until 900).map { i =>
+      val g = s"g${i % 3}"; val x1 = i * 0.37 % 11.0; val x2 = (i % 7).toDouble
+      val (a, b, c) = (2.0 + (i % 3), -3.0 + (i % 3), 10.0 * (i % 3))
+      (i.toLong, g, x1, x2, a * x1 + b * x2 + c)
+    }.toDF("id", "g", "x1", "x2", "y")
+    val model = Trainer.ridgeFitPerGroup(df.repartition(7), "g",
+      Seq("x1", "x2"), "y")
+    assert(model.count() == 3)
+    val scored = Trainer.scorePerGroup(df, model, "g", Seq("x1", "x2"))
+    val maxErr = scored.agg(max(abs(col("pred") - col("y")))).head().getDouble(0)
+    assert(maxErr < 1e-8, s"per-group planted lines must fit exactly, err $maxErr")
+    // weights are per group: g0 slope 2.0, g2 slope 4.0
+    val w = model.orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](3)).toMap
+    assert(math.abs(w("g0")(0) - 2.0) < 1e-6 && math.abs(w("g2")(0) - 4.0) < 1e-6)
+    // fail-fasts NAME the group: zero variance in one group only
+    val flat = df.withColumn("x2",
+      when(col("g") === "g1", lit(5.0)).otherwise(col("x2")))
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.ridgeFitPerGroup(flat, "g", Seq("x1", "x2"), "y"))
+    assert(e1.getMessage.contains("x2") && e1.getMessage.contains("g1"))
+    // nulls in one group only
+    val holey = df.withColumn("x1",
+      when(col("g") === "g2" && col("id") % 50 === 0, lit(null)).otherwise(col("x1")))
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.ridgeFitPerGroup(holey, "g", Seq("x1", "x2"), "y"))
+    assert(e2.getMessage.contains("g2"))
+    // null group key would vanish at the scoring join
+    val nullG = df.withColumn("g",
+      when(col("id") === 13, lit(null)).otherwise(col("g")))
+    val e3 = intercept[IllegalArgumentException](
+      Trainer.ridgeFitPerGroup(nullG, "g", Seq("x1", "x2"), "y"))
+    assert(e3.getMessage.contains("null"))
+    // maxGroups contract
+    val e4 = intercept[IllegalArgumentException](
+      Trainer.ridgeFitPerGroup(df, "id", Seq("x1", "x2"), "y", maxGroups = 10))
+    assert(e4.getMessage.contains("maxGroups") || e4.getMessage.contains("10"))
+  }
+
   test("winRateLeaderboard: exact rates, Wilson floor demotes the lucky 2/2") {
     // item 1 beats item 0 seventy of 100 times; item 9 "wins" both of
     // its only two comparisons (vs 0) — raw rate ranks 9 first, the

@@ -469,6 +469,49 @@ object TextAnalysis {
         when(col("n_bigrams") > 0, col("nll_sum") / col("n_bigrams")).as("xent"))
   }
 
+  /** PMI collocations — the corpus's top-k bigrams by pointwise lift
+    * p(ab)/(p(a)p(b)) (Church & Hanks 1990's association ratio), the
+    * phrase-mining pass a tokenizer/curation pipeline runs to find
+    * multiword units worth preserving. Exact integer fixed point: with
+    * one normalizer T = total tokens,
+    *   lift_x1e6 = c_ab·T·10⁶ div (c_a·c_b)
+    * — the product runs in DECIMAL(38,0) (c_ab·T·10⁶ ≤ 10¹²·10¹⁵·10⁶ =
+    * 10³³ at a 100 TB corpus, inside 38 digits; an oracle's HUGEINT is
+    * the same 127-bit class), so the ranking is engine- and
+    * partitioning-exact — no transcendental log anywhere.
+    *
+    * Scale shape: one unigram partial-agg shuffle, one bigram
+    * partial-agg shuffle with `minCount` pruning FIRST (the long tail
+    * of hapax bigrams never reaches the joins), two keyed joins against
+    * the unigram table, the scalar T as a broadcast row (never a
+    * collect), and a distributed TakeOrderedAndProject top-k — no
+    * global sort. Ties are impossible across rows (the bigram string is
+    * unique), so (lift desc, bigram) is a total order.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("T"))
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_ab"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * T * 1000000 div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_x1e6"))
+      .orderBy(col("lift_x1e6").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"): learn `numMerges`
     * byte-pair merges from the corpus.

@@ -832,6 +832,25 @@ object TextQueries {
               |SELECT t.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.mean_prob_x1e6
               |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // PMI collocations: top-20 bigrams by pointwise lift
+    // c_ab·T·1e6 div (c_a·c_b) — the phrase-mining pass before
+    // tokenizer training. Exact integer end to end (products in
+    // DECIMAL(38,0) / HUGEINT — the same 127-bit class — so the
+    // ranking is engine-exact; no log anywhere); minCount prunes the
+    // hapax tail before any join; distributed TakeOrderedAndProject
+    // top-k, never a global sort. (lift, bigram) is a total order
+    // because the bigram string is unique per row.
+    QueryDef("t17_collocations",
+      (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"))
+        .orderBy(col("lift_x1e6").desc, col("bigram")),
+      Some(s"""WITH tok AS (SELECT $duckToks AS toks FROM documents),
+              |uni AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS c FROM tok, unnest(toks) AS t(u) GROUP BY 1),
+              |tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM uni),
+              |bgc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_ab FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b FROM tok WHERE len(toks) >= 2) GROUP BY 1 HAVING count(*) >= 5),
+              |j AS (SELECT b, c_ab, u1.c AS c_a, u2.c AS c_b FROM bgc JOIN uni u1 ON split_part(b, ' ', 1) = u1.w JOIN uni u2 ON split_part(b, ' ', 2) = u2.w)
+              |SELECT b AS bigram, c_ab, CAST(CAST(c_ab AS HUGEINT) * T * 1000000 // (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS lift_x1e6
+              |FROM j CROSS JOIN tot ORDER BY lift_x1e6 DESC, bigram LIMIT 20""".stripMargin.replace("\n", " "))),
+
     // BPE tokenizer training: merges learned from the corpus —
     // distributed word-frequency pass, driver-side vocab-scale merge
     // loop (the subword-nmt/HF split). PARTIAL ORACLE: the full merge

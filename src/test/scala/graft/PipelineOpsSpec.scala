@@ -693,6 +693,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, None, None)))
   }
 
+  test("collocations: hand-computed integer lift, minCount prune, top-k tie order") {
+    val docs = Seq(
+      (1L, "a b a b a c"),   // pairs: (a b)(b a)(a b)(b a)(a c)
+      (2L, "c z c z"),       // pairs: (c z)(z c)(c z)
+      (3L, "b a b"),         // pairs: (b a)(a b)
+      (4L, "")).toDF("doc_id", "text")
+    // bigram totals: ab=3, ba=3, ac=1, cz=2, zc=1
+    // unigrams: a=4, b=4, c=3, z=2 → T = 13
+    val uni = Map("a" -> 4L, "b" -> 4L, "c" -> 3L, "z" -> 2L)
+    val T = uni.values.sum // 13
+    val counts = Map(("a", "b") -> 3L, ("b", "a") -> 3L, ("a", "c") -> 1L,
+      ("c", "z") -> 2L, ("z", "c") -> 1L)
+    def lift(w1: String, w2: String): Long =
+      (BigInt(counts((w1, w2))) * T * 1000000L / (BigInt(uni(w1)) * uni(w2))).toLong
+    val got = TextAnalysis.collocations(docs, minCount = 2, topK = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // minCount=2 keeps ab(3), ba(3), cz(2); lifts: ab = 3·13e6/16,
+    // ba same, cz = 2·13e6/6 — cz ranks first, then "a b" before "b a"
+    val expect = Seq(
+      ("c z", 2L, lift("c", "z")),
+      ("a b", 3L, lift("a", "b")),
+      ("b a", 3L, lift("b", "a")))
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.head._3 == 2L * 13L * 1000000L / 6L)
+    // partitioning invariance (integer arithmetic end to end)
+    val got2 = TextAnalysis.collocations(docs.repartition(5), minCount = 2, topK = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got2 == expect)
+  }
+
   test("fuzzyJoin: blocked match within threshold, prefilter keeps true pairs") {
     import graft.operators.EntityResolution
     val master = Seq(

@@ -150,6 +150,24 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast anti-join in:\n$plan")
   }
 
+  test("per-group model scoring joins the model table by broadcast") {
+    // ml10's scorePerGroup: the fitted model table is O(groups) rows —
+    // a shuffle join here would move the full corpus for a dictionary
+    val plan = q("ml10_per_group_ridge").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model application must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"model application regressed to a sort-merge join:\n$plan")
+  }
+
+  test("collocations top-k plans TakeOrderedAndProject; unigram joins stay keyed") {
+    val plan = q("t17_collocations").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"collocations must take a distributed top-k, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar-T cross join must broadcast a single row:\n$plan")
+  }
+
   test("quality-model scoring adds no hash exchange (map-only before the sort)") {
     val plan = q("t6_quality_model").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),

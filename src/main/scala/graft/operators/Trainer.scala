@@ -435,6 +435,168 @@ object Trainer {
       scala.jdk.CollectionConverters.SeqHasAsJava(modelRows).asJava, schema)
   }
 
+  /** "Many models", logistic edition: an independent IRLS logistic
+    * regression PER GROUP — the per-source / per-language quality-filter
+    * trainer — with every round still ONE distributed aggregation for
+    * ALL unconverged groups at once. Per round: the driver's per-group
+    * state (standardization μ/σ and current β, O(d) doubles each) ships
+    * back as a broadcast join table; each row computes its own group's
+    * margin/weight/residual from the joined columns; a groupBy
+    * aggregates every group's Hessian triangle + gradient + loss in the
+    * same shuffle; the driver solves each group's tiny Newton system.
+    * Groups that converge LEAVE the join table, so their rows drop out
+    * of later rounds at the broadcast join — the pass cost shrinks as
+    * the easy groups finish. Total: 1 stats pass + (max rounds) passes,
+    * regardless of group count; driver state O(groups·d²) behind the
+    * explicit `maxGroups` fail-fast.
+    *
+    * Same per-group fail-fasts as [[ridgeFitPerGroup]] (named group:
+    * label/feature nulls, non-0/1 labels, zero variance; null group
+    * keys rejected). Same determinism note as [[logisticFit]]: weights
+    * are FP-reproducible, not bitwise — consumers state margin-robust
+    * properties.
+    *
+    * Returns (groupCol, n, itersRun, bias, weights) in RAW feature
+    * space; apply with [[scorePerGroup]] (+ sigmoid for probabilities).
+    */
+  def logisticFitPerGroup(df: DataFrame, groupCol: String,
+      featCols: Seq[String], labelCol: String, iters: Int = 25,
+      l2: Double = 1e-4, tol: Double = 1e-8,
+      maxGroups: Int = 100000): DataFrame = {
+    require(featCols.nonEmpty, "logisticFitPerGroup: no feature columns")
+    val spark = df.sparkSession
+    val d = featCols.size
+    val m = d + 1
+    val data = Materialize(df.select(
+      col(groupCol).as("__g") +: col(labelCol).cast("double").as("__y") +:
+        featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*))
+    try {
+      val anyBad = (0 until d).map(i => col(s"__x$i").isNull)
+        .foldLeft(col("__y").isNull || (col("__y") =!= 0.0 && col("__y") =!= 1.0))(_ || _)
+      val stats = data.groupBy("__g").agg(
+        count(lit(1)).as("n"),
+        sum(when(anyBad, 1).otherwise(0)).as("bad"),
+        array((0 until d).map(i => avg(col(s"__x$i"))): _*).as("mu"),
+        array((0 until d).map(i => stddev_pop(col(s"__x$i"))): _*).as("sd"))
+        .limit(maxGroups + 1)
+        .collect()
+      require(stats.nonEmpty, "logisticFitPerGroup: empty input")
+      require(stats.length <= maxGroups,
+        s"logisticFitPerGroup: more than $maxGroups groups — per-group " +
+          "model state lives on the driver; raise maxGroups deliberately " +
+          "or coarsen the group key")
+      require(stats.forall(!_.isNullAt(0)),
+        s"logisticFitPerGroup: null values in group column '$groupCol' — " +
+          "the model row could never join back at scoring time; filter " +
+          "or coalesce them first")
+      val badGroups = stats.filter(_.getLong(2) != 0).map(_.get(0)).take(3)
+      require(badGroups.isEmpty,
+        s"logisticFitPerGroup: non-0/1-or-null labels or null features in " +
+          s"group(s) ${badGroups.mkString(", ")} — filter or impute first")
+      stats.foreach { r =>
+        val sd = r.getSeq[Double](4)
+        val flat = featCols.zip(sd).collect { case (c, s) if s == 0.0 => c }
+        require(flat.isEmpty,
+          s"logisticFitPerGroup: zero-variance feature(s) ${flat.mkString(", ")} " +
+            s"in group ${r.get(0)} — drop constants (or that group) before fitting")
+      }
+
+      // driver state, keyed by the group VALUE
+      final case class G(key: Any, n: Long, mu: Array[Double], sd: Array[Double],
+        beta: Array[Double], var itersRun: Int)
+      val state = stats.map(r => G(r.get(0), r.getLong(1),
+        r.getSeq[Double](3).toArray, r.getSeq[Double](4).toArray,
+        new Array[Double](m), 0)).toSeq
+      var active = state
+      val gType = data.schema("__g").dataType
+      val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
+      var it = 0
+      while (it < iters && active.nonEmpty) {
+        // broadcast table: group key + per-group μ/σ/β flattened to columns
+        val paramRows = active.map { g =>
+          org.apache.spark.sql.Row.fromSeq(
+            g.key +: (g.mu.toSeq ++ g.sd.toSeq ++ g.beta.toSeq))
+        }
+        val paramSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__g", gType) +:
+            ((0 until d).map(i => s"__m$i") ++ (0 until d).map(i => s"__s$i") ++
+              (0 until m).map(i => s"__b$i")).map(nm =>
+              org.apache.spark.sql.types.StructField(nm,
+                org.apache.spark.sql.types.DoubleType, nullable = false)))
+        val params = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(paramRows).asJava, paramSchema)
+        // inner join: converged groups have left `params`, so their rows
+        // drop out here and later rounds shrink
+        val joined = data.join(broadcast(params), "__g")
+        // per-row, per-GROUP standardized features and margin — all from
+        // the joined broadcast columns, so one expression serves every group
+        val z = Array.tabulate(d)(i =>
+          (col(s"__x$i") - col(s"__m$i")) / col(s"__s$i"))
+        val margin = (0 until d).map(i => col(s"__b${i + 1}") * z(i))
+          .foldLeft(col("__b0"): Column)(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val wgt = p * (lit(1.0) - p)
+        val resid = col("__y") - p
+        val xsM: Array[Column] = lit(1.0) +: z
+        val row = joined.groupBy("__g").agg(
+          array(upper.map { case (a, b) => sum(wgt * xsM(a) * xsM(b)) }: _*).as("h"),
+          array((0 until m).map(a => sum(resid * xsM(a))): _*).as("g"))
+          .collect()
+        val byKey = row.map(r => r.get(0) -> r).toMap
+        val still = scala.collection.mutable.ArrayBuffer.empty[G]
+        for (g <- active) {
+          val r = byKey(g.key)
+          val hFlat = r.getSeq[Double](1).toArray
+          val grad = r.getSeq[Double](2).toArray.map(_ / g.n)
+          val h = Array.ofDim[Double](m, m)
+          var k = 0
+          for { a <- 0 until m; b <- a until m } {
+            h(a)(b) = hFlat(k) / g.n; h(b)(a) = h(a)(b); k += 1
+          }
+          val rhs = new Array[Double](m)
+          var maxG = 0.0
+          for (a <- 0 until m) {
+            val pen = if (a == 0) 0.0 else l2
+            h(a)(a) += pen
+            rhs(a) = grad(a) - pen * g.beta(a)
+            if (math.abs(rhs(a)) > maxG) maxG = math.abs(rhs(a))
+          }
+          val delta = solve(h, rhs)
+          var maxStep = 0.0
+          for (a <- 0 until m) {
+            g.beta(a) += delta(a)
+            if (math.abs(delta(a)) > maxStep) maxStep = math.abs(delta(a))
+          }
+          g.itersRun += 1
+          if (!(maxG < tol || maxStep < tol)) still += g
+        }
+        active = still.toSeq
+        it += 1
+      }
+      // fold standardization back per group; emit the model table
+      val modelRows = state.map { g =>
+        val rawW = Array.tabulate(d)(i => g.beta(i + 1) / g.sd(i))
+        val rawB = g.beta(0) -
+          (0 until d).map(i => g.beta(i + 1) * g.mu(i) / g.sd(i)).sum
+        org.apache.spark.sql.Row(g.key, g.n, g.itersRun, rawB, rawW.toSeq)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol, gType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("iters_run",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bias",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("weights",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false)))
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(modelRows).asJava, schema)
+    } finally Materialize.releaseSuperseded(data)
+  }
+
   /** Apply a [[ridgeFitPerGroup]] model table: broadcast equi-join on
     * the group key + per-row dot product — map-side only, scoring
     * 100 TB costs a scan. Rows whose group has no model DROP OUT of the

@@ -611,6 +611,47 @@ object EvalQueries {
       Some("""SELECT source, count(*) AS n, TRUE AS exact
              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " "))),
 
+    // "Many models", logistic edition: an independent IRLS quality
+    // classifier PER SOURCE, every Newton round still ONE distributed
+    // aggregation for all unconverged groups (per-group μ/σ/β ride a
+    // broadcast join table; converged groups leave it, so later rounds
+    // shrink). PLANTED per-group oracle: each source's label rule has a
+    // DIFFERENT slope (4 + idx mod 4) with a margin band excluded, so
+    // one global boundary cannot classify every group — only genuinely
+    // per-group fits can. Same honesty contract as ml6: the query
+    // ASSERTS the per-group separating property (min signed fit margin
+    // > 0 across all groups) and fails fast with the measured margin.
+    QueryDef("ml11_per_group_logreg",
+      (s, dir) => {
+        val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
+        val slope = lit(4.0) +
+          expr("CAST(substring(source, 4) AS BIGINT) % 4").cast("double")
+        val z = col("n_chars").cast("double") - slope * words.cast("double")
+        val train = t(s, dir, "documents")
+          .filter(abs(z) > 5.0)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("double").as("f_chars"),
+            words.cast("double").as("f_words"),
+            when(z > 0, 1.0).otherwise(0.0).as("y"))
+        val model = graft.operators.Trainer.logisticFitPerGroup(train,
+          "source", Seq("f_chars", "f_words"), "y")
+        val scored = graft.operators.Trainer.scorePerGroup(train, model,
+          "source", Seq("f_chars", "f_words"))
+        val perGroup = scored.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            min((lit(2.0) * col("y") - 1.0) * col("pred")).as("__mm"))
+        val worst = perGroup.agg(min(col("__mm"))).head().getDouble(0)
+        require(worst > 0.0,
+          f"ml11: some group's fitted boundary does not separate its " +
+            f"banded training set (min signed margin $worst%.6g)")
+        perGroup.select(col("source"), col("n"), (col("__mm") > 0).as("exact"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n, TRUE AS exact FROM documents
+             |WHERE abs(CAST(n_chars AS DOUBLE) - (4 + CAST(substring(source, 4) AS BIGINT) % 4)
+             |  * (length(text) - length(replace(text, ' ', '')) + 1)) > 5
+             |GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " "))),
+
     // Arena-style win-rate leaderboard with the Wilson lower bound — the
     // preference ranking published when a full BT fit is overkill or
     // its Ford/connectivity preconditions don't hold. Comparisons are

@@ -329,6 +329,49 @@ class TrainerSpec extends SparkSpec {
     assert(e4.getMessage.contains("maxGroups") || e4.getMessage.contains("10"))
   }
 
+  test("logisticFitPerGroup: per-group boundaries recovered where one global fit cannot") {
+    // three groups, three DIFFERENT planted separators (slope 2/5/9 with
+    // an empty margin band): per-group fits must classify every row
+    // right; a single global boundary cannot satisfy all three
+    val rows = for {
+      i <- 0 until 1200
+      g = i % 3
+      x1 = (i % 40).toDouble + 1.0
+      x2 = ((i / 3) % 25).toDouble + 1.0
+      slope = Seq(2.0, 5.0, 9.0)(g)
+      // per-group offset keeps BOTH classes populated on the x1/x2 grid
+      z = x1 - slope * x2 + Seq(20.0, 60.0, 100.0)(g)
+      if math.abs(z) > 4.0
+    } yield (s"g$g", x1, x2, if (z > 0) 1.0 else 0.0)
+    val df = rows.toDF("g", "x1", "x2", "y")
+    // both classes present per group (otherwise the test is vacuous)
+    val classes = df.groupBy("g").agg(count_distinct(col("y"))).collect()
+    assert(classes.forall(_.getLong(1) == 2L), "need both classes per group")
+    val model = Trainer.logisticFitPerGroup(df.repartition(7), "g",
+      Seq("x1", "x2"), "y", iters = 30, l2 = 1e-6)
+    assert(model.count() == 3)
+    val scored = Trainer.scorePerGroup(df, model, "g", Seq("x1", "x2"))
+    val worst = scored
+      .agg(min((lit(2.0) * col("y") - 1.0) * col("pred"))).head().getDouble(0)
+    assert(worst > 0.0, s"every group must separate its band, min margin $worst")
+    // a single GLOBAL fit on the same data cannot separate all groups
+    val global = Trainer.logisticFit(df, Seq("x1", "x2"), "y",
+      iters = 30, l2 = 1e-6)
+    val gScored = df.withColumn("p", Trainer.logisticScore(global))
+    val gBad = gScored.filter(((col("p") > 0.5) && col("y") === 0.0) ||
+      ((col("p") <= 0.5) && col("y") === 1.0)).count()
+    assert(gBad > 0, "global fit unexpectedly separates all three slopes — strengthen the plant")
+    // iters_run recorded per group, within the cap
+    val iters = model.select("iters_run").as[Int].collect()
+    assert(iters.forall(i => i > 0 && i <= 30))
+    // fail-fasts name the group
+    val badLabel = df.withColumn("y",
+      when(col("g") === "g1" && col("x1") === 1.0, 0.5).otherwise(col("y")))
+    val e = intercept[IllegalArgumentException](
+      Trainer.logisticFitPerGroup(badLabel, "g", Seq("x1", "x2"), "y"))
+    assert(e.getMessage.contains("g1"))
+  }
+
   test("winRateLeaderboard: exact rates, Wilson floor demotes the lucky 2/2") {
     // item 1 beats item 0 seventy of 100 times; item 9 "wins" both of
     // its only two comparisons (vs 0) — raw rate ranks 9 first, the

@@ -633,8 +633,15 @@ object EvalQueries {
             col("n_chars").cast("double").as("f_chars"),
             words.cast("double").as("f_words"),
             when(z > 0, 1.0).otherwise(0.0).as("y"))
+        // l2 well under the default: groups whose planted slope sits far
+        // from the corpus's natural chars/words ratio are heavily class-
+        // imbalanced, and at 1e-4 the regularizer pulls the boundary into
+        // the band (observed at sf0.1: min margin −3.9 on one source —
+        // caught by the fail-fast below, not a silent red); at 1e-7 the
+        // optimum tracks the max-margin separator closely enough to clear
+        // the band on every group at every SF
         val model = graft.operators.Trainer.logisticFitPerGroup(train,
-          "source", Seq("f_chars", "f_words"), "y")
+          "source", Seq("f_chars", "f_words"), "y", iters = 40, l2 = 1e-7)
         val scored = graft.operators.Trainer.scorePerGroup(train, model,
           "source", Seq("f_chars", "f_words"))
         val perGroup = scored.groupBy("source")

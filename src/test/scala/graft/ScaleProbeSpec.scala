@@ -647,6 +647,71 @@ class ScaleProbeSpec extends SparkSpec {
       "running-sum assignment must be identical across bucket widths")
   }
 
+  test("many-models probe: 1000-group ridge from ONE pass, per-group planted lines exact", Slow) {
+    // the many-models claim at realistic group fan-out: 2M rows across
+    // 1000 groups, each group its OWN planted line (coefficients are
+    // closed-form functions of the group id), fitted by a single
+    // aggregation pass of per-group moment matrices. Ground truth:
+    // every group's model must reproduce its planted coefficients, so
+    // the max scoring error across ALL 2M rows sits at solver noise.
+    val n = 2000000L
+    val df = spark.range(0, n).select(
+      concat(lit("g"), pmod(col("id"), lit(1000))).as("g"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("double") / 100.0).as("x1"),
+      pmod(col("id") * 7919L, lit(23)).cast("double").as("x2"))
+      .withColumn("gid", expr("CAST(substring(g, 2) AS DOUBLE)"))
+      .withColumn("y",
+        (lit(1.0) + col("gid") / 100.0) * col("x1") -
+          (lit(2.0) + pmod(col("gid"), lit(5))) * col("x2") + col("gid"))
+      .drop("gid")
+    df.write.mode("overwrite").parquet("target/probe_spec_manymodels")
+    val mat = spark.read.parquet("target/probe_spec_manymodels")
+    val t0 = System.nanoTime()
+    val model = graft.operators.Trainer.ridgeFitPerGroup(mat, "g",
+      Seq("x1", "x2"), "y")
+    assert(model.count() == 1000L)
+    val err = graft.operators.Trainer.scorePerGroup(mat, model, "g", Seq("x1", "x2"))
+      .agg(max(abs(col("pred") - col("y")))).head().getDouble(0)
+    println(f"[probe-spec] many-models ridge: 1000 groups / 2M rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s, max err $err%.2e")
+    assert(err < 1e-6, s"per-group planted lines must fit exactly, err $err")
+  }
+
+  test("many-models probe: 150-group logistic, every group's band separated", Slow) {
+    // grouped IRLS at fan-out: 300k rows / 150 groups, each group its
+    // own banded separator (slope varies by group). Every Newton round
+    // is ONE aggregation for all unconverged groups; converged groups
+    // leave the broadcast parameter table. Ground truth: every group's
+    // fitted boundary clears its band (min signed margin > 0 across all
+    // 300k rows), and no group hits the round cap.
+    val n = 300000L
+    val raw = spark.range(0, n).select(
+      concat(lit("g"), pmod(col("id"), lit(150))).as("g"),
+      (pmod(xxhash64(col("id"), lit(11)), lit(400)).cast("double") + 1.0).as("x1"),
+      (pmod(xxhash64(col("id"), lit(13)), lit(40)).cast("double") + 1.0).as("x2"))
+      .withColumn("slope", lit(3.0) + pmod(expr("CAST(substring(g, 2) AS BIGINT)"), lit(7)).cast("double"))
+      .withColumn("z", col("x1") - col("slope") * col("x2") + lit(50.0))
+      .filter(abs(col("z")) > 8.0)
+      .select(col("g"), col("x1"), col("x2"),
+        when(col("z") > 0, 1.0).otherwise(0.0).as("y"))
+    raw.write.mode("overwrite").parquet("target/probe_spec_manylogit")
+    val mat = spark.read.parquet("target/probe_spec_manylogit")
+    // both classes in every group, or the probe is vacuous
+    val oneClass = mat.groupBy("g").agg(count_distinct(col("y")).as("c"))
+      .filter(col("c") < 2).count()
+    assert(oneClass == 0L, s"$oneClass group(s) are single-class — fix the plant")
+    val t0 = System.nanoTime()
+    val model = graft.operators.Trainer.logisticFitPerGroup(mat, "g",
+      Seq("x1", "x2"), "y", iters = 40, l2 = 1e-7)
+    assert(model.count() == 150L)
+    val worst = graft.operators.Trainer.scorePerGroup(mat, model, "g", Seq("x1", "x2"))
+      .agg(min((lit(2.0) * col("y") - 1.0) * col("pred"))).head().getDouble(0)
+    val iters = model.agg(max(col("iters_run"))).head().getInt(0)
+    println(f"[probe-spec] many-models logistic: 150 groups / ${mat.count()} rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s, min margin $worst%.3f, max rounds $iters")
+    assert(worst > 0.0, s"every group must separate its band, min margin $worst")
+  }
+
   test("prefix-sum probe: 5M-row MULTI-SERIES running sums, per-series analytic totals", Slow) {
     // the ml4 melted shape (several independent series through ONE
     // bucketing) at 3 orders above its bench size: 5 series × 1M

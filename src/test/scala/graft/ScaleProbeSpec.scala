@@ -6,9 +6,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.Tag
 
-/** Opt-in (`-n Slow`) tag: these probes generate 10⁵–10⁶-row corpora and
-  * take minutes on the local[4] test session — excluded from plain
-  * `sbt test`, run per-round via `sbt "testOnly *ScaleProbeSpec* -- -n Slow"`.
+/** `Slow` tag: these probes generate 10⁵–10⁶-row corpora and take
+  * minutes on the local[4] test session. NOTE: scalatest tags only
+  * filter when runner args ask them to, and the build configures none —
+  * plain `sbt test` RUNS these probes (verified: the full suite's
+  * output carries every probe line). The tag exists for selective runs:
+  * `sbt "testOnly graft.ScaleProbeSpec -- -n Slow"` for the probes
+  * alone, or `-l Slow` to exclude them when iterating. (Beware
+  * combining `-n` with `-z` — the intersection silently selects the
+  * wrong set; use `-z "<name>"` alone to pick single tests.)
   */
 object Slow extends Tag("Slow")
 

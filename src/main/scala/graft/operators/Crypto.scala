@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *
   * Round-trip, wrong-key, and determinism semantics are spec-pinned
   * (CryptoSpec); the corpus-wide round-trip invariant is oracle-checked
-  * (f14_crypto_roundtrip).
+  * (f15_crypto_roundtrip).
   */
 object Crypto {
 

@@ -487,6 +487,17 @@ object TextAnalysis {
     * collect), and a distributed TakeOrderedAndProject top-k — no
     * global sort. Ties are impossible across rows (the bigram string is
     * unique), so (lift desc, bigram) is a total order.
+    *
+    * Unigram-join strategy is DELIBERATELY AQE-decides, no hint: the
+    * unigram table is vocab-sized — KBs at test SF, but a web corpus's
+    * vocabulary (hundreds of millions of tokens × short strings) can
+    * run to GBs, past any sane broadcast threshold. A broadcast hint
+    * would OOM the driver exactly at the scale this operator targets; a
+    * shuffle hint would forfeit the broadcast that is strictly better
+    * whenever the dictionary fits. AQE's measured post-shuffle sizes
+    * pick the right side of that line at runtime — both outcomes are
+    * keyed equi joins on w1/w2, never a nested loop. PlanSpec pins the
+    * at-threshold behavior (broadcast at dictionary scale).
     */
   def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5,
       topK: Int = 20): org.apache.spark.sql.DataFrame = {
@@ -520,12 +531,22 @@ object TextAnalysis {
     * subword-nmt and HF tokenizers both work this way): the CORPUS-scale
     * work — counting word frequencies over every token occurrence — is
     * one distributed partial-aggregated groupBy; the VOCAB-scale work —
-    * the iterative merge loop — runs on the collected word dictionary,
-    * which is bounded by distinct-word count, not corpus size (a 100 TB
-    * corpus still has a dictionary in the millions: driver-sized). Each
-    * iteration merges the most frequent adjacent symbol pair; ties break
-    * lexicographically on (left, right) so training is deterministic
-    * across runs, partitionings, and engines.
+    * the iterative merge loop — runs on the collected word dictionary.
+    * That dictionary is bounded by distinct-word count, not corpus size,
+    * but web-scale text (typos, URLs, unicode junk, code) routinely has
+    * HUNDREDS of millions of distinct tokens — so the collect carries the
+    * house explicit-bound contract: `maxVocab` fail-fasts past the bound
+    * (enforced with limit(maxVocab+1), so the driver never materializes
+    * more than the bound either way), and `minFreq` prunes the hapax
+    * tail DISTRIBUTED (a HAVING on the frequency groupBy, before
+    * anything ships) — the standard BPE-trainer floor (subword-nmt's
+    * --min-frequency) that makes the bound reachable on honest data:
+    * pairs supported by sub-`minFreq` words can't beat pairs the kept
+    * dictionary supports at any realistic corpus skew, and rare-word
+    * spellings contribute nothing a tokenizer should learn.
+    * Each iteration merges the most frequent adjacent symbol pair; ties
+    * break lexicographically on (left, right) so training is
+    * deterministic across runs, partitionings, and engines.
     *
     * Returns the merge table: (rank, left, right, pair_count) — rank 1 =
     * first merge. Word boundaries are never crossed (pairs are counted
@@ -533,14 +554,25 @@ object TextAnalysis {
     * sequence starts as its characters.
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text", minFreq: Long = 1,
+      maxVocab: Int = 1000000): org.apache.spark.sql.DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(minFreq >= 1, "minFreq must be >= 1")
+    require(maxVocab >= 1, "maxVocab must be >= 1")
     val spark = docs.sparkSession
-    // distributed: corpus -> (distinct word, frequency)
+    // distributed: corpus -> (distinct word, frequency), hapax tail
+    // pruned BEFORE anything leaves the executors; limit caps what the
+    // driver can ever materialize even when the require below fires
     val dict: Array[(String, Long)] = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minFreq)
+      .limit(maxVocab + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(dict.length <= maxVocab,
+      s"bpeTrain: more than $maxVocab distinct words survive minFreq=" +
+        s"$minFreq — the merge loop's dictionary lives on the driver; " +
+        "raise minFreq (prunes distributed) or raise maxVocab deliberately")
 
     // driver: iterative merges over the dictionary's symbol sequences
     var words: Array[(Array[String], Long)] =

@@ -456,8 +456,18 @@ object Trainer {
     * are FP-reproducible, not bitwise — consumers state margin-robust
     * properties.
     *
-    * Returns (groupCol, n, itersRun, bias, weights) in RAW feature
-    * space; apply with [[scorePerGroup]] (+ sigmoid for probabilities).
+    * STRAGGLER contract: one pathological group (near-separable data —
+    * slow IRLS) holds every round's full-corpus pass hostage after the
+    * other 99% converge, until the `iters` cap cuts it off. Groups still
+    * unconverged at the cap are FLAGGED — `converged = false` in the
+    * model table — never silently emitted as done: their β is whatever
+    * round `iters` left, fine for triage, not for trusting. Consumers
+    * decide per flagged group (refit with more rounds, drop, or accept);
+    * the table makes the decision visible instead of implicit.
+    *
+    * Returns (groupCol, n, itersRun, converged, bias, weights) in RAW
+    * feature space; apply with [[scorePerGroup]] (+ sigmoid for
+    * probabilities).
     */
   def logisticFitPerGroup(df: DataFrame, groupCol: String,
       featCols: Seq[String], labelCol: String, iters: Int = 25,
@@ -503,10 +513,10 @@ object Trainer {
 
       // driver state, keyed by the group VALUE
       final case class G(key: Any, n: Long, mu: Array[Double], sd: Array[Double],
-        beta: Array[Double], var itersRun: Int)
+        beta: Array[Double], var itersRun: Int, var converged: Boolean)
       val state = stats.map(r => G(r.get(0), r.getLong(1),
         r.getSeq[Double](3).toArray, r.getSeq[Double](4).toArray,
-        new Array[Double](m), 0)).toSeq
+        new Array[Double](m), 0, false)).toSeq
       var active = state
       val gType = data.schema("__g").dataType
       val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
@@ -568,7 +578,8 @@ object Trainer {
             if (math.abs(delta(a)) > maxStep) maxStep = math.abs(delta(a))
           }
           g.itersRun += 1
-          if (!(maxG < tol || maxStep < tol)) still += g
+          if (maxG < tol || maxStep < tol) g.converged = true
+          else still += g
         }
         active = still.toSeq
         it += 1
@@ -578,7 +589,7 @@ object Trainer {
         val rawW = Array.tabulate(d)(i => g.beta(i + 1) / g.sd(i))
         val rawB = g.beta(0) -
           (0 until d).map(i => g.beta(i + 1) * g.mu(i) / g.sd(i)).sum
-        org.apache.spark.sql.Row(g.key, g.n, g.itersRun, rawB, rawW.toSeq)
+        org.apache.spark.sql.Row(g.key, g.n, g.itersRun, g.converged, rawB, rawW.toSeq)
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(groupCol, gType),
@@ -586,6 +597,8 @@ object Trainer {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("iters_run",
           org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("converged",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
         org.apache.spark.sql.types.StructField("bias",
           org.apache.spark.sql.types.DoubleType, nullable = false),
         org.apache.spark.sql.types.StructField("weights",
@@ -605,14 +618,17 @@ object Trainer {
     */
   def scorePerGroup(df: DataFrame, model: DataFrame, groupCol: String,
       featCols: Seq[String], outCol: String = "pred"): DataFrame = {
-    val dot = featCols.zipWithIndex.foldLeft(col("bias")) {
+    // model columns ride under reserved __-names (the Trainer-wide
+    // convention): joining bare 'bias'/'weights' would be ambiguous —
+    // or silently drop the user's column — whenever df carries either name
+    val dot = featCols.zipWithIndex.foldLeft(col("__bias")) {
       case (acc, (c, i)) =>
-        acc + col(c).cast("double") * element_at(col("weights"), i + 1)
+        acc + col(c).cast("double") * element_at(col("__weights"), i + 1)
     }
-    df.join(broadcast(model.select(col(groupCol), col("bias"), col("weights"))),
-        groupCol)
+    df.join(broadcast(model.select(col(groupCol), col("bias").as("__bias"),
+        col("weights").as("__weights"))), groupCol)
       .withColumn(outCol, dot)
-      .drop("bias", "weights")
+      .drop("__bias", "__weights")
   }
 
   /** K-fold cross-validated ridge evaluation — the held-out-error loop a
@@ -623,12 +639,15 @@ object Trainer {
     * and leakage-auditable at corpus scale).
     *
     * Scale shape: ONE narrow projection pinned once (the loop re-scans
-    * it 2k times), then per fold one [[ridgeFit]] aggregation over the
-    * k−1 training folds and one test aggregation (count + max abs
-    * error) over the held-out fold — 2k partial-aggregated passes
-    * total, O(k·d²) driver state, no shuffle beyond the aggregations.
-    * Empty folds fail fast (an empty TRAIN side would throw deep inside
-    * ridgeFit; an empty TEST side would make max() silently null).
+    * it 2k times), then one O(k) fold-count pass that fail-fasts BOTH
+    * empty-fold directions with fold context — an empty TEST fold would
+    * make max() silently null, and an empty TRAIN side (k−1 folds empty:
+    * a near-constant id hashing everything into one fold) would
+    * otherwise surface as ridgeFit's generic 'empty input' with no fold
+    * named — then per fold one [[ridgeFit]] aggregation over the k−1
+    * training folds and one test aggregation (max abs error) over the
+    * held-out fold — 2k+1 partial-aggregated passes total, O(k·d²)
+    * driver state, no shuffle beyond the aggregations.
     *
     * Returns one row per fold: (fold, n_test, max_abs_err).
     */
@@ -639,17 +658,29 @@ object Trainer {
     val folded = Materialize(Sampling.kFold(
       df.select((col(idCol) +: col(labelCol) +: featCols.map(col)): _*), idCol, k))
     try {
+      val foldN: Map[Long, Long] = folded
+        .groupBy(col("fold").cast("long").as("fold"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = foldN.values.sum
+      (0 until k).foreach { f =>
+        val test = foldN.getOrElse(f.toLong, 0L)
+        require(test > 0,
+          s"crossValidateRidge: fold $f holds no rows — k=$k is too large " +
+            "for this input (or the id column is near-constant)")
+        require(total - test > 0,
+          s"crossValidateRidge: fold $f holds ALL $total rows, leaving an " +
+            "empty train side — the id column is (near-)constant; use a " +
+            "higher-cardinality id or fewer folds")
+      }
       val rows = (0 until k).map { f =>
         val train = folded.filter(col("fold") =!= f)
         val test = folded.filter(col("fold") === f)
         val model = ridgeFit(train, featCols, labelCol, l2)
-        val r = test.agg(count(lit(1)).as("n"),
+        val r = test.agg(
           max(abs(linearScore(model) - col(labelCol).cast("double"))).as("err"))
           .collect()(0)
-        require(r.getLong(0) > 0,
-          s"crossValidateRidge: fold $f holds no rows — k=$k is too large " +
-            "for this input (or the id column is near-constant)")
-        org.apache.spark.sql.Row(f.toLong, r.getLong(0), r.getDouble(1))
+        org.apache.spark.sql.Row(f.toLong, foldN(f.toLong), r.getDouble(0))
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fold",
@@ -679,11 +710,28 @@ object Trainer {
     *   (p + z²/2n − z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)
     * so an oracle restating the same order reproduces it bit-for-bit
     * (+,·,/ and √ are all IEEE-exact); consumers round for display.
+    *
+    * Null item ids — including non-numeric strings the long cast nulls —
+    * FAIL FAST (the ridgeFitPerGroup null-group discipline: they would
+    * otherwise collapse into one silent null 'item' row). The check is a
+    * raise_error folded into the cast expression, not a driver count:
+    * this operator's whole contract is ONE pass with no collect, and the
+    * expression fires on the same scan the totals aggregate.
     */
   def winRateLeaderboard(comparisons: DataFrame, winnerCol: String,
       loserCol: String, z: Double = 1.96): DataFrame = {
-    val raw = comparisons.select(col(winnerCol).cast("long").as("__w"),
-      col(loserCol).cast("long").as("__l"))
+    def reqId(c: String): Column = {
+      // try_cast, not cast: ANSI mode would throw its own (column-less)
+      // error on a malformed string before this check could name it
+      val cast = expr(s"try_cast(`$c` AS BIGINT)")
+      when(cast.isNull, raise_error(concat(
+        lit(s"winRateLeaderboard: null or non-numeric id in column '$c' "),
+        lit("(value "), coalesce(col(c).cast("string"), lit("NULL")),
+        lit(") — null items would collapse into one silent row; filter first"))))
+        .otherwise(cast)
+    }
+    val raw = comparisons.select(reqId(winnerCol).as("__w"),
+      reqId(loserCol).as("__l"))
     val totals = raw.select(col("__w").as("item"), lit(1L).as("w"))
       .unionByName(raw.select(col("__l").as("item"), lit(0L).as("w")))
       .groupBy("item")
@@ -787,11 +835,17 @@ object Trainer {
     *
     * Returns (item, strength, wins, comparisons).
     */
-  /** MM rounds the last [[bradleyTerryFit]] actually ran (driver-side
-    * diagnostic for specs/ops dashboards — early-stopped fits report
-    * fewer than their `rounds` cap). Not part of the result contract.
+  /** MM rounds the last [[bradleyTerryFit]] ON THIS THREAD actually ran
+    * (driver-side diagnostic for specs/ops dashboards — early-stopped
+    * fits report fewer than their `rounds` cap). Thread-local so
+    * concurrent fits (a multi-session driver, parallel test suites)
+    * can't clobber each other's diagnostic; a fit's count is readable
+    * only from the thread that ran it. Not part of the result contract —
+    * consumers that need rounds durably should early-stop via `tol` and
+    * log this immediately after the fit returns.
     */
-  val btRoundsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  val btRoundsRun: ThreadLocal[Integer] =
+    ThreadLocal.withInitial[Integer](() => Integer.valueOf(0))
 
   def bradleyTerryFit(comparisons: DataFrame, winnerCol: String,
       loserCol: String, rounds: Int = 30, tol: Double = 0.0,

@@ -460,7 +460,7 @@ object CoreQueries {
     // but the INVARIANTS are SQL: every row round-trips, and the
     // deterministic mode yields identical ciphertext across independent
     // encryptions (count == n_rows each).
-    QueryDef("f14_crypto_roundtrip",
+    QueryDef("f15_crypto_roundtrip",
       (s, dir) => {
         import graft.operators.Crypto
         val key = "0123456789abcdef" // 16-byte demo key; the KMS seam injects real ones

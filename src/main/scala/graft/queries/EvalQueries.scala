@@ -644,9 +644,15 @@ object EvalQueries {
           "source", Seq("f_chars", "f_words"), "y", iters = 40, l2 = 1e-7)
         val scored = graft.operators.Trainer.scorePerGroup(train, model,
           "source", Seq("f_chars", "f_words"))
-        val perGroup = scored.groupBy("source")
+        // the scoring pass (corpus scan + broadcast join + agg) runs
+        // ONCE: pinned via Materialize, the honesty assert reads the pin
+        // and the returned frame re-reads the same 20 cached rows when
+        // the driver hashes it — not the whole pass again. No release
+        // here: the frame must stay readable until the batch driver's
+        // query-boundary sweep frees the pin.
+        val perGroup = graft.operators.Materialize(scored.groupBy("source")
           .agg(count(lit(1)).as("n"),
-            min((lit(2.0) * col("y") - 1.0) * col("pred")).as("__mm"))
+            min((lit(2.0) * col("y") - 1.0) * col("pred")).as("__mm")))
         val worst = perGroup.agg(min(col("__mm"))).head().getDouble(0)
         require(worst > 0.0,
           f"ml11: some group's fitted boundary does not separate its " +

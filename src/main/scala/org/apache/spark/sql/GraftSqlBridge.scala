@@ -83,16 +83,30 @@ object GraftSqlBridge {
     // (Long.MaxValue) and the pinned frame could never broadcast — a
     // regression vs even the old localCheckpoint path. An EMPTY result
     // is honestly tiny (sizeInBytes = 1, the convention empty relations
-    // get); otherwise carry the origin plan's estimate — one estimate on
-    // one round cannot compound, because the next round's pin measures.
-    val measured = spark.sparkContext.getRDDStorageInfo
+    // get). A NON-empty miss is a racing eviction: retry the lookup once
+    // (the race window is block-report latency, not real absence), and
+    // if it still misses, take the origin plan's estimate FLOORED at
+    // rowCount × the schema's default row width — the origin estimate
+    // alone can UNDER-state the pinned frame (the opposite error from
+    // the compounding it was guarded against) and slip a large relation
+    // under autoBroadcastJoinThreshold into a driver-side broadcast OOM;
+    // the row-count floor is information this method already paid for.
+    // One estimate on one round cannot compound: the next round's pin
+    // measures.
+    def storageSize: Option[BigInt] = spark.sparkContext.getRDDStorageInfo
       .find(_.id == rdd.id)
       .map(i => BigInt(i.memSize + i.diskSize))
       .filter(_ > 0)
+    val measured = storageSize
+      .orElse(if (rowCount > 0L) storageSize else None) // one retry on the racy path
       .map(bytes => catalyst.plans.logical.Statistics(sizeInBytes = bytes))
       .orElse(Some(
         if (rowCount == 0L) catalyst.plans.logical.Statistics(sizeInBytes = 1)
-        else classicDf.queryExecution.optimizedPlan.stats))
+        else {
+          val floor = BigInt(rowCount) * (8 + classicDf.schema.defaultSize)
+          catalyst.plans.logical.Statistics(sizeInBytes =
+            classicDf.queryExecution.optimizedPlan.stats.sizeInBytes.max(floor))
+        }))
     // fromDataset for the parts worth preserving — output attributes and
     // the REWRITTEN outputPartitioning/outputOrdering (losing those makes
     // every loop that re-aggregates on the same key re-shuffle each

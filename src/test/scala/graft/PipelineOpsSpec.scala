@@ -608,6 +608,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m2 == Seq((1, "a", "b", 2L), (2, "d", "c", 2L)))
   }
 
+  test("bpeTrain: maxVocab fail-fast names the contract; minFreq prunes distributed") {
+    // 4 distinct words > maxVocab = 3 → the dictionary collect must fail
+    // fast NAMING the bound and the distributed lever (minFreq), never
+    // silently train on a truncated dictionary
+    val docs = Seq((1L, "aa ab ba bb aa")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(docs, numMerges = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab") && e.getMessage.contains("minFreq"),
+      s"fail-fast must name the contract and the lever: ${e.getMessage}")
+    // minFreq = 2 prunes the hapax words (ab, ba, bb each f=1) BEFORE the
+    // collect: the same corpus now fits maxVocab = 3 and trains only on
+    // "aa" (f=2) → the single merge (a,a) with pair count 2
+    val m = TextAnalysis.bpeTrain(docs, numMerges = 5, minFreq = 2, maxVocab = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "a", 2L)))
+  }
+
   test("bpe encode: closure with training — learned merges reproduce trainer segmentation") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val merges = TextAnalysis.bpeTrain(docs, numMerges = 16)

@@ -161,11 +161,44 @@ class PlanSpec extends SparkSpec {
   }
 
   test("collocations top-k plans TakeOrderedAndProject; unigram joins stay keyed") {
-    val plan = q("t17_collocations").queryExecution.executedPlan.toString
+    val df = q("t17_collocations")
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"collocations must take a distributed top-k, not a global sort:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"the scalar-T cross join must broadcast a single row:\n$plan")
+    // The two unigram joins re-key the pruned bigram table against the
+    // vocab-sized unigram table. The INTENDED plan is AQE-decides (see
+    // the collocations scaladoc): equi hash joins that broadcast while
+    // the unigram table fits the threshold and degrade to a shuffle join
+    // — never a nested loop — when a 100 TB corpus's vocabulary doesn't.
+    // At this SF the vocabulary is KBs, so the right call is broadcast:
+    // pin that AQE actually makes it (final plan, post-collect).
+    df.collect()
+    // the AQE string prints Final AND Initial sections — count joins in
+    // the final one only
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size >= 2,
+      s"both unigram joins must broadcast at dictionary scale:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"unigram joins must stay keyed broadcast joins at this SF:\n$finalPlan")
+    // exactly ONE nested-loop join is legitimate: the 1-row scalar-T
+    // broadcast; a second would mean a unigram join degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size == 1,
+      s"only the scalar-T cross join may nested-loop:\n$finalPlan")
+  }
+
+  test("ml11 returns its PINNED honesty frame: hashing the result re-runs no scoring pass") {
+    // the separating-property assert already evaluated the scoring
+    // aggregation (corpus scan + broadcast model join + agg) once; the
+    // returned frame must read those 20 pinned rows, not recompute the
+    // pass when the driver hashes it
+    val plan = q("ml11_per_group_logreg").queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"ml11's result must sit on the Materialize pin:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Relation"),
+      s"hashing ml11 must not re-run the scoring scan/join:\n$plan")
   }
 
   test("quality-model scoring adds no hash exchange (map-only before the sort)") {

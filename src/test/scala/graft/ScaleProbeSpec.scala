@@ -718,6 +718,36 @@ class ScaleProbeSpec extends SparkSpec {
     assert(worst > 0.0, s"every group must separate its band, min margin $worst")
   }
 
+  test("bpe probe: 2M-distinct-word corpus — maxVocab fail-fast, minFreq prunes to a trainable dictionary", Slow) {
+    // web-scale dictionary shape: ~2M distinct hapax tokens (the
+    // typo/URL/unicode tail) around one genuinely frequent word. The
+    // UNBOUNDED collect this probe guards against would ship all 2M
+    // rows to the driver; the contract instead (a) fail-fasts past
+    // maxVocab having materialized at most maxVocab+1 rows (the limit
+    // rides inside the plan), and (b) with the standard minFreq floor
+    // prunes the tail DISTRIBUTED, leaving a driver-sized dictionary
+    // whose merges are exactly predictable.
+    val n = 2000000L
+    spark.range(0, n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) === 0, lit("zqzq"))
+        .otherwise(concat(lit("w"), col("id"))).as("text"))
+      .write.mode("overwrite").parquet("target/probe_spec_bpe_vocab")
+    val mat = spark.read.parquet("target/probe_spec_bpe_vocab")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bpeTrain(mat, numMerges = 1, maxVocab = 100000)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    // minFreq=2 drops every hapax word before the collect: dictionary is
+    // exactly {"zqzq": 20000} → merges (z,q)@40000 then (zq,zq)@20000
+    val merges = graft.operators.TextAnalysis.bpeTrain(mat, numMerges = 5,
+      minFreq = 2, maxVocab = 10).as[(Int, String, String, Long)].collect().toSeq
+    println(f"[probe-spec] bpe vocab: 2M distinct words, fail-fast + pruned " +
+      f"fit in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(merges == Seq((1, "z", "q", 40000L), (2, "zq", "zq", 20000L)), merges.toString)
+  }
+
   test("prefix-sum probe: 5M-row MULTI-SERIES running sums, per-series analytic totals", Slow) {
     // the ml4 melted shape (several independent series through ONE
     // bucketing) at 3 orders above its bench size: 5 series × 1M

@@ -400,6 +400,93 @@ class TrainerSpec extends SparkSpec {
     assert(byItem(9L)._4 < 0.66 && byItem(1L)._4 > 0.60)
   }
 
+  test("logisticFitPerGroup flags straggler groups instead of emitting them as converged") {
+    // group "easy": labels perfectly balanced at every feature value →
+    // the optimum is β = 0, Newton's very first gradient is already 0
+    // and the group converges in round 1. Group "hard": perfectly
+    // SEPARABLE with l2 ≈ 0 — IRLS pushes the margin out forever (the
+    // pathological straggler), so at a 5-round cap it MUST come back
+    // converged = false with iters_run == 5, never silently "done".
+    val easy = for { x <- 1 to 12; y <- Seq(0.0, 1.0) } yield ("easy", x.toDouble, y)
+    val hard = (1 to 24).map(x => ("hard", x.toDouble, if (x > 12) 1.0 else 0.0))
+    val df = (easy ++ hard).toDF("g", "x1", "y")
+    val model = Trainer.logisticFitPerGroup(df.repartition(5), "g", Seq("x1"),
+      "y", iters = 5, l2 = 1e-12, tol = 1e-8)
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+    assert(model("easy")._2, "balanced group must converge inside the cap")
+    assert(model("easy")._1 < 5, s"easy group ran ${model("easy")._1} rounds")
+    assert(!model("hard")._2,
+      "separable straggler must be FLAGGED unconverged at the round cap")
+    assert(model("hard")._1 == 5,
+      s"straggler must run to the cap, ran ${model("hard")._1}")
+  }
+
+  test("crossValidateRidge names the fold when the TRAIN side is empty (constant id)") {
+    // a constant id hashes every row into ONE fold: that fold's train
+    // side is empty — the error must say so with fold context, not
+    // surface as ridgeFit's generic 'empty input'. Pick an id that
+    // lands in fold 0 so the TRAIN-side check (not fold 1's test-side
+    // emptiness) is the one that fires.
+    val id0 = graft.operators.Sampling.kFold(
+        spark.range(50).toDF("id"), "id", 2)
+      .filter(col("fold") === 0).select("id").as[Long].head()
+    val df = (0 until 100).map { i =>
+      val x = i / 10.0; (id0, x, 3.0 * x - 2.0)
+    }.toDF("id", "x1", "y")
+    val e = intercept[IllegalArgumentException](
+      Trainer.crossValidateRidge(df, Seq("x1"), "y", "id", k = 2))
+    assert(e.getMessage.contains("fold") && e.getMessage.contains("train"),
+      s"train-side emptiness must be named with fold context: ${e.getMessage}")
+  }
+
+  test("winRateLeaderboard fail-fasts on null and non-numeric item ids") {
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    // null loser id
+    val nullId = Seq((Some(1L), Some(2L)), (Some(2L), None))
+      .toDF("winner", "loser")
+    val e1 = intercept[Exception](
+      Trainer.winRateLeaderboard(nullId, "winner", "loser").collect())
+    assert(chain(e1).contains("loser"),
+      s"null id must fail fast naming the column:\n${chain(e1)}")
+    // a non-numeric STRING id casts to null — same silent-collapse
+    // hazard, same fail-fast
+    val strId = Seq(("1", "2"), ("itemA", "1")).toDF("winner", "loser")
+    val e2 = intercept[Exception](
+      Trainer.winRateLeaderboard(strId, "winner", "loser").collect())
+    assert(chain(e2).contains("winner") && chain(e2).contains("itemA"),
+      s"non-numeric id must fail fast naming the value:\n${chain(e2)}")
+  }
+
+  test("scorePerGroup survives input frames that already carry bias/weights columns") {
+    // the model's columns ride reserved __-names through the join, so a
+    // user frame with its own 'bias'/'weights' is neither ambiguous nor
+    // silently dropped
+    val df = (0 until 300).map { i =>
+      val g = s"g${i % 2}"; val x = i * 0.37 % 11.0
+      (g, x, 2.0 * x + (if (g == "g0") 1.0 else 5.0),
+        99.0, Seq(1.0, 2.0))
+    }.toDF("g", "x1", "y", "bias", "weights")
+    val model = Trainer.ridgeFitPerGroup(df, "g", Seq("x1"), "y")
+    val scored = Trainer.scorePerGroup(df, model, "g", Seq("x1"))
+    val maxErr = scored.agg(max(abs(col("pred") - col("y")))).head().getDouble(0)
+    assert(maxErr < 1e-8, s"per-group fit must score exactly, err $maxErr")
+    // the USER's columns survive untouched
+    assert(scored.columns.count(_ == "bias") == 1)
+    assert(scored.select("bias").distinct().as[Double].collect().toSeq == Seq(99.0))
+  }
+
+  test("btRoundsRun is thread-local: another thread never sees this thread's fit") {
+    val comps = plantedComparisons(Seq(1.0, 2.0, 4.0), matches = 50)
+    Trainer.bradleyTerryFit(comps, "winner", "loser", rounds = 4).collect()
+    assert(Trainer.btRoundsRun.get() == 4)
+    @volatile var other = -1
+    val t = new Thread(() => { other = Trainer.btRoundsRun.get() })
+    t.start(); t.join()
+    assert(other == 0,
+      s"a fresh thread must see its own initial 0, not this thread's fit: $other")
+  }
+
   test("bradleyTerryFit fail-fasts: undefeated item, self-comparison") {
     // item 2 never loses → MLE diverges → descriptive require
     val undefeated = Seq((2L, 0L), (2L, 1L), (0L, 1L), (1L, 0L))

@@ -42,6 +42,30 @@ class TransformsSpec extends SparkSpec {
     assert(out == "2026-08-12")
   }
 
+  test("stampIngestedAt LIVE clock: default current_timestamp matches the frozen-clock format") {
+    // the oracle board's f5 entry freezes the clock to value-check the
+    // formatter; this is the LIVE face (batch_ingest/lambda_function.py:71
+    // stamps datetime.now): under the UTC session the DEFAULT clock must
+    // render the same ISO-8601 second-precision shape with the Z offset,
+    // pin ONE value per query (Spark fixes current_timestamp at plan
+    // time — the reference's one stamp per Lambda invocation), and
+    // parse back to a timestamp inside the test's own wall-clock window.
+    val before = java.time.Instant.now().minusSeconds(2)
+    val out = Transforms.stampIngestedAt(
+        spark.range(500).toDF("id").repartition(7))
+      .select("ingested_at").as[String].collect()
+    val after = java.time.Instant.now().plusSeconds(2)
+    assert(out.length == 500)
+    assert(out.distinct.length == 1,
+      s"one stamp per query expected, got ${out.distinct.length}")
+    val stamp = out.head
+    assert(stamp.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""),
+      s"live stamp must render the frozen-clock ISO shape: $stamp")
+    val parsed = java.time.Instant.parse(stamp)
+    assert(!parsed.isBefore(before) && !parsed.isAfter(after),
+      s"live stamp $stamp outside the test window [$before, $after]")
+  }
+
   test("quality score trichotomy (transform.py:239-251)") {
     val rows = Seq(
       (60.0, Some(1.0), Some(1.0), Some(1.0), "PASS"),  // battery>=50, all present

@@ -52,6 +52,72 @@ object Intervals {
       .agg(max(col("open")).cast("long").as("max_concurrent"))
   }
 
+  /** Interval-×-interval OVERLAP JOIN via grid bucketing — the join
+    * neither an equi-join nor a point-in-window range join expresses:
+    * pairs (a, b) with [aStart, aEnd) ∩ [bStart, bEnd) ≠ ∅ (epoch
+    * micros, half-open). The naive theta join is a cartesian; this
+    * plans as ONE keyed equi-join:
+    *
+    *  - each interval explodes to the grid cells it touches
+    *    (`bucketWidthUs` wide) — map-side,
+    *  - the sides equi-join on the cell (shuffle or broadcast, AQE
+    *    decides), filtered by the true overlap predicate,
+    *  - each overlapping pair is kept ONLY in the first cell both
+    *    intervals share — the cell of max(aStart, bStart), which any
+    *    overlapping pair covers on both sides — so no distinct is ever
+    *    needed: one shuffle, exactly-once pairs.
+    *
+    * `bucketWidthUs` trades explode fan-out (long intervals touch many
+    * cells) against join selectivity (wide cells join non-overlapping
+    * pairs the filter then drops); pick it near the typical interval
+    * length. The fan-out is bounded by `maxBucketsPerInterval` with an
+    * IN-EXPRESSION raise_error (no extra pass): a pathological interval
+    * would otherwise explode the map side quietly. Null endpoints,
+    * inverted/empty intervals (end ≤ start), and negative times fail
+    * fast the same way — each would silently drop or corrupt pairs.
+    *
+    * Column names must be disjoint across the two inputs (the caller
+    * projects/aliases first — the [[graft.operators.EntityResolution]]
+    * join convention).
+    */
+  def overlapJoin(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      bucketWidthUs: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidthUs > 0, "overlapJoin: bucketWidthUs must be > 0")
+    require(maxBucketsPerInterval >= 1, "overlapJoin: maxBucketsPerInterval >= 1")
+    val w = bucketWidthUs
+    def exploded(df: DataFrame, s: String, e: String, side: String): DataFrame = {
+      val sC = col(s).cast("long"); val eC = col(e).cast("long")
+      val lo = expr(s"CAST($s AS BIGINT) DIV $w")
+      val hi = expr(s"(CAST($e AS BIGINT) - 1) DIV $w")
+      val nb = hi - lo + 1
+      // both guards FOLD INTO the used expression (a pruned side column
+      // would never evaluate); the invalid check comes first — a null
+      // endpoint would otherwise null `nb`, skip the fan-out branch, and
+      // the row would vanish silently at the explode
+      val guarded = when(sC.isNull || eC.isNull || sC < 0 || eC <= sC,
+        raise_error(concat(lit(s"overlapJoin: $side-side interval [$s, $e) is "),
+          lit("null, negative, empty, or inverted (start "),
+          coalesce(sC.cast("string"), lit("NULL")), lit(", end "),
+          coalesce(eC.cast("string"), lit("NULL")),
+          lit(") — filter or repair first"))))
+        .when(nb > maxBucketsPerInterval,
+          raise_error(concat(
+            lit(s"overlapJoin: $side-side interval spans "), nb.cast("string"),
+            lit(s" cells > maxBucketsPerInterval=$maxBucketsPerInterval — " +
+              "widen bucketWidthUs or split the interval"))))
+        .otherwise(lo)
+      df.withColumn("__cell", explode(sequence(guarded, hi)))
+    }
+    exploded(a, aStart, aEnd, "a")
+      .join(exploded(b, bStart, bEnd, "b"), "__cell")
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__cell") === greatest(
+          expr(s"CAST($aStart AS BIGINT) DIV $w"),
+          expr(s"CAST($bStart AS BIGINT) DIV $w")))
+      .drop("__cell")
+  }
+
   /** Total covered time (union length, micros) of possibly-overlapping
     * intervals per key: the sweep counts time where the open-count is
     * positive — merging overlaps without a self-join. Same plan shape as

@@ -694,6 +694,277 @@ object Trainer {
     } finally Materialize.releaseSuperseded(folded)
   }
 
+  /** Fitted Poisson GLM in RAW feature space: expected count =
+    * exp(bias + w·x).
+    */
+  final case class PoissonModel(featCols: Seq[String], weights: Array[Double],
+      bias: Double, itersRun: Int, meanDeviance: Double)
+
+  /** Poisson regression (log-link GLM) by IRLS — the COUNT-data trainer
+    * the lake actually needs for rates and volumes (events per user per
+    * day, tokens per document, clicks per impression), where a squared-
+    * loss line fitted to counts gets both the variance structure and the
+    * non-negativity wrong. Same distributed shape as [[logisticFit]]:
+    * one stats pass standardizes features (folded into the round
+    * EXPRESSIONS — the raw frame is scanned, never copied), then each
+    * Newton round is ONE aggregation of the (d+1)² weighted-Hessian
+    * triangle Σ μ·xₐx_b, the score Σ (y−μ)·xₐ, and the deviance —
+    * O(d²) doubles to the driver, 5–15 passes at 100 TB where gradient
+    * descent needs hundreds. The linear predictor is clamped at 30
+    * inside exp (μ ≤ e³⁰ ≈ 10¹³) so an early overshooting Newton step
+    * cannot overflow the aggregation; converged fits sit far inside the
+    * clamp.
+    *
+    * Labels must be non-null and ≥ 0 (real-valued rates are fine — the
+    * quasi-Poisson score equations don't need integers); features
+    * non-null; constant features fail fast. `l2` (mean-scale, intercept
+    * unpenalized) keeps the Hessian invertible when a feature separates
+    * zero counts. Same determinism note as [[logisticFit]]: weights are
+    * FP-reproducible, not bitwise — consumers state property-robust
+    * oracles (ml12 plants an exactly-log-linear target, where the MLE's
+    * fitted means reproduce the label to solver noise).
+    */
+  def poissonFit(df: DataFrame, featCols: Seq[String], labelCol: String,
+      iters: Int = 25, l2: Double = 1e-10, tol: Double = 1e-9): PoissonModel = {
+    require(featCols.nonEmpty, "poissonFit: no feature columns")
+    val d = featCols.size
+    val data = Materialize(df.select(
+      (col(labelCol).cast("double").as("__y")) +:
+        featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*))
+    try {
+      val anyBad = (0 until d).map(i => col(s"__x$i").isNull)
+        .foldLeft(col("__y").isNull || col("__y") < 0.0)(_ || _)
+      val statsRow = data.agg(
+        count(lit(1)).as("n"),
+        sum(when(anyBad, 1).otherwise(0)).as("bad"),
+        array((0 until d).map(i => avg(col(s"__x$i"))): _*).as("mu"),
+        array((0 until d).map(i => stddev_pop(col(s"__x$i"))): _*).as("sd"),
+        avg(col("__y")).as("ybar")).collect()(0)
+      val n = statsRow.getLong(0)
+      require(n > 0, "poissonFit: empty input")
+      require(statsRow.getLong(1) == 0,
+        s"poissonFit: label column '$labelCol' must be non-null and >= 0 " +
+          "and feature columns non-null — filter or impute first")
+      val mu = statsRow.getSeq[Double](2).toArray
+      val sd = statsRow.getSeq[Double](3).toArray
+      val flat = featCols.zip(sd).collect { case (c, s) if s == 0.0 => c }
+      require(flat.isEmpty,
+        s"poissonFit: zero-variance feature(s) ${flat.mkString(", ")} — " +
+          "drop constants before fitting")
+
+      val m = d + 1
+      val beta = new Array[Double](m)
+      // null-model start (the standard GLM init): intercept = log(ȳ) puts
+      // the first μ at the label's own scale — from β = 0 the first
+      // Newton step on wide-range counts overshoots into the exp clamp
+      // and oscillates instead of converging (observed, caught by ml12's
+      // honesty assert at sf0.001)
+      beta(0) = math.log(math.max(statsRow.getDouble(4), 1e-12))
+      var dev = Double.NaN
+      var it = 0
+      var converged = false
+      val xs: Array[Column] = lit(1.0) +: Array.tabulate(d)(i =>
+        (col(s"__x$i") - lit(mu(i))) / lit(sd(i)))
+      while (it < iters && !converged) {
+        val eta = (0 until m).map(a => lit(beta(a)) * xs(a)).reduce(_ + _)
+        val muHat = exp(least(eta, lit(30.0)))
+        val resid = col("__y") - muHat
+        // unit deviance 2·(y·ln(y/μ) − (y−μ)), y=0 term → 2μ
+        val devRow = when(col("__y") > 0,
+          col("__y") * (log(col("__y")) - least(eta, lit(30.0))) - resid)
+          .otherwise(muHat) * 2.0
+        val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
+        val row = data.agg(
+          array(upper.map { case (a, b) => sum(muHat * xs(a) * xs(b)) }: _*).as("h"),
+          array((0 until m).map(a => sum(resid * xs(a))): _*).as("g"),
+          sum(devRow).as("dev")).collect()(0)
+        val hFlat = row.getSeq[Double](0).toArray
+        val g = row.getSeq[Double](1).toArray.map(_ / n)
+        dev = row.getDouble(2) / n
+        val h = Array.ofDim[Double](m, m)
+        var k = 0
+        for { a <- 0 until m; b <- a until m } {
+          h(a)(b) = hFlat(k) / n; h(b)(a) = h(a)(b); k += 1
+        }
+        val rhs = new Array[Double](m)
+        var maxG = 0.0
+        for (a <- 0 until m) {
+          val pen = if (a == 0) 0.0 else l2
+          h(a)(a) += pen
+          rhs(a) = g(a) - pen * beta(a)
+          if (math.abs(rhs(a)) > maxG) maxG = math.abs(rhs(a))
+        }
+        val delta = solve(h, rhs)
+        // damped Newton: cap the standardized step at 2 per coordinate —
+        // the log link amplifies an overshoot exponentially, and a
+        // too-eager early step otherwise bounces off the exp clamp; near
+        // the optimum steps are tiny so damping never activates there
+        var rawMax = 0.0
+        for (a <- 0 until m)
+          if (math.abs(delta(a)) > rawMax) rawMax = math.abs(delta(a))
+        val scale = if (rawMax > 2.0) 2.0 / rawMax else 1.0
+        var maxStep = 0.0
+        for (a <- 0 until m) {
+          val step = delta(a) * scale
+          beta(a) += step
+          if (math.abs(step) > maxStep) maxStep = math.abs(step)
+        }
+        it += 1
+        converged = maxG < tol || maxStep < tol
+      }
+      val rawW = Array.tabulate(d)(i => beta(i + 1) / sd(i))
+      val rawB = beta(0) - (0 until d).map(i => beta(i + 1) * mu(i) / sd(i)).sum
+      PoissonModel(featCols, rawW, rawB, it, dev)
+    } finally Materialize.releaseSuperseded(data)
+  }
+
+  /** Map-only expected-count column: exp(bias + w·x) over raw feature
+    * columns — codegen'd built-ins, scores 100 TB at scan speed.
+    */
+  def poissonScore(model: PoissonModel): Column = {
+    val eta = model.featCols.zip(model.weights)
+      .map { case (c, wi) => col(c).cast("double") * lit(wi) }
+      .foldLeft(lit(model.bias): Column)(_ + _)
+    exp(eta)
+  }
+
+  /** One learned stump: split feature index, inclusive upper BIN of the
+    * left branch, the raw threshold that bin edge denotes, and the two
+    * leaf values (learning rate already folded in).
+    */
+  final case class Stump(feature: Int, splitBin: Int, threshold: Double,
+      leftValue: Double, rightValue: Double)
+
+  /** Fitted stump ensemble. [[score]] builds the map-only prediction
+    * column (base + Σ stump whens — codegen'd, scores 100 TB at scan
+    * speed).
+    */
+  final case class BoostModel(featCols: Seq[String], mins: Array[Double],
+      widths: Array[Double], bins: Int, base: Double, stumps: Seq[Stump],
+      roundsRun: Int) {
+    private def binExpr(i: Int): Column =
+      least(floor((col(featCols(i)).cast("double") - lit(mins(i))) / lit(widths(i))),
+        lit(bins - 1)).cast("int")
+    def score: Column = stumps.foldLeft(lit(base): Column) { (acc, s) =>
+      acc + when(binExpr(s.feature) <= s.splitBin, s.leftValue)
+        .otherwise(s.rightValue)
+    }
+  }
+
+  /** Histogram gradient-boosted STUMPS (squared loss) — the
+    * LightGBM-shaped distributed trainer: the model that picks up where
+    * linear fits stop (thresholds, interactions-by-addition,
+    * piecewise structure) while every boosting round still costs ONE
+    * partial-aggregated scan.
+    *
+    * The histogram trick is the whole scale story: features are binned
+    * ONCE into `bins` fixed-width buckets (one min/max stats pass — the
+    * binning every histogram GBM performs; per-bin row counts are
+    * computed once too, since they never change). Each round then
+    * aggregates only the d·bins per-bin RESIDUAL SUMS — O(d·bins)
+    * doubles to the driver, never a sort, never a per-split scan — and
+    * the driver sweeps prefix sums over each feature's bins to pick the
+    * split maximizing the SSE reduction L²/nL + R²/nR, with a
+    * DETERMINISTIC tie-break (lowest feature index, then lowest bin) so
+    * training is reproducible across partitionings up to FP-sum noise.
+    * Leaf values are the residual means scaled by `lr`; the evolving
+    * prediction stays an EXPRESSION (base + Σ when(...)), so round k's
+    * scan is the raw frame under a k-term codegen'd projection — no
+    * intermediate materialization, no shuffle anywhere.
+    *
+    * Early-stops when the best achievable gain falls under `tol`
+    * (boosting on an exhausted residual buys nothing), and fail-fasts
+    * nulls and zero-variance features on the stats pass like every
+    * sibling. Squared loss deliberately: it keeps leaf values
+    * closed-form one-pass exact; logistic boosting would need a
+    * Newton leaf step per round (see [[logisticFit]] for that loss).
+    */
+  def boostStumps(df: DataFrame, featCols: Seq[String], labelCol: String,
+      rounds: Int = 30, lr: Double = 1.0, bins: Int = 64,
+      tol: Double = 1e-12): BoostModel = {
+    require(featCols.nonEmpty, "boostStumps: no feature columns")
+    require(rounds >= 1 && bins >= 2, "boostStumps: rounds >= 1, bins >= 2")
+    val d = featCols.size
+    val data = Materialize(df.select(
+      (col(labelCol).cast("double").as("__y")) +:
+        featCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*))
+    try {
+      val anyBad = (0 until d).map(i => col(s"__x$i").isNull)
+        .foldLeft(col("__y").isNull)(_ || _)
+      val stats = data.agg(
+        count(lit(1)).as("n"),
+        sum(when(anyBad, 1).otherwise(0)).as("bad"),
+        array((0 until d).map(i => min(col(s"__x$i"))): _*).as("lo"),
+        array((0 until d).map(i => max(col(s"__x$i"))): _*).as("hi"),
+        avg(col("__y")).as("ybar")).collect()(0)
+      val n = stats.getLong(0)
+      require(n > 0, "boostStumps: empty input")
+      require(stats.getLong(1) == 0,
+        s"boostStumps: label column '$labelCol' and features must be " +
+          "non-null — filter or impute first")
+      val lo = stats.getSeq[Double](2).toArray
+      val hi = stats.getSeq[Double](3).toArray
+      val flat = (0 until d).collect { case i if hi(i) == lo(i) => featCols(i) }
+      require(flat.isEmpty,
+        s"boostStumps: zero-variance feature(s) ${flat.mkString(", ")} — " +
+          "drop constants before fitting")
+      val base = stats.getDouble(4)
+      val widths = Array.tabulate(d)(i => (hi(i) - lo(i)) / bins)
+      def binExpr(i: Int): Column =
+        least(floor((col(s"__x$i") - lit(lo(i))) / lit(widths(i))),
+          lit(bins - 1)).cast("int")
+      // per-bin counts never change: ONE extra aggregation up front
+      val cntRow = data.agg(
+        array((for (i <- 0 until d; b <- 0 until bins) yield
+          sum(when(binExpr(i) === b, 1L).otherwise(0L))): _*).as("c")).collect()(0)
+      val cnt = Array.tabulate(d, bins)((i, b) => cntRow.getSeq[Long](0)(i * bins + b))
+
+      val stumps = scala.collection.mutable.ArrayBuffer.empty[Stump]
+      var fExpr: Column = lit(base)
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val resid = col("__y") - fExpr
+        val row = data.agg(
+          array((for (i <- 0 until d; b <- 0 until bins) yield
+            sum(when(binExpr(i) === b, resid).otherwise(0.0))): _*).as("s"))
+          .collect()(0)
+        val rs = row.getSeq[Double](0)
+        // driver sweep: best (gain, feature, splitBin), deterministic order
+        var bestGain = 0.0
+        var bestF = -1
+        var bestB = -1
+        var bestL = 0.0
+        var bestR = 0.0
+        for (i <- 0 until d) {
+          var nL = 0L; var sL = 0.0
+          val nTot = cnt(i).sum
+          val sTot = (0 until bins).map(b => rs(i * bins + b)).sum
+          for (b <- 0 until bins - 1) {
+            nL += cnt(i)(b); sL += rs(i * bins + b)
+            val nR = nTot - nL
+            if (nL > 0 && nR > 0) {
+              val sR = sTot - sL
+              val gain = sL * sL / nL + sR * sR / nR
+              if (gain > bestGain + 1e-15) {
+                bestGain = gain; bestF = i; bestB = b
+                bestL = lr * sL / nL; bestR = lr * sR / nR
+              }
+            }
+          }
+        }
+        if (bestF < 0 || bestGain < tol) done = true
+        else {
+          val thr = lo(bestF) + widths(bestF) * (bestB + 1)
+          stumps += Stump(bestF, bestB, thr, bestL, bestR)
+          fExpr = fExpr + when(binExpr(bestF) <= bestB, bestL).otherwise(bestR)
+          r += 1
+        }
+      }
+      BoostModel(featCols, lo, widths, bins, base, stumps.toSeq, r)
+    } finally Materialize.releaseSuperseded(data)
+  }
+
   /** Arena-style pairwise win-rate leaderboard with the Wilson score
     * LOWER bound — the ranking a preference pipeline publishes when a
     * full [[bradleyTerryFit]] is overkill or its preconditions (Ford,

@@ -375,6 +375,39 @@ object EvalQueries {
              |ORDER BY gap_us DESC, gap_start_us LIMIT 5"""
         .stripMargin.replace("\n", " "))),
 
+    // Interval-×-interval OVERLAP join via grid bucketing — the join
+    // shape neither an equi-join nor r1's point-in-window range join
+    // covers: signup activity windows [ts, ts+30 min) against click
+    // windows [ts, ts+5 min). The naive form is a cartesian; the
+    // operator explodes each interval to 10-min grid cells, equi-joins
+    // on the cell, and keeps each true pair ONLY in the first cell both
+    // sides share (the max(start) cell) — exactly-once pairs with no
+    // distinct. Left join back preserves zero-overlap signups. Exact
+    // long-micros arithmetic end to end.
+    QueryDef("ivl4_overlap_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_s"))
+          .withColumn("a_e", col("a_s") + lit(1800000000L))
+        val b = ev.filter(col("event_type") === "click")
+          .select(unix_micros(col("ts")).as("b_s"))
+          .withColumn("b_e", col("b_s") + lit(300000000L))
+        val pairs = graft.operators.Intervals.overlapJoin(
+          a, "a_s", "a_e", b, "b_s", "b_e", bucketWidthUs = 600000000L)
+        a.select("a_id")
+          .join(pairs.groupBy("a_id").agg(count(lit(1)).as("n_overlap")),
+            Seq("a_id"), "left")
+          .select(col("a_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+          .orderBy("a_id")
+      },
+      Some("""WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS s FROM events WHERE event_type = 'signup'),
+             |b AS (SELECT epoch_us(ts) AS s FROM events WHERE event_type = 'click')
+             |SELECT a_id, CAST(count(b.s) AS BIGINT) AS n_overlap
+             |FROM a LEFT JOIN b ON a.s < b.s + 300000000 AND b.s < a.s + 1800000000
+             |GROUP BY a_id ORDER BY a_id""".stripMargin.replace("\n", " "))),
+
     // Degree distribution of the supplier↔part bipartite graph (the
     // edge set graph1–graph4 analyze): distinct observed pairs, degree
     // = incident distinct edges per node, histogram over degrees. Three
@@ -704,5 +737,82 @@ object EvalQueries {
              |SELECT item, wins, comparisons,
              |CAST(CAST(wins AS HUGEINT) * 1000000 // comparisons AS BIGINT) AS win_rate_x1e6,
              |round((pd + (1.96*1.96)/(2.0*nd) - 1.96*sqrt(pd*(1.0 - pd)/nd + (1.96*1.96)/(4.0*nd*nd))) / (1.0 + (1.96*1.96)/nd), 6) AS wilson_lo
-             |FROM x ORDER BY item""".stripMargin.replace("\n", " "))))
+             |FROM x ORDER BY item""".stripMargin.replace("\n", " "))),
+
+    // Poisson GLM (log link) by IRLS — the COUNT-data trainer (events
+    // per user, tokens per doc): one aggregation per Newton round, the
+    // ml6/ml7 family's third loss. PLANTED EXACT-MLE ORACLE: the label
+    // is EXACTLY log-linear in the features (y = exp(1 + 0.01·chars −
+    // 0.02·words), y ∈ [~0.6, ~550] on this table), so the unpenalized
+    // Poisson score equations Σ(y−μ)x = 0 are solved by the planted
+    // coefficients EXACTLY — the fitted means must reproduce the label
+    // to solver noise at any SF and any partitioning (the ml7 property
+    // pattern; weight-level semantics live in TrainerSpec). The query
+    // ASSERTS the recovery explicitly (ml6's honesty contract) so a
+    // regression fails fast with the measured error, never a silent
+    // hash red.
+    QueryDef("ml12_poisson_glm",
+      (s, dir) => {
+        val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
+        val train = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("f_chars"),
+            words.cast("double").as("f_words"))
+          .withColumn("y", exp(lit(1.0) + lit(0.01) * col("f_chars")
+            - lit(0.02) * col("f_words")))
+        val model = graft.operators.Trainer.poissonFit(train,
+          Seq("f_chars", "f_words"), "y")
+        // scored is CORPUS-sized (unlike ml11's 20-row per-group frame),
+        // so the assert deliberately costs one extra map-only scan
+        // rather than pinning the whole corpus to save it
+        val scored = train.select(col("doc_id"), col("y"),
+          graft.operators.Trainer.poissonScore(model).as("pred"))
+        val worst = scored.agg(max(abs(col("pred") / col("y") - 1.0)))
+          .head().getDouble(0)
+        require(worst < 1e-6,
+          f"ml12: fitted means must reproduce the exactly-log-linear " +
+            f"label (worst relative error $worst%.3g)")
+        scored.select(col("doc_id"),
+            (abs(col("pred") / col("y") - 1.0) < 1e-6).as("exact"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS exact FROM documents
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Histogram gradient-boosted stumps (squared loss) — the
+    // LightGBM-shaped trainer: features binned once, every boosting
+    // round ONE partial-aggregated scan of d·64 residual sums, driver
+    // sweeps the bins for the best split. PLANTED ADDITIVE-STEP ORACLE:
+    // the label is a sum of two step functions on (near-)independent
+    // integer features (n_chars DIV 10 and doc_id % 7 — independence is
+    // what makes greedy stumps contract at corr² per pair of rounds),
+    // each jump sitting on an integer and the feature ranges < 64 so
+    // every jump is exactly a bin boundary. Boosting must reproduce the
+    // label below 1e-6 everywhere — asserted explicitly (the ml6/ml12
+    // honesty contract), then emitted as the per-doc exact flag.
+    QueryDef("ml13_boosted_stumps",
+      (s, dir) => {
+        val train = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("CAST(n_chars DIV 10 AS DOUBLE)").as("f_cb"),
+            expr("CAST(doc_id % 7 AS DOUBLE)").as("f_mod"))
+          .withColumn("y", lit(2.0)
+            + when(col("f_cb") > 30.0, 8.0).otherwise(0.0)
+            + when(col("f_mod") > 3.0, 3.0).otherwise(0.0))
+        val model = graft.operators.Trainer.boostStumps(train,
+          Seq("f_cb", "f_mod"), "y", rounds = 60)
+        // corpus-sized scored frame: the assert costs one map-only scan,
+        // not a pin (the ml12 rationale)
+        val scored = train.select(col("doc_id"), col("y"),
+          model.score.as("pred"))
+        val worst = scored.agg(max(abs(col("pred") - col("y"))))
+          .head().getDouble(0)
+        require(worst < 1e-6,
+          f"ml13: boosted stumps must reproduce the planted additive " +
+            f"steps (worst abs error $worst%.3g after ${model.roundsRun} rounds)")
+        scored.select(col("doc_id"),
+            (abs(col("pred") - col("y")) < 1e-6).as("exact"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS exact FROM documents
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))))
 }

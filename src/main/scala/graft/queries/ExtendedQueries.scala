@@ -953,6 +953,63 @@ object ExtendedQueries {
              |  lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY h) AS lag24 FROM hourly)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
              |round(corr(cnt, lag1), 6) AS acf1, round(corr(cnt, lag24), 6) AS acf24
-             |FROM lagged GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " ")))
+             |FROM lagged GROUP BY 1 ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // CUPED variance reduction (Deng/Xu/Kohavi/Walker 2013) — the
+    // adjustment every experimentation platform applies before reading
+    // an A/B metric: Y_adj = Y − θ(X − E[X]) with θ = cov/var from the
+    // PRE-period covariate. Units are users (variant = user_id parity),
+    // X = first-half-of-month value sum, Y = second-half sum — activity
+    // level persists across halves, so θ is real and the reduction
+    // positive. Means and the reduction RATIO are round-6 doubles (the
+    // stat1/ts1 float contract; ratios stay well-conditioned where raw
+    // variances would not be).
+    QueryDef("exp1_cuped",
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val units = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(pmod(col("user_id"), lit(2)).cast("long").as("variant"),
+            coalesce(sum(when(col("ts") < cut, col("value"))), lit(0.0)).as("x"),
+            coalesce(sum(when(col("ts") >= cut, col("value"))), lit(0.0)).as("y"))
+        graft.operators.Experiment.cuped(units, "variant", "y", "x")
+          .select(col("variant"), col("n_units"),
+            round(col("mean_raw"), 6).as("mean_raw"),
+            round(col("mean_cuped"), 6).as("mean_cuped"),
+            round(col("var_reduction"), 6).as("var_reduction"))
+          .orderBy("variant")
+      },
+      Some("""WITH units AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             |  coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value END), 0.0) AS x,
+             |  coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END), 0.0) AS y
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |g AS (SELECT avg(x) AS xbar, covar_pop(x, y) / var_pop(x) AS theta FROM units)
+             |SELECT variant, count(*) AS n_units,
+             |round(avg(y), 6) AS mean_raw,
+             |round(avg(y - (SELECT theta FROM g) * (x - (SELECT xbar FROM g))), 6) AS mean_cuped,
+             |round(CASE WHEN var_pop(y) > 0 THEN 1.0 - var_pop(y - (SELECT theta FROM g) * (x - (SELECT xbar FROM g))) / var_pop(y) END, 6) AS var_reduction
+             |FROM units GROUP BY variant ORDER BY variant""".stripMargin.replace("\n", " "))),
+
+    // Sample-ratio-mismatch guardrail — the chi-squared GOF statistic on
+    // per-variant unit counts under an equal-split design, run BEFORE
+    // any metric is read. Exact integer fixed point: the equal-expected
+    // statistic collapses to (k·Σo² − n²)/n, one DECIMAL(38,0)/HUGEINT
+    // floor on both engines (the stat5 discipline) — bit-exact at any
+    // SF and partitioning. Units are distinct users, variant = id mod 4.
+    QueryDef("exp2_srm",
+      (s, dir) => {
+        val units = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id")).distinct()
+          .select(pmod(col("user_id"), lit(4)).cast("long").as("variant"))
+        graft.operators.Experiment.srm(units, "variant")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+             |c AS (SELECT user_id % 4 AS v, count(*) AS o FROM u GROUP BY 1),
+             |a AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS k, sum(CAST(o AS HUGEINT) * o) AS oo FROM c)
+             |SELECT n AS n_units, CAST(k AS BIGINT) AS n_variants,
+             |CAST((k * oo - CAST(n AS HUGEINT) * n) * 1000000 // n AS BIGINT) AS srm_x1e6
+             |FROM a""".stripMargin.replace("\n", " ")))
   )
 }

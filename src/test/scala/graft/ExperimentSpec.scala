@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Experiment
+import org.apache.spark.sql.functions._
+
+/** CUPED semantics: θ recovery against hand math, exact variance
+  * elimination when the covariate explains the metric, unbiased variant
+  * contrast, fail-fasts.
+  */
+class ExperimentSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cuped matches hand-computed θ/means and eliminates explained variance") {
+    // x independent of variant (balanced by construction); y = 3x +
+    // 10·variant: pooled θ = 3 exactly, the adjustment removes ALL
+    // within-variant variance, and the adjusted contrast is the planted
+    // effect 10
+    val rows = for { i <- 0 until 400 } yield {
+      val v = i % 2
+      val x = ((i / 2) % 40).toDouble + 1.0
+      (v.toLong, x, 3.0 * x + 10.0 * v)
+    }
+    val df = rows.toDF("variant", "x", "y").repartition(7)
+    val out = Experiment.cuped(df, "variant", "y", "x")
+      .orderBy("variant").collect()
+    assert(out.length == 2)
+    val xs = rows.map(_._2)
+    val xbar = xs.sum / xs.size
+    // hand θ: cov(x,y)/var(x) with y = 3x + 10v and cov(x,v) = 0 → 3
+    val m0 = out(0); val m1 = out(1)
+    assert(m0.getLong(1) == 200 && m1.getLong(1) == 200)
+    // adjusted means: E[y] − θ(E[x|v] − x̄) = 3·x̄ + 10v (balanced x)
+    assert(math.abs(m0.getDouble(3) - 3.0 * xbar) < 1e-9,
+      s"control adjusted mean ${m0.getDouble(3)} != ${3.0 * xbar}")
+    assert(math.abs(m1.getDouble(3) - (3.0 * xbar + 10.0)) < 1e-9)
+    // the adjusted CONTRAST is the planted effect, exactly
+    assert(math.abs((m1.getDouble(3) - m0.getDouble(3)) - 10.0) < 1e-9)
+    // covariate explains all within-variant variance → reduction = 1
+    assert(math.abs(m0.getDouble(4) - 1.0) < 1e-9, s"reduction ${m0.getDouble(4)}")
+    assert(math.abs(m1.getDouble(4) - 1.0) < 1e-9)
+    // raw means differ from adjusted only through the x imbalance term,
+    // which is 0 here — raw contrast is ALSO 10 on balanced x
+    assert(math.abs((m1.getDouble(2) - m0.getDouble(2)) - 10.0) < 1e-9)
+  }
+
+  test("cuped with an uninformative covariate leaves means intact and reduces nothing") {
+    // y independent of x → θ ≈ 0 (exactly 0 here: y constant per parity
+    // of x index? use y uncorrelated by construction: y cycles 0,1,2,3
+    // against x cycling 0..7 over a full factorial — cov = 0 exactly)
+    val rows = for { a <- 0 until 8; b <- 0 until 4; v <- 0 to 1 }
+      yield (v.toLong, a.toDouble, b.toDouble * 2.0)
+    val df = rows.toDF("variant", "x", "y")
+    val out = Experiment.cuped(df, "variant", "y", "x")
+      .orderBy("variant").collect()
+    for (r <- out) {
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12,
+        "θ = 0 must leave means untouched")
+      assert(math.abs(r.getDouble(4)) < 1e-12,
+        s"no covariate signal → no reduction, got ${r.getDouble(4)}")
+    }
+  }
+
+  test("srm: hand-computed chi-squared fixed point, balanced zero, null fail-fast") {
+    // counts {30, 10}: chi2 = (2·(900+100) − 1600)/40 = 10 → 10_000_000
+    val skewed = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("variant")
+    val r = Experiment.srm(skewed.repartition(5), "variant").collect()(0)
+    assert(r.getLong(0) == 40L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 10000000L, s"srm ${r.getLong(2)}")
+    // perfectly balanced → exactly 0
+    val bal = (Seq.fill(25)("a") ++ Seq.fill(25)("b")).toDF("variant")
+    assert(Experiment.srm(bal, "variant").collect()(0).getLong(2) == 0L)
+    // null variant fails fast (it would form its own arm)
+    val nulls = (Seq(Some("a"), None, Some("b"))).toDF("variant")
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    val e = intercept[Exception](Experiment.srm(nulls, "variant").collect())
+    assert(chain(e).contains("null variant"), chain(e))
+  }
+
+  test("cuped fail-fasts: constant covariate, nulls, empty") {
+    val const = Seq((0L, 5.0, 1.0), (1L, 5.0, 2.0)).toDF("variant", "x", "y")
+    val e1 = intercept[IllegalArgumentException](
+      Experiment.cuped(const, "variant", "y", "x"))
+    assert(e1.getMessage.contains("constant"))
+    val nulls = Seq((Some(0L), Some(1.0), 1.0), (Some(1L), None, 2.0))
+      .toDF("variant", "x", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Experiment.cuped(nulls, "variant", "y", "x"))
+    assert(e2.getMessage.contains("null"))
+    val e3 = intercept[IllegalArgumentException](
+      Experiment.cuped(const.filter(lit(false)), "variant", "y", "x"))
+    assert(e3.getMessage.contains("empty"))
+  }
+}

@@ -35,6 +35,48 @@ class IntervalScdSpec extends AnyFunSuite with SparkSpec {
     assert(got == naive.toLong)
   }
 
+  test("overlapJoin equals the naive theta join; half-open boundaries; exactly-once pairs") {
+    val rnd = new scala.util.Random(31)
+    val as = Seq.tabulate(120) { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(300))
+    }
+    val bs = Seq.tabulate(150) { j =>
+      val s = rnd.nextInt(2000).toLong
+      (j.toLong, s, s + 1 + rnd.nextInt(80))
+    }
+    val a = as.toDF("a_id", "a_s", "a_e").repartition(7)
+    val b = bs.toDF("b_id", "b_s", "b_e").repartition(5)
+    // narrow cells (width 64) force MANY shared cells per pair — the
+    // first-shared-cell rule must still emit each pair exactly once
+    val got = Intervals.overlapJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+        bucketWidthUs = 64, maxBucketsPerInterval = 64)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val naive = for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 < e2 && s2 < e1
+    } yield (ai, bi)
+    assert(got.sorted == naive.sorted,
+      s"bucketed overlap join must equal the theta join: got ${got.size}, naive ${naive.size}")
+    assert(got.size == got.distinct.size, "pairs must be exactly-once")
+    // touching half-open intervals [0,10) and [10,20) do NOT overlap
+    val t1 = Seq((1L, 0L, 10L)).toDF("a_id", "a_s", "a_e")
+    val t2 = Seq((2L, 10L, 20L)).toDF("b_id", "b_s", "b_e")
+    assert(Intervals.overlapJoin(t1, "a_s", "a_e", t2, "b_s", "b_e", 8).isEmpty)
+    // fail-fasts ride the used expression: inverted interval, fan-out bound
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    val inv = Seq((1L, 50L, 50L)).toDF("a_id", "a_s", "a_e")
+    val e1 = intercept[Exception](
+      Intervals.overlapJoin(inv, "a_s", "a_e", t2, "b_s", "b_e", 8).collect())
+    assert(chain(e1).contains("empty, or inverted"), chain(e1))
+    val long = Seq((1L, 0L, 100000L)).toDF("a_id", "a_s", "a_e")
+    val e2 = intercept[Exception](
+      Intervals.overlapJoin(long, "a_s", "a_e", t2, "b_s", "b_e", 8,
+        maxBucketsPerInterval = 16).collect())
+    assert(chain(e2).contains("maxBucketsPerInterval"), chain(e2))
+  }
+
   test("coveredMicros: merged union length, gaps excluded") {
     // [0,10) ∪ [5,15) ∪ [20,25) → 15 + 5 = 20; singleton key → 3.
     val iv = Seq(

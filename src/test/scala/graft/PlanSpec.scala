@@ -244,6 +244,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"revenue must aggregate partially:\n$plan")
   }
 
+  test("interval overlap join plans a keyed cell join, never a cartesian") {
+    val plan = q("ivl4_overlap_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"overlap join must not be quadratic:\n$plan")
+    assert(plan.contains("Generate"), s"expected the cell explode in:\n$plan")
+    assert(plan.contains("Join"), s"no join found in:\n$plan")
+  }
+
   test("spatial radius join plans a hash join on grid cells, never a cartesian") {
     val plan = q("geo1_radius_join").queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),

@@ -718,6 +718,51 @@ class ScaleProbeSpec extends SparkSpec {
     assert(worst > 0.0, s"every group must separate its band, min margin $worst")
   }
 
+  test("poisson probe: 2M-row log-linear counts, coefficients recovered to 1e-6", Slow) {
+    // the count-data trainer at realistic fan-in: every Newton round is
+    // ONE aggregation over 2M rows; the planted label is exactly
+    // log-linear, so the unpenalized score equations are solved by the
+    // planted coefficients and the fit must land on them
+    val n = 2000000L
+    spark.range(0, n).select(
+      (pmod(xxhash64(col("id"), lit(7)), lit(40)).cast("double") / 10.0).as("x1"),
+      pmod(xxhash64(col("id"), lit(9)), lit(30)).cast("double").as("x2"))
+      .withColumn("y", exp(lit(0.5) + lit(0.2) * col("x1") - lit(0.05) * col("x2")))
+      .write.mode("overwrite").parquet("target/probe_spec_poisson")
+    val mat = spark.read.parquet("target/probe_spec_poisson")
+    val t0 = System.nanoTime()
+    val m = graft.operators.Trainer.poissonFit(mat, Seq("x1", "x2"), "y")
+    println(f"[probe-spec] poisson: 2M rows in ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      f"${m.itersRun} rounds, w = ${m.weights.mkString(",")}, b = ${m.bias}%.8f")
+    assert(math.abs(m.weights(0) - 0.2) < 1e-6, s"w1 = ${m.weights(0)}")
+    assert(math.abs(m.weights(1) + 0.05) < 1e-6, s"w2 = ${m.weights(1)}")
+    assert(math.abs(m.bias - 0.5) < 1e-6, s"b = ${m.bias}")
+  }
+
+  test("boost probe: 2M-row additive steps, stumps reproduce the target under 1e-6", Slow) {
+    // histogram GBM at fan-in: per round ONE 2·64-cell aggregation over
+    // 2M rows. Independent hash features keep the greedy contraction
+    // fast; every jump sits on an integer (feature ranges < 64 bins), so
+    // the planted target is exactly representable
+    val n = 2000000L
+    spark.range(0, n).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(50)).cast("double").as("f1"),
+      pmod(xxhash64(col("id"), lit(5)), lit(7)).cast("double").as("f2"))
+      .withColumn("y", lit(2.0)
+        + when(col("f1") > 30.0, 8.0).otherwise(0.0)
+        + when(col("f2") > 3.0, 3.0).otherwise(0.0))
+      .write.mode("overwrite").parquet("target/probe_spec_boost")
+    val mat = spark.read.parquet("target/probe_spec_boost")
+    val t0 = System.nanoTime()
+    val m = graft.operators.Trainer.boostStumps(mat, Seq("f1", "f2"), "y",
+      rounds = 40)
+    val err = mat.agg(max(abs(m.score - col("y")))).head().getDouble(0)
+    println(f"[probe-spec] boost: 2M rows in ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      f"${m.roundsRun} rounds, max err $err%.2e")
+    assert(err < 1e-6, s"stumps must reproduce the planted steps, err $err")
+    assert(m.roundsRun < 40, s"greedy must early-stop, ran ${m.roundsRun}")
+  }
+
   test("bpe probe: 2M-distinct-word corpus — maxVocab fail-fast, minFreq prunes to a trainable dictionary", Slow) {
     // web-scale dictionary shape: ~2M distinct hapax tokens (the
     // typo/URL/unicode tail) around one genuinely frequent word. The

@@ -91,6 +91,89 @@ class TrainerSpec extends SparkSpec {
     assert(e4.getMessage.contains("non-null"))
   }
 
+  test("poissonFit recovers a planted log-linear count model; fail-fasts on bad input") {
+    // y EXACTLY exp(0.4 + 0.3·x1 − 0.2·x2): the unpenalized Poisson
+    // score equations are solved by the planted coefficients, so the
+    // fit must recover them (and the fitted means the label) to solver
+    // noise under any partitioning
+    val df = (0 until 600).map { i =>
+      val x1 = (i % 20).toDouble / 2.0
+      val x2 = ((i / 20) % 15).toDouble
+      (x1, x2, math.exp(0.4 + 0.3 * x1 - 0.2 * x2))
+    }.toDF("x1", "x2", "y")
+    val m = Trainer.poissonFit(df.repartition(7), Seq("x1", "x2"), "y")
+    assert(math.abs(m.weights(0) - 0.3) < 1e-7, s"w1 = ${m.weights(0)}")
+    assert(math.abs(m.weights(1) + 0.2) < 1e-7, s"w2 = ${m.weights(1)}")
+    assert(math.abs(m.bias - 0.4) < 1e-7, s"b = ${m.bias}")
+    assert(m.itersRun <= 20, s"IRLS took ${m.itersRun} rounds")
+    assert(m.meanDeviance < 1e-12, s"deviance ${m.meanDeviance}")
+    val worst = df.agg(max(abs(Trainer.poissonScore(m) / col("y") - 1.0)))
+      .head().getDouble(0)
+    assert(worst < 1e-8, s"fitted means must reproduce the label, err $worst")
+    // zero counts are legal (the y=0 deviance branch): a thinned copy
+    val zeros = df.withColumn("y",
+      when(col("x2") > 10.0, 0.0).otherwise(col("y")))
+    val mz = Trainer.poissonFit(zeros, Seq("x1", "x2"), "y", iters = 40)
+    assert(mz.weights(1) < -0.2, "zeros must pull the x2 effect further down")
+    // fail-fasts: negative label, null feature, constant feature, empty
+    val neg = Seq((1.0, 2.0, -1.0), (2.0, 1.0, 3.0)).toDF("x1", "x2", "y")
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.poissonFit(neg, Seq("x1", "x2"), "y", iters = 3))
+    assert(e1.getMessage.contains(">= 0"))
+    val nulls = Seq((Some(1.0), 2.0, 1.0), (None, 1.0, 2.0)).toDF("x1", "x2", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.poissonFit(nulls, Seq("x1", "x2"), "y", iters = 3))
+    assert(e2.getMessage.contains("non-null"))
+    val const = Seq((1.0, 3.0, 1.0), (2.0, 3.0, 2.0)).toDF("x1", "x2", "y")
+    val e3 = intercept[IllegalArgumentException](
+      Trainer.poissonFit(const, Seq("x1", "x2"), "y", iters = 3))
+    assert(e3.getMessage.contains("zero-variance") && e3.getMessage.contains("x2"))
+    val e4 = intercept[IllegalArgumentException](
+      Trainer.poissonFit(df.filter(lit(false)), Seq("x1", "x2"), "y", iters = 3))
+    assert(e4.getMessage.contains("empty"))
+  }
+
+  test("boostStumps: exact recovery of step targets, early stop, determinism, fail-fasts") {
+    import graft.operators.Trainer.boostStumps
+    // single step: ONE round recovers it exactly, round 2's zero gain
+    // early-stops the fit
+    val one = (0 to 20).flatMap(x => Seq.fill(3)((x.toDouble, if (x > 10) 6.0 else 1.0)))
+      .toDF("x1", "y")
+    val m1 = boostStumps(one, Seq("x1"), "y", rounds = 5)
+    assert(m1.roundsRun == 1, s"single step must fit in 1 round, ran ${m1.roundsRun}")
+    val e1 = one.agg(max(abs(m1.score - col("y")))).head().getDouble(0)
+    assert(e1 < 1e-12, s"single-step recovery err $e1")
+    assert(m1.stumps.head.threshold > 10.0 && m1.stumps.head.threshold <= 11.0,
+      s"split must isolate x1 > 10, got ${m1.stumps.head.threshold}")
+    // additive steps on a BALANCED grid: independence makes round 1's
+    // residual exactly the second step — 2 rounds, exact
+    val grid = (for { a <- 0 until 16; b <- 0 until 16 }
+      yield (a.toDouble, b.toDouble,
+        10.0 + (if (a > 7) 4.0 else 0.0) + (if (b > 3) 2.0 else 0.0)))
+      .toDF("x1", "x2", "y")
+    val m2 = boostStumps(grid.repartition(7), Seq("x1", "x2"), "y", rounds = 10)
+    assert(m2.roundsRun == 2, s"balanced additive steps fit in 2 rounds, ran ${m2.roundsRun}")
+    val e2 = grid.agg(max(abs(m2.score - col("y")))).head().getDouble(0)
+    assert(e2 < 1e-12, s"additive recovery err $e2")
+    // deterministic across partitionings (integer-exact bin counts;
+    // residual sums reorder only within FP noise, far under the gains)
+    val m2b = boostStumps(grid.repartition(2), Seq("x1", "x2"), "y", rounds = 10)
+    assert(m2.stumps.map(s => (s.feature, s.splitBin)) ==
+      m2b.stumps.map(s => (s.feature, s.splitBin)))
+    // fail-fasts
+    val e3 = intercept[IllegalArgumentException](
+      boostStumps(one.filter(lit(false)), Seq("x1"), "y"))
+    assert(e3.getMessage.contains("empty"))
+    val const = Seq((1.0, 3.0, 1.0), (2.0, 3.0, 2.0)).toDF("x1", "x2", "y")
+    val e4 = intercept[IllegalArgumentException](
+      boostStumps(const, Seq("x1", "x2"), "y"))
+    assert(e4.getMessage.contains("zero-variance") && e4.getMessage.contains("x2"))
+    val nulls = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("x1", "y")
+    val e5 = intercept[IllegalArgumentException](
+      boostStumps(nulls, Seq("x1"), "y"))
+    assert(e5.getMessage.contains("non-null"))
+  }
+
   test("ridgeFit recovers a noiseless planted linear model exactly in one pass") {
     val df = (0 until 500).map { i =>
       val x1 = i * 0.37 % 11.0; val x2 = math.cos(i * 1.7) * 4.0

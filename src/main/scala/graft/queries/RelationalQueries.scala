@@ -671,6 +671,39 @@ object RelationalQueries {
              |WHERE doc_id < 10 AND u.w <> '' GROUP BY doc_id, u.w
              |ORDER BY doc_id, w""".stripMargin.replace("\n", " "))),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE) — hierarchical ancestor
+    // rollup over the derived part tree (parent = partkey DIV 10, a
+    // 5-6 level acyclic hierarchy at any SF): every node's ancestor
+    // chain is enumerated by the recursion (UNION ALL is safe — tree
+    // paths never revisit a row), then descendants aggregate under
+    // their single-digit root. The org-chart / BOM-explosion query
+    // shape, expressed in the engine's own SQL surface and restated
+    // verbatim in DuckDB (`//` for DIV). Money sums in DECIMAL, cast
+    // to DOUBLE once at the end (exact → deterministic).
+    QueryDef("sql3_recursive_rollup",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""WITH RECURSIVE anc(node, ancestor) AS (
+                |  SELECT p_partkey, p_partkey DIV 10 FROM part WHERE p_partkey >= 10
+                |  UNION ALL
+                |  SELECT node, ancestor DIV 10 FROM anc WHERE ancestor >= 10
+                |)
+                |SELECT ancestor, count(*) AS n_desc,
+                |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_price
+                |FROM anc JOIN part ON node = p_partkey
+                |WHERE ancestor BETWEEN 1 AND 9
+                |GROUP BY ancestor ORDER BY ancestor""".stripMargin)
+      },
+      Some("""WITH RECURSIVE anc(node, ancestor) AS (
+             |  SELECT p_partkey, p_partkey // 10 FROM part WHERE p_partkey >= 10
+             |  UNION ALL
+             |  SELECT node, ancestor // 10 FROM anc WHERE ancestor >= 10)
+             |SELECT ancestor, count(*) AS n_desc,
+             |CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_price
+             |FROM anc JOIN part ON node = p_partkey
+             |WHERE ancestor BETWEEN 1 AND 9
+             |GROUP BY ancestor ORDER BY ancestor""".stripMargin.replace("\n", " "))),
+
     // Correlated LATERAL subquery: per region, its top-2 nations by
     // customer count — the correlated-derived-table surface (Catalyst
     // decorrelates into a ranked join).

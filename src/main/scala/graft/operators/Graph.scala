@@ -151,14 +151,34 @@ object Graph {
     */
   def pageRank(edges: DataFrame, src: String, dst: String,
       iterations: Int = 3, scale: Long = 1000000000L,
-      materializeEvery: Int = 0, materializeEdges: Boolean = true): DataFrame = {
+      materializeEvery: Int = 0, materializeEdges: Boolean = true): DataFrame =
+    pageRankOnEdges(edges
+        .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst")),
+      iterations, scale, materializeEvery, materializeEdges)
+
+  /** [[pageRank]] over vertices of ANY key type (strings for a word /
+    * domain graph, structs for composite keys) — identical fixed-point
+    * arithmetic; only the vertex key stays as given instead of the long
+    * cast the numeric-id fast path applies. The long cast is a real
+    * narrowing for numeric graphs (8-byte shuffle keys), so it stays the
+    * default; this entry point is for graphs whose natural key IS the
+    * payload (TextRank's word nodes — t18 — rank web domains, authors).
+    */
+  def pageRankKeyed(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 3, scale: Long = 1000000000L,
+      materializeEvery: Int = 0, materializeEdges: Boolean = true): DataFrame =
+    pageRankOnEdges(edges.select(col(src).as("src"), col(dst).as("dst")),
+      iterations, scale, materializeEvery, materializeEdges)
+
+  private def pageRankOnEdges(normalized: DataFrame, iterations: Int,
+      scale: Long, materializeEvery: Int, materializeEdges: Boolean): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(materializeEvery >= 0, "materializeEvery must be >= 0 (0 = off)")
     // The edge set is pinned ONCE up front (default): without
     // materializeEvery the rank plan references its predecessor twice
     // per iteration (dangling + inflow), so the UNPINNED edge pipeline —
     // source scan + distinct shuffle — is replayed O(2^iterations)
-    // times as the tree bottoms out. Pinning |E| rows of two longs
+    // times as the tree bottoms out. Pinning |E| rows of two keys
     // converts every replay into an in-memory scan; the remaining
     // replayed joins run over the small rank/degree tables. Profiled at
     // sf0.1 (graph2, 3 iters): −47%, dominated by exactly these
@@ -167,8 +187,7 @@ object Graph {
     // the bucketed scan with an RDD scan, and the bucket layout already
     // makes every replay an exchange-free columnar read
     // (BucketingSpec pins that plan shape).
-    val ePlan = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    val ePlan = normalized
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val e = if (materializeEdges) Materialize(ePlan) else ePlan

@@ -1042,6 +1042,77 @@ object Trainer {
       (num / (lit(1.0) + z2 / n)).as("wilson_lo"))
   }
 
+  /** Per-slice ROC AUC — the many-models EVAL face that pairs with the
+    * [[ridgeFitPerGroup]]/[[logisticFitPerGroup]] many-models trainers:
+    * one AUC per group (per language, per source, per experiment arm)
+    * without one job per group, the slice report an eval pipeline
+    * publishes next to the global ml2 number (a model can hold 0.9
+    * global AUC while a minority slice sits at chance — the global
+    * number cannot see it).
+    *
+    * Same exact doubled-rank-sum identity as the global ml2_auc /
+    * stat6_mannwhitney family, per series: with per-(group, score)
+    * counts c and positives, the doubled average rank of every row
+    * sharing score v is rv = 2·(cum−c) + c + 1 (cum = running count in
+    * ascending score order WITHIN the group), and
+    *   auc_x1e9 = (Σ_v pos_v·rv − n₁(n₁+1)) · 10⁹ div (2·n₁·n₀)
+    * — all-integer DECIMAL(38,0) fixed point (Σ pos·rv ≤ n₁·2n ≤ 2·10²⁴
+    * at a trillion rows; ·10⁹ stays inside 38 digits), numerator ≥ 0
+    * (minimized when every positive ranks lowest), so DIV and a
+    * floor-division oracle agree: engine- and partitioning-exact.
+    *
+    * Scale shape: ONE partial-aggregated pass melts the corpus to the
+    * O(distinct (group, score)) count table; the per-group running
+    * count rides ONE multi-series [[Rank.globalRunningSum]] over that
+    * table (never a per-group single-task window — a 100 TB slice
+    * would funnel through one reducer); the final readout is an O(rv
+    * rows) aggregate. No driver collect, no join back to the corpus.
+    *
+    * Single-class slices (n₁ = 0 or n₀ = 0) emit a NULL auc_x1e9 — a
+    * slice report must SHOW degenerate slices, not drop them. Null
+    * group / label / score values and labels outside {0,1} FAIL FAST
+    * via raise_error folded into the melt pass (the
+    * [[winRateLeaderboard]] discipline: no extra scan, and a null
+    * would otherwise form a silent null-keyed slice).
+    */
+  def aucPerGroup(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    def reqNotNull(c: String): Column =
+      when(col(c).isNull, raise_error(lit(
+        s"aucPerGroup: null value in column '$c' — nulls would form a " +
+          "silent null-keyed slice; filter or impute first")))
+        .otherwise(col(c))
+    val y = {
+      val cast = col(labelCol).cast("long")
+      when(cast.isNull || (cast =!= 0L && cast =!= 1L), raise_error(concat(
+        lit(s"aucPerGroup: label column '$labelCol' must be 0/1, got "),
+        coalesce(col(labelCol).cast("string"), lit("NULL")))))
+        .otherwise(cast)
+    }
+    val cnt = df.select(reqNotNull(groupCol).as("__grp"),
+        reqNotNull(scoreCol).as("__sc"), y.as("__y"))
+      .groupBy("__grp", "__sc")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__pos"))
+    val rm = Rank.globalRunningSum(cnt, "__sc", "__c", outCol = "__cum",
+      seriesCols = Seq("__grp"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    rm.select(col("__grp"), col("__pos"),
+        (lit(2) * (col("__cum") - col("__c")) + col("__c") + lit(1)).as("__rv"),
+        col("__c"))
+      .groupBy("__grp")
+      .agg(sum(col("__pos")).as("__np"),
+        (sum(col("__c")) - sum(col("__pos"))).as("__nn"),
+        sum(d38(col("__pos")) * col("__rv")).as("__r1x2"))
+      .select(col("__grp").as(groupCol),
+        col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        when(col("__np") === 0 || col("__nn") === 0, lit(null))
+          .otherwise(expr("""CAST(((__r1x2 - CAST(__np AS DECIMAL(38,0)) * (__np + 1))
+                 | * 1000000000) DIV (2 * CAST(__np AS DECIMAL(38,0)) * __nn)
+                 | AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .cast("long").as("auc_x1e9"))
+  }
+
   /** Solve the m×m system h·x = rhs in place — Gaussian elimination with
     * partial pivoting. m = features+1, so this is driver-side microwork;
     * singularity (which l2 > 0 prevents) fails fast.

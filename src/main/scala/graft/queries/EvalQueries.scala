@@ -814,5 +814,115 @@ object EvalQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, TRUE AS exact FROM documents
-             |ORDER BY doc_id""".stripMargin.replace("\n", " "))))
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Per-slice AUC — the many-models EVAL face pairing the ml10/ml11
+    // many-models trainers: one AUC per event_type without one job per
+    // slice (a model can hold a strong global ml2 number while one
+    // slice sits at chance). Trainer.aucPerGroup: ONE corpus pass to
+    // the O(distinct (slice, score)) count table, per-slice doubled
+    // avg-ranks via ONE multi-series Rank.globalRunningSum (never a
+    // per-slice single-task window), all-integer DECIMAL(38,0)
+    // rank-sum identity — engine/partitioning-exact. Label = user_id
+    // parity (deterministic synthetic), score = the raw metric value.
+    QueryDef("ml14_per_group_auc",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("event_type").as("g"),
+            pmod(col("user_id"), lit(2)).as("y"), col("value").as("sc"))
+        graft.operators.Trainer.aucPerGroup(b, "g", "y", "sc")
+          .orderBy("g")
+      },
+      Some("""WITH b AS (SELECT event_type AS g, user_id % 2 AS y, value AS sc
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |cnt AS (SELECT g, sc, count(*) AS c, sum(y) AS pos FROM b GROUP BY g, sc),
+             |rm AS (SELECT g, pos, c, 2 * (sum(c) OVER (PARTITION BY g ORDER BY sc
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rv FROM cnt),
+             |a AS (SELECT g, sum(pos) AS n_pos, sum(c) - sum(pos) AS n_neg,
+             |  sum(CAST(pos AS HUGEINT) * rv) AS r1x2 FROM rm GROUP BY g)
+             |SELECT g, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+             |CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+             |  CAST(((r1x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000000)
+             |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_x1e9
+             |FROM a ORDER BY g""".stripMargin.replace("\n", " "))),
+
+    // Split-conformal calibration (Vovk et al.; the distribution-free
+    // prediction-interval recipe): train a per-flag price model on the
+    // TRAIN split, take the ceil((n_cal+1)·0.9)-th smallest absolute
+    // residual on the CALIBRATION split as the interval half-width q,
+    // report q and the achieved coverage on the held-out TEST split —
+    // the finite-sample ≥90% guarantee a serving pipeline audits.
+    // Everything integer-exact: the model is the floored per-flag mean
+    // in cents (sum DIV n — one integer floor, identical both engines),
+    // residuals are cents, q is a true ORDER STATISTIC (the k-th
+    // smallest of a multiset — no interpolation, engine-independent)
+    // found via per-flag running counts over the O(distinct (flag,
+    // residual)) table on ONE multi-series Rank.globalRunningSum —
+    // never a per-flag single-task window. Splits by l_orderkey % 10
+    // (6/2/2), disjoint by construction. The lineitem base is pinned
+    // once (Materialize) — model, calibration, and test passes share it.
+    QueryDef("ml15_conformal",
+      (s, dir) => {
+        val dec = (c: Column) => c.cast("decimal(18,2)")
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        // pinned for the model/calibration/test passes; released by the
+        // harness's query-boundary sweep (NOT here — the returned plan
+        // is lazy, so an eager release would drop the blocks before the
+        // consumer ever runs it)
+        val base = Materialize(t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+            pmod(col("l_orderkey"), lit(10)).as("s")))
+        val model = base.filter(col("s") < 6).groupBy("g")
+          .agg(sum(d38(col("cents"))).as("__sum"), count(lit(1)).as("__n"))
+          .select(col("g"), expr("CAST(__sum DIV __n AS BIGINT)").as("mu"))
+        val cal = base.filter(col("s").isin(6, 7))
+          .join(broadcast(model), "g")
+          .select(col("g"), abs(col("cents") - col("mu")).as("r"))
+        val nc = cal.groupBy("g").agg(count(lit(1)).as("n_cal"))
+        val cnt = cal.groupBy("g", "r").agg(count(lit(1)).as("c"))
+        val rm = Rank.globalRunningSum(cnt, "r", "c", outCol = "cum",
+          seriesCols = Seq("g"))
+        val q = rm.join(broadcast(nc), "g")
+          .filter(col("cum") >=
+            least(expr("(n_cal + 1) * 9 DIV 10"), col("n_cal")))
+          .groupBy("g").agg(min(col("r")).as("q_cents"),
+            max(col("n_cal")).as("n_cal"))
+        val cov = base.filter(col("s").isin(8, 9))
+          .join(broadcast(model), "g")
+          .join(broadcast(q), "g")
+          .groupBy("g").agg(
+            max(col("n_cal")).as("n_cal"),
+            max(col("q_cents")).as("q_cents"),
+            count(lit(1)).as("n_test"),
+            sum(when(abs(col("cents") - col("mu")) <= col("q_cents"), 1L)
+              .otherwise(0L)).as("__cov"))
+        cov.select(col("g"), col("n_cal"), col("n_test"), col("q_cents"),
+            expr("CAST(CAST(__cov AS DECIMAL(38,0)) * 1000000 DIV n_test AS BIGINT)")
+              .as("coverage_x1e6"))
+          .orderBy("g")
+      },
+      Some("""WITH base AS (SELECT l_returnflag AS g,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |  l_orderkey % 10 AS s FROM lineitem),
+             |model AS (SELECT g, sum(CAST(cents AS HUGEINT)) // count(*) AS mu
+             |  FROM base WHERE s < 6 GROUP BY g),
+             |cal AS (SELECT base.g, abs(cents - mu) AS r FROM base JOIN model ON base.g = model.g
+             |  WHERE s IN (6, 7)),
+             |nc AS (SELECT g, count(*) AS n_cal FROM cal GROUP BY g),
+             |cnt AS (SELECT g, r, count(*) AS c FROM cal GROUP BY g, r),
+             |rm AS (SELECT g, r, sum(c) OVER (PARTITION BY g ORDER BY r
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnt),
+             |q AS (SELECT rm.g, min(r) AS q_cents, max(n_cal) AS n_cal
+             |  FROM rm JOIN nc ON rm.g = nc.g
+             |  WHERE cum >= least((n_cal + 1) * 9 // 10, n_cal) GROUP BY rm.g),
+             |fin AS (SELECT base.g AS g, max(q.n_cal) AS n_cal, count(*) AS n_test,
+             |  CAST(max(q_cents) AS BIGINT) AS q_cents,
+             |  CAST(sum(CASE WHEN abs(cents - mu) <= q_cents THEN 1 ELSE 0 END)
+             |    * CAST(1000000 AS HUGEINT) // count(*) AS BIGINT) AS coverage_x1e6
+             |  FROM base JOIN model ON base.g = model.g JOIN q ON base.g = q.g
+             |  WHERE s IN (8, 9) GROUP BY base.g)
+             |SELECT g, n_cal, n_test, q_cents, coverage_x1e6 FROM fin
+             |ORDER BY g""".stripMargin.replace("\n", " "))))
 }

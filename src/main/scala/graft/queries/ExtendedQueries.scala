@@ -1010,6 +1010,56 @@ object ExtendedQueries {
              |a AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS k, sum(CAST(o AS HUGEINT) * o) AS oo FROM c)
              |SELECT n AS n_units, CAST(k AS BIGINT) AS n_variants,
              |CAST((k * oo - CAST(n AS HUGEINT) * n) * 1000000 // n AS BIGINT) AS srm_x1e6
-             |FROM a""".stripMargin.replace("\n", " ")))
+             |FROM a""".stripMargin.replace("\n", " "))),
+
+    // Exact 5%-each-side TRIMMED mean of line price per return flag —
+    // the robust location estimate between the raw mean (outlier-owned)
+    // and p10's winsorize (which clips but keeps the tail rows' count).
+    // Order-statistics-exact WITHOUT a per-flag single-task sort: one
+    // partial-agg pass melts the corpus to the O(distinct (flag,
+    // cents)) count table; per-flag running counts ride ONE multi-series
+    // Rank.globalRunningSum; each distinct price's kept multiplicity is
+    // then CLOSED-FORM (its cumulative rank range [cum−c+1, cum]
+    // intersected with the kept band [k+1, n−k], k = n·5 DIV 100) — the
+    // partial-inclusion arithmetic at the two trim boundaries lands on
+    // integers, so the kept sum is exact cents in DECIMAL(38,0) and
+    // mean_x1e6 one truncating division (kept sum ≥ 0: DIV == //).
+    QueryDef("stat11_trimmed_mean",
+      (s, dir) => {
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        val rows = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val cnt = rows.groupBy("g", "cents").agg(count(lit(1)).as("c"))
+        val rm = graft.operators.Rank.globalRunningSum(cnt, "cents", "c",
+          outCol = "cum", seriesCols = Seq("g"))
+        val tot = rows.groupBy("g").agg(count(lit(1)).as("n"),
+          expr("count(*) * 5 DIV 100").as("k"))
+        rm.join(broadcast(tot), "g")
+          .select(col("g"), col("n"), col("k"), d38(col("cents")).as("cents"),
+            greatest(least(col("cum"), col("n") - col("k")) -
+              greatest(col("cum") - col("c") + 1, col("k") + 1) + 1,
+              lit(0L)).as("keep"))
+          .groupBy("g").agg(max(col("n")).as("n"), max(col("k")).as("__k"),
+            sum(col("cents") * col("keep")).as("__sum_kept"))
+          .select(col("g"), col("n"),
+            (col("n") - lit(2) * col("__k")).as("trimmed_n"),
+            expr("CAST(__sum_kept * 1000000 DIV (n - 2 * __k) AS BIGINT)")
+              .as("trimmed_mean_x1e6"))
+          .orderBy("g")
+      },
+      Some("""WITH r AS (SELECT l_returnflag AS g,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem),
+             |cnt AS (SELECT g, cents, count(*) AS c FROM r GROUP BY g, cents),
+             |rm AS (SELECT g, cents, c, sum(c) OVER (PARTITION BY g ORDER BY cents
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnt),
+             |tot AS (SELECT g, count(*) AS n, count(*) * 5 // 100 AS k FROM r GROUP BY g),
+             |kept AS (SELECT rm.g, max(n) AS n, max(k) AS k,
+             |  sum(CAST(cents AS HUGEINT) *
+             |    greatest(least(cum, n - k) - greatest(cum - c + 1, k + 1) + 1, 0)) AS sum_kept
+             |  FROM rm JOIN tot ON rm.g = tot.g GROUP BY rm.g)
+             |SELECT g, CAST(n AS BIGINT) AS n, CAST(n - 2 * k AS BIGINT) AS trimmed_n,
+             |CAST(sum_kept * 1000000 // (n - 2 * k) AS BIGINT) AS trimmed_mean_x1e6
+             |FROM kept ORDER BY g""".stripMargin.replace("\n", " ")))
   )
 }

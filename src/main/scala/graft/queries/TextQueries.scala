@@ -1102,6 +1102,75 @@ object TextQueries {
            |   AND ((hashbytes * 3 + ellbytes) * 10 <= n * 3)
            |   AND (alphaw * 5 >= n * 4) AND (stoph >= 2)) AS keep
            |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): candidate
+    // words (lowercase alphabetic, length ≥ 3) vote for their
+    // within-window neighbors; the stationary scores are PageRank over
+    // the undirected co-occurrence graph, and the top-k words are the
+    // corpus's keywords. Composition showcase: the same fixed-point
+    // integer Graph.pageRank arithmetic as graph2 — via pageRankKeyed,
+    // the word string IS the vertex key, no driver-side id dictionary —
+    // over adjacency edges generated map-side from the token arrays
+    // (one explode, no self-join). Scale: edges distinct in one
+    // shuffle; every PageRank iteration is one vocab-sized shuffle; the
+    // final top-k is a distributed TakeOrderedAndProject with the
+    // unique word as tiebreak. Oracle: generated CTE chain restating
+    // the identical integer recurrence (the graph2/pca1 pattern) on
+    // string vertex ids.
+    QueryDef("t18_textrank",
+      (s, dir) => {
+        val toksF = filter(TextAnalysis.tokens(col("text")),
+          tk => tk.rlike("^[a-z]{3,}$"))
+        val base = t(s, dir, "documents").select(toksF.as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val adj = base.select(explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), i + 1).as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(adj.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Graph.pageRankKeyed(edges, "src", "dst", iterations = 3)
+          .select(col("id").as("word"), col("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("word"))
+          .limit(15)
+      },
+      Some {
+        val edgeCtes =
+          s"""tokf AS (SELECT list_filter($duckToks, t -> regexp_full_match(t, '[a-z]{3,}')) AS toks FROM documents),
+             |adj AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS p FROM tokf WHERE len(toks) >= 2),
+             |e AS (SELECT split_part(p, ' ', 1) AS src, split_part(p, ' ', 2) AS dst FROM adj
+             |  UNION SELECT split_part(p, ' ', 2), split_part(p, ' ', 1) FROM adj)"""
+            .stripMargin.replace("\n", " ")
+        duckPageRank(edgeCtes, iterations = 3, scale = 1000000000L) +
+          " SELECT id AS word, CAST(r AS BIGINT) AS rank_scaled FROM r3" +
+          " ORDER BY rank_scaled DESC, word LIMIT 15"
       })
   )
+
+  /** DuckDB twin of [[graft.operators.Graph.pageRank]]'s fixed-point
+    * integer recurrence, as a generated CTE chain (the graph2 oracle's
+    * shape, programmatic so iteration count is a parameter): expects
+    * `edgeCtes` to end with an `e(src, dst)` CTE and leaves the final
+    * ranks in `r<iterations>(id, r)`.
+    */
+  private def duckPageRank(edgeCtes: String, iterations: Int, scale: Long): String = {
+    val sb = new StringBuilder(s"WITH $edgeCtes, ")
+    sb.append("nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), ")
+    sb.append(s"nn AS (SELECT count(*) AS n, $scale // count(*) AS base FROM nodes), ")
+    sb.append("od AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src), ")
+    sb.append("r0 AS (SELECT id, (SELECT base FROM nn) AS r FROM nodes)")
+    for (i <- 1 to iterations) {
+      val p = s"r${i - 1}"
+      sb.append(s", d$i AS (SELECT coalesce(sum(r.r), 0) AS dang FROM $p r " +
+        "LEFT JOIN od ON r.id = od.id WHERE od.id IS NULL)")
+      sb.append(s", i$i AS (SELECT e.dst AS id, sum(r.r // od.deg) AS inflow " +
+        s"FROM e JOIN $p r ON e.src = r.id JOIN od ON e.src = od.id GROUP BY e.dst)")
+      sb.append(s", r$i AS (SELECT n.id, (15 * nn.base + 85 * " +
+        s"(coalesce(i$i.inflow, 0) + d$i.dang // nn.n)) // 100 AS r " +
+        s"FROM nodes n CROSS JOIN nn CROSS JOIN d$i LEFT JOIN i$i ON n.id = i$i.id)")
+    }
+    sb.toString
+  }
 }

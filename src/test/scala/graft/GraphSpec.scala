@@ -203,4 +203,17 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 9L -> 0L))
   }
+
+  test("pageRankKeyed: string vertices get bit-identical ranks to the long fast path") {
+    // same topology twice: long ids vs a bijective string relabeling —
+    // the fixed-point arithmetic must not care what the key type is
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val longs = Graph.pageRank(raw.toDF("s", "d"), "s", "d", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val strs = Graph.pageRankKeyed(
+        raw.map { case (a, b) => (s"n$a", s"n$b") }.toDF("s", "d"),
+        "s", "d", iterations = 4)
+      .as[(String, Long)].collect().toMap
+    assert(strs == longs.map { case (k, v) => (s"n$k", v) })
+  }
 }

@@ -49,9 +49,12 @@ class PlanSpec extends SparkSpec {
     // silently regressed
     // ml2/ml4 ride globalRunningSum for their rank/threshold margins,
     // ivl2 the fused globalSweep — same claim, same pin
+    // ml14/ml15/stat11 ride the MULTI-series globalRunningSum for their
+    // per-group ranks / order statistics / trim boundaries — same claim
     for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue",
         "stat10_gini", "w16_lorenz_deciles", "ml2_auc", "ml4_pr_curve",
-        "ivl2_interval_coverage")) {
+        "ivl2_interval_coverage", "ml14_per_group_auc", "ml15_conformal",
+        "stat11_trimmed_mean")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p
@@ -187,6 +190,25 @@ class PlanSpec extends SparkSpec {
     // broadcast; a second would mean a unigram join degenerated
     assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size == 1,
       s"only the scalar-T cross join may nested-loop:\n$finalPlan")
+  }
+
+  test("conformal passes broadcast the per-flag model and threshold tables") {
+    // ml15's model (O(flags) rows) and q (O(flags) rows) tables join the
+    // pinned corpus three times — each must broadcast; a shuffle join
+    // would move the corpus for a 3-row dictionary
+    val plan = q("ml15_conformal").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model/threshold joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a conformal dictionary join regressed to sort-merge:\n$plan")
+  }
+
+  test("textrank top-k plans TakeOrderedAndProject over the rank table") {
+    val plan = q("t18_textrank").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"keyword top-k must be distributed top-k, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar node-count/dangling joins must broadcast:\n$plan")
   }
 
   test("ml11 returns its PINNED honesty frame: hashing the result re-runs no scoring pass") {

@@ -582,4 +582,41 @@ class TrainerSpec extends SparkSpec {
       Trainer.bradleyTerryFit(self, "winner", "loser", rounds = 3))
     assert(e2.getMessage.contains("self-comparisons"))
   }
+
+  test("aucPerGroup: hand-computed slices, ties averaged, degenerate slice NULL") {
+    // slice a: perfect separation -> AUC 1.0
+    //   neg scores {1, 2}, pos scores {3, 4}
+    // slice b: one tie straddling the classes -> U = 2*2 + 0.5 (avg-rank tie)
+    //   neg {1, 5}, pos {5, 9}: pairs (5>1)+(9>1)+(9>5)=3 wins, (5,5) tie=0.5
+    //   AUC = 3.5/4 = 0.875
+    // slice c: single-class (all positive) -> NULL auc, still emitted
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 0L, 2.0), ("a", 1L, 3.0), ("a", 1L, 4.0),
+      ("b", 0L, 1.0), ("b", 0L, 5.0), ("b", 1L, 5.0), ("b", 1L, 9.0),
+      ("c", 1L, 2.0), ("c", 1L, 7.0)
+    ).toDF("g", "y", "sc")
+    val out = Trainer.aucPerGroup(df, "g", "y", "sc")
+      .orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(out(0).getLong(3) == 1000000000L) // 1.0
+    assert(out(1).getLong(3) == 875000000L)  // 0.875
+    assert(out(2).isNullAt(3) && out(2).getLong(1) == 2 && out(2).getLong(2) == 0)
+    // partition invariance: same numbers from a shuffled 7-partition layout
+    val shuffled = Trainer.aucPerGroup(df.repartition(7), "g", "y", "sc")
+      .orderBy("g").collect()
+    assert(shuffled.map(r => (r.getString(0), r.get(3))).toSeq ==
+      out.map(r => (r.getString(0), r.get(3))).toSeq)
+  }
+
+  test("aucPerGroup fail-fasts: null score, non-binary label") {
+    val nullSc = Seq(("a", 1L, Option(1.0)), ("a", 0L, None))
+      .toDF("g", "y", "sc")
+    val e1 = intercept[Exception](
+      Trainer.aucPerGroup(nullSc, "g", "y", "sc").collect())
+    assert(e1.getMessage.contains("null value in column 'sc'"))
+    val badY = Seq(("a", 2L, 1.0), ("a", 0L, 2.0)).toDF("g", "y", "sc")
+    val e2 = intercept[Exception](
+      Trainer.aucPerGroup(badY, "g", "y", "sc").collect())
+    assert(e2.getMessage.contains("must be 0/1"))
+  }
 }

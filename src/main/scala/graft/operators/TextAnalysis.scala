@@ -30,6 +30,60 @@ object TextAnalysis {
     size(filter(pieces, p => length(p) > 0))
   }
 
+  /** Prefix-8 polynomial token hash h = Σ_{i≤min(len,8)} cp(cᵢ)·31^(i−1)
+    * — the deterministic, ENGINE-PORTABLE hash under the hashing-trick
+    * vectorizer ([[hashedFeatureRows]]): plain integer arithmetic over
+    * the first 8 codepoints (31⁷·maxCp stays far inside a long for any
+    * BMP text), so any SQL engine restates it exactly — unlike
+    * murmur-style built-ins, which differ per engine and would make the
+    * featurization unauditable across systems. The 8-char prefix is a
+    * deliberate collision/portability trade: a vectorizer's hash only
+    * needs dispersion, and tokens sharing an 8-char prefix colliding is
+    * the same class of loss as any mod-D collision. Codegen'd built-ins
+    * only (sequence/aggregate/ascii/substr) — no UDF.
+    */
+  def tokenHash(tok: Column): Column = {
+    val pows = array((0 until 8).map(i =>
+      lit(math.pow(31, i).toLong)): _*)
+    aggregate(
+      sequence(lit(1), least(length(tok), lit(8))),
+      lit(0L),
+      (acc, i) => acc + ascii(tok.substr(i, lit(1))).cast("long") *
+        element_at(pows, i))
+  }
+
+  /** Hashing-trick featurization (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning"): each token lands in
+    * dimension h mod D with a ±1 sign drawn from the hash's higher bits
+    * (h DIV D mod 2 — independent bits from the same integer hash, the
+    * single-hash simplification of the paper's two-hash scheme), so
+    * inner products are unbiased estimates of the exact ones and the
+    * vectorizer needs NO vocabulary — no dictionary build pass, no
+    * driver state, no OOV handling: the property that makes it the
+    * 100 TB featurizer (a vocabulary-keyed vectorizer needs the
+    * bpeTrain-style bounded-collect contract; this needs nothing).
+    *
+    * Output is the sparse LONG form (id, dim, cnt, signed): `cnt` raw
+    * occurrences, `signed` the ±1-summed hashed value. One map-side
+    * explode + ONE partial-aggregated groupBy — all integer, engine-
+    * and partitioning-exact.
+    */
+  def hashedFeatureRows(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2, s"hashedFeatureRows: dims must be >= 2, got $dims")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      // a zero-length token (unreachable from tokens(), but cheap to
+      // guard) would make sequence(1, 0) DESCEND in Spark while the
+      // oracle's range(1, 1) is empty — exclude it from both sides
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol), tokenHash(col("__t")).as("__h"))
+      .select(col(idCol), pmod(col("__h"), lit(dims.toLong)).as("dim"),
+        (lit(1L) - lit(2L) * pmod(expr(s"__h DIV ${dims}L"), lit(2L)))
+          .as("__sign"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__sign")).as("signed"))
+  }
+
   /** Tiny per-language stopword lists for the language-ID heuristic; public
     * so oracle SQL can be generated from the same source of truth.
     */

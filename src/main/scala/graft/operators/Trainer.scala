@@ -1113,6 +1113,52 @@ object Trainer {
           .cast("long").as("auc_x1e9"))
   }
 
+  /** Preference-pair construction — the DPO/RLHF data-mining shape: for
+    * every prompt with at least two scored responses, pair the BEST
+    * response (chosen) against the WORST (rejected), dropping prompts
+    * whose score spread is under `minMargin` (zero-margin pairs carry no
+    * preference signal and RLHF pipelines discard them).
+    *
+    * Scale shape: ONE partial-aggregated groupBy — argmax and argmin
+    * ride `max(struct(score, response))` / `min(struct(...))`, so the
+    * per-prompt extremes combine map-side and NO window function (a
+    * per-prompt row_number would sort every group) and no second scan
+    * exist. Tie-break is the struct's lexicographic order: equal scores
+    * resolve to the largest (chosen) / smallest (rejected) response id —
+    * deterministic under any partitioning, and exactly restatable as
+    * ORDER BY (score DESC, response DESC) / (score ASC, response ASC).
+    * `minMargin` ≥ 1 (with integer scores) also guarantees
+    * chosen ≠ rejected. Null prompt/response/score FAIL FAST in-
+    * expression (the [[aucPerGroup]] discipline — a null would form a
+    * silent null-keyed prompt group or a null extreme).
+    *
+    * Returns (promptCol, chosen, rejected, margin); `margin` in the
+    * integer score's own unit.
+    */
+  def preferencePairs(df: DataFrame, promptCol: String, responseCol: String,
+      scoreCol: String, minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 1, s"preferencePairs: minMargin must be >= 1 " +
+      s"(zero-margin pairs carry no preference signal), got $minMargin")
+    def reqNotNull(c: String): Column =
+      when(col(c).isNull, raise_error(lit(
+        s"preferencePairs: null value in column '$c' — filter or impute " +
+          "first (a null would form a silent null prompt group or extreme)")))
+        .otherwise(col(c))
+    val b = df.select(reqNotNull(promptCol).as("__p"),
+      reqNotNull(responseCol).as("__resp"),
+      reqNotNull(scoreCol).cast("long").as("__s"))
+    b.groupBy("__p")
+      .agg(max(struct(col("__s"), col("__resp"))).as("__mx"),
+        min(struct(col("__s"), col("__resp"))).as("__mn"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 &&
+        (col("__mx.__s") - col("__mn.__s")) >= minMargin)
+      .select(col("__p").as(promptCol),
+        col("__mx.__resp").as("chosen"),
+        col("__mn.__resp").as("rejected"),
+        (col("__mx.__s") - col("__mn.__s")).as("margin"))
+  }
+
   /** Solve the m×m system h·x = rhs in place — Gaussian elimination with
     * partial pivoting. m = features+1, so this is driver-side microwork;
     * singularity (which l2 > 0 prevents) fails fast.

@@ -924,5 +924,37 @@ object EvalQueries {
              |  FROM base JOIN model ON base.g = model.g JOIN q ON base.g = q.g
              |  WHERE s IN (8, 9) GROUP BY base.g)
              |SELECT g, n_cal, n_test, q_cents, coverage_x1e6 FROM fin
-             |ORDER BY g""".stripMargin.replace("\n", " "))))
+             |ORDER BY g""".stripMargin.replace("\n", " "))),
+
+    // DPO/RLHF preference-pair mining: per prompt (user), the best
+    // scored response (chosen) against the worst (rejected), prompts
+    // with ≥2 responses and a positive score spread only.
+    // Trainer.preferencePairs: ONE partial-aggregated groupBy — argmax/
+    // argmin ride max/min(struct(score, response)), so extremes combine
+    // map-side, no window, no second scan; tie-break is the struct's
+    // lexicographic order, restated in the oracle as ORDER BY (sc DESC,
+    // e DESC) / (sc ASC, e ASC). Scores are exact value-cents.
+    QueryDef("pref3_dpo_pairs",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("sc"))
+        graft.operators.Trainer.preferencePairs(b, "user_id", "event_id", "sc")
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT user_id AS u, event_id AS e,
+             |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |mx AS (SELECT u, e AS chosen, sc AS smax FROM
+             |  (SELECT u, e, sc, row_number() OVER (PARTITION BY u ORDER BY sc DESC, e DESC) AS rn FROM b)
+             |  WHERE rn = 1),
+             |mn AS (SELECT u, e AS rejected, sc AS smin FROM
+             |  (SELECT u, e, sc, row_number() OVER (PARTITION BY u ORDER BY sc ASC, e ASC) AS rn FROM b)
+             |  WHERE rn = 1),
+             |n AS (SELECT u, count(*) AS c FROM b GROUP BY u)
+             |SELECT mx.u AS user_id, chosen, rejected, smax - smin AS margin
+             |FROM mx JOIN mn ON mx.u = mn.u JOIN n ON mx.u = n.u
+             |WHERE c >= 2 AND smax - smin >= 1
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))))
 }

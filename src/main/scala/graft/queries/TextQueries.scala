@@ -1146,6 +1146,30 @@ object TextQueries {
         duckPageRank(edgeCtes, iterations = 3, scale = 1000000000L) +
           " SELECT id AS word, CAST(r AS BIGINT) AS rank_scaled FROM r3" +
           " ORDER BY rank_scaled DESC, word LIMIT 15"
+      }),
+
+    // Hashing-trick featurization (Weinberger 2009): tokens land in
+    // dim = h mod 64 with a ±1 sign from the hash's higher bits — the
+    // VOCABULARY-FREE vectorizer (no dictionary pass, no driver state,
+    // no OOV), which is what makes it the 100 TB featurizer. The hash
+    // is the prefix-8 polynomial Σ cp(cᵢ)·31^(i−1) — plain integer
+    // arithmetic, so the oracle restates it EXACTLY (a murmur built-in
+    // would be engine-private). One explode + one partial-agg groupBy.
+    QueryDef("t19_hashed_features",
+      (s, dir) => TextAnalysis.hashedFeatureRows(
+          t(s, dir, "documents"), "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "dim"),
+      Some {
+        val pows = (0 until 8).map(i => math.pow(31, i).toLong)
+          .mkString("[", ", ", "]")
+        s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+           |h AS (SELECT doc_id, list_sum(list_transform(range(1, least(length(t), 8) + 1),
+           |  i -> unicode(substr(t, i, 1)) * ($pows)[i])) AS h FROM tok WHERE length(t) > 0),
+           |f AS (SELECT doc_id, h % 64 AS dim, 1 - 2 * ((h // 64) % 2) AS sign FROM h)
+           |SELECT doc_id, CAST(dim AS BIGINT) AS dim, count(*) AS cnt,
+           |CAST(sum(sign) AS BIGINT) AS signed
+           |FROM f GROUP BY doc_id, dim ORDER BY doc_id, dim"""
+          .stripMargin.replace("\n", " ")
       })
   )
 

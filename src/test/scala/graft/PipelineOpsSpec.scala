@@ -782,6 +782,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.toSet == expect)
   }
 
+  test("tokenHash: hand-computed polynomial values, unicode codepoints, 8-char prefix cap") {
+    def expected(tok: String): Long =
+      tok.take(8).zipWithIndex.map { case (c, i) =>
+        c.toLong * math.pow(31, i).toLong }.sum
+    val toks = Seq("ab", "cd", "é", "abcdefghij", "abcdefgh", "z")
+    val got = toks.toDF("t")
+      .select(TextAnalysis.tokenHash(col("t")).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == toks.map(expected))
+    // the prefix cap: 10-char and 8-char tokens sharing a prefix collide
+    assert(expected("abcdefghij") == expected("abcdefgh"))
+  }
+
+  test("hashedFeatureRows: collision folds counts, sign from higher bits, empty text empty") {
+    // h(ab) = 97 + 98*31 = 3135 -> dim 63, sign +1 (3135 DIV 64 = 48, even)
+    // h(cd) = 99 + 100*31 = 3199 -> dim 63, sign -1 (49, odd): a real
+    // mod-64 collision with opposite signs, the hashing-trick cancellation
+    val docs = Seq((1L, "ab ab cd"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedFeatureRows(docs, "doc_id", "text", dims = 64)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 63L, 3L, 1L)))
+    val shuffled = TextAnalysis.hashedFeatureRows(
+        docs.repartition(4), "doc_id", "text", dims = 64)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(shuffled == out)
+  }
+
   test("deterministicShuffle: invariant under repartitioning and parts count") {
     val df = (0L until 300L).toDF("id")
     val a = Sampling.deterministicShuffle(df, "id", numPartitions = 4)

@@ -1023,4 +1023,60 @@ class ScaleProbeSpec extends SparkSpec {
       assert(tierMeans(t + 1) > tierMeans(t) * 1.2,
         s"planted tier order lost: ${tierMeans.mkString(",")}")
   }
+
+  test("eval probe: 4M-row per-slice AUC, four analytic slice shapes exact", Slow) {
+    // aucPerGroup at 3 orders above bench size: 4 slices x 1M rows,
+    // each slice's AUC CLOSED-FORM — perfectly separated (1.0), label =
+    // score parity ((m+1)/2m by the rank-sum identity), perfectly
+    // reversed (0.0), and all scores tied (exactly 0.5 via averaged
+    // ranks). Integer ground truth computed in BigInt, compared exactly.
+    val m = 500000L // positives per slice (1M rows each)
+    val base = spark.range(0, 4000000L).select(
+      (col("id") % 4).cast("string").as("g"),
+      expr("id DIV 4").as("i"))
+    val df = base.select(col("g"),
+      when(col("g") === "0", (col("i") >= m).cast("long"))    // top half pos
+        .when(col("g") === "1", pmod(col("i"), lit(2)))       // parity
+        .when(col("g") === "2", (col("i") < m).cast("long"))  // bottom half pos
+        .otherwise(pmod(col("i"), lit(2))).as("y"),           // tied scores
+      when(col("g") === "3", lit(0.0))
+        .otherwise(col("i").cast("double")).as("sc"))
+    df.write.mode("overwrite").parquet("target/probe_spec_auc")
+    val got = graft.operators.Trainer.aucPerGroup(
+        spark.read.parquet("target/probe_spec_auc"), "g", "y", "sc")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    val parity = ((BigInt(m) + 1) * BigInt(1000000000) / (2 * BigInt(m))).toLong
+    val want = Seq("0" -> 1000000000L, "1" -> parity, "2" -> 0L,
+      "3" -> 500000000L)
+    println(s"[probe-spec] auc slices got=$got")
+    assert(got == want, s"per-slice AUC diverged: got $got want $want")
+  }
+
+  test("eval probe: 5M-response preference pairs, analytic extremes per prompt", Slow) {
+    // preferencePairs at 100k prompts x 50 responses: score = i DIV 2
+    // (a tie at the top: i=48 and i=49 both score 24), so the analytic
+    // answer per prompt p is chosen = p*100+49 (tie-break to the larger
+    // response id), rejected = p*100+0, margin = 24 — asserted via
+    // closed-form aggregates, never a driver-side row sweep
+    val prompts = 100000L
+    val df = spark.range(0, prompts * 50).select(
+      expr("id DIV 50").as("p"),
+      expr("(id DIV 50) * 100 + id % 50").as("resp"),
+      expr("(id % 50) DIV 2").as("sc"))
+    df.write.mode("overwrite").parquet("target/probe_spec_dpo")
+    val out = graft.operators.Trainer.preferencePairs(
+      spark.read.parquet("target/probe_spec_dpo"), "p", "resp", "sc")
+    val agg = out.agg(count(lit(1)), min("margin"), max("margin"),
+      sum("chosen"), sum("rejected")).head()
+    val sumP = BigInt(prompts) * (prompts - 1) / 2 * 100
+    println(s"[probe-spec] dpo pairs=${agg.getLong(0)}")
+    assert(agg.getLong(0) == prompts, s"one pair per prompt: ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 24L && agg.getLong(2) == 24L,
+      s"margin must be exactly 24: ${agg.getLong(1)}..${agg.getLong(2)}")
+    assert(BigInt(agg.getLong(3)) == sumP + BigInt(49) * prompts,
+      "chosen ids must be every prompt's response 49 (tie-break high)")
+    assert(BigInt(agg.getLong(4)) == sumP,
+      "rejected ids must be every prompt's response 0")
+  }
 }

@@ -608,6 +608,28 @@ class TrainerSpec extends SparkSpec {
       out.map(r => (r.getString(0), r.get(3))).toSeq)
   }
 
+  test("preferencePairs: extremes, tie-break, margin floor, singleton drop") {
+    val df = Seq(
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), // tie at 9 -> chosen = 12
+      (2L, 20L, 7L),                               // singleton -> dropped
+      (3L, 30L, 4L), (3L, 31L, 4L),                // zero margin -> dropped
+      (4L, 40L, 2L), (4L, 41L, 8L), (4L, 42L, 5L)
+    ).toDF("prompt", "resp", "sc")
+    val out = Trainer.preferencePairs(df, "prompt", "resp", "sc")
+      .orderBy("prompt").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 12L, 10L, 4L), (4L, 41L, 40L, 6L)))
+    // partition invariance
+    val shuffled = Trainer.preferencePairs(df.repartition(5), "prompt", "resp", "sc")
+      .orderBy("prompt").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(shuffled == out)
+    // null response fails fast, naming the column
+    val withNull = Seq((1L, Option(10L), 5L), (1L, Option.empty[Long], 9L))
+      .toDF("prompt", "resp", "sc")
+    val e = intercept[Exception](
+      Trainer.preferencePairs(withNull, "prompt", "resp", "sc").collect())
+    assert(e.getMessage.contains("null value in column 'resp'"))
+  }
+
   test("aucPerGroup fail-fasts: null score, non-binary label") {
     val nullSc = Seq(("a", 1L, Option(1.0)), ("a", 0L, None))
       .toDF("g", "y", "sc")

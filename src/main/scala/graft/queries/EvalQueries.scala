@@ -880,6 +880,9 @@ object EvalQueries {
         val cal = base.filter(col("s").isin(6, 7))
           .join(broadcast(model), "g")
           .select(col("g"), abs(col("cents") - col("mu")).as("r"))
+        // n_cal from its own pass over the PINNED base — MEASURED
+        // cheaper at sf0.1 than reading max(cum) off the running-sum
+        // table, which re-executes that (unpinned) offset-join plan
         val nc = cal.groupBy("g").agg(count(lit(1)).as("n_cal"))
         val cnt = cal.groupBy("g", "r").agg(count(lit(1)).as("c"))
         val rm = Rank.globalRunningSum(cnt, "r", "c", outCol = "cum",

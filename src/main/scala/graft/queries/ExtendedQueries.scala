@@ -1033,6 +1033,10 @@ object ExtendedQueries {
         val cnt = rows.groupBy("g", "cents").agg(count(lit(1)).as("c"))
         val rm = graft.operators.Rank.globalRunningSum(cnt, "cents", "c",
           outCol = "cum", seriesCols = Seq("g"))
+        // per-flag totals from a second 2-column columnar corpus scan —
+        // MEASURED cheaper at sf0.1 than reading max(cum) off the
+        // running-sum table, which re-executes the (unpinned at this
+        // level) offset-join plan a second time
         val tot = rows.groupBy("g").agg(count(lit(1)).as("n"),
           expr("count(*) * 5 DIV 100").as("k"))
         rm.join(broadcast(tot), "g")

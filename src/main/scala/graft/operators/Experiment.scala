@@ -121,4 +121,56 @@ object Experiment {
         when(col("__vy") > 0, lit(1.0) - col("__va") / col("__vy"))
           .as("var_reduction"))
   }
+
+  /** Difference-in-differences readout — the quasi-experimental
+    * estimate when assignment isn't randomized but a PRE period exists:
+    * did = (mean_T_post − mean_T_pre) − (mean_C_post − mean_C_pre),
+    * the treatment effect net of the shared trend (parallel-trends
+    * assumption is the caller's to defend; the engine's job is the
+    * exact readout).
+    *
+    * Input is one row per (unit, period) with an INTEGER metric (cents
+    * / counts — the exp2/pref2 fixed-point discipline); `variantCol`
+    * and `periodCol` are 0/1 (0 = control / pre). All four cell means
+    * are ×10⁶ fixed point with ONE truncating division each
+    * (non-negative metric ⇒ DIV == floor ==  an oracle's `//`), and the
+    * DiD is plain exact subtraction of those four floored means —
+    * engine- and partitioning-exact, documented ±4·10⁻⁶ flooring bias.
+    *
+    * Scale shape: ONE partial-aggregated pass over the unit table (8
+    * conditional aggregates, O(1) state) — no pivot, no join, no second
+    * scan. Null columns, out-of-domain variant/period codes, and EMPTY
+    * CELLS (a missing cell makes DiD undefined — emitting 0 would wear
+    * an estimate's label) all raise with the offending cell named.
+    */
+  def did(units: DataFrame, variantCol: String, periodCol: String,
+      metricCol: String): DataFrame = {
+    def code(c: String): Column =
+      when(col(c).isNull || (col(c).cast("long") =!= 0L &&
+          col(c).cast("long") =!= 1L),
+        raise_error(concat(lit(s"did: column '$c' must be 0/1, got "),
+          coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(col(c).cast("long"))
+    val m = when(col(metricCol).isNull, raise_error(lit(
+        s"did: null metric in '$metricCol' — filter or impute first")))
+      .otherwise(col(metricCol).cast("decimal(38,0)"))
+    val v = code(variantCol)
+    val p = code(periodCol)
+    def cell(vv: Int, pp: Int, suffix: String) = Seq(
+      sum(when(v === vv && p === pp, m)).as(s"__s_$suffix"),
+      sum(when(v === vv && p === pp, 1L).otherwise(0L)).as(s"n_$suffix"))
+    val cells = cell(1, 0, "t_pre") ++ cell(1, 1, "t_post") ++
+      cell(0, 0, "c_pre") ++ cell(0, 1, "c_post")
+    val aggd = units.agg(cells.head, cells.tail: _*)
+    def mean(suffix: String): Column =
+      when(col(s"n_$suffix") === 0, raise_error(lit(
+        s"did: empty $suffix cell — DiD is undefined with a missing cell")))
+        .otherwise(expr(s"CAST(__s_$suffix * 1000000 DIV n_$suffix AS BIGINT)"))
+    aggd.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      mean("t_pre").as("m_t_pre_x1e6"), mean("t_post").as("m_t_post_x1e6"),
+      mean("c_pre").as("m_c_pre_x1e6"), mean("c_post").as("m_c_post_x1e6"),
+      ((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+        .as("did_x1e6"))
+  }
 }

@@ -101,6 +101,99 @@ object Retrieval {
     * in the upstream operators; fusion is a k-row join + one
     * TakeOrderedAndProject.
     */
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * diversified top-k a retrieval pipeline serves when the plain top-k
+    * is a wall of near-duplicates: greedily pick the candidate
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so each
+    * pick trades relevance against redundancy with what's already shown.
+    *
+    * Scale split (the bpeTrain/isotonic discipline): the CORPUS-scale
+    * work — scoring every vector against every query and keeping the
+    * top `candidates` — is the distributed [[Similarity.bruteForceKnn]]
+    * broadcast-scan + bounded-heap pass; the GREEDY loop runs on the
+    * collected (queries × candidates) table, driver state
+    * O(queries·candidates·dim) behind the explicit `maxDriverRows`
+    * fail-fast (enforced with limit(max+1), so the driver never
+    * materializes more than the bound either way). The greedy is
+    * inherently sequential per query (selection i depends on 1..i−1) —
+    * collapsing it to the bounded candidate set is what MMR
+    * implementations do at any scale.
+    *
+    * Determinism contract: relevance is the corpus-side codegen'd
+    * cosine; candidate-candidate similarity is computed here with the
+    * IDENTICAL sequential association (Σ aᵢ·bᵢ left-to-right, then
+    * dot/(√na·√nb) — CosineSimilarity.scala's op order, which the
+    * oracle's list_sum/sqrt restates bit-for-bit); the MMR objective is
+    * the fixed expression λ·rel − (1−λ)·maxSim with argmax ties broken
+    * by ascending id. Output: (query_id, pos, vec_id, mmr_x1e6) with
+    * the score floor-quantized (the pca1 floor contract — no
+    * rounding-mode ambiguity).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, candidates: Int, k: Int,
+      lambda: Double = 0.7, maxDriverRows: Int = 100000): DataFrame = {
+    require(candidates >= k && k >= 1,
+      s"mmrTopK: need candidates >= k >= 1, got candidates=$candidates k=$k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"mmrTopK: lambda must be in (0, 1], got $lambda")
+    val spark = corpus.sparkSession
+    val cand = Similarity.bruteForceKnnFull(corpus, queries, candidates)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__vec"))
+      .limit(maxDriverRows + 1)
+    val rows = cand.collect()
+    require(rows.length <= maxDriverRows,
+      s"mmrTopK: more than $maxDriverRows (queries x candidates) rows — " +
+        "the greedy loop's candidate table lives on the driver; lower " +
+        "`candidates`, split the query set, or raise maxDriverRows deliberately")
+    // the CosineSimilarity.scala association, element-exact
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0.0 else dot / nn
+    }
+    final case class Cand(id: Long, rel: Double, vec: Array[Float])
+    val byQuery = rows.map { r =>
+      (r.getLong(0), Cand(r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Cand]
+      val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+      (1 to math.min(k, cs.length)).map { pos =>
+        var best: Cand = null
+        var bestScore = 0.0
+        remaining.foreach { c =>
+          val score =
+            if (selected.isEmpty) c.rel
+            else {
+              var ms = Double.NegativeInfinity
+              selected.foreach { s =>
+                val sim = cos(c.vec, s.vec)
+                if (sim > ms) ms = sim
+              }
+              lambda * c.rel - (1.0 - lambda) * ms
+            }
+          if (best == null || score > bestScore ||
+            (score == bestScore && c.id < best.id)) {
+            best = c; bestScore = score
+          }
+        }
+        selected += best
+        remaining -= best
+        (qid, pos.toLong, best.id, math.floor(bestScore * 1e6).toLong)
+      }
+    }
+    import spark.implicits._
+    out.toDF("query_id", "pos", "vec_id", "mmr_x1e6")
+  }
+
   def rrfFuse(lex: DataFrame, sem: DataFrame, idCol: String,
       rankCol: String = "rank", kConst: Int = 60, topK: Int = 10): DataFrame = {
     require(kConst > 0 && topK > 0, "kConst and topK must be positive")

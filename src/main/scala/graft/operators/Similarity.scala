@@ -67,7 +67,15 @@ object Similarity {
     * scanned once, and only ≤k rows per (query, mapper) reach the shuffle
     * thanks to the partial top-k aggregate. Self-matches excluded.
     */
-  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceKnnFull(corpus, queries, k)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  /** [[bruteForceKnn]] with the UNROUNDED cosine — for consumers whose
+    * downstream arithmetic needs the full double ([[Retrieval.mmrTopK]]'s
+    * greedy objective); presentation surfaces keep the 6-decimal round.
+    */
+  def bruteForceKnnFull(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
@@ -76,7 +84,7 @@ object Similarity {
         cosine(col("q_vec"), col("c_vec")).as("cosine"))
     topKPerKey(scored, "query_id", col("cosine"), col("neighbor_id"), k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("score"), 6).as("cosine"))
+        col("score").as("cosine"))
   }
 
   /** Hard-negative mining: for each query, the top-k most-similar corpus

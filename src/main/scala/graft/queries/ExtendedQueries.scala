@@ -1012,6 +1012,50 @@ object ExtendedQueries {
              |CAST((k * oo - CAST(n AS HUGEINT) * n) * 1000000 // n AS BIGINT) AS srm_x1e6
              |FROM a""".stripMargin.replace("\n", " "))),
 
+    // Difference-in-differences — the quasi-experimental readout when
+    // assignment isn't randomized but a pre-period exists: treatment
+    // effect net of the shared trend. Experiment.did: ONE partial-agg
+    // pass over the (unit, period) table — 8 conditional aggregates,
+    // no pivot/join — four ×1e6 floored cell means (non-negative cents
+    // ⇒ DIV == //), DiD exact subtraction of the four. Unit-period
+    // metric = per-user cents per month half; "treatment" = user parity.
+    QueryDef("exp3_did",
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val units = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy(col("user_id"),
+            when(col("ts") < cut, 0L).otherwise(1L).as("period"))
+          .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("m"))
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("variant"),
+            col("period"), col("m"))
+        graft.operators.Experiment.did(units, "variant", "period", "m")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS period,
+             |  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT
+             |  sum(CASE WHEN user_id % 2 = 1 AND period = 0 THEN 1 ELSE 0 END) AS n_t_pre,
+             |  sum(CASE WHEN user_id % 2 = 1 AND period = 1 THEN 1 ELSE 0 END) AS n_t_post,
+             |  sum(CASE WHEN user_id % 2 = 0 AND period = 0 THEN 1 ELSE 0 END) AS n_c_pre,
+             |  sum(CASE WHEN user_id % 2 = 0 AND period = 1 THEN 1 ELSE 0 END) AS n_c_post,
+             |  sum(CASE WHEN user_id % 2 = 1 AND period = 0 THEN CAST(m AS HUGEINT) END) AS s_t_pre,
+             |  sum(CASE WHEN user_id % 2 = 1 AND period = 1 THEN CAST(m AS HUGEINT) END) AS s_t_post,
+             |  sum(CASE WHEN user_id % 2 = 0 AND period = 0 THEN CAST(m AS HUGEINT) END) AS s_c_pre,
+             |  sum(CASE WHEN user_id % 2 = 0 AND period = 1 THEN CAST(m AS HUGEINT) END) AS s_c_post
+             |  FROM u)
+             |SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre, CAST(n_t_post AS BIGINT) AS n_t_post,
+             |CAST(n_c_pre AS BIGINT) AS n_c_pre, CAST(n_c_post AS BIGINT) AS n_c_post,
+             |CAST(s_t_pre * 1000000 // n_t_pre AS BIGINT) AS m_t_pre_x1e6,
+             |CAST(s_t_post * 1000000 // n_t_post AS BIGINT) AS m_t_post_x1e6,
+             |CAST(s_c_pre * 1000000 // n_c_pre AS BIGINT) AS m_c_pre_x1e6,
+             |CAST(s_c_post * 1000000 // n_c_post AS BIGINT) AS m_c_post_x1e6,
+             |CAST((s_t_post * 1000000 // n_t_post) - (s_t_pre * 1000000 // n_t_pre)
+             |  - ((s_c_post * 1000000 // n_c_post) - (s_c_pre * 1000000 // n_c_pre)) AS BIGINT) AS did_x1e6
+             |FROM c""".stripMargin.replace("\n", " "))),
+
     // Exact 5%-each-side TRIMMED mean of line price per return flag —
     // the robust location estimate between the raw mean (outlier-owned)
     // and p10's winsorize (which clips but keeps the tail rows' count).

@@ -533,6 +533,68 @@ object SimilarityQueries {
            |  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
            |SELECT doc_id, lex_rank, sem_rank, rrf_x1e12 FROM fused
            |ORDER BY rrf_x1e12 DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " ")
-      })
-  )
+      }),
+
+    // Maximal Marginal Relevance diversified top-k (Carbonell-Goldstein
+    // 1998): greedy λ·rel − (1−λ)·max-sim-to-selected over the top-15
+    // candidate set, 5 picks per query. Corpus-scale scoring is the
+    // distributed bruteForceKnn broadcast-scan + bounded-heap; the
+    // inherently-sequential greedy runs on the bounded driver table
+    // (maxDriverRows contract). The oracle replays the greedy as
+    // generated per-step CTEs — every double op in the SAME association
+    // (duckCos == CosineSimilarity.scala's loop, max() order-free,
+    // fixed 0.7/0.3 literals), so selections and floor-quantized scores
+    // are bit-exact across engines.
+    QueryDef("ret4_mmr",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.operators.Retrieval.mmrTopK(e, e.filter(col("vec_id") < 3),
+            candidates = 15, k = 5)
+          .orderBy("query_id", "pos")
+      },
+      Some(duckMmr(queryPred = "vec_id < 3", candidates = 15, k = 5))))
+
+  /** Parameterized twin of [[duckCos]] over explicit relation aliases. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))" +
+      s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+      s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
+  /** DuckDB replay of [[graft.operators.Retrieval.mmrTopK]]'s greedy as
+    * generated per-step CTEs: sel1 = pure argmax of relevance; step i
+    * re-scores the remaining candidates against the selected set and
+    * picks the row_number()=1 row under (score DESC, neighbor_id).
+    */
+  private def duckMmr(queryPred: String, candidates: Int, k: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS a_vec FROM embeddings WHERE $queryPred),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS b_vec FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, b_vec, $duckCos AS rel FROM q, c WHERE query_id <> neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id, b_vec, rel FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn FROM scored) WHERE rn <= $candidates),
+         |sel1 AS (SELECT query_id, neighbor_id, b_vec, rel AS score FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
+         |selall1 AS (SELECT query_id, neighbor_id, b_vec FROM sel1),
+         |rem1 AS (SELECT r.* FROM cand r WHERE NOT EXISTS (SELECT 1 FROM sel1 s WHERE s.query_id = r.query_id AND s.neighbor_id = r.neighbor_id))"""
+        .stripMargin.replace("\n", " "))
+    for (i <- 2 to k) {
+      val p = i - 1
+      sb.append(s", sc$i AS (SELECT r.query_id, r.neighbor_id, r.b_vec, " +
+        s"0.7 * r.rel - 0.3 * max(${cosSql("r.b_vec", "s.b_vec")}) AS score, r.rel " +
+        s"FROM rem$p r JOIN selall$p s ON r.query_id = s.query_id " +
+        "GROUP BY r.query_id, r.neighbor_id, r.b_vec, r.rel)")
+      sb.append(s", sel$i AS (SELECT query_id, neighbor_id, b_vec, rel, score FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM sc$i) WHERE rn = 1)")
+      sb.append(s", selall$i AS (SELECT query_id, neighbor_id, b_vec FROM selall$p " +
+        s"UNION ALL SELECT query_id, neighbor_id, b_vec FROM sel$i)")
+      if (i < k)
+        sb.append(s", rem$i AS (SELECT r.* FROM rem$p r WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM sel$i s WHERE s.query_id = r.query_id AND s.neighbor_id = r.neighbor_id))")
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT query_id, $i AS pos, neighbor_id, score FROM sel$i")
+      .mkString(" UNION ALL ")
+    sb.append(s", res AS ($union) SELECT query_id, CAST(pos AS BIGINT) AS pos, " +
+      "neighbor_id AS vec_id, CAST(floor(score * 1e6) AS BIGINT) AS mmr_x1e6 " +
+      "FROM res ORDER BY query_id, pos")
+    sb.toString
+  }
 }

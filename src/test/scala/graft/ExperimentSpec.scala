@@ -92,4 +92,40 @@ class ExperimentSpec extends SparkSpec {
       Experiment.cuped(const.filter(lit(false)), "variant", "y", "x"))
     assert(e3.getMessage.contains("empty"))
   }
+
+  test("did: hand-computed four-cell readout, planted effect net of trend") {
+    // control: 10 -> 16 (trend +6); treatment: 20 -> 31 (trend +6,
+    // effect +5). Means exact: cells are (10,10), (16,16), (20,20),
+    // (31,31) -> did = (31-20) - (16-10) = +5 (x1e6 = 5,000,000)
+    val units = Seq(
+      (0L, 0L, 10L), (0L, 0L, 10L), (0L, 1L, 16L), (0L, 1L, 16L),
+      (1L, 0L, 20L), (1L, 0L, 20L), (1L, 1L, 31L), (1L, 1L, 31L)
+    ).toDF("variant", "period", "m")
+    val r = Experiment.did(units, "variant", "period", "m").collect()(0)
+    assert((0 to 3).map(r.getLong) == Seq(2L, 2L, 2L, 2L))
+    assert(r.getLong(4) == 20000000L && r.getLong(5) == 31000000L)
+    assert(r.getLong(6) == 10000000L && r.getLong(7) == 16000000L)
+    assert(r.getLong(8) == 5000000L)
+    // partition invariance
+    val r2 = Experiment.did(units.repartition(5), "variant", "period", "m")
+      .collect()(0)
+    assert(r2.getLong(8) == 5000000L)
+  }
+
+  test("did fail-fasts: empty cell, out-of-domain code, null metric") {
+    val missing = Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L))
+      .toDF("variant", "period", "m") // no treatment-pre cell
+    val e1 = intercept[Exception](
+      Experiment.did(missing, "variant", "period", "m").collect())
+    assert(e1.getMessage.contains("empty t_pre cell"))
+    val bad = Seq((2L, 0L, 1L), (0L, 1L, 2L)).toDF("variant", "period", "m")
+    val e2 = intercept[Exception](
+      Experiment.did(bad, "variant", "period", "m").collect())
+    assert(e2.getMessage.contains("must be 0/1"))
+    val nul = Seq((Option(0L), 0L, Option.empty[Long]),
+      (Option(1L), 1L, Option(3L))).toDF("variant", "period", "m")
+    val e3 = intercept[Exception](
+      Experiment.did(nul, "variant", "period", "m").collect())
+    assert(e3.getMessage.contains("null metric"))
+  }
 }

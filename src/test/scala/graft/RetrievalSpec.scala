@@ -97,4 +97,42 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("mmrTopK: diversity demotes the near-duplicate; lambda=1 is pure relevance") {
+    // query (1,0); candidate 1 = (100,1) near-parallel to 3 = (100,2),
+    // candidate 2 = (1,2) much less relevant but diverse. At a
+    // diversity-heavy lambda the redundant 3 drops below 2; at
+    // lambda = 1 the MMR objective degenerates to relevance order.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(100f, 1f)),
+      (2L, Array(1f, 2f)), (3L, Array(100f, 2f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    def picks(lambda: Double): Seq[Long] =
+      Retrieval.mmrTopK(vecs, q, candidates = 3, k = 3, lambda = lambda)
+        .orderBy("pos").select("vec_id").as[Long].collect().toSeq
+    assert(picks(0.3) == Seq(1L, 2L, 3L),
+      "diversity weight must pull the non-duplicate ahead of the near-copy")
+    assert(picks(1.0) == Seq(1L, 3L, 2L),
+      "lambda = 1 must reproduce the pure relevance ranking")
+    // first pick's score is the floor-quantized relevance itself
+    val first = Retrieval.mmrTopK(vecs, q, candidates = 3, k = 3, lambda = 0.3)
+      .filter(col("pos") === 1).select("mmr_x1e6").as[Long].head()
+    val rel = 100.0 / (math.sqrt(1.0) * math.sqrt(100.0 * 100.0 + 1.0))
+    assert(first == math.floor(rel * 1e6).toLong)
+  }
+
+  test("mmrTopK fail-fasts: driver-row bound, bad lambda, k > candidates") {
+    val vecs = (0L to 30L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](Retrieval.mmrTopK(
+      vecs, vecs.limit(5), candidates = 10, k = 3, maxDriverRows = 20))
+    assert(e1.getMessage.contains("more than 20"))
+    val e2 = intercept[IllegalArgumentException](
+      Retrieval.mmrTopK(vecs, vecs, candidates = 10, k = 3, lambda = 0.0))
+    assert(e2.getMessage.contains("lambda"))
+    val e3 = intercept[IllegalArgumentException](
+      Retrieval.mmrTopK(vecs, vecs, candidates = 2, k = 3))
+    assert(e3.getMessage.contains("candidates >= k"))
+  }
 }

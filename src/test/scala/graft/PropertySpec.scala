@@ -172,4 +172,81 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(first == second)
   }
+
+  test("aucPerGroup equals the brute-force pairwise count over random slices") {
+    // the rank-sum identity vs the DEFINITION: AUC = (concordant +
+    // ties/2) / (n1*n0) over every (pos, neg) pair — ScalaCheck data
+    // with deliberately heavy score ties across both classes
+    val gen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      y <- Gen.oneOf(0L, 1L)
+      sc <- Gen.chooseNum(0, 8) // tiny domain -> dense ties
+    } yield (g, y, sc.toDouble)
+    val rows = sample(Gen.listOfN(400, gen), 1313L)
+    val got = graft.operators.Trainer.aucPerGroup(
+        rows.toDF("g", "y", "sc").repartition(7), "g", "y", "sc")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for ((g, members) <- rows.groupBy(_._1)) {
+      val pos = members.filter(_._2 == 1L).map(_._3)
+      val neg = members.filter(_._2 == 0L).map(_._3)
+      val want =
+        if (pos.isEmpty || neg.isEmpty) None
+        else {
+          // doubled concordance in exact integers: 2*wins + ties
+          val num2 = (for (p <- pos; n <- neg) yield {
+            if (p > n) 2L else if (p == n) 1L else 0L
+          }).sum
+          Some(BigInt(num2) * 1000000000 / (2 * BigInt(pos.size) * neg.size))
+            .map(_.toLong)
+        }
+      assert(got(g) == want, s"slice $g: got ${got(g)} want $want")
+    }
+  }
+
+  test("stat11-style trimmed mean equals the sort-and-slice definition") {
+    // the closed-form partial-inclusion arithmetic vs literally sorting
+    // and averaging the middle, on random duplicate-heavy integers
+    val gen = Gen.listOfN(237, Gen.chooseNum(0L, 50L))
+    for (seed <- Seq(5L, 17L, 99L)) {
+      val vals = sample(gen, seed)
+      val rows = vals.map(("g", _)).toDF("g", "cents").repartition(5)
+      val cnt = rows.groupBy("g", "cents").agg(count(lit(1)).as("c"))
+      val rm = graft.operators.Rank.globalRunningSum(cnt, "cents", "c",
+        outCol = "cum", seriesCols = Seq("g"))
+      val n = vals.size.toLong
+      val k = n * 5 / 100
+      val kept = rm.collect().map { r =>
+        val (cents, c, cum) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        val lo = math.max(cum - c + 1, k + 1)
+        val hi = math.min(cum, n - k)
+        cents * math.max(hi - lo + 1, 0L)
+      }.sum
+      val naive = vals.sorted.slice(k.toInt, (n - k).toInt)
+      assert(kept == naive.sum && n - 2 * k == naive.size,
+        s"seed $seed: partial-inclusion sum $kept != naive ${naive.sum}")
+    }
+  }
+
+  test("preferencePairs equals the naive per-prompt extremes on random logs") {
+    val gen = for {
+      p <- Gen.chooseNum(0L, 15L)
+      r <- Gen.chooseNum(0L, 500L)
+      sc <- Gen.chooseNum(0L, 6L) // dense score ties
+    } yield (p, r, sc)
+    val rows = sample(Gen.listOfN(300, gen), 888L)
+      .distinctBy(t => (t._1, t._2)) // one score per (prompt, response)
+    val got = graft.operators.Trainer.preferencePairs(
+        rows.toDF("p", "resp", "sc").repartition(6), "p", "resp", "sc")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = rows.groupBy(_._1).flatMap { case (p, ms) =>
+      val chosen = ms.maxBy(t => (t._3, t._2))
+      val rejected = ms.minBy(t => (t._3, t._2))
+      val margin = chosen._3 - rejected._3
+      if (ms.size >= 2 && margin >= 1) Some(p -> (chosen._2, rejected._2, margin))
+      else None
+    }
+    assert(got == want)
+  }
 }

@@ -272,13 +272,20 @@ object Trainer {
     require(rows.forall(_.getLong(3) == 0),
       s"isotonicFit: label column '$labelCol' must be non-null 0/1")
     val sorted = rows.sortBy(_.getDouble(0))
-    // PAV: maintain a stack of pooled blocks (startIdx, num, den); pool
-    // while the previous block's mean exceeds the current's (num/den
-    // compared by cross-multiplication — exact)
+    // agg row layout: __s at 0, n (count) at 1, w (label sum) at 2
+    val (num, den) = pavPool(sorted.map(r => (r.getLong(2), r.getLong(1))))
+    IsotonicModel(sorted.map(_.getDouble(0)), num, den)
+  }
+
+  /** The PAV stack pass over score-sorted (label-sum, count) knot pairs:
+    * pool while the previous block's mean exceeds the next's, compared
+    * by exact cross-multiplication — no FP ties. Shared by the global
+    * [[isotonicFit]] and the many-models [[isotonicFitPerGroup]].
+    */
+  private def pavPool(sorted: Array[(Long, Long)]): (Array[Long], Array[Long]) = {
     val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    for ((r, i) <- sorted.zipWithIndex) {
-      // agg row layout: __s at 0, n (count) at 1, w (label sum) at 2
-      stack += ((i, r.getLong(2), r.getLong(1)))
+    for (((w, n), i) <- sorted.zipWithIndex) {
+      stack += ((i, w, n))
       while (stack.length >= 2 && {
         val (_, n1, d1) = stack(stack.length - 2)
         val (_, n2, d2) = stack(stack.length - 1)
@@ -290,15 +297,75 @@ object Trainer {
         stack += ((i1, n1 + n2, d1 + d2))
       }
     }
-    val knots = sorted.map(_.getDouble(0))
-    val num = new Array[Long](knots.length)
-    val den = new Array[Long](knots.length)
+    val num = new Array[Long](sorted.length)
+    val den = new Array[Long](sorted.length)
     for (b <- stack.indices) {
       val (start, n, d) = stack(b)
-      val end = if (b + 1 < stack.length) stack(b + 1)._1 else knots.length
+      val end = if (b + 1 < stack.length) stack(b + 1)._1 else sorted.length
       for (i <- start until end) { num(i) = n; den(i) = d }
     }
-    IsotonicModel(knots, num, den)
+    (num, den)
+  }
+
+  /** MANY-MODELS isotonic calibration — one independent PAV fit per
+    * group key (per language, per source, per model version) without
+    * one job per group: the per-group calibrator a quality pipeline
+    * actually serves, because a single global step function is wrong
+    * the moment score scales differ across slices (the [[ridgeFitPerGroup]]
+    * motivation, calibration-shaped).
+    *
+    * Scale shape: ONE distributed aggregation to per-(group, distinct
+    * score) integer (count, label-sum) knots; the PAV stack pass runs
+    * per group on the collected knot table — O(total knots) driver
+    * state behind the explicit `maxTotalKnots` fail-fast (enforced with
+    * limit(max+1), the bpeTrain/isotonicFit contract; bin continuous
+    * scores first). Same in-expression fail-fasts as the global fit:
+    * null group / null score / non-0/1 labels, each naming its column.
+    *
+    * Returns the model TABLE (groupCol, knot, n, calibrated_x1e9) —
+    * knots ascending per group, calibrated values exact pooled
+    * rationals ×10⁹ — ready for a group-keyed broadcast range join, and
+    * bit-identical under any partitioning.
+    */
+  def isotonicFitPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, maxTotalKnots: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.groupBy(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("w"),
+        sum(when(col(labelCol).isNull ||
+          (col(labelCol) =!= 0 && col(labelCol) =!= 1), 1).otherwise(0)).as("bad"))
+      .limit(maxTotalKnots + 1)
+      .collect()
+    require(rows.nonEmpty, "isotonicFitPerGroup: empty input")
+    require(rows.length <= maxTotalKnots,
+      s"isotonicFitPerGroup: more than $maxTotalKnots total (group, score) " +
+        "knots — bin the score first; per-knot state lives on the driver")
+    require(rows.forall(r => !r.isNullAt(0)),
+      s"isotonicFitPerGroup: null values in group column '$groupCol'")
+    require(rows.forall(r => !r.isNullAt(1)),
+      s"isotonicFitPerGroup: null values in score column '$scoreCol'")
+    require(rows.forall(_.getLong(4) == 0),
+      s"isotonicFitPerGroup: label column '$labelCol' must be non-null 0/1")
+    val out = rows.groupBy(_.get(0)).toSeq
+      .flatMap { case (g, knotRows) =>
+        val sorted = knotRows.sortBy(_.getDouble(1))
+        val (num, den) = pavPool(sorted.map(r => (r.getLong(3), r.getLong(2))))
+        sorted.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(g, r.getDouble(1), r.getLong(2),
+            (BigInt(num(i)) * 1000000000L / BigInt(den(i))).toLong)
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol).copy(name = groupCol),
+      org.apache.spark.sql.types.StructField("knot",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("calibrated_x1e9",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** Apply an isotonic model as a broadcast RANGE join: each knot owns

@@ -959,5 +959,39 @@ object EvalQueries {
              |SELECT mx.u AS user_id, chosen, rejected, smax - smin AS margin
              |FROM mx JOIN mn ON mx.u = mn.u JOIN n ON mx.u = n.u
              |WHERE c >= 2 AND smax - smin >= 1
-             |ORDER BY user_id""".stripMargin.replace("\n", " "))))
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // MANY-MODELS isotonic calibration: one PAV step function per
+    // source (the per-slice calibrator a quality pipeline serves when
+    // score scales differ across slices), fitted from ONE aggregation
+    // to per-(source, score) integer knots — the ml8 contract, grouped.
+    // Board shape mirrors ml8: per-knot counts are the oracle-stated
+    // values; the PAV post-conditions (monotone within each source,
+    // in [0, 1e9]) ride the emitted `ok` flag, computed over the
+    // O(knots) model table with a source-partitioned window.
+    QueryDef("ml16_per_group_isotonic",
+      (s, dir) => {
+        val score = expr(
+          "CAST((length(text) - length(replace(text, ' ', '')) + 1) DIV 10 AS BIGINT)")
+        val scored = t(s, dir, "documents").select(col("source"),
+          score.as("score"),
+          when(col("n_chars") % 100 < least(score * 17, lit(100)), 1)
+            .otherwise(0).as("y"))
+        val model = graft.operators.Trainer.isotonicFitPerGroup(
+          scored, "source", "score", "y")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("knot")
+        model.withColumn("ok",
+            (coalesce(lag(col("calibrated_x1e9"), 1).over(w), lit(0L)) <=
+              col("calibrated_x1e9")) &&
+              col("calibrated_x1e9").between(0L, 1000000000L))
+          .select(col("source"), col("knot").cast("long").as("score"),
+            col("n"), col("ok"))
+          .orderBy("source", "score")
+      },
+      Some("""WITH b AS (SELECT source,
+             |  (length(text) - length(replace(text, ' ', '')) + 1) // 10 AS score
+             |  FROM documents)
+             |SELECT source, score, count(*) AS n, TRUE AS ok FROM b
+             |GROUP BY 1, 2 ORDER BY source, score""".stripMargin.replace("\n", " "))))
 }

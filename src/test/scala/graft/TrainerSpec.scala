@@ -608,6 +608,45 @@ class TrainerSpec extends SparkSpec {
       out.map(r => (r.getString(0), r.get(3))).toSeq)
   }
 
+  test("isotonicFitPerGroup: per-group poolings a global fit provably cannot produce") {
+    // group "inc": rates 0/2, 1/2, 2/2 over knots 1..3 — already
+    // monotone, PAV is the identity. Group "dec": rates 1, 1/2, 0 —
+    // fully reversed, PAV pools EVERYTHING to the grand mean 3/6.
+    val rows = Seq(
+      ("inc", 1.0, 0L), ("inc", 1.0, 0L), ("inc", 2.0, 0L), ("inc", 2.0, 1L),
+      ("inc", 3.0, 1L), ("inc", 3.0, 1L),
+      ("dec", 1.0, 1L), ("dec", 1.0, 1L), ("dec", 2.0, 0L), ("dec", 2.0, 1L),
+      ("dec", 3.0, 0L), ("dec", 3.0, 0L)
+    ).toDF("g", "sc", "y")
+    val got = Trainer.isotonicFitPerGroup(rows.repartition(5), "g", "sc", "y")
+      .orderBy("g", "knot")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("dec", 1.0, 2L, 500000000L), ("dec", 2.0, 2L, 500000000L),
+      ("dec", 3.0, 2L, 500000000L),
+      ("inc", 1.0, 2L, 0L), ("inc", 2.0, 2L, 500000000L),
+      ("inc", 3.0, 2L, 1000000000L)))
+    // the single GLOBAL fit cannot reproduce both slices: at knot 1 it
+    // pools inc's 0/2 with dec's 2/2 and lands strictly between them
+    val global = Trainer.isotonicFit(rows, "sc", "y")
+    assert(global.calibratedX1e9(0) != 0L &&
+      global.calibratedX1e9(0) != 1000000000L)
+  }
+
+  test("isotonicFitPerGroup fail-fasts: knot bound, null group") {
+    val many = spark.range(0, 50).selectExpr(
+      "CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS sc",
+      "CAST(id % 2 AS LONG) AS y")
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.isotonicFitPerGroup(many, "g", "sc", "y", maxTotalKnots = 10))
+    assert(e1.getMessage.contains("more than 10"))
+    val nullG = Seq((Option("a"), 1.0, 1L), (Option.empty[String], 2.0, 0L))
+      .toDF("g", "sc", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.isotonicFitPerGroup(nullG, "g", "sc", "y"))
+    assert(e2.getMessage.contains("null values in group column"))
+  }
+
   test("preferencePairs: extremes, tie-break, margin floor, singleton drop") {
     val df = Seq(
       (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), // tie at 9 -> chosen = 12

@@ -1024,6 +1024,26 @@ class ScaleProbeSpec extends SparkSpec {
         s"planted tier order lost: ${tierMeans.mkString(",")}")
   }
 
+  test("many-models probe: 1000-group isotonic, planted monotone rates exact per group", Slow) {
+    // 1000 groups x 10 knots x 10 rows: within every group, knot sc has
+    // rate exactly sc/10 — already monotone, so PAV must be the
+    // identity and calibrated_x1e9 == sc·1e8 for EVERY one of the
+    // 10,000 (group, knot) model rows, asserted by one aggregate
+    val df = spark.range(0, 100000L).selectExpr(
+      "CAST(id DIV 100 AS STRING) AS g",
+      "CAST((id DIV 10) % 10 AS DOUBLE) AS sc",
+      "CAST(CASE WHEN id % 10 < (id DIV 10) % 10 THEN 1 ELSE 0 END AS LONG) AS y")
+    val model = graft.operators.Trainer.isotonicFitPerGroup(
+      df.repartition(13), "g", "sc", "y", maxTotalKnots = 20000)
+    val bad = model.filter(
+      col("calibrated_x1e9") =!= (col("knot") * 100000000L).cast("long"))
+      .count()
+    val total = model.count()
+    println(s"[probe-spec] per-group isotonic: $total model rows, $bad off-plant")
+    assert(total == 10000L, s"expected 1000x10 model rows, got $total")
+    assert(bad == 0L, s"$bad model rows deviate from the planted identity PAV")
+  }
+
   test("eval probe: 4M-row per-slice AUC, four analytic slice shapes exact", Slow) {
     // aucPerGroup at 3 orders above bench size: 4 slices x 1M rows,
     // each slice's AUC CLOSED-FORM — perfectly separated (1.0), label =

@@ -151,8 +151,17 @@ object Experiment {
         raise_error(concat(lit(s"did: column '$c' must be 0/1, got "),
           coalesce(col(c).cast("string"), lit("NULL")))))
         .otherwise(col(c).cast("long"))
+    // negative metrics fail fast, not just the nulls: the ×10⁶ means
+    // below take ONE truncating DIV each, and DIV (toward zero) only
+    // equals an oracle's floor `//` for non-negative numerators — a
+    // refund-heavy cents column would silently flip the semantics
     val m = when(col(metricCol).isNull, raise_error(lit(
         s"did: null metric in '$metricCol' — filter or impute first")))
+      .when(col(metricCol) < 0, raise_error(concat(
+        lit(s"did: negative metric in '$metricCol' ("),
+        col(metricCol).cast("string"),
+        lit(") — the fixed-point means require a non-negative metric " +
+          "(DIV == floor only there); shift or split the metric first"))))
       .otherwise(col(metricCol).cast("decimal(38,0)"))
     val v = code(variantCol)
     val p = code(periodCol)

@@ -119,6 +119,19 @@ object Retrieval {
     * collapsing it to the bounded candidate set is what MMR
     * implementations do at any scale.
     *
+    * THE 100 TB KNOB — shard the QUERY set, not maxDriverRows: the
+    * greedy is independent PER QUERY (no state crosses query_id), so a
+    * query workload that trips the `maxDriverRows` fail-fast splits
+    * into batches of queries, each batch one mmrTopK call, results
+    * unioned — output identical to the single call BY CONSTRUCTION
+    * (RetrievalSpec's shard test pins row equality). Each batch's
+    * driver table is (batchQueries × candidates) rows, so the bound
+    * becomes a per-batch budget independent of total query count.
+    * Raising maxDriverRows instead just moves the OOM; sharding keeps
+    * the contract. (The corpus side needs nothing — bruteForceKnnFull
+    * re-scans per batch, and for standing workloads the corpus scan is
+    * the cost you already pay per query wave.)
+    *
     * Determinism contract: relevance is the corpus-side codegen'd
     * cosine; candidate-candidate similarity is computed here with the
     * IDENTICAL sequential association (Σ aᵢ·bᵢ left-to-right, then

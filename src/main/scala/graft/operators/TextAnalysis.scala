@@ -45,11 +45,16 @@ object TextAnalysis {
   def tokenHash(tok: Column): Column = {
     val pows = array((0 until 8).map(i =>
       lit(math.pow(31, i).toLong)): _*)
-    aggregate(
-      sequence(lit(1), least(length(tok), lit(8))),
-      lit(0L),
-      (acc, i) => acc + ascii(tok.substr(i, lit(1))).cast("long") *
-        element_at(pows, i))
+    // empty-input guard INSIDE the hash, not at call sites: without it
+    // sequence(1, least(0, 8)) = sequence(1, 0) DESCENDS ([1, 0]) and
+    // substr at position 0 feeds a spurious codepoint into the fold —
+    // the hash of "" must be the fold's zero element, 0
+    when(length(tok) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), least(length(tok), lit(8))),
+        lit(0L),
+        (acc, i) => acc + ascii(tok.substr(i, lit(1))).cast("long") *
+          element_at(pows, i)))
   }
 
   /** Hashing-trick featurization (Weinberger et al. 2009, "Feature

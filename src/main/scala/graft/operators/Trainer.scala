@@ -933,16 +933,21 @@ object Trainer {
     * never change, so they ride along round 1's aggregation rather than
     * paying their own pass. The driver sweeps prefix sums over each
     * feature's bins to pick the split maximizing the SSE reduction
-    * L²/nL + R²/nR, with a DETERMINISTIC tie-break (lowest feature
-    * index, then lowest bin) so training is reproducible across
-    * partitionings up to FP-sum noise. Leaf values are the residual
-    * means scaled by `lr`; the evolving prediction stays an EXPRESSION
-    * over the bin columns (base + Σ when(__b ≤ s, …)), computed once
-    * per row in a single projected residual column — keeping every
-    * aggregation term a trivial `when(__b = b, __r)`, so codegen size
-    * is O(d·bins + stumps), not O(d·bins·stumps).
+    * L²/nL + R²/nR − T²/nT (the no-split term T²/nT subtracted, so
+    * the swept gain IS the reduction — after the base/leaf fits the
+    * residual total T is ~0, making the subtraction FP dust in the
+    * argmax, but it is what gives `tol` its stated meaning), with a
+    * DETERMINISTIC tie-break (lowest feature index, then lowest bin) so
+    * training is reproducible across partitionings up to FP-sum noise.
+    * Leaf values are the residual means scaled by `lr`; the evolving
+    * prediction stays an EXPRESSION over the bin columns
+    * (base + Σ when(__b ≤ s, …)), computed once per row in a single
+    * projected residual column — keeping every aggregation term a
+    * trivial `when(__b = b, __r)`, so codegen size is O(d·bins +
+    * stumps), not O(d·bins·stumps).
     *
-    * Early-stops when the best achievable gain falls under `tol`
+    * Early-stops when the best achievable SSE REDUCTION falls under
+    * `tol` — `tol` is a minimum-gain threshold in squared-label units
     * (boosting on an exhausted residual buys nothing), and fail-fasts
     * nulls and zero-variance features on the stats pass like every
     * sibling. Squared loss deliberately: it keeps leaf values
@@ -1030,12 +1035,18 @@ object Trainer {
           var nL = 0L; var sL = 0.0
           val nTot = cnt(i).sum
           val sTot = (0 until bins).map(b => rs(i * bins + b)).sum
+          // the no-split SSE term: subtracting it makes `gain` the true
+          // SSE reduction, so the `tol` early-stop means "minimum gain"
+          // (per-feature because sTot's summation order is per-feature;
+          // T ~ 0 after the fits, so this never moves the argmax beyond
+          // existing FP-sum noise)
+          val noSplit = sTot * sTot / nTot
           for (b <- 0 until bins - 1) {
             nL += cnt(i)(b); sL += rs(i * bins + b)
             val nR = nTot - nL
             if (nL > 0 && nR > 0) {
               val sR = sTot - sL
-              val gain = sL * sL / nL + sR * sR / nR
+              val gain = sL * sL / nL + sR * sR / nR - noSplit
               if (gain > bestGain + 1e-15) {
                 bestGain = gain; bestF = i; bestB = b
                 bestL = lr * sL / nL; bestR = lr * sR / nR

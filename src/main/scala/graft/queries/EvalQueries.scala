@@ -511,11 +511,12 @@ object EvalQueries {
     // non-parametric sibling of ml3's fixed-bin calibration. Exact
     // integer PAV on per-knot (count, label-sum) pairs → bit-identical
     // model under any partitioning; applied back via a broadcast RANGE
-    // join (map-side scoring). PROPERTY-BOUND ORACLE: the knot set and
-    // per-knot counts are closed-form in DuckDB, and PAV's defining
-    // post-conditions — calibrated values monotone in score and inside
-    // [0, 1] — are SQL-stateable as a per-knot TRUE; the pooled VALUES
-    // are pinned exactly (hand-computed blocks) in TrainerSpec.
+    // join (map-side scoring — the emitted calibrated_x1e9 rides
+    // THROUGH `calibrate`, so the range-join path is on the hash too).
+    // VALUE-CARRYING ORACLE via the PAV minimax identity (see ml16 —
+    // iso(i) = max_{j≤i} min_{k≥i} avg(j..k); floor commutes with
+    // min/max, so the O(knots³)-pair DuckDB self-join reproduces the
+    // engine's floor-quantized pooled rationals bit-exactly).
     QueryDef("ml8_isotonic_calibration",
       (s, dir) => {
         val score = expr(
@@ -526,19 +527,30 @@ object EvalQueries {
             .otherwise(0).as("y"))
         val model = graft.operators.Trainer.isotonicFit(scored, "score", "y")
         val knots = scored.groupBy("score").agg(count(lit(1)).as("n"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
         graft.operators.Trainer.calibrate(knots, "score", model)
-          .withColumn("ok",
-            (coalesce(lag(col("calibrated_x1e9"), 1).over(w),
-              lit(0L)) <= col("calibrated_x1e9")) &&
-              col("calibrated_x1e9").between(0L, 1000000000L))
-          .select(col("score"), col("n"), col("ok"))
+          .select(col("score"), col("n"), col("calibrated_x1e9"))
           .orderBy("score")
       },
-      Some("""WITH b AS (SELECT (length(text) - length(replace(text, ' ', '')) + 1) // 10 AS score
-             |  FROM documents)
-             |SELECT score, count(*) AS n, TRUE AS ok FROM b
-             |GROUP BY 1 ORDER BY score""".stripMargin.replace("\n", " "))),
+      Some("""WITH b AS (SELECT n_chars,
+             |  (length(text) - length(replace(text, ' ', '')) + 1) // 10 AS score
+             |  FROM documents),
+             |k AS (SELECT score, count(*) AS n,
+             |  sum(CASE WHEN n_chars % 100 < least(score * 17, 100) THEN 1 ELSE 0 END) AS w
+             |  FROM b GROUP BY 1),
+             |c AS (SELECT score, n, w,
+             |  sum(n) OVER (ORDER BY score) AS cn,
+             |  sum(w) OVER (ORDER BY score) AS cw FROM k),
+             |r AS (SELECT i.score AS score, lo.score AS lo_s,
+             |  (CAST(hi.cw - (lo.cw - lo.w) AS HUGEINT) * 1000000000)
+             |    // CAST(hi.cn - (lo.cn - lo.n) AS HUGEINT) AS q
+             |  FROM c i
+             |  JOIN c lo ON lo.score <= i.score
+             |  JOIN c hi ON hi.score >= i.score),
+             |m AS (SELECT score, lo_s, min(q) AS mn FROM r GROUP BY 1, 2),
+             |cal AS (SELECT score, max(mn) AS cal FROM m GROUP BY 1)
+             |SELECT k.score, k.n, CAST(cal.cal AS BIGINT) AS calibrated_x1e9
+             |FROM k JOIN cal ON k.score = cal.score
+             |ORDER BY k.score""".stripMargin.replace("\n", " "))),
 
     // Preference-strength ranking (the RLHF preference-data / arena
     // operator): Bradley–Terry MLE via the Hunter (2004) MM iteration,
@@ -788,7 +800,15 @@ object EvalQueries {
     // each jump sitting on an integer and the feature ranges < 64 so
     // every jump is exactly a bin boundary. Boosting must reproduce the
     // label below 1e-6 everywhere — asserted explicitly (the ml6/ml12
-    // honesty contract), then emitted as the per-doc exact flag.
+    // honesty contract). VALUE-CARRYING ORACLE (not a TRUE flag): the
+    // emitted column is the model's OWN per-doc prediction quantized at
+    // ×10³ — round(pred·1000) — and the oracle recomputes the planted
+    // label's exact ×10³ integer independently. The quantum is chosen
+    // 500× above the asserted convergence bound (|pred − y| < 1e-6 ⇒
+    // pred·1000 sits within 1e-3 of the integer y·1000, far from the
+    // 0.5 rounding boundary, so HALF_UP/HALF_EVEN agree and the hash
+    // pins the actual model output: any model drift ≥ 0.5e-3 flips
+    // values, not just an engine-side assert).
     QueryDef("ml13_boosted_stumps",
       (s, dir) => {
         val train = t(s, dir, "documents")
@@ -810,11 +830,13 @@ object EvalQueries {
           f"ml13: boosted stumps must reproduce the planted additive " +
             f"steps (worst abs error $worst%.3g after ${model.roundsRun} rounds)")
         scored.select(col("doc_id"),
-            (abs(col("pred") - col("y")) < 1e-6).as("exact"))
+            round(col("pred") * 1000, 0).cast("long").as("pred_x1e3"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, TRUE AS exact FROM documents
-             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+      Some("""SELECT doc_id, CAST(2000
+             |+ CASE WHEN n_chars // 10 > 30 THEN 8000 ELSE 0 END
+             |+ CASE WHEN doc_id % 7 > 3 THEN 3000 ELSE 0 END AS BIGINT) AS pred_x1e3
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Per-slice AUC — the many-models EVAL face pairing the ml10/ml11
     // many-models trainers: one AUC per event_type without one job per
@@ -850,7 +872,11 @@ object EvalQueries {
     // Split-conformal calibration (Vovk et al.; the distribution-free
     // prediction-interval recipe): train a per-flag price model on the
     // TRAIN split, take the ceil((n_cal+1)·0.9)-th smallest absolute
-    // residual on the CALIBRATION split as the interval half-width q,
+    // residual on the CALIBRATION split as the interval half-width q
+    // — a true CEILING, ((n_cal+1)·9 + 9) DIV 10, capped at n_cal:
+    // floor would sit one rank low whenever (n_cal+1)·9 % 10 ≠ 0 and
+    // quietly void the finite-sample guarantee (e.g. n_cal = 10 needs
+    // rank 10, floor picks 9) —
     // report q and the achieved coverage on the held-out TEST split —
     // the finite-sample ≥90% guarantee a serving pipeline audits.
     // Everything integer-exact: the model is the floored per-flag mean
@@ -889,7 +915,7 @@ object EvalQueries {
           seriesCols = Seq("g"))
         val q = rm.join(broadcast(nc), "g")
           .filter(col("cum") >=
-            least(expr("(n_cal + 1) * 9 DIV 10"), col("n_cal")))
+            least(expr("((n_cal + 1) * 9 + 9) DIV 10"), col("n_cal")))
           .groupBy("g").agg(min(col("r")).as("q_cents"),
             max(col("n_cal")).as("n_cal"))
         val cov = base.filter(col("s").isin(8, 9))
@@ -919,7 +945,7 @@ object EvalQueries {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnt),
              |q AS (SELECT rm.g, min(r) AS q_cents, max(n_cal) AS n_cal
              |  FROM rm JOIN nc ON rm.g = nc.g
-             |  WHERE cum >= least((n_cal + 1) * 9 // 10, n_cal) GROUP BY rm.g),
+             |  WHERE cum >= least(((n_cal + 1) * 9 + 9) // 10, n_cal) GROUP BY rm.g),
              |fin AS (SELECT base.g AS g, max(q.n_cal) AS n_cal, count(*) AS n_test,
              |  CAST(max(q_cents) AS BIGINT) AS q_cents,
              |  CAST(sum(CASE WHEN abs(cents - mu) <= q_cents THEN 1 ELSE 0 END)
@@ -965,10 +991,16 @@ object EvalQueries {
     // source (the per-slice calibrator a quality pipeline serves when
     // score scales differ across slices), fitted from ONE aggregation
     // to per-(source, score) integer knots — the ml8 contract, grouped.
-    // Board shape mirrors ml8: per-knot counts are the oracle-stated
-    // values; the PAV post-conditions (monotone within each source,
-    // in [0, 1e9]) ride the emitted `ok` flag, computed over the
-    // O(knots) model table with a source-partitioned window.
+    // VALUE-CARRYING ORACLE via the PAV MINIMAX IDENTITY: the isotonic
+    // solution at knot i is max_{j≤i} min_{k≥i} avg(y over knots j..k)
+    // (Barlow et al. 1972, the standard minimax characterization), and
+    // because floor is monotone it COMMUTES with min and max — so
+    // max_j min_k ((P(j,k)·10⁹) // N(j,k)) equals the engine's
+    // floor-quantized pooled rational exactly. DuckDB recomputes every
+    // calibrated_x1e9 from raw data with an O(knots³)-pair self-join —
+    // trivial on the O(knots) table (knots = distinct word-decile
+    // scores per source) even at sf0.1, and bit-exact: both sides are
+    // pure integer arithmetic end to end.
     QueryDef("ml16_per_group_isotonic",
       (s, dir) => {
         val score = expr(
@@ -977,21 +1009,31 @@ object EvalQueries {
           score.as("score"),
           when(col("n_chars") % 100 < least(score * 17, lit(100)), 1)
             .otherwise(0).as("y"))
-        val model = graft.operators.Trainer.isotonicFitPerGroup(
-          scored, "source", "score", "y")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("knot")
-        model.withColumn("ok",
-            (coalesce(lag(col("calibrated_x1e9"), 1).over(w), lit(0L)) <=
-              col("calibrated_x1e9")) &&
-              col("calibrated_x1e9").between(0L, 1000000000L))
+        graft.operators.Trainer.isotonicFitPerGroup(
+            scored, "source", "score", "y")
           .select(col("source"), col("knot").cast("long").as("score"),
-            col("n"), col("ok"))
+            col("n"), col("calibrated_x1e9"))
           .orderBy("source", "score")
       },
-      Some("""WITH b AS (SELECT source,
+      Some("""WITH b AS (SELECT source, n_chars,
              |  (length(text) - length(replace(text, ' ', '')) + 1) // 10 AS score
-             |  FROM documents)
-             |SELECT source, score, count(*) AS n, TRUE AS ok FROM b
-             |GROUP BY 1, 2 ORDER BY source, score""".stripMargin.replace("\n", " "))))
+             |  FROM documents),
+             |k AS (SELECT source, score, count(*) AS n,
+             |  sum(CASE WHEN n_chars % 100 < least(score * 17, 100) THEN 1 ELSE 0 END) AS w
+             |  FROM b GROUP BY 1, 2),
+             |c AS (SELECT source, score, n, w,
+             |  sum(n) OVER (PARTITION BY source ORDER BY score) AS cn,
+             |  sum(w) OVER (PARTITION BY source ORDER BY score) AS cw FROM k),
+             |r AS (SELECT i.source AS source, i.score AS score, lo.score AS lo_s,
+             |  (CAST(hi.cw - (lo.cw - lo.w) AS HUGEINT) * 1000000000)
+             |    // CAST(hi.cn - (lo.cn - lo.n) AS HUGEINT) AS q
+             |  FROM c i
+             |  JOIN c lo ON lo.source = i.source AND lo.score <= i.score
+             |  JOIN c hi ON hi.source = i.source AND hi.score >= i.score),
+             |m AS (SELECT source, score, lo_s, min(q) AS mn FROM r GROUP BY 1, 2, 3),
+             |cal AS (SELECT source, score, max(mn) AS cal FROM m GROUP BY 1, 2)
+             |SELECT k.source, CAST(k.score AS BIGINT) AS score, k.n,
+             |  CAST(cal.cal AS BIGINT) AS calibrated_x1e9
+             |FROM k JOIN cal ON k.source = cal.source AND k.score = cal.score
+             |ORDER BY k.source, k.score""".stripMargin.replace("\n", " "))))
 }

@@ -280,9 +280,9 @@ object IoQueries {
 
     // CSV source/sink round-trip with explicit schema (quoting, embedded
     // delimiters, shortest-round-trip doubles).
-    QueryDef("s10_csv_roundtrip",
+    QueryDef("s13_csv_roundtrip",
       (s, dir) => {
-        val out = qtmp("s10")
+        val out = qtmp("s13")
         val proj = t(s, dir, "events").select(
           col("event_id"), col("user_id"), col("event_type"), col("value"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"))

@@ -542,9 +542,13 @@ object SimilarityQueries {
     // inherently-sequential greedy runs on the bounded driver table
     // (maxDriverRows contract). The oracle replays the greedy as
     // generated per-step CTEs — every double op in the SAME association
-    // (duckCos == CosineSimilarity.scala's loop, max() order-free,
-    // fixed 0.7/0.3 literals), so selections and floor-quantized scores
-    // are bit-exact across engines.
+    // (duckCos == CosineSimilarity.scala's loop, max() order-free, and
+    // the weight literals printed from the very doubles the operator
+    // multiplies by: λ and the COMPUTED complement 1.0−λ, whose shortest
+    // round-trip decimal DuckDB parses back to the identical double —
+    // for λ=0.7 that is 0.30000000000000004, NOT the literal 0.3, which
+    // sits one ulp away), so selections and floor-quantized scores are
+    // bit-exact across engines.
     QueryDef("ret4_mmr",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -564,8 +568,16 @@ object SimilarityQueries {
     * generated per-step CTEs: sel1 = pure argmax of relevance; step i
     * re-scores the remaining candidates against the selected set and
     * picks the row_number()=1 row under (score DESC, neighbor_id).
+    * The MMR weights are PRINTED FROM THE OPERATOR'S OWN DOUBLES —
+    * λ and the computed complement (1.0 − λ) via Double.toString, the
+    * shortest decimal that round-trips to the same IEEE value — so both
+    * engines multiply by bit-identical weights (1.0 − 0.7 is
+    * 0.30000000000000004, one ulp off the naive 0.3 literal).
     */
-  private def duckMmr(queryPred: String, candidates: Int, k: Int): String = {
+  private def duckMmr(queryPred: String, candidates: Int, k: Int,
+      lambda: Double = 0.7): String = {
+    val wRel = lambda.toString
+    val wDiv = (1.0 - lambda).toString
     val sb = new StringBuilder(
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS a_vec FROM embeddings WHERE $queryPred),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS b_vec FROM embeddings),
@@ -578,7 +590,7 @@ object SimilarityQueries {
     for (i <- 2 to k) {
       val p = i - 1
       sb.append(s", sc$i AS (SELECT r.query_id, r.neighbor_id, r.b_vec, " +
-        s"0.7 * r.rel - 0.3 * max(${cosSql("r.b_vec", "s.b_vec")}) AS score, r.rel " +
+        s"$wRel * r.rel - $wDiv * max(${cosSql("r.b_vec", "s.b_vec")}) AS score, r.rel " +
         s"FROM rem$p r JOIN selall$p s ON r.query_id = s.query_id " +
         "GROUP BY r.query_id, r.neighbor_id, r.b_vec, r.rel)")
       sb.append(s", sel$i AS (SELECT query_id, neighbor_id, b_vec, rel, score FROM " +

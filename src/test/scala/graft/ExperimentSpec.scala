@@ -127,5 +127,13 @@ class ExperimentSpec extends SparkSpec {
     val e3 = intercept[Exception](
       Experiment.did(nul, "variant", "period", "m").collect())
     assert(e3.getMessage.contains("null metric"))
+    // negative metric: the fixed-point means DIV only equals floor for
+    // non-negative numerators — a refund-heavy cents column fails fast
+    val neg = Seq((0L, 0L, 5L), (0L, 1L, -3L), (1L, 0L, 2L), (1L, 1L, 4L))
+      .toDF("variant", "period", "m")
+    val e4 = intercept[Exception](
+      Experiment.did(neg, "variant", "period", "m").collect())
+    assert(e4.getMessage.contains("negative metric") &&
+      e4.getMessage.contains("-3"))
   }
 }

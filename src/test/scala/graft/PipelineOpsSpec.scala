@@ -786,7 +786,9 @@ class PipelineOpsSpec extends SparkSpec {
     def expected(tok: String): Long =
       tok.take(8).zipWithIndex.map { case (c, i) =>
         c.toLong * math.pow(31, i).toLong }.sum
-    val toks = Seq("ab", "cd", "é", "abcdefghij", "abcdefgh", "z")
+    // "" is the fold's zero element, NOT a spurious sequence(1,0)
+    // descent — the in-hash guard, so direct callers need no pre-filter
+    val toks = Seq("ab", "cd", "é", "abcdefghij", "abcdefgh", "z", "")
     val got = toks.toDF("t")
       .select(TextAnalysis.tokenHash(col("t")).as("h"))
       .as[Long].collect().toSeq

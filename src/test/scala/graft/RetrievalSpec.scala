@@ -122,6 +122,28 @@ class RetrievalSpec extends SparkSpec {
     assert(first == math.floor(rel * 1e6).toLong)
   }
 
+  test("mmrTopK sharding the query set batch-by-batch equals the single call row-for-row") {
+    // the documented 100 TB escape hatch for the maxDriverRows bound:
+    // the greedy never crosses query_id, so batches of queries union to
+    // the identical output — pinned here on a 6-query / 2-batch split
+    val corpus = (0L to 40L).map(i =>
+        (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+    val whole = Retrieval.mmrTopK(corpus, queries, candidates = 8, k = 4)
+      .orderBy("query_id", "pos").collect().toSeq
+    val batchA = Retrieval.mmrTopK(corpus,
+      queries.filter(col("vec_id") < 3), candidates = 8, k = 4,
+      maxDriverRows = 24)
+    val batchB = Retrieval.mmrTopK(corpus,
+      queries.filter(col("vec_id") >= 3), candidates = 8, k = 4,
+      maxDriverRows = 24)
+    val sharded = batchA.unionAll(batchB)
+      .orderBy("query_id", "pos").collect().toSeq
+    assert(sharded == whole,
+      "per-batch greedy must reproduce the single-call output exactly")
+  }
+
   test("mmrTopK fail-fasts: driver-row bound, bad lambda, k > candidates") {
     val vecs = (0L to 30L).map(i => (i, Array(i.toFloat, 1f)))
       .toDF("vec_id", "embedding")

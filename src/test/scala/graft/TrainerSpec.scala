@@ -174,6 +174,31 @@ class TrainerSpec extends SparkSpec {
     assert(e5.getMessage.contains("non-null"))
   }
 
+  test("boostStumps tol is a minimum SSE REDUCTION: exhausted residuals stop, huge tol fits nothing") {
+    import graft.operators.Trainer.boostStumps
+    // EXHAUSTED-RESIDUAL fixture (all-dyadic, every step exact): x
+    // separates {0,2} from {10,12}; stump 1 fits the group means
+    // (leaves ∓5), leaving residual ±1 INSIDE each bin — label variance
+    // no bin split can see. Round 2's best split has sL = −1+1 = 0 on
+    // every boundary, so the best SSE reduction is exactly 0 < tol and
+    // the fit must stop at ONE stump, not burn the remaining 9 rounds
+    // re-adding zero-value stumps.
+    val ex = Seq((0.0, 0.0), (0.0, 2.0), (1.0, 10.0), (1.0, 12.0))
+      .toDF("x1", "y")
+    val m = boostStumps(ex, Seq("x1"), "y", rounds = 10)
+    assert(m.roundsRun == 1 && m.stumps.length == 1,
+      s"exhausted residual must stop after 1 stump, ran ${m.roundsRun}")
+    val worst = ex.agg(max(abs(m.score - col("y")))).head().getDouble(0)
+    assert(worst == 1.0, s"residual ±1 is unreachable by bin splits, got $worst")
+    // tol far above any achievable reduction: ZERO stumps, score = base
+    // mean — pins that tol thresholds the reduction itself (the no-split
+    // term T²/nT subtracted), not the raw L²/nL + R²/nR sweep value
+    val m0 = boostStumps(ex, Seq("x1"), "y", rounds = 10, tol = 1e12)
+    assert(m0.roundsRun == 0 && m0.stumps.isEmpty,
+      s"tol above every reduction must fit nothing, ran ${m0.roundsRun}")
+    assert(ex.select(m0.score).distinct().as[Double].collect().toSeq == Seq(6.0))
+  }
+
   test("ridgeFit recovers a noiseless planted linear model exactly in one pass") {
     val df = (0 until 500).map { i =>
       val x1 = i * 0.37 % 11.0; val x2 = math.cos(i * 1.7) * 4.0

@@ -183,7 +183,13 @@ object Bench {
     try {
       val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
         .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
-      val hist = s"""{"utc":"$ts","total":${jn(total, 1)},"failed":$failed,"n_queries":${results.size},"spread":${jn(spread, 3)},"runs":$runs,"cpus":$cpus,"sf":"$sfDir","subset":${only.isDefined}}"""
+      // per-query times ride the history line too (3 decimals — enough
+      // for the 1.5x drift gate), so tools/bench_diff.py can derive the
+      // rolling per-query best from committed records alone
+      val qsHist = results.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v < 0) "-1" else jn(v, 3)) }
+        .mkString("{", ",", "}")
+      val hist = s"""{"utc":"$ts","total":${jn(total, 1)},"failed":$failed,"n_queries":${results.size},"spread":${jn(spread, 3)},"runs":$runs,"cpus":$cpus,"sf":"$sfDir","subset":${only.isDefined},"queries":$qsHist}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench/history.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

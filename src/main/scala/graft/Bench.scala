@@ -1,14 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Locale-pinned fixed-point formatter for the JSON artifacts: the
-    * f-interpolator uses the JVM default locale, and a comma-decimal
-    * default (de_DE, fr_FR, …) would emit `97,8` — invalid JSON — into
-    * bench.json / history.jsonl. Every numeric field below goes through
-    * this instead.
-    */
-  private def jn(x: Double, prec: Int): String =
-    String.format(java.util.Locale.ROOT, "%." + prec + "f", Double.box(x))
+  // JSON number formatting, page-cache pre-fault, and the contention
+  // sentinel live in BenchKit — shared with ScaleCurve so both timing
+  // harnesses agree on what "idle" and "steady state" mean
+  private def jn(x: Double, prec: Int): String = BenchKit.jn(x, prec)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,56 +21,17 @@ object Bench {
     // whichever query happens to run first isn't charged session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // IO warmup: fault every input byte into the page cache BEFORE any
-    // timing (this VM's cold reads jitter 2-5x run-to-run, which used to
-    // dominate cross-round comparisons). A Spark count() won't do it —
-    // parquet count reads only row-group metadata — so stream the raw
-    // files. Deterministic: no seed, no sampling, every byte exactly once.
-    def warmFiles(f: java.io.File): Unit =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(warmFiles)
-      else if (f.getName.endsWith(".parquet")) {
-        val in = new java.io.FileInputStream(f)
-        val buf = new Array[Byte](1 << 20)
-        try while (in.read(buf) >= 0) () finally in.close()
-      }
-    warmFiles(new java.io.File(sfDir))
+    // timing (BenchKit.warmFiles — see its doc for why a count() can't)
+    BenchKit.warmFiles(new java.io.File(sfDir))
     // Best-of-N per query (default 2): the first run pays page-cache and
     // codegen warmup; the min reflects steady-state engine cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // Contention sentinel: a fixed pure-CPU probe (no IO, no shuffle-size
-    // dependence) re-timed at start / middle / end of the sweep. On an
-    // otherwise-idle machine the three times agree within noise; a
-    // concurrent build/test run inflates whichever ones it overlaps, so a
-    // contaminated bench is VISIBLY contaminated in its own JSON record
-    // (spread = max/min; treat > ~1.5 as "re-run exclusively").
-    def sentinel(): Double = {
-      System.gc()
-      // best-of-3 damps one-off JIT/GC/scheduler blips: a reading only
-      // inflates under SUSTAINED external load, which is the signal
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0, 400000000L, 1, spark.sparkContext.defaultParallelism)
-          .selectExpr("sum(id * 3 + 1)").collect()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    // JIT the probe itself before the first timed reading. A fixed
-    // two-call warm-up was NOT enough: C2 compilation of the range/sum
-    // codegen kept inflating the third reading ~1.8× on an idle machine
-    // (observed twice across rounds), so the start probe false-flagged
-    // every clean run. Warm until two consecutive readings agree within
-    // 10% (bounded — on a genuinely loaded machine convergence may never
-    // come, and then the inflated start reading is exactly the signal
-    // the sentinel exists to emit).
-    val sentStart = {
-      var prev = sentinel()
-      var cur = sentinel()
-      var tries = 0
-      while (tries < 8 && math.abs(cur - prev) > 0.10 * math.min(cur, prev)) {
-        prev = cur; cur = sentinel(); tries += 1
-      }
-      cur
-    }
+    // Contention sentinel (BenchKit.sentinel): re-timed at start /
+    // quarter points of the sweep; spread = max/min over the steady-
+    // state probes, > ~1.5 means "re-run exclusively".
+    def sentinel(): Double = BenchKit.sentinel(spark)
+    val sentStart = BenchKit.warmedSentinel(spark)
     val all = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Spread is computed over the 1/4, 1/2, 3/4, and end probes ONLY:

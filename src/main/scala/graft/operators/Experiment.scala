@@ -182,4 +182,82 @@ object Experiment {
       ((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
         .as("did_x1e6"))
   }
+
+  /** The four SPRT constants, quantized ONCE to ×10⁹ integers: per-
+    * observation log-likelihood-ratio increments for success/failure
+    * under H1: p = p1 vs H0: p = p0, and Wald's decision boundaries
+    * ln((1−β)/α) (accept H1 at/above) and ln(β/(1−α)) (accept H0
+    * at/below). Exposed so an oracle restates the IDENTICAL integers —
+    * after this one quantization the entire test is integer arithmetic,
+    * engine- and partitioning-exact.
+    */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Long, Long, Long, Long) = {
+    require(p0 > 0 && p1 < 1 && p0 < p1,
+      s"sprt: need 0 < p0 < p1 < 1, got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"sprt: need alpha, beta in (0, 0.5), got alpha=$alpha beta=$beta")
+    (math.round(math.log(p1 / p0) * 1e9),
+      math.round(math.log((1 - p1) / (1 - p0)) * 1e9),
+      math.round(math.log((1 - beta) / alpha) * 1e9),
+      math.round(math.log(beta / (1 - alpha)) * 1e9))
+  }
+
+  /** Wald's Sequential Probability Ratio Test (1945) over a Bernoulli
+    * metric, replayed per arm on the event log — the "when could we
+    * have stopped?" readout an experimentation pipeline serves next to
+    * the fixed-horizon tests (exp1–exp3): walk each arm's observations
+    * in `orderCol` order accumulating the log-likelihood ratio of
+    * H1: p = p1 against H0: p = p0, and report the FIRST boundary
+    * crossing (accept_h1 at ln((1−β)/α), accept_h0 at ln(β/(1−α))) or
+    * `continue` if the data never decides.
+    *
+    * Exactness: the per-observation LLR increments and both boundaries
+    * are quantized ×10⁹ once, in [[sprtConstants]] — from there the
+    * walk is pure integer running sums, so crossing indices and
+    * decisions are engine- and partitioning-exact (no accumulated FP
+    * drift, the fixed-point-log-table discipline applied to Wald's
+    * weights).
+    *
+    * Scale shape: the per-arm running LLR rides ONE multi-series
+    * [[Rank.globalRunningSum]] (distributed prefix sums — never a
+    * single-task global window; it also fail-fasts duplicate order
+    * values per arm, which would make "first crossing" ill-defined);
+    * first crossing is a min(struct) partial aggregate; arm totals are
+    * their own 2-column scan (the stat11/ml15 measured-cheaper
+    * pattern). 100 TB of events costs the prefix-sum passes.
+    *
+    * Output per arm: n, decision ('accept_h1' | 'accept_h0' |
+    * 'continue'), at_order / llr_x1e9 (the crossing position and the
+    * LLR value there; null when the walk never decides). Fail-fasts:
+    * null arm, null success.
+    */
+  def sprt(df: DataFrame, armCol: String, orderCol: String,
+      success: Column, p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    val (wSucc, wFail, up, lo) = sprtConstants(p0, p1, alpha, beta)
+    val arm = when(col(armCol).isNull, raise_error(lit(
+        s"sprt: null arm in '$armCol' — every observation needs an arm")))
+      .otherwise(col(armCol))
+    val w = when(success.isNull, raise_error(lit(
+        "sprt: null success indicator — filter or impute first")))
+      .when(success, lit(wSucc)).otherwise(lit(wFail))
+    val rows = df.select(arm.as("__arm"), col(orderCol).as("__ord"),
+      w.as("__w"))
+    val rm = Rank.globalRunningSum(rows, "__ord", "__w", outCol = "__llr",
+      seriesCols = Seq("__arm"))
+    val crossing = rm
+      .filter(col("__llr") >= up || col("__llr") <= lo)
+      .groupBy("__arm")
+      .agg(min(struct(col("__ord"), col("__llr"))).as("__x"))
+      .select(col("__arm"), col("__x.__ord").as("at_order"),
+        col("__x.__llr").as("llr_x1e9"))
+    val totals = rows.groupBy("__arm").agg(count(lit(1)).as("n"))
+    totals.join(crossing, Seq("__arm"), "left")
+      .select(col("__arm").as(armCol), col("n"),
+        when(col("llr_x1e9").isNull, "continue")
+          .when(col("llr_x1e9") >= up, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        col("at_order"), col("llr_x1e9"))
+  }
 }

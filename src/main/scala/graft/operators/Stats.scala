@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison statistics over integer-valued metrics —
+  * the drift detectors a data pipeline runs between cohorts, time
+  * windows, or dataset versions before trusting that "same pipeline,
+  * same distribution" still holds (reference analog: the ad-hoc
+  * Athena comparisons a curated-zone consumer runs by hand,
+  * README.md:128-133 — here as exact, engine-portable statistics).
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov distance, EXACT: D = max over the
+    * merged support of |F_a(v) − F_b(v)|, computed entirely in integer
+    * arithmetic — the per-value statistic is |cum_a·n_b − cum_b·n_a|
+    * (the ECDF difference cross-multiplied to clear both denominators,
+    * DECIMAL(38,0) so no achievable count wraps it), so the argmax and
+    * the reported distance are bit-identical on any engine and under
+    * any partitioning. No float ECDFs, no approximation.
+    *
+    * Scale shape (the stat11 discipline): one partial-aggregated pass
+    * melts the corpus to the O(distinct value) per-value count table —
+    * both cohorts' counts ride the SAME row, zeros included, which is
+    * what keeps the two running ECDFs aligned at values one side never
+    * saw; per-side running counts ride ONE multi-series
+    * [[Rank.globalRunningSum]] (never a single-task global window); the
+    * final max is an ordinary aggregate with the (−value) struct-extreme
+    * tie-break (lowest value achieving the max — a total order). Totals
+    * come from their own 2-column scan — the measured-cheaper pattern
+    * stat11/ml15 document.
+    *
+    * Output (one row): n_a, n_b, ks_x1e9 = max|·|·10⁹ DIV (n_a·n_b)
+    * (truncating; numerator ≥ 0 so DIV == floor == an oracle's //; the
+    * quotient is ≤ 10⁹ at ANY count, so the emitted long can never
+    * overflow — the raw cross-multiplied max is deliberately NOT
+    * emitted, it exceeds a long once n_a·n_b passes ~9·10¹⁸), and
+    * at_value = the smallest value attaining the max.
+    * Fail-fasts: null/out-of-domain side codes and
+    * null values raise with the column named; an EMPTY cohort raises
+    * (one-sided data makes D degenerate 1.0 — a comparison that never
+    * compared would wear a statistic's label).
+    */
+  def ksTwoSample(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val side = when(col(sideCol).isNull ||
+        (col(sideCol).cast("long") =!= 0L && col(sideCol).cast("long") =!= 1L),
+      raise_error(concat(lit(s"ksTwoSample: side column '$sideCol' must " +
+        "be 0/1, got "), coalesce(col(sideCol).cast("string"), lit("NULL")))))
+      .otherwise(col(sideCol).cast("long"))
+    val v = when(col(valueCol).isNull, raise_error(lit(
+        s"ksTwoSample: null value in '$valueCol' — filter or impute first")))
+      .otherwise(col(valueCol).cast("long"))
+    val base = df.select(side.as("__s"), v.as("__v"))
+    val cnt = base.groupBy("__v").agg(
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__cb"))
+    // melt to (value, series, count) with BOTH series present at every
+    // distinct value — zero counts are load-bearing: they are how a
+    // side's ECDF stays readable at values only the other side took
+    val melted = cnt.select(col("__v"), explode(array(
+        struct(lit(0L).as("__series"), col("__ca").as("__c")),
+        struct(lit(1L).as("__series"), col("__cb").as("__c")))).as("__z"))
+      .select(col("__v"), col("__z.__series").as("__series"),
+        col("__z.__c").as("__c"))
+    val rm = Rank.globalRunningSum(melted, "__v", "__c", outCol = "__cum",
+      seriesCols = Seq("__series"))
+    val pairs = rm.groupBy("__v").agg(
+      max(when(col("__series") === 0L, col("__cum"))).as("__cuma"),
+      max(when(col("__series") === 1L, col("__cum"))).as("__cumb"))
+    val tot = base.groupBy().agg(
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__nb"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("__v"), col("__na"), col("__nb"),
+        abs(expr("CAST(__cuma AS DECIMAL(38,0)) * __nb - " +
+          "CAST(__cumb AS DECIMAL(38,0)) * __na")).as("__num"))
+      .agg(max(struct(col("__num"), (-col("__v")).as("__negv"))).as("__m"),
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+      .select(
+        when(col("__na").isNull || col("__na") === 0L ||
+            col("__nb") === 0L, raise_error(lit(
+          "ksTwoSample: a cohort is empty — D degenerates to 1.0; " +
+            "check the side predicate")))
+          .otherwise(col("__na")).as("n_a"),
+        col("__nb").as("n_b"),
+        expr("CAST(__m.__num * 1000000000 DIV " +
+          "(CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)").as("ks_x1e9"),
+        (-col("__m.__negv")).as("at_value"))
+  }
+}

@@ -1108,6 +1108,82 @@ object ExtendedQueries {
              |  FROM rm JOIN tot ON rm.g = tot.g GROUP BY rm.g)
              |SELECT g, CAST(n AS BIGINT) AS n, CAST(n - 2 * k AS BIGINT) AS trimmed_n,
              |CAST(sum_kept * 1000000 // (n - 2 * k) AS BIGINT) AS trimmed_mean_x1e6
-             |FROM kept ORDER BY g""".stripMargin.replace("\n", " ")))
+             |FROM kept ORDER BY g""".stripMargin.replace("\n", " "))),
+
+    // EXACT two-sample Kolmogorov–Smirnov distance between the even-
+    // and odd-user value distributions — the drift detector run between
+    // cohorts before trusting "same pipeline, same distribution". The
+    // per-value statistic is the ECDF difference CROSS-MULTIPLIED to
+    // integers (|cum_a·n_b − cum_b·n_a| in DECIMAL(38,0)/HUGEINT), so
+    // the max, its location (lowest value tie-break), and the ×10⁹
+    // quantized distance are bit-identical across engines. One melt to
+    // the O(distinct cents) count table with BOTH cohorts' counts on
+    // the same row (zeros included — the ECDF alignment), per-side
+    // running counts on ONE multi-series Rank.globalRunningSum.
+    QueryDef("stat12_ks_2samp",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("side"),
+            (dec(col("value")) * 100).cast("long").as("cents"))
+        graft.operators.Stats.ksTwoSample(b, "side", "cents")
+      },
+      Some("""WITH b AS (SELECT user_id % 2 AS s,
+             |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |cnt AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+             |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM b GROUP BY v),
+             |rm AS (SELECT v,
+             |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cua,
+             |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub FROM cnt),
+             |tot AS (SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+             |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb FROM b),
+             |num AS (SELECT v, abs(CAST(cua AS HUGEINT) * nb - CAST(cub AS HUGEINT) * na) AS num,
+             |  na, nb FROM rm, tot)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(num * 1000000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_x1e9,
+             |  v AS at_value FROM num
+             |ORDER BY num DESC, v ASC LIMIT 1""".stripMargin.replace("\n", " "))),
+
+    // Wald SPRT replay per arm (the sequential face of the exp family):
+    // H1 p=0.55 vs H0 p=0.45 on "order value >= $50", walked in
+    // event_id order; the observed ~0.37 success rate drives both arms
+    // to accept_h0 and the query reports WHERE each arm's walk crossed.
+    // The LLR increments and Wald boundaries are quantized ×10⁹ ONCE
+    // (Experiment.sprtConstants — the oracle interpolates the IDENTICAL
+    // integers), so the walk is pure integer running sums: crossing
+    // index, decision, and the LLR at the crossing are engine-exact.
+    QueryDef("exp4_sprt",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+            col("event_id"),
+            ((dec(col("value")) * 100).cast("long") >= 5000L).as("big"))
+        graft.operators.Experiment.sprt(b, "arm", "event_id", col("big"),
+            p0 = 0.45, p1 = 0.55)
+          .orderBy("arm")
+      },
+      Some {
+        val (wS, wF, up, lo) = graft.operators.Experiment
+          .sprtConstants(0.45, 0.55, 0.05, 0.05)
+        s"""WITH b AS (SELECT user_id % 2 AS arm, event_id AS ord,
+           |  CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000
+           |    THEN $wS ELSE $wF END AS w
+           |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+           |rm AS (SELECT arm, ord, sum(w) OVER (PARTITION BY arm ORDER BY ord
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr FROM b),
+           |x AS (SELECT arm, min(ord) AS at_order FROM rm
+           |  WHERE llr >= $up OR llr <= $lo GROUP BY arm),
+           |xx AS (SELECT x.arm, x.at_order, CAST(rm.llr AS BIGINT) AS llr_x1e9
+           |  FROM x JOIN rm ON rm.arm = x.arm AND rm.ord = x.at_order),
+           |n AS (SELECT arm, count(*) AS n FROM b GROUP BY arm)
+           |SELECT n.arm, n.n,
+           |  COALESCE(CASE WHEN llr_x1e9 >= $up THEN 'accept_h1'
+           |    WHEN llr_x1e9 IS NOT NULL THEN 'accept_h0' END, 'continue') AS decision,
+           |  xx.at_order, xx.llr_x1e9
+           |FROM n LEFT JOIN xx ON n.arm = xx.arm
+           |ORDER BY n.arm""".stripMargin.replace("\n", " ")
+      })
   )
 }

@@ -136,4 +136,46 @@ class ExperimentSpec extends SparkSpec {
     assert(e4.getMessage.contains("negative metric") &&
       e4.getMessage.contains("-3"))
   }
+
+  test("sprt: hand-computed crossings per arm, continue when undecided, partitioning invariance") {
+    // p0=0.25 vs p1=0.75: wSucc = round(ln3*1e9) = 1098612289 = -wFail;
+    // boundaries +/- round(ln19*1e9) = 2944438979. Three successes cross
+    // the upper boundary at the 3rd observation (3*wSucc = 3295836867);
+    // three failures mirror to accept_h0; strict alternation oscillates
+    // +/- one increment and never decides.
+    val (ws, wf, up, lo) = Experiment.sprtConstants(0.25, 0.75, 0.05, 0.05)
+    assert(ws == 1098612289L && wf == -1098612289L)
+    assert(up == 2944438979L && lo == -2944438979L)
+    val rows =
+      (1L to 4L).map(i => (0L, i, true)) ++
+        (1L to 4L).map(i => (1L, i + 10, false)) ++
+        (1L to 8L).map(i => (2L, i + 20, i % 2 == 1))
+    val df = rows.toDF("arm", "ord", "big")
+    val out = Experiment.sprt(df, "arm", "ord", col("big"), 0.25, 0.75)
+      .orderBy("arm").collect()
+    assert(out(0).getString(2) == "accept_h1" && out(0).getLong(3) == 3L &&
+      out(0).getLong(4) == 3 * ws && out(0).getLong(1) == 4L)
+    assert(out(1).getString(2) == "accept_h0" && out(1).getLong(3) == 13L &&
+      out(1).getLong(4) == 3 * wf)
+    assert(out(2).getString(2) == "continue" && out(2).isNullAt(3) &&
+      out(2).isNullAt(4) && out(2).getLong(1) == 8L)
+    val out2 = Experiment.sprt(df.repartition(7), "arm", "ord", col("big"),
+      0.25, 0.75).orderBy("arm").collect()
+    assert(out2.toSeq == out.toSeq, "partitioning must not move crossings")
+  }
+
+  test("sprt fail-fasts: hypothesis order, null arm, null success") {
+    val df = Seq((0L, 1L, true)).toDF("arm", "ord", "big")
+    val e1 = intercept[IllegalArgumentException](
+      Experiment.sprt(df, "arm", "ord", col("big"), 0.6, 0.4))
+    assert(e1.getMessage.contains("p0 < p1"))
+    val nulArm = Seq((Option.empty[Long], 1L, true)).toDF("arm", "ord", "big")
+    val e2 = intercept[Exception](
+      Experiment.sprt(nulArm, "arm", "ord", col("big"), 0.25, 0.75).collect())
+    assert(e2.getMessage.contains("null arm"))
+    val nulBig = Seq((0L, 1L, Option.empty[Boolean])).toDF("arm", "ord", "big")
+    val e3 = intercept[Exception](
+      Experiment.sprt(nulBig, "arm", "ord", col("big"), 0.25, 0.75).collect())
+    assert(e3.getMessage.contains("null success"))
+  }
 }

@@ -449,9 +449,13 @@ object EvalQueries {
     // must be > 0 — and FAILS FAST with the measured margin if a fit
     // ever lands non-separating (a descriptive error on the board, not
     // a silent hash mismatch). DuckDB cannot restate IRLS; it CAN
-    // restate the asserted property — every kept doc on the right side.
-    // Weight-level semantics (convergence, standardization fold-back,
-    // fail-fasts) are pinned in TrainerSpec.
+    // restate the asserted property — and since separation pins every
+    // kept doc's PREDICTED CLASS to its planted side of the boundary,
+    // the emission is the model's own per-doc prediction (VALUE-
+    // CARRYING, the ml13 pattern: a tilted fit flips emitted values,
+    // not just an engine-side assert), which the oracle recomputes
+    // from the planted rule. Weight-level semantics (convergence,
+    // standardization fold-back, fail-fasts) are pinned in TrainerSpec.
     QueryDef("ml6_logreg_train",
       (s, dir) => {
         val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
@@ -474,22 +478,28 @@ object EvalQueries {
             "features tilted the regularized optimum; widen the band or " +
             "lower l2")
         train.select(col("doc_id"),
-            ((graft.operators.Trainer.logisticScore(model) > 0.5) ===
-              (col("y") === 1.0)).as("correct"))
+            when(graft.operators.Trainer.logisticScore(model) > 0.5, 1L)
+              .otherwise(0L).as("pred_class"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, TRUE AS correct FROM documents
+      Some("""SELECT doc_id, CAST(CASE WHEN CAST(n_chars AS DOUBLE)
+             |  - 5.5*(length(text) - length(replace(text, ' ', '')) + 1) > 5
+             |  THEN 1 ELSE 0 END AS BIGINT) AS pred_class FROM documents
              |WHERE abs(CAST(n_chars AS DOUBLE)
              |  - 5.5*(length(text) - length(replace(text, ' ', '')) + 1)) > 5
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Closed-form ridge regression in ONE distributed pass (moment
     // matrix + driver solve — no iterations, the cheapest trainer shape
-    // at 100 TB). PLANTED EXACT-FIT ORACLE: the label is a noiseless
-    // linear function of the two features (y = 2·chars − 3·words + 5),
-    // so the fitted model must reproduce it — per-doc |pred − y| < 1e-4
-    // is robust to the FP reorder across partitionings (values ≤ ~10³,
-    // solver residual ~1e-10). Weight-level semantics in TrainerSpec.
+    // at 100 TB). PLANTED EXACT-FIT, VALUE-CARRYING ORACLE (the ml13
+    // pattern): the label is a noiseless linear function of the two
+    // INTEGER features (y = 2·chars − 3·words + 5, so y·10 is an exact
+    // integer the oracle recomputes), and the emission is the model's
+    // own prediction quantized ×10 — round(pred·10) — behind an
+    // explicit worst-error assert at 1e-3, fifty times inside the 0.05
+    // rounding boundary (solver residual is ~1e-10; the assert is the
+    // honesty floor, the quantum the safety margin). Any model drift
+    // ≥ 0.05 flips emitted values. Weight-level semantics in TrainerSpec.
     QueryDef("ml7_ridge_fit",
       (s, dir) => {
         val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
@@ -499,12 +509,20 @@ object EvalQueries {
           .withColumn("y", lit(2.0) * col("f_chars") - lit(3.0) * col("f_words") + lit(5.0))
         val model = graft.operators.Trainer.ridgeFit(train,
           Seq("f_chars", "f_words"), "y")
-        train.select(col("doc_id"),
-            (abs(graft.operators.Trainer.linearScore(model) - col("y")) < 1e-4)
-              .as("exact"))
+        val scored = train.select(col("doc_id"), col("y"),
+          graft.operators.Trainer.linearScore(model).as("pred"))
+        val worst = scored.agg(max(abs(col("pred") - col("y"))))
+          .head().getDouble(0)
+        require(worst < 1e-3,
+          f"ml7: ridge must reproduce the planted noiseless linear " +
+            f"label (worst abs error $worst%.3g)")
+        scored.select(col("doc_id"),
+            round(col("pred") * 10, 0).cast("long").as("pred_x10"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, TRUE AS exact FROM documents
+      Some("""SELECT doc_id, CAST(10 * (2 * n_chars
+             |  - 3 * (length(text) - length(replace(text, ' ', '')) + 1)
+             |  + 5) AS BIGINT) AS pred_x10 FROM documents
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Isotonic (PAV) calibration of a quality-ish score — the
@@ -631,7 +649,13 @@ object EvalQueries {
     // so a single global fit CANNOT satisfy it — only genuinely
     // separate per-group models do. Features chosen non-collinear
     // (word count, doc_id mod 7) so every group's centered system is
-    // well-conditioned at any SF.
+    // well-conditioned at any SF. VALUE-CARRYING ORACLE (the ml7
+    // pattern, per group): every planted label is an INTEGER (integer
+    // slope × integer feature + integer shift), so the emission is the
+    // model's own per-doc prediction quantized ×10 behind an explicit
+    // 1e-3 worst-error assert (50× inside the rounding boundary), and
+    // the oracle recomputes each group's closed form — a fit that
+    // collapses to one global model flips emitted values, not a flag.
     QueryDef("ml10_per_group_ridge",
       (s, dir) => {
         val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
@@ -645,16 +669,26 @@ object EvalQueries {
               lit(10.0) * idx)
         val model = graft.operators.Trainer.ridgeFitPerGroup(dfl, "source",
           Seq("f_words", "f_mod"), "y")
-        graft.operators.Trainer.scorePerGroup(dfl, model, "source",
-            Seq("f_words", "f_mod"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n"),
-            max(abs(col("pred") - col("y"))).as("__err"))
-          .select(col("source"), col("n"), (col("__err") < 1e-4).as("exact"))
-          .orderBy("source")
+        // one scoring pass (corpus scan + broadcast join), pinned: the
+        // honesty assert and the emitted hash read the same pin
+        val scored = graft.operators.Materialize(
+          graft.operators.Trainer.scorePerGroup(dfl, model, "source",
+            Seq("f_words", "f_mod")))
+        val worst = scored.agg(max(abs(col("pred") - col("y"))))
+          .head().getDouble(0)
+        require(worst < 1e-3,
+          f"ml10: per-group ridge must reproduce the planted per-source " +
+            f"linear labels (worst abs error $worst%.3g)")
+        scored.select(col("doc_id"), col("source"),
+            round(col("pred") * 10, 0).cast("long").as("pred_x10"))
+          .orderBy("doc_id")
       },
-      Some("""SELECT source, count(*) AS n, TRUE AS exact
-             |FROM documents GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " "))),
+      Some("""SELECT doc_id, source, CAST(10 * (
+             |  (2 + CAST(substring(source, 4) AS BIGINT))
+             |    * (length(text) - length(replace(text, ' ', '')) + 1)
+             |  - 3 * (doc_id % 7)
+             |  + 10 * CAST(substring(source, 4) AS BIGINT)) AS BIGINT) AS pred_x10
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // "Many models", logistic edition: an independent IRLS quality
     // classifier PER SOURCE, every Newton round still ONE distributed
@@ -665,7 +699,11 @@ object EvalQueries {
     // one global boundary cannot classify every group — only genuinely
     // per-group fits can. Same honesty contract as ml6: the query
     // ASSERTS the per-group separating property (min signed fit margin
-    // > 0 across all groups) and fails fast with the measured margin.
+    // > 0 across all groups) and fails fast with the measured margin —
+    // and, since separation pins every banded doc's PREDICTED CLASS,
+    // the emission is the model's own per-doc prediction (the ml6
+    // value-carrying upgrade, per group), recomputed by the oracle
+    // from each group's planted rule.
     QueryDef("ml11_per_group_logreg",
       (s, dir) => {
         val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
@@ -687,28 +725,33 @@ object EvalQueries {
         // the band on every group at every SF
         val model = graft.operators.Trainer.logisticFitPerGroup(train,
           "source", Seq("f_chars", "f_words"), "y", iters = 40, l2 = 1e-7)
-        val scored = graft.operators.Trainer.scorePerGroup(train, model,
-          "source", Seq("f_chars", "f_words"))
-        // the scoring pass (corpus scan + broadcast join + agg) runs
-        // ONCE: pinned via Materialize, the honesty assert reads the pin
-        // and the returned frame re-reads the same 20 cached rows when
-        // the driver hashes it — not the whole pass again. No release
-        // here: the frame must stay readable until the batch driver's
+        // the scoring pass (corpus scan + broadcast join) runs ONCE:
+        // pinned via Materialize, the honesty assert reads the pin and
+        // the returned frame re-reads the same cached rows when the
+        // driver hashes it — not the whole pass again (the banded doc
+        // table is small at every SF: 10³-10⁴ rows). No release here:
+        // the frame must stay readable until the batch driver's
         // query-boundary sweep frees the pin.
-        val perGroup = graft.operators.Materialize(scored.groupBy("source")
-          .agg(count(lit(1)).as("n"),
-            min((lit(2.0) * col("y") - 1.0) * col("pred")).as("__mm")))
-        val worst = perGroup.agg(min(col("__mm"))).head().getDouble(0)
+        val scored = graft.operators.Materialize(
+          graft.operators.Trainer.scorePerGroup(train, model,
+            "source", Seq("f_chars", "f_words")))
+        val worst = scored
+          .agg(min((lit(2.0) * col("y") - 1.0) * col("pred")))
+          .head().getDouble(0)
         require(worst > 0.0,
           f"ml11: some group's fitted boundary does not separate its " +
             f"banded training set (min signed margin $worst%.6g)")
-        perGroup.select(col("source"), col("n"), (col("__mm") > 0).as("exact"))
-          .orderBy("source")
+        scored.select(col("doc_id"), col("source"),
+            when(col("pred") > 0, 1L).otherwise(0L).as("pred_class"))
+          .orderBy("doc_id")
       },
-      Some("""SELECT source, count(*) AS n, TRUE AS exact FROM documents
+      Some("""SELECT doc_id, source, CAST(CASE WHEN CAST(n_chars AS DOUBLE)
+             |  - (4 + CAST(substring(source, 4) AS BIGINT) % 4)
+             |    * (length(text) - length(replace(text, ' ', '')) + 1) > 5
+             |  THEN 1 ELSE 0 END AS BIGINT) AS pred_class FROM documents
              |WHERE abs(CAST(n_chars AS DOUBLE) - (4 + CAST(substring(source, 4) AS BIGINT) % 4)
              |  * (length(text) - length(replace(text, ' ', '')) + 1)) > 5
-             |GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " "))),
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Arena-style win-rate leaderboard with the Wilson lower bound — the
     // preference ranking published when a full BT fit is overkill or
@@ -783,11 +826,20 @@ object EvalQueries {
         require(worst < 1e-6,
           f"ml12: fitted means must reproduce the exactly-log-linear " +
             f"label (worst relative error $worst%.3g)")
+        // VALUE-CARRYING EMISSION (the ml13 pattern, through the log
+        // link): ln(pred) must equal the planted linear predictor
+        // 1 + 0.01·chars − 0.02·words to ~1e-6, and THAT ×1000 is an
+        // exact integer (1000 + 10·chars − 20·words) the oracle
+        // recomputes — round(ln(pred)·1000) sits within ~1e-3 of it,
+        // 500× inside the rounding boundary
         scored.select(col("doc_id"),
-            (abs(col("pred") / col("y") - 1.0) < 1e-6).as("exact"))
+            round(log(col("pred")) * 1000, 0).cast("long")
+              .as("pred_eta_x1e3"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, TRUE AS exact FROM documents
+      Some("""SELECT doc_id, CAST(1000 + 10 * n_chars
+             |  - 20 * (length(text) - length(replace(text, ' ', '')) + 1)
+             |  AS BIGINT) AS pred_eta_x1e3 FROM documents
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // Histogram gradient-boosted stumps (squared loss) — the

@@ -725,21 +725,7 @@ object Trainer {
     val folded = Materialize(Sampling.kFold(
       df.select((col(idCol) +: col(labelCol) +: featCols.map(col)): _*), idCol, k))
     try {
-      val foldN: Map[Long, Long] = folded
-        .groupBy(col("fold").cast("long").as("fold"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val total = foldN.values.sum
-      (0 until k).foreach { f =>
-        val test = foldN.getOrElse(f.toLong, 0L)
-        require(test > 0,
-          s"crossValidateRidge: fold $f holds no rows — k=$k is too large " +
-            "for this input (or the id column is near-constant)")
-        require(total - test > 0,
-          s"crossValidateRidge: fold $f holds ALL $total rows, leaving an " +
-            "empty train side — the id column is (near-)constant; use a " +
-            "higher-cardinality id or fewer folds")
-      }
+      val foldN = cvFoldChecks(folded, k, "crossValidateRidge")
       val rows = (0 until k).map { f =>
         val train = folded.filter(col("fold") =!= f)
         val test = folded.filter(col("fold") === f)
@@ -759,6 +745,71 @@ object Trainer {
       spark.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
     } finally Materialize.releaseSuperseded(folded)
+  }
+
+  /** Shared fold-integrity gate for the two CV faces: per-fold counts
+    * off one O(k) pass, failing fast on BOTH empty-fold directions with
+    * the fold named (an empty TEST fold would make max()/the union
+    * silently thin; an empty TRAIN side would surface as ridgeFit's
+    * generic 'empty input' with no fold context).
+    */
+  private def cvFoldChecks(folded: DataFrame, k: Int,
+      caller: String): Map[Long, Long] = {
+    val foldN: Map[Long, Long] = folded
+      .groupBy(col("fold").cast("long").as("fold"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = foldN.values.sum
+    (0 until k).foreach { f =>
+      val test = foldN.getOrElse(f.toLong, 0L)
+      require(test > 0,
+        s"$caller: fold $f holds no rows — k=$k is too large " +
+          "for this input (or the id column is near-constant)")
+      require(total - test > 0,
+        s"$caller: fold $f holds ALL $total rows, leaving an " +
+          "empty train side — the id column is (near-)constant; use a " +
+          "higher-cardinality id or fewer folds")
+    }
+    foldN
+  }
+
+  /** OUT-OF-FOLD predictions — the stacking face of
+    * [[crossValidateRidge]]: same md5 folds, same per-fold ridge fits,
+    * but instead of a per-fold error summary it returns EVERY row
+    * scored by the model that never saw it (idCol, fold, pred). OOF
+    * predictions are the leak-free derived feature a stacked ensemble
+    * or a downstream calibration stage ([[isotonicFit]]) trains on —
+    * scoring rows with a model fitted on them would leak the label.
+    *
+    * Scale shape: the narrow folded projection pinned ONCE; per fold
+    * one [[ridgeFit]] moment aggregation over the k−1 training folds
+    * (the fits run eagerly here — ridgeFit collects O(d²)) plus one
+    * MAP-SIDE scoring projection of the held-out fold; the k
+    * projections union into one plan. No shuffle beyond the fits'
+    * aggregations. NOTE: the returned plan still reads the pin, so it
+    * is NOT released here — the Verify/Bench harness sweeps pins at
+    * query boundaries, and ad-hoc callers use Materialize.sweep()
+    * (the ml15/stat11 lifetime contract).
+    */
+  def crossValidateRidgeScored(df: DataFrame, featCols: Seq[String],
+      labelCol: String, idCol: String, k: Int = 5,
+      l2: Double = 1e-9): DataFrame = {
+    val folded = Materialize(Sampling.kFold(
+      df.select((col(idCol) +: col(labelCol) +: featCols.map(col)): _*), idCol, k))
+    try {
+      cvFoldChecks(folded, k, "crossValidateRidgeScored")
+      (0 until k).map { f =>
+        val model = ridgeFit(folded.filter(col("fold") =!= f), featCols,
+          labelCol, l2)
+        folded.filter(col("fold") === f)
+          .select(col(idCol), col("fold").cast("long").as("fold"),
+            linearScore(model).as("pred"))
+      }.reduce(_ unionAll _)
+      // success: the pin stays — the returned plan reads it (harness
+      // sweeps at query boundaries); only the FAILURE path frees it here
+    } catch { case t: Throwable =>
+      Materialize.releaseSuperseded(folded); throw t
+    }
   }
 
   /** Fitted Poisson GLM in RAW feature space: expected count =

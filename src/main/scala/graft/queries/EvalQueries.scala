@@ -614,14 +614,19 @@ object EvalQueries {
       Some("""SELECT r AS item, CAST(8 - r AS BIGINT) AS rank
              |FROM range(0, 8) t(r) ORDER BY item""".stripMargin.replace("\n", " "))),
 
-    // K-fold cross-validated ridge evaluation — the held-out-error loop
-    // run before trusting a fitted quality score. Folds are a pure
-    // md5(id) function (samp7's formula — reproducible under any
-    // partitioning); the label is the same noiseless planted line as
-    // ml7, so every fold's held-out max |pred − y| must sit at solver
-    // noise (< 1e-4, FP-reorder-robust). The oracle restates the fold
-    // assignment and sizes closed-form; the 2k-aggregation-pass CV loop
-    // itself is what the engine is being graded on.
+    // K-fold cross-validated ridge, OUT-OF-FOLD face — every doc scored
+    // by the model that never saw it (crossValidateRidgeScored, the
+    // stacking primitive). Folds are a pure md5(id) function (samp7's
+    // formula — reproducible under any partitioning); the label is the
+    // same noiseless planted INTEGER line as ml7, so each fold's
+    // held-out predictions must reproduce it to solver noise.
+    // VALUE-CARRYING ORACLE (the ml7/ml13 pattern): emits the per-doc
+    // OOF fold AND prediction quantized ×10 behind an explicit 1e-3
+    // worst-error assert (50× inside the rounding boundary); the
+    // oracle recomputes the fold assignment and the planted integers
+    // closed-form. The k-fits-plus-k-scoring-projections loop is what
+    // the engine is graded on; the per-fold error summary face stays
+    // spec-pinned (TrainerSpec).
     QueryDef("ml9_cv_ridge",
       (s, dir) => {
         val words = expr("length(text) - length(replace(text, ' ', '')) + 1")
@@ -630,15 +635,25 @@ object EvalQueries {
             words.cast("double").as("f_words"))
           .withColumn("y",
             lit(2.0) * col("f_chars") - lit(3.0) * col("f_words") + lit(5.0))
-        graft.operators.Trainer.crossValidateRidge(train,
-            Seq("f_chars", "f_words"), "y", "doc_id", k = 5)
-          .select(col("fold"), col("n_test"),
-            (col("max_abs_err") < 1e-4).as("exact"))
-          .orderBy("fold")
+        val scored = graft.operators.Trainer.crossValidateRidgeScored(train,
+          Seq("f_chars", "f_words"), "y", "doc_id", k = 5)
+        val joined = scored.join(
+          train.select(col("doc_id"), col("y")), "doc_id")
+        val worst = joined.agg(max(abs(col("pred") - col("y"))))
+          .head().getDouble(0)
+        require(worst < 1e-3,
+          f"ml9: every fold's held-out predictions must reproduce the " +
+            f"planted noiseless line (worst abs error $worst%.3g)")
+        scored.select(col("doc_id"), col("fold"),
+            round(col("pred") * 10, 0).cast("long").as("pred_x10"))
+          .orderBy("doc_id")
       },
-      Some("""SELECT CAST(fold AS BIGINT) AS fold, count(*) AS n_test, TRUE AS exact
-             |FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS fold FROM documents)
-             |GROUP BY 1 ORDER BY fold""".stripMargin.replace("\n", " "))),
+      Some("""SELECT doc_id,
+             |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT % 5 AS BIGINT) AS fold,
+             |CAST(10 * (2 * n_chars
+             |  - 3 * (length(text) - length(replace(text, ' ', '')) + 1)
+             |  + 5) AS BIGINT) AS pred_x10
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // "Many models" — an independent ridge fit PER SOURCE in ONE
     // aggregation pass (per-group moment matrices partial-aggregate in

@@ -199,6 +199,32 @@ class TrainerSpec extends SparkSpec {
     assert(ex.select(m0.score).distinct().as[Double].collect().toSeq == Seq(6.0))
   }
 
+  test("crossValidateRidgeScored: OOF rows = input rows, folds match kFold, leak-free predictions recover the plant") {
+    import graft.operators.{Sampling, Trainer}
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 13).toDouble; val x2 = (i % 7).toDouble
+      (i.toLong, x1, x2, 2.0 * x1 - 3.0 * x2 + 5.0)
+    }.toDF("id", "x1", "x2", "y")
+    val scored = Trainer.crossValidateRidgeScored(df, Seq("x1", "x2"), "y",
+      "id", k = 4)
+    val rows = scored.join(df.select(col("id"), col("y")), "id").collect()
+    assert(rows.length == 400, "every row must be scored exactly once")
+    // fold column is the same pure md5 function kFold assigns
+    val folds = Sampling.kFold(df, "id", 4).select("id", "fold")
+      .as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => r.getLong(1) == folds(r.getLong(0)).toLong))
+    // noiseless plant: each held-out prediction reproduces y to solver
+    // noise even though its own row never entered that fold's fit
+    val worst = rows.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).max
+    assert(worst < 1e-6, s"OOF recovery err $worst")
+    graft.operators.Materialize.sweep()
+    val e = intercept[IllegalArgumentException](
+      Trainer.crossValidateRidgeScored(df.limit(2), Seq("x1"), "y", "id",
+        k = 400))
+    assert(e.getMessage.contains("holds no rows"))
+    graft.operators.Materialize.sweep()
+  }
+
   test("ridgeFit recovers a noiseless planted linear model exactly in one pass") {
     val df = (0 until 500).map { i =>
       val x1 = i * 0.37 % 11.0; val x2 = math.cos(i * 1.7) * 4.0

@@ -684,11 +684,13 @@ object EvalQueries {
               lit(10.0) * idx)
         val model = graft.operators.Trainer.ridgeFitPerGroup(dfl, "source",
           Seq("f_words", "f_mod"), "y")
-        // one scoring pass (corpus scan + broadcast join), pinned: the
-        // honesty assert and the emitted hash read the same pin
-        val scored = graft.operators.Materialize(
-          graft.operators.Trainer.scorePerGroup(dfl, model, "source",
-            Seq("f_words", "f_mod")))
+        // NO pin (the ml12/ml13 rationale): the honesty assert pays one
+        // extra map-only scoring pass (scan + broadcast join over a
+        // tiny doc table) so the SERVED plan stays auditable — PlanSpec
+        // pins the broadcast model join on this query's executed plan,
+        // which a Materialize pin would hide behind a Scan ExistingRDD
+        val scored = graft.operators.Trainer.scorePerGroup(dfl, model,
+          "source", Seq("f_words", "f_mod"))
         val worst = scored.agg(max(abs(col("pred") - col("y"))))
           .head().getDouble(0)
         require(worst < 1e-3,

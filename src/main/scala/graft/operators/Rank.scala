@@ -105,6 +105,14 @@ object Rank {
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
+    // the internal bucket column would silently OVERWRITE a caller
+    // column of the same name (withColumn replaces) and corrupt the
+    // series/offset schema — fail fast naming the clash (found live:
+    // a caller's series column named __g produced an Integer-vs-STRING
+    // converter error three plans downstream)
+    require(!df.columns.contains("__g"),
+      "globalRunningSum: input already has a '__g' column — rename it; " +
+        "'__g' is this operator's internal range-bucket name")
     // Same multi-pass shape as globalRank — pin the input once.
     val base = Materialize(df)
     val grouped = base.withColumn("__g",

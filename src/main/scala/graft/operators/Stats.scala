@@ -88,4 +88,65 @@ object Stats {
           "(CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)").as("ks_x1e9"),
         (-col("__m.__negv")).as("at_value"))
   }
+
+  /** Per-group MEDIAN / MAD / robust-outlier summary, EXACT: the
+    * median is the true ((n+1) DIV 2)-th order statistic (lower
+    * median — a value FROM the data, no interpolation), the MAD is the
+    * same order statistic of |x − median|, and `outliers_n` counts
+    * rows with |x − median| > k·MAD (Hampel's rule; k = 5 by default,
+    * deliberately conservative for data curation). Every step is
+    * integer arithmetic over integer values, so the summary is
+    * engine- and partitioning-exact — the robust location/scale pair a
+    * curation pipeline uses where mean/stddev would be owned by the
+    * very outliers it is hunting.
+    *
+    * Scale shape (the stat11/trimmed-mean discipline): ONE
+    * partial-aggregated pass melts the corpus to the O(distinct
+    * (group, value)) count table, PINNED once (four consumers read
+    * it); per-group running counts ride ONE multi-series
+    * [[Rank.globalRunningSum]] for the median, and a SECOND one over
+    * the deviation-count table (derived from the pinned counts by a
+    * broadcast join — the corpus is never rescanned) for the MAD;
+    * group totals come from their own 2-column corpus scan (the
+    * measured-cheaper pattern). No per-group sort anywhere.
+    *
+    * DEGENERATE-SCALE CAVEAT, documented not hidden: when a strict
+    * majority of a group shares one value, MAD = 0 and Hampel's rule
+    * degenerates to "any deviation is an outlier" — the standard MAD
+    * failure mode; consumers gate on `mad > 0` if that is not wanted.
+    * Null values fail fast naming the column.
+    */
+  def madSummary(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"madSummary: k must be >= 1, got $k")
+    val v = when(col(valueCol).isNull, raise_error(lit(
+        s"madSummary: null value in '$valueCol' — filter or impute first")))
+      .otherwise(col(valueCol).cast("long"))
+    val rows = df.select(col(groupCol).as("__grp"), v.as("__v"))
+    val cnt = Materialize(
+      rows.groupBy("__grp", "__v").agg(count(lit(1)).as("__c")))
+    val tot = rows.groupBy("__grp").agg(count(lit(1)).as("n"))
+    val rm = Rank.globalRunningSum(cnt, "__v", "__c", outCol = "__cum",
+      seriesCols = Seq("__grp"))
+    val med = rm.join(broadcast(tot), "__grp")
+      .filter(col("__cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("__grp").agg(min(col("__v")).as("__med"))
+    val devCnt = cnt.join(broadcast(med), "__grp")
+      .groupBy(col("__grp"), abs(col("__v") - col("__med")).as("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val rm2 = Rank.globalRunningSum(devCnt, "__d", "__c", outCol = "__cum",
+      seriesCols = Seq("__grp"))
+    val mad = rm2.join(broadcast(tot), "__grp")
+      .filter(col("__cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("__grp").agg(min(col("__d")).as("__mad"))
+    val outliers = devCnt.join(broadcast(mad), "__grp")
+      .filter(col("__d") > lit(k.toLong) * col("__mad"))
+      .groupBy("__grp").agg(sum(col("__c")).as("__out"))
+    tot.join(broadcast(med), "__grp")
+      .join(broadcast(mad), "__grp")
+      .join(broadcast(outliers), Seq("__grp"), "left")
+      .select(col("__grp").as(groupCol), col("n"),
+        col("__med").as("median"), col("__mad").as("mad"),
+        coalesce(col("__out"), lit(0L)).as("outliers_n"))
+  }
 }

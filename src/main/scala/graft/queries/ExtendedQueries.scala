@@ -1145,6 +1145,45 @@ object ExtendedQueries {
              |  v AS at_value FROM num
              |ORDER BY num DESC, v ASC LIMIT 1""".stripMargin.replace("\n", " "))),
 
+    // Per-flag MEDIAN / MAD / Hampel-outlier summary — the robust
+    // location/scale pair a curation pipeline uses where mean/stddev
+    // would be owned by the very outliers it hunts. Both statistics
+    // are TRUE order statistics ((n+1) DIV 2 rank, no interpolation)
+    // found via per-flag running counts on TWO multi-series
+    // Rank.globalRunningSum passes (values, then |value − median| —
+    // the deviation table derives from the pinned O(distinct) count
+    // table by broadcast join, never a corpus rescan); all integer
+    // cents, engine-exact. outliers_n counts |x − med| > 5·MAD.
+    QueryDef("stat13_mad_outliers",
+      (s, dir) => {
+        val b = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        graft.operators.Stats.madSummary(b, "g", "cents")
+          .orderBy("g")
+      },
+      Some("""WITH r AS (SELECT l_returnflag AS g,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM lineitem),
+             |cnt AS (SELECT g, v, count(*) AS c FROM r GROUP BY g, v),
+             |tot AS (SELECT g, count(*) AS n FROM r GROUP BY g),
+             |rm AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnt),
+             |med AS (SELECT rm.g, min(v) AS med FROM rm JOIN tot ON rm.g = tot.g
+             |  WHERE cum >= (n + 1) // 2 GROUP BY rm.g),
+             |dc AS (SELECT cnt.g AS g, abs(v - med) AS d, sum(c) AS c
+             |  FROM cnt JOIN med ON cnt.g = med.g GROUP BY cnt.g, abs(v - med)),
+             |rm2 AS (SELECT g, d, c, sum(c) OVER (PARTITION BY g ORDER BY d
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dc),
+             |mad AS (SELECT rm2.g, min(d) AS mad FROM rm2 JOIN tot ON rm2.g = tot.g
+             |  WHERE cum >= (n + 1) // 2 GROUP BY rm2.g),
+             |o AS (SELECT dc.g, sum(c) AS outliers FROM dc JOIN mad ON dc.g = mad.g
+             |  WHERE d > 5 * mad GROUP BY dc.g)
+             |SELECT tot.g AS g, CAST(n AS BIGINT) AS n, med AS median, mad,
+             |  CAST(COALESCE(outliers, 0) AS BIGINT) AS outliers_n
+             |FROM tot JOIN med ON tot.g = med.g JOIN mad ON tot.g = mad.g
+             |LEFT JOIN o ON tot.g = o.g
+             |ORDER BY tot.g""".stripMargin.replace("\n", " "))),
+
     // Wald SPRT replay per arm (the sequential face of the exp family):
     // H1 p=0.55 vs H0 p=0.45 on "order value >= $50", walked in
     // event_id order; the observed ~0.37 success rate drives both arms

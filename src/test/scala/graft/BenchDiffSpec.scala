@@ -33,4 +33,38 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(code == 0, s"bench drift gate flagged a regression:\n$out")
     assert(out.contains("== bench drift gate:"), s"unexpected output:\n$out")
   }
+
+  test("negative control: a synthetic 2x regression on a heavy query still flags (exit 1)") {
+    assume(Files.exists(Paths.get("bench/bench.json")),
+      "no committed bench run")
+    // inflate the heaviest >=1.3s query of the committed run by 2x —
+    // past both the 1.5x ratio gate and the 1s absolute-delta floor —
+    // and the tool must exit 1; guards the calibration against ever
+    // being loosened into a gate that cannot fail
+    val raw = new String(Files.readAllBytes(Paths.get("bench/bench.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // only the per-query entries — the top-level "value"/sentinel floats
+    // must not be mistaken for a query name
+    val qBlock = raw.substring(raw.indexOf("\"queries\":{"))
+    val heavy = "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+      .findAllMatchIn(qBlock)
+      .filter(m => m.group(2).toDouble >= 1.3)
+      .maxBy(_.group(2).toDouble)
+    val doubled = raw.replace(
+      s""""${heavy.group(1)}":${heavy.group(2)}""",
+      s""""${heavy.group(1)}":${heavy.group(2).toDouble * 2}""")
+    val tmp = Files.createTempFile("graft-benchdiff", ".json")
+    Files.writeString(tmp, doubled)
+    val pb = new ProcessBuilder("python3", "tools/bench_diff.py",
+      tmp.toString)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    Files.deleteIfExists(tmp)
+    assume(code != 2, s"bench run not adjudicable here:\n$out")
+    assert(code == 1 && out.contains(s"REGRESSION ${heavy.group(1)}"),
+      s"doubled ${heavy.group(1)} must flag; got exit $code:\n$out")
+  }
 }

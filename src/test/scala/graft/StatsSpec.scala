@@ -28,6 +28,38 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.getLong(3) == 7L)
   }
 
+  test("madSummary: hand-computed median/MAD/outliers, even-n lower median, partitioning invariance") {
+    // group A (n=7): values 1,2,3,4,5,6,100 -> median = 4 (rank 4);
+    // |x-4| = 3,2,1,0,1,2,96 -> sorted 0,1,1,2,2,3,96 -> MAD = 2
+    // (rank 4); outliers: |x-4| > 5*2=10 -> only 100. group B (n=4):
+    // 10,20,30,40 -> LOWER median rank (4+1) DIV 2 = 2 -> 20;
+    // |x-20| = 10,0,10,20 -> sorted 0,10,10,20 -> MAD rank 2 = 10;
+    // outliers: d > 50 -> none.
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L).map(("a", _)) ++
+      Seq(10L, 20L, 30L, 40L).map(("b", _))).toDF("g", "v")
+    val got = graft.operators.Stats.madSummary(df, "g", "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 7L, 4L, 2L, 1L), ("b", 4L, 20L, 10L, 0L)))
+    graft.operators.Materialize.sweep()
+    val got2 = graft.operators.Stats.madSummary(df.repartition(5), "g", "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == got, "partitioning must not move the summary")
+    graft.operators.Materialize.sweep()
+    // degenerate majority value: MAD = 0, Hampel degenerates to "any
+    // deviation" — the documented caveat, pinned
+    val degen = Seq(("c", 5L), ("c", 5L), ("c", 5L), ("c", 9L)).toDF("g", "v")
+    val d = graft.operators.Stats.madSummary(degen, "g", "v")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(d == (("c", 4L, 5L, 0L, 1L)))
+    graft.operators.Materialize.sweep()
+    // null value fails fast
+    val nul = Seq(("a", Option(1L)), ("a", Option.empty[Long])).toDF("g", "v")
+    val e = intercept[Exception](
+      graft.operators.Stats.madSummary(nul, "g", "v").collect())
+    assert(e.getMessage.contains("null value"))
+    graft.operators.Materialize.sweep()
+  }
+
   test("ksTwoSample fail-fasts: bad side code, null value, empty cohort") {
     val bad = Seq((2L, 1L), (0L, 2L)).toDF("side", "v")
     val e1 = intercept[Exception](

@@ -45,6 +45,21 @@ object Verify {
       spark.sharedState.cacheManager.clearCache()
       graft.operators.Materialize.sweep()
     }
+    // Full runs leave EXACTLY registry dirs + oracle_sql.json: a stale
+    // directory from a renamed/removed query (s10_csv_roundtrip after
+    // the s13 rename, round 14) survives otherwise and poisons ad-hoc
+    // re-checks that glob the out dir instead of reading the oracle map.
+    // Subset runs (SPARK_GRAFT_VERIFY_ONLY) skip the cleanup — they
+    // deliberately leave other queries' outputs in place.
+    if (only.isEmpty) {
+      val keep = SparkEntry.queries.keySet + "oracle_sql.json"
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filterNot(f => keep.contains(f.getName))
+        .foreach { f =>
+          System.err.println(s"[verify] removing stale output ${f.getName}")
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+        }
+    }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(only))
     spark.stop()
   }

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Every operator here buckets via an internal `__g` column that
+    * `withColumn` would silently OVERWRITE on a caller column of the
+    * same name, corrupting the offset join three plans downstream
+    * (found live as an Integer-vs-STRING converter error) — one shared
+    * fail-fast so all four entry points refuse the clash identically.
+    */
+  private def requireNoBucketCol(df: DataFrame, op: String): Unit =
+    require(!df.columns.contains("__g"),
+      s"$op: input already has a '__g' column — rename it; '__g' is " +
+        "this operator's internal range-bucket name")
+
   /** 1-based global rank of every row under
     * ORDER BY (orderCol, tieCols…) — exact, distributed, total iff the
     * tie columns complete a total order. Null order values fail fast
@@ -35,6 +46,7 @@ object Rank {
     */
   def globalRank(df: DataFrame, orderCol: String, tieCols: Seq[String],
       outCol: String = "rank_pos", numPartitions: Int = 0): DataFrame = {
+    requireNoBucketCol(df, "globalRank")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
@@ -102,17 +114,10 @@ object Rank {
   def globalRunningSum(df: DataFrame, orderCol: String, sumCol: String,
       outCol: String = "run_sum", numPartitions: Int = 0,
       seriesCols: Seq[String] = Nil): DataFrame = {
+    requireNoBucketCol(df, "globalRunningSum")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
-    // the internal bucket column would silently OVERWRITE a caller
-    // column of the same name (withColumn replaces) and corrupt the
-    // series/offset schema — fail fast naming the clash (found live:
-    // a caller's series column named __g produced an Integer-vs-STRING
-    // converter error three plans downstream)
-    require(!df.columns.contains("__g"),
-      "globalRunningSum: input already has a '__g' column — rename it; " +
-        "'__g' is this operator's internal range-bucket name")
     // Same multi-pass shape as globalRank — pin the input once.
     val base = Materialize(df)
     val grouped = base.withColumn("__g",
@@ -220,6 +225,7 @@ object Rank {
   def globalSweep(df: DataFrame, orderCol: String, sumCol: String,
       runOut: String = "run_sum", lagOut: String = "prev_ord",
       numPartitions: Int = 0): DataFrame = {
+    requireNoBucketCol(df, "globalSweep")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
@@ -291,6 +297,7 @@ object Rank {
 
   def globalLag(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "lag_val", numPartitions: Int = 0): DataFrame = {
+    requireNoBucketCol(df, "globalLag")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)

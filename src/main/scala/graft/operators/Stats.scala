@@ -43,8 +43,11 @@ object Stats {
     * compared would wear a statistic's label).
     */
   def ksTwoSample(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    // domain check on the RAW value, before any cast: casting first would
+    // truncate a fractional side (0.9 → 0) into a silently-misassigned
+    // cohort instead of the promised fail-fast
     val side = when(col(sideCol).isNull ||
-        (col(sideCol).cast("long") =!= 0L && col(sideCol).cast("long") =!= 1L),
+        (col(sideCol) =!= lit(0) && col(sideCol) =!= lit(1)),
       raise_error(concat(lit(s"ksTwoSample: side column '$sideCol' must " +
         "be 0/1, got "), coalesce(col(sideCol).cast("string"), lit("NULL")))))
       .otherwise(col(sideCol).cast("long"))

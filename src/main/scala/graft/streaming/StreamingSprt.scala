@@ -22,7 +22,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * [[graft.operators.Experiment.sprt]] exactly under ANY batch split,
   * and every pre-crossing row's running LLR matches the batch prefix
   * sum (rows are processed in `ord` order within each batch; every
-  * step is integer, so there is nothing float to drift).
+  * step is integer, so there is nothing float to drift). The order
+  * side of the contract is ENFORCED, not assumed: the max processed
+  * `ord` rides in state and a duplicate or late `ord` fails the query
+  * fast — mirroring the batch face's duplicate-order fail-fast —
+  * instead of silently walking the LLR in the wrong position.
   *
   * FREEZE SEMANTICS: Wald's test STOPS at the first crossing — further
   * observations must not move a decision that may already have acted.
@@ -58,12 +62,14 @@ object StreamingSprt {
   private class SprtProcessor(wSucc: Long, wFail: Long, up: Long, lo: Long,
       stateTtl: Option[java.time.Duration])
       extends StatefulProcessor[Long, Obs, Status] {
-    // (running llr, decided 0/1/2 = continue/h1/h0, crossing ord)
-    @transient private var state: ValueState[(Long, Long, Long)] = _
+    // (running llr, decided 0/1/2 = continue/h1/h0, crossing ord,
+    //  max ord processed — the order-contract enforcer below)
+    @transient private var state: ValueState[(Long, Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[(Long, Long, Long)]("sprt",
+      state = getHandle.getValueState[(Long, Long, Long, Long)]("sprt",
         org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong),
@@ -72,9 +78,22 @@ object StreamingSprt {
     override def handleInputRows(key: Long, rows: Iterator[Obs],
         timers: TimerValues): Iterator[Status] = {
       val sorted = rows.toArray.sortBy(_.ord)
-      var (llr, decided, atOrd) =
-        if (state.exists()) state.get() else (0L, 0L, 0L)
+      var (llr, decided, atOrd, maxOrd) =
+        if (state.exists()) state.get() else (0L, 0L, 0L, Long.MinValue)
       val out = sorted.map { o =>
+        // ENFORCED, not just documented: a duplicate or late ord would
+        // walk the LLR in the wrong position and silently move/freeze a
+        // decision — the exact hazard the batch face fail-fasts via
+        // globalRunningSum's duplicate-order check. The max processed
+        // ord rides in state so the check spans micro-batches.
+        require(o.ord > maxOrd,
+          s"sprtStream: ord ${o.ord} for arm $key arrived at or before " +
+            s"the max ord already processed ($maxOrd) — duplicate or " +
+            "out-of-order observation; the LLR walk position would be " +
+            "wrong. Deliver micro-batches in event order (the parity " +
+            "contract), as the batch face enforces via its " +
+            "duplicate-order fail-fast")
+        maxOrd = o.ord
         if (decided == 0L) {
           llr += (if (o.success) wSucc else wFail)
           if (llr >= up) { decided = 1L; atOrd = o.ord }
@@ -87,7 +106,7 @@ object StreamingSprt {
             case _ => "accept_h0"
           })
       }
-      if (sorted.nonEmpty) state.update((llr, decided, atOrd))
+      if (sorted.nonEmpty) state.update((llr, decided, atOrd, maxOrd))
       out.iterator
     }
   }

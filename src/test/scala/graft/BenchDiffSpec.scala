@@ -67,4 +67,27 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(code == 1 && out.contains(s"REGRESSION ${heavy.group(1)}"),
       s"doubled ${heavy.group(1)} must flag; got exit $code:\n$out")
   }
+
+  test("negative control: a CONTAMINATED newest history entry refuses adjudication (exit 2)") {
+    // round-14 advisory: the contamination filter must not silently
+    // slide the min-of-N window back onto older clean runs — if the
+    // tree's most recent full-board measurement was contaminated, 'ok'
+    // over older runs would claim a judgment that never happened
+    def entry(q1: Double, spread: Double): String =
+      s"""{"metric":"t","value":${q1 + 1},"sf":"sf0.1","spread":$spread,"queries":{"q1":$q1,"q2":1.0}}"""
+    val tmp = Files.createTempFile("graft-benchdiff-hist", ".jsonl")
+    Files.writeString(tmp,
+      entry(1.0, 1.0) + "\n" + entry(1.1, 1.0) + "\n" +
+        entry(1.0, 9.9) + "\n") // newest: spread 9.9 > 1.5 — contaminated
+    val pb = new ProcessBuilder("python3", "tools/bench_diff.py",
+      "--history-runs", "2", "--history", tmp.toString)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    Files.deleteIfExists(tmp)
+    assert(code == 2 && out.contains("NOT ADJUDICATED"),
+      s"contaminated newest entry must exit 2, got $code:\n$out")
+  }
 }

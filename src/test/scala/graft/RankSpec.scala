@@ -206,4 +206,17 @@ class RankSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("null"))
   }
+
+  test("a caller '__g' column fails fast in ALL FOUR entry points (shared guard)") {
+    // withColumn would silently overwrite the caller's column with the
+    // internal range bucket — every sibling must refuse it, not just
+    // globalRunningSum (where the hazard was first found live)
+    val df = Seq((1.0, 1L, "x"), (2.0, 1L, "y")).toDF("v", "c", "__g")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Rank.globalRank(df, "v", Nil)).contains("__g"))
+    assert(msg(Rank.globalRunningSum(df, "v", "c")).contains("__g"))
+    assert(msg(Rank.globalSweep(df, "v", "c")).contains("__g"))
+    assert(msg(Rank.globalLag(df, "v", "c")).contains("__g"))
+  }
 }

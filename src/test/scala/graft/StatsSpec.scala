@@ -74,5 +74,15 @@ class StatsSpec extends SparkSpec {
     val e3 = intercept[Exception](
       Stats.ksTwoSample(oneSided, "side", "v").collect())
     assert(e3.getMessage.contains("cohort is empty"))
+    // a FRACTIONAL side in a double column must fail fast, not truncate
+    // to 0 and silently misassign the row's cohort (the domain check
+    // runs on the raw value, before any cast)
+    val frac = Seq((0.9, 1L), (0.0, 2L), (1.0, 3L)).toDF("side", "v")
+    val e4 = intercept[Exception](
+      Stats.ksTwoSample(frac, "side", "v").collect())
+    assert(e4.getMessage.contains("must be 0/1"))
+    // exact 0.0/1.0 doubles remain valid side codes
+    val okDouble = Seq((0.0, 1L), (1.0, 2L)).toDF("side", "v")
+    assert(Stats.ksTwoSample(okDouble, "side", "v").count() == 1)
   }
 }

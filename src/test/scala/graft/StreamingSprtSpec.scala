@@ -91,6 +91,39 @@ class StreamingSprtSpec extends SparkSpec {
     }
   }
 
+  test("a duplicate or late ord across micro-batches FAILS the query (order contract enforced)") {
+    // round-14 advisory: rows are sorted only within a batch, so a late
+    // ord used to walk the LLR in the wrong position silently; the max
+    // processed ord now rides in state and the walk fail-fasts instead
+    implicit val sc = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Status]()
+    val mem = MemoryStream[Obs]
+    StateBackend.withRocksDb(spark) {
+      val q = StreamingSprt.sprtStream(mem.toDS(), 0.25, 0.75)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Status], _: Long) =>
+          b.collect().foreach(buf.add); ()
+        }
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      try {
+        mem.addData(Obs(0L, 5L, success = true))
+        var d = System.nanoTime() + 60L * 1000000000L
+        while (buf.size() < 1 && System.nanoTime() < d) Thread.sleep(100)
+        assert(buf.size() == 1, "first batch must process cleanly")
+        // ord 3 arrives AFTER ord 5 was processed — must fail, not walk
+        mem.addData(Obs(0L, 3L, success = true))
+        d = System.nanoTime() + 60L * 1000000000L
+        while (q.exception.isEmpty && System.nanoTime() < d)
+          Thread.sleep(100)
+        assert(q.exception.isDefined, "late ord must fail the query")
+        val msg = q.exception.get.toString
+        assert(msg.contains("at or before the max ord"),
+          s"unexpected failure: $msg")
+      } finally if (q.isActive) q.stop()
+    }
+  }
+
   test("boundary values: a walk landing exactly on the bound decides (>= / <= contract)") {
     // sanity on the closed bounds both faces share: up/lo are the
     // quantized constants themselves, so llr == up decides h1

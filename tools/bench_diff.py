@@ -20,6 +20,12 @@ Contamination guard: a run whose own sentinel spread exceeds
 --max-spread (default 1.5; the Bench sentinel contract) is NOT
 adjudicated — exit 2, "re-run exclusively". A contaminated sweep
 inflates arbitrary queries and would cry regression on host noise.
+In --history-runs mode the guard is anchored to the NEWEST full-board
+entry: if that one was contaminated, the gate exits 2 rather than
+silently adjudicating older clean runs (the tree's most recent
+measurement would never have been judged), and when fewer than N
+adjudicable entries exist it warns loudly that the noise filter is
+weaker than requested.
 
 Flagging: ratio = current / best, flagged when ratio > threshold AND
 best >= --floor seconds (default 0.15 s — sub-150 ms queries jitter
@@ -120,15 +126,27 @@ def main():
     ap.add_argument("--baseline", action="append", default=[],
                     help="extra per-query record file(s) to fold into the "
                          "rolling best")
+    ap.add_argument("--history", default=None,
+                    help="history.jsonl path for --history-runs mode "
+                         "(default bench/history.jsonl; exists so the "
+                         "in-suite negative controls can feed a synthetic "
+                         "history)")
     args = ap.parse_args()
 
     runs = []
     if args.history_runs > 0:
-        hist = os.path.join(REPO, "bench", "history.jsonl")
+        hist = args.history or os.path.join(REPO, "bench", "history.jsonl")
         if not os.path.exists(hist):
             print("bench_diff: --history-runs but no bench/history.jsonl")
             return 2
-        entries = []
+        # full-board (non-subset) entries, clean and contaminated alike:
+        # the contamination filter must not silently slide the window
+        # back onto older runs — if the NEWEST full-board run was
+        # excluded for contamination, the tree's most recent measurement
+        # was never judged, and "ok" over older runs would be a lie.
+        # (Subset entries are excluded by design, not contamination —
+        # they never make a run "newest".)
+        full_board = []
         with open(hist) as f:
             for line in f:
                 line = line.strip()
@@ -139,15 +157,29 @@ def main():
                 except ValueError:
                     continue
                 qs = d.get("queries")
-                if (isinstance(qs, dict) and qs and not d.get("subset")
-                        and (d.get("spread") or 0) <= args.max_spread):
-                    entries.append(d)
-        if not entries:
+                if isinstance(qs, dict) and qs and not d.get("subset"):
+                    full_board.append(d)
+        if not full_board:
             print("bench_diff: no adjudicable full-board history entries")
             return 2
-        newest_sf = entries[-1].get("sf")
+        newest = full_board[-1]
+        if (newest.get("spread") or 0) > args.max_spread:
+            print(f"bench_diff: NOT ADJUDICATED — the newest full-board "
+                  f"history entry has sentinel spread {newest.get('spread')} "
+                  f"> {args.max_spread}: the most recent measurement of "
+                  "this tree overlapped external load; re-run the bench "
+                  "exclusively and try again")
+            return 2
+        entries = [d for d in full_board
+                   if (d.get("spread") or 0) <= args.max_spread]
+        newest_sf = newest.get("sf")
         runs = [d for d in entries
                 if d.get("sf") == newest_sf][-args.history_runs:]
+        if len(runs) < args.history_runs:
+            print(f"bench_diff: WARNING — only {len(runs)} adjudicable "
+                  f"full-board run(s) at {newest_sf}, fewer than the "
+                  f"{args.history_runs} requested; min-of-{len(runs)} is a "
+                  "weaker noise filter (see module doc)")
         print(f"bench_diff: adjudicating min over the last {len(runs)} "
               f"committed full-board run(s) at {newest_sf}")
     else:

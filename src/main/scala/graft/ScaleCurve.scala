@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   * its scale story), and copies are disconnected (no cross-copy edges
   * or baskets — per-copy cluster structure replicates instead).
   *
-  * The query list is the 10 bench-heaviest board queries of the
-  * round-13 record that actually SCAN the sf directory.
-  * `s10_streaming_landing` (heaviest #10) is excluded by name: it
-  * generates a fixed 960-row synthetic stream regardless of sfDir, so
-  * a "10×" run would time the identical workload; `samp8_bootstrap`
-  * (#11) takes its slot. Exclusions are recorded in the JSON.
+  * The query list is DYNAMIC (round 15): the 10 bench-heaviest board
+  * queries of the CURRENT committed full-board record
+  * (`bench/bench.json`), so a newly-landed heavyweight (stat13 was the
+  * round-14 example: board-heaviest, no 10× point) gets a ratio the
+  * next time the curve runs instead of waiting for a hand-edit.
+  * `s10_streaming_landing` is excluded by name: it generates a fixed
+  * 960-row synthetic stream regardless of sfDir, so a "10×" run would
+  * time the identical workload; the next-ranked query takes its slot.
+  * Exclusions and the selection source are recorded in the JSON;
+  * `SPARK_GRAFT_SCALE_QUERIES` overrides, and the frozen round-14 list
+  * remains as the fallback when no bench record exists.
   *
   * Measurement mirrors [[Bench]] exactly (same BenchKit sentinel, page
   * -cache pre-fault, Materialize sweep + GC between queries, best-of-N
@@ -41,7 +46,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
 
-  /** The fixed measurement set (see object doc for the selection rule). */
+  /** Fallback measurement set (the frozen round-14 top-10) — used only
+    * when `bench/bench.json` is absent or unreadable; see
+    * [[selectQueries]] for the live selection rule.
+    */
   val defaultQueries: Seq[String] = Seq(
     "ml11_per_group_logreg", "ml15_conformal", "ml13_boosted_stumps",
     "stat11_trimmed_mean", "t18_textrank", "mba2_confidence",
@@ -50,6 +58,42 @@ object ScaleCurve {
   val excluded: Map[String, String] = Map(
     "s10_streaming_landing" ->
       "fixed-size synthetic stream; never scans the sf directory")
+
+  /** The `topN` heaviest queries of the committed full-board bench
+    * record, skipping [[excluded]] names (the next-ranked query takes
+    * the slot) and anything no longer in the registry. None when the
+    * record is absent/unreadable — callers fall back to
+    * [[defaultQueries]]. Ties in seconds break by name so the selection
+    * is deterministic for a given record.
+    */
+  def selectQueries(spark: SparkSession, benchPath: String,
+      topN: Int = 10): Option[Seq[String]] = {
+    val f = new java.io.File(benchPath)
+    if (!f.exists()) return None
+    try {
+      val df = spark.read.option("multiLine", "true")
+        .json(f.getAbsolutePath).select(col("queries.*"))
+      val row = df.head()
+      val times = df.schema.fields.zipWithIndex.map { case (fld, i) =>
+        fld.name -> (row.get(i) match {
+          case d: java.lang.Double => d.doubleValue()
+          case l: java.lang.Long   => l.toDouble
+          case _                   => -1.0
+        })
+      }
+      val picked = times.toSeq
+        .filter { case (n, t) =>
+          t > 0 && !excluded.contains(n) && SparkEntry.queries.contains(n) }
+        .sortBy { case (n, t) => (-t, n) }
+        .take(topN).map(_._1)
+      if (picked.isEmpty) None else Some(picked)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"scale: cannot parse $benchPath ($e) — " +
+          "falling back to the frozen default list")
+        None
+    }
+  }
 
   /** Per-table key-shift plan: (column → home table whose K shifts it).
     * A column absent here is copied verbatim. region/nation are fixed-
@@ -128,8 +172,8 @@ object ScaleCurve {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt.max(1)
     val maxRatio =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_RATIO", "15.0").toDouble
-    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
-      .map(_.split(",").toSeq).getOrElse(defaultQueries)
+    val benchPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_BENCH",
+      "bench/bench.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -141,20 +185,44 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
     import BenchKit.jn
 
+    val (names, selection) = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(q => (q.split(",").toSeq, "env:SPARK_GRAFT_SCALE_QUERIES"))
+      .orElse(selectQueries(spark, benchPath)
+        .map(q => (q, s"top-10 of $benchPath")))
+      .getOrElse((defaultQueries, "fallback: frozen r14 default list"))
+    System.err.println(s"scale: query selection = $selection: " +
+      names.mkString(", "))
+
+    // The synthesis-reuse marker records WHAT the replica was built from
+    // (base dir + per-table base row counts), not just that one exists:
+    // reusing a replica synthesized from a DIFFERENT base would make
+    // every base/scaled ratio cross-dataset and meaningless, silently.
+    val allTables = copyOnly ++ keyPlan.keys.toSeq.sorted
     val marker = new java.io.File(s"$outDir/_SYNTH_OK_x$factor")
     val resynth = sys.env.get("SPARK_GRAFT_SCALE_RESYNTH").exists(_ == "1")
     val t0s = System.nanoTime()
+    val baseRows: Map[String, Long] = allTables.map(tbl =>
+      tbl -> graft.sources.Tables.load(spark, baseDir, tbl).count()).toMap
+    val markerContent = (s"base=$baseDir" +:
+      allTables.map(tbl => s"$tbl=${baseRows(tbl)}")).mkString("\n")
+    val reuse = marker.exists() && !resynth && {
+      val ok = try java.nio.file.Files.readString(marker.toPath) == markerContent
+        catch { case _: java.io.IOException => false }
+      if (!ok) System.err.println("scale: marker present but its recorded " +
+        s"base (dir or row counts) differs from $baseDir — resynthesizing")
+      ok
+    }
     val rows: Seq[(String, (Long, Long))] =
-      if (marker.exists() && !resynth) {
-        System.err.println(s"scale: reusing $outDir (marker present)")
-        (copyOnly ++ keyPlan.keys.toSeq.sorted).map { tbl =>
-          val b = graft.sources.Tables.load(spark, baseDir, tbl).count()
-          tbl -> (b, spark.read.parquet(s"$outDir/$tbl.parquet").count())
+      if (reuse) {
+        System.err.println(s"scale: reusing $outDir (marker matches $baseDir)")
+        allTables.map { tbl =>
+          tbl -> (baseRows(tbl), spark.read.parquet(s"$outDir/$tbl.parquet").count())
         }
       } else {
         val r = synthesize(spark, baseDir, outDir, factor)
         marker.getParentFile.mkdirs()
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        java.nio.file.Files.write(marker.toPath,
+          markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         r
       }
     val synthSecs = (System.nanoTime() - t0s) / 1e9
@@ -206,7 +274,7 @@ object ScaleCurve {
     val ej = excluded.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val sj = s"""{"start":${jn(sentStart, 3)},"mid":${jn(sentMid, 3)},"end":${jn(sentEnd, 3)},"spread":${jn(spread, 3)}}"""
-    val line = s"""{"metric":"scale_curve","factor":$factor,"base":"$baseDir","scaled":"$outDir","runs":$runs,"cpus":$cpus,"max_ratio":${jn(maxRatio, 1)},"all_pass":$allPass,"synth_sec":${jn(synthSecs, 1)},"rows":$rj,"queries":$qj,"excluded":$ej,"sentinel":$sj}"""
+    val line = s"""{"metric":"scale_curve","factor":$factor,"base":"$baseDir","scaled":"$outDir","runs":$runs,"cpus":$cpus,"max_ratio":${jn(maxRatio, 1)},"all_pass":$allPass,"selection":"$selection","synth_sec":${jn(synthSecs, 1)},"rows":$rj,"queries":$qj,"excluded":$ej,"sentinel":$sj}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench/scaling.json")
     val p = java.nio.file.Paths.get(outPath)

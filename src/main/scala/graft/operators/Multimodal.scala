@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   *    the JDK's own `javax.imageio` — zero external deps) into an 8×8
   *    block-luma feature grid, plus real resample (`Graphics2D`) and a
   *    one-pixel perturbation for planted near-dup verification.
-  *  - [[FakeCodec]] remains for the audio/video faces: this container
-  *    ships no audio or video libraries (the JDK has none), so those
-  *    derive deterministic pseudo-features from the payload bytes.
-  *    Everything around the stub — schema, batch shape, partitioning,
-  *    null/corrupt handling — is the real engine surface either way.
+  *  - [[WavCodec]] decodes REAL audio bytes: `javax.sound.sampled`
+  *    (java.desktop module, in every JDK) reads PCM WAV/AIFF/AU, and
+  *    the stats face emits duration / RMS energy / zero-crossing count
+  *    / peak amplitude — exact integers a planted square wave makes
+  *    closed-form, so the board oracle is value-carrying.
+  *  - [[FakeCodec]] remains for the VIDEO face only: the JDK ships no
+  *    video demuxer (and no compressed-audio codecs or resampler), so
+  *    video derives deterministic pseudo-features from the payload
+  *    bytes. Everything around the stub — schema, batch shape,
+  *    partitioning, null/corrupt handling — is the real engine surface
+  *    either way.
   */
 object Multimodal {
 
@@ -45,11 +51,13 @@ object Multimodal {
       sha256: String, feature: Array[Float], decode_ok: Boolean)
 
   /** ======== STUB ======== deterministic fake decoder — the remaining
-    * stand-in for the AUDIO/VIDEO faces only (the JDK ships no audio
-    * resampler or video demuxer; images go through the REAL
-    * [[ImageIoCodec]]). A production build replaces this object (and
-    * only this object) with e.g. JavaCV calls. Features are a stable
-    * function of the bytes so tests and re-runs are reproducible.
+    * stand-in for the VIDEO face only (the JDK genuinely ships no video
+    * demuxer; images go through the REAL [[ImageIoCodec]] and PCM audio
+    * through the REAL [[WavCodec]] — compressed-audio codecs and
+    * resampling would still need an external lib). A production build
+    * replaces this object (and only this object) with e.g. JavaCV
+    * calls. Features are a stable function of the bytes so tests and
+    * re-runs are reproducible.
     */
   object FakeCodec extends MediaCodec {
     val featureDim = 8
@@ -177,6 +185,196 @@ object Multimodal {
         javax.imageio.ImageIO.write(im, "png", bos)
         bos.toByteArray
       }
+  }
+
+  /** REAL audio codec on the JDK's own `javax.sound.sampled`
+    * (java.desktop module — no external deps): decodes the PCM
+    * WAV/AIFF/AU containers the platform ships readers for. Compressed
+    * codecs (MP3/AAC/Opus) and sample-rate conversion have no JDK
+    * surface — those would need an external lib and stay out of scope;
+    * video has no JDK demuxer at all and stays behind [[FakeCodec]].
+    *
+    * The primary face is [[decodeStats]]: exact integer statistics of
+    * the PCM stream (sample count, peak |amplitude|, zero crossings,
+    * sum of squares) — every one closed-form for a planted square wave,
+    * which is what makes the board oracle value-carrying instead of a
+    * postcondition. The [[MediaCodec]] face derives a 4-float feature
+    * vector from the same stats so audio rides the identical
+    * partition-iterator plumbing as images.
+    *
+    * Zero-crossing convention, stated because ±0 matters: a crossing is
+    * counted between consecutive samples OF THE SAME CHANNEL when
+    * `(prev >= 0) != (cur >= 0)`; multi-channel streams de-interleave
+    * and sum the per-channel counts. Truncated payloads (header frame
+    * count ≠ bytes present) decode to None rather than silently
+    * yielding stats over a prefix.
+    */
+  object WavCodec extends MediaCodec {
+
+    /** Exact integer statistics of a decoded PCM stream. `nSamples`
+      * counts ALL samples across channels (frames × channels);
+      * `durationMs` = frames·1000 DIV rate (truncating — the integer
+      * contract oracles replay); `sumSq` is exact (peak 32767² ≈ 10⁹
+      * per sample — overflow needs ~8·10⁹ samples, a 4-hour 48 kHz
+      * stereo file is 10⁹).
+      */
+    final case class AudioStats(nSamples: Long, channels: Int,
+        sampleRate: Int, durationMs: Long, peakAbs: Long,
+        zeroCrossings: Long, sumSq: Long)
+
+    def decodeStats(payload: Array[Byte]): Option[AudioStats] = {
+      if (payload == null || payload.length == 0) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1)
+            return None
+          val bytes = ais.readAllBytes()
+          // a truncated file parses its header fine but delivers fewer
+          // frames than declared — stats over the prefix would wear the
+          // full file's label, so refuse instead
+          if (ais.getFrameLength >= 0 &&
+              bytes.length != ais.getFrameLength * fmt.getFrameSize)
+            return None
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val prev = new Array[Int](ch)
+          val hasPrev = new Array[Boolean](ch)
+          var i = 0; var idx = 0
+          var peak = 0L; var sumSq = 0L; var zc = 0L
+          while (i + 1 < bytes.length) {
+            val s =
+              if (big) (bytes(i).toInt << 8) | (bytes(i + 1) & 0xFF)
+              else (bytes(i + 1).toInt << 8) | (bytes(i) & 0xFF)
+            val c = idx % ch
+            if (hasPrev(c) && ((prev(c) >= 0) != (s >= 0))) zc += 1
+            prev(c) = s; hasPrev(c) = true
+            val a = math.abs(s.toLong); if (a > peak) peak = a
+            sumSq += s.toLong * s
+            idx += 1; i += 2
+          }
+          val rate = fmt.getSampleRate.toInt
+          if (rate <= 0 || idx == 0) return None
+          val frames = (idx / ch).toLong
+          Some(AudioStats(idx.toLong, ch, rate, frames * 1000L / rate,
+            peak, zc, sumSq))
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
+    /** Encode interleaved 16-bit PCM samples as a WAV container via
+      * `AudioSystem.write` — the encode half of the same JDK surface
+      * the decoder uses, so round-trip fidelity is the API's own
+      * contract, not this code's.
+      */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short],
+        channels: Int = 1): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0,
+        s"encodeWavPcm16: ${samples.length} samples do not divide into " +
+          s"$channels channel(s)")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, channels, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        (samples.length / channels).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** [[MediaCodec]] face: [duration_s, rms/2¹⁵, crossings/sample,
+      * peak/2¹⁵] — audio rides the same partition-iterator feature
+      * plumbing (and pHash/near-dup machinery) as images.
+      */
+    val featureDim = 4
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      decodeStats(payload).map { s =>
+        val n = math.max(1L, s.nSamples)
+        Array(
+          s.durationMs / 1000.0f,
+          (math.sqrt(s.sumSq.toDouble / n) / 32768.0).toFloat,
+          s.zeroCrossings.toFloat / n,
+          s.peakAbs / 32768.0f)
+      }
+  }
+
+  /** Typed per-item audio statistics — None-valued fields on a payload
+    * that does not decode (kept as one row with `decode_ok = false`,
+    * never dropped: a corrupt item vanishing silently is how a pipeline
+    * loses track of its failure rate).
+    */
+  final case class AudioFeature(media_id: Long, decode_ok: Boolean,
+      n_samples: Option[Long], channels: Option[Long],
+      sample_rate: Option[Long], duration_ms: Option[Long],
+      peak_abs: Option[Long], zero_crossings: Option[Long],
+      sum_sq: Option[Long])
+
+  /** Audio stats extraction as partition-iterator batches — the audio
+    * arm of [[extractFeatures]]'s shape: map-only, embarrassingly
+    * parallel, never shuffles; corrupt payloads flagged, not dropped.
+    */
+  def extractAudioStats(media: Dataset[MediaItem]): Dataset[AudioFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      WavCodec.decodeStats(m.payload) match {
+        case Some(s) => AudioFeature(m.media_id, decode_ok = true,
+          Some(s.nSamples), Some(s.channels.toLong),
+          Some(s.sampleRate.toLong), Some(s.durationMs), Some(s.peakAbs),
+          Some(s.zeroCrossings), Some(s.sumSq))
+        case None => AudioFeature(m.media_id, decode_ok = false,
+          None, None, None, None, None, None, None)
+      }
+    })
+  }
+
+  /** Synthetic REAL-audio table: every decodable payload is a valid PCM
+    * WAV (encoded by the same `javax.sound.sampled` surface the decoder
+    * reads) holding a square wave whose parameters are closed-form in
+    * the id — half-period `1 + id % 25` frames, `400 + (id % 50)·8`
+    * frames, amplitude `1000 + (id % 30)·1000` — so every statistic
+    * [[WavCodec.decodeStats]] emits is analytic: peak = A, sum of
+    * squares = N·A² (all samples are ±A), crossings = (N−1) DIV H,
+    * duration = N·1000 DIV rate. Ids ≡ 9 (mod 10) carry deterministic
+    * junk with no RIFF container — the planted corrupt rows the
+    * `decode_ok = false` surface must flag. Generated distributed via
+    * spark.range (WAV encoding runs on executors, no driver loop).
+    */
+  def syntheticAudio(spark: SparkSession, n: Long,
+      sampleRate: Int = 8000): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      if (id % 10 == 9) {
+        val rnd = new scala.util.Random(id)
+        val junk = new Array[Byte](32)
+        rnd.nextBytes(junk)
+        MediaItem(id, "audio", "wav", 0, 0, 0L, junk)
+      } else {
+        val half = 1 + (id % 25).toInt
+        val nFrames = 400 + (id % 50).toInt * 8
+        val amp = (1000 + (id % 30) * 1000).toShort
+        val samples = Array.tabulate(nFrames)(t =>
+          if ((t / half) % 2 == 0) amp else (-amp).toShort)
+        MediaItem(id, "audio", "wav", 0, 0,
+          nFrames.toLong * 1000L / sampleRate,
+          WavCodec.encodeWavPcm16(sampleRate, samples))
+      }
+    }
   }
 
   /** Synthetic media table: deterministic binary payloads + metadata.

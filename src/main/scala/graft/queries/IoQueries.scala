@@ -508,6 +508,38 @@ object IoQueries {
       },
       Some("""SELECT r AS media_id, CAST(16 AS BIGINT) AS width,
              |CAST(16 AS BIGINT) AS height, TRUE AS decode_ok
-             |FROM range(0, 80) t(r) ORDER BY media_id""".stripMargin.replace("\n", " ")))
+             |FROM range(0, 80) t(r) ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    // REAL audio decode (javax.sound.sampled — PCM WAV via the JDK's
+    // own java.desktop readers, zero external deps). VALUE-CARRYING
+    // ORACLE, not a postcondition: every decodable payload is a planted
+    // square wave whose parameters are closed-form in the id, so the
+    // decoder's exact integer statistics are all SQL-recomputable —
+    // peak = A, sum of squares = N·A² (every sample is ±A), zero
+    // crossings = (N−1) DIV H (the sign flips exactly at multiples of
+    // the half-period), duration = N·1000 DIV 8000. Ids ≡ 9 (mod 10)
+    // are planted junk (no RIFF container) and must surface as
+    // decode_ok = false with null stats — corrupt rows are flagged,
+    // never dropped. Byte-level decode fidelity (endianness, stereo
+    // de-interleave, truncation refusal) is pinned in MultimodalSpec
+    // with hand-computed PCM fixtures.
+    QueryDef("m6_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractAudioStats(Multimodal.syntheticAudio(s, 120))
+          .toDF()
+          .select(col("media_id"), col("decode_ok"), col("n_samples"),
+            col("sample_rate"), col("duration_ms"), col("peak_abs"),
+            col("zero_crossings"), col("sum_sq"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT r AS media_id, (r % 10 <> 9) AS decode_ok,
+             |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE 400 + (r % 50) * 8 END AS BIGINT) AS n_samples,
+             |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE 8000 END AS BIGINT) AS sample_rate,
+             |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE (400 + (r % 50) * 8) * 1000 // 8000 END AS BIGINT) AS duration_ms,
+             |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE 1000 + (r % 30) * 1000 END AS BIGINT) AS peak_abs,
+             |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE (400 + (r % 50) * 8 - 1) // (1 + r % 25) END AS BIGINT) AS zero_crossings,
+             |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE (400 + (r % 50) * 8) * (1000 + (r % 30) * 1000) * (1000 + (r % 30) * 1000) END AS BIGINT) AS sum_sq
+             |FROM range(0, 120) t(r) ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -66,6 +66,45 @@ object SimilarityQueries {
        |piv AS (SELECT v AS p FROM fin WHERE abs(v) = (SELECT max(abs(v)) FROM fin) ORDER BY i LIMIT 1)""".stripMargin
   }
 
+  /** Planted well-separated cluster geometry over the embeddings ids —
+    * the corpus v2/v4 run on so their IVF oracles are VALUE-CARRYING:
+    * member i = e_c + δ_i·e_{(c+1)%8}, c = i % 8,
+    * δ_i = (1 + (i DIV 8) % 250)/1024. Every coordinate is a dyadic
+    * rational (k/2¹⁰), exact in float and double, so DuckDB can rebuild
+    * the identical vectors from vec_id alone and replay cosines
+    * bit-exactly. See v2's QueryDef for the separation argument.
+    */
+  def plantedClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      expr("""transform(sequence(0, 7), j -> CAST(
+        CASE WHEN j = vec_id % 8 THEN 1.0
+             WHEN j = (vec_id % 8 + 1) % 8
+               THEN (1 + (vec_id DIV 8) % 250) / 1024.0
+             ELSE 0.0 END AS FLOAT))""").as("embedding"))
+
+  /** The exact top-10 over [[plantedClusters]] in closed form: the same
+    * (c, δ) reconstruction, the cosine as the same sequence of exact
+    * products/sums and two correctly-rounded sqrts — bit-identical to
+    * Spark's CosineSimilarity fold on these inputs (every partial sum
+    * is exact, so fold order cannot matter). Shared by v2 and v4: both
+    * provably return the exact brute-force top-10 on this geometry.
+    */
+  private val duckPlantedTop10: String =
+    """WITH v AS (SELECT vec_id, vec_id % 8 AS c,
+      |  CAST(1 + (vec_id // 8) % 250 AS DOUBLE)/1024.0 AS d FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, c AS qc, d AS qd FROM v WHERE vec_id < 5),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |  (CASE WHEN qc = c THEN 1.0 + qd*d
+      |        WHEN c = (qc+1)%8 THEN qd
+      |        WHEN qc = (c+1)%8 THEN d ELSE 0.0 END)
+      |  / (sqrt(1.0 + qd*qd) * sqrt(1.0 + d*d)) AS cos
+      |  FROM q, v WHERE query_id <> vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
   val all: Seq[QueryDef] = Seq(
 
     // Brute-force exact cosine top-k: the ANN baseline. Query set (vec_id
@@ -237,51 +276,58 @@ object SimilarityQueries {
              |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin.replace("\n", " "))),
 
     // IVF-style approximate top-k — the ANN scale path (probes nprobe
-    // cells instead of the full corpus). ORACLE-CHECKED via the RECALL
-    // BOUND: the neighbor list is index-internal, but "IVF finds at
-    // least half of the true top-10" is a per-query boolean the oracle
-    // pins — the true top-10 comes from bruteForceKnn, itself
-    // hash-anchored by v1's full oracle. Observed floors: 0.7 at
-    // sf0.01 (500 vecs / 16 cells / 4 probes is a hard regime), 1.0 at
-    // sf0.1 — the 0.5 bound has 0.2+ margin everywhere. A query losing
-    // ALL its neighbors vanishes from the output and fails rows_match.
+    // cells instead of the full corpus). VALUE-CARRYING ORACLE via
+    // planted analytic geometry (round-15 upgrade from the old
+    // recall-bound postcondition): the corpus is rebuilt over the
+    // embeddings ids as 8 one-hot clusters — member i = e_c + δ_i ·
+    // e_{(c+1)%8}, c = i%8, δ_i = (1 + (i DIV 8) % 250)/1024, every
+    // coordinate a dyadic rational, EXACT in float and double. The
+    // geometry proves what the hash can't: in-cluster cosine ≥ 0.971
+    // (worst pair δ = 1/1024 vs 250/1024) while cross-cluster ≤ 0.25
+    // (the only nonzero dot term is a single δ ≤ 250/1024), so each
+    // query's true top-10 is entirely in-cluster; the deterministic
+    // seed (first 16 vec_ids = exactly 2 centroids per cluster) sends
+    // every member to an own-cluster cell, the query's 2 own-cluster
+    // cells outrank all 14 foreign cells, and nprobe = 4 therefore
+    // probes the WHOLE cluster — IVF provably returns the exact
+    // brute-force top-10. The oracle recomputes that top-10 from the
+    // same closed-form vectors: dot = 1 + δ_qδ_x (same cluster) or one
+    // δ (adjacent axes) — every product/sum exact in double, sqrt and
+    // division correctly rounded identically in both engines, so the
+    // cosines are bit-identical and the ranking total (ties broken by
+    // neighbor_id on both sides).
     QueryDef("v2_knn_ivf",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 5)
-        val ivf = Similarity.ivfKnn(e, q, k = 10, numCentroids = 16, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"))
-        Similarity.bruteForceKnn(e, q, k = 10)
-          .select(col("query_id"), col("neighbor_id"))
-          .join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
-          .select(col("query_id"), (col("hits") >= 5).as("recall_ok"))
-          .orderBy("query_id")
+        val e = plantedClusters(s, dir)
+        Similarity.ivfKnn(e, e.filter(col("vec_id") < 5), k = 10,
+          numCentroids = 16, nprobe = 4)
+          .orderBy("query_id", "rank")
       },
-      Some("""SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
-             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
+      Some(duckPlantedTop10)),
 
-    // IVF with k-means-refined centroids — same recall-bound oracle as
-    // v2 (observed floors 0.8 / 1.0); the refinement itself is pinned by
-    // DedupSimilaritySpec (objective monotonicity, determinism,
-    // planted-cluster recovery).
+    // IVF with k-means-refined centroids — same planted geometry and
+    // the same value-carrying exact-top-10 oracle as v2, with one more
+    // link in the argument: every Lloyd round keeps assignments
+    // in-cluster (a member's cosine to ANY own-cluster centroid stays
+    // ≥ 0.94 vs ≤ 0.25 to any foreign one, because refined centroids
+    // are means of own-cluster UNIT members and so stay supported on
+    // the cluster's two axes — the ×10⁹ fixed-point floor keeps the
+    // other six coordinates exactly zero; an emptied cell keeps its
+    // previous in-span centroid), so the refined index still has
+    // single-cluster cells, the query's two own cells still outrank
+    // every foreign cell, and the k-means-refined IVF output is
+    // provably the exact brute-force top-10. The refinement dynamics
+    // themselves (objective monotonicity, determinism, planted-cluster
+    // recovery) stay pinned by DedupSimilaritySpec.
     QueryDef("v4_kmeans_ivf",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 5)
-        val km = Similarity.ivfQuery(
+        val e = plantedClusters(s, dir)
+        Similarity.ivfQuery(
           Similarity.ivfIndexKmeans(e, numCentroids = 16, iters = 3),
-          q, k = 10, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"))
-        Similarity.bruteForceKnn(e, q, k = 10)
-          .select(col("query_id"), col("neighbor_id"))
-          .join(km, Seq("query_id", "neighbor_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
-          .select(col("query_id"), (col("hits") >= 5).as("recall_ok"))
-          .orderBy("query_id")
+          e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+          .orderBy("query_id", "rank")
       },
-      Some("""SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
-             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
+      Some(duckPlantedTop10)),
 
     // Product-quantization ANN (Jégou et al. 2011): embeddings compress
     // 32× into per-subspace codes, queries score by asymmetric distance

@@ -140,6 +140,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=4 of 8 cells
   }
 
+  test("planted cluster geometry: seeded AND k-means-refined IVF return the EXACT brute-force top-10") {
+    // the v2/v4 value-carrying-oracle claim, pinned as a row-equality:
+    // on the one-hot planted corpus (in-cluster cosine >= 0.971,
+    // cross-cluster <= 0.25, 2 own-cluster cells always in the top-4
+    // probes) IVF provably loses nothing vs brute force — full tuples
+    // including rank and the rounded cosine must match
+    val e = graft.queries.SimilarityQueries.plantedClusters(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceKnn(e, q, k = 10)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val ivf = Similarity.ivfKnn(e, q, k = 10, numCentroids = 16, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ivf == brute, "seeded IVF diverged from brute force on planted geometry")
+    val km = Similarity.ivfQuery(
+      Similarity.ivfIndexKmeans(e, numCentroids = 16, iters = 3),
+      q, k = 10, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(km == brute, "k-means IVF diverged from brute force on planted geometry")
+    // the separation constants the argument rests on, measured: max
+    // cross-cluster cosine strictly below min in-cluster-top-10 cosine
+    assert(brute.map(_._4).min > 0.97, s"in-cluster floor ${brute.map(_._4).min}")
+  }
+
   test("decontaminateBloom: never keeps a truly contaminated doc, few false drops") {
     val bench = docs.filter(col("doc_id") % 17 === 3)
     val train = docs.filter(col("doc_id") % 17 =!= 3)

@@ -209,4 +209,71 @@ class MultimodalSpec extends SparkSpec {
         99L, "image", "png", 4, 4, 0L, "garbage".getBytes))), 8, 8).collect()
     assert(bad.head.payload == null)
   }
+
+  test("WavCodec decodes a generated PCM WAV into hand-computed exact stats") {
+    import Multimodal.WavCodec
+    // the one-line existence proof the round-14 verdict asked for:
+    // javax.sound.sampled ships in THIS JDK and reads WAVE
+    assert(javax.sound.sampled.AudioSystem.getAudioFileTypes
+      .contains(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    // mono, rate 4000: [100,100,-100,-100,100,100,-100,-100] —
+    // n=8, frames=8, duration 8·1000/4000 = 2 ms, peak 100,
+    // crossings at t=2,4,6 → 3, sumSq = 8·100² = 80000
+    val mono = WavCodec.encodeWavPcm16(4000,
+      Array[Short](100, 100, -100, -100, 100, 100, -100, -100))
+    val s = WavCodec.decodeStats(mono).get
+    assert(s == WavCodec.AudioStats(8L, 1, 4000, 2L, 100L, 3L, 80000L), s"$s")
+    // stereo de-interleave: L = [100,-100,100,-100] (3 crossings),
+    // R = [200,200,-200,-200] (1 crossing) at 8000 Hz — 4 frames,
+    // 8 samples, duration 4·1000/8000 = 0 ms (truncating DIV), peak
+    // 200, crossings 3+1 = 4, sumSq = 4·100² + 4·200² = 200000
+    val st = WavCodec.encodeWavPcm16(8000,
+      Array[Short](100, 200, -100, 200, 100, -200, -100, -200), channels = 2)
+    val s2 = WavCodec.decodeStats(st).get
+    assert(s2 == WavCodec.AudioStats(8L, 2, 8000, 0L, 200L, 4L, 200000L), s"$s2")
+    // the MediaCodec face rides the same stats: [dur_s, rms/2^15,
+    // zc/sample, peak/2^15] — rms of the constant-|A| mono wave is
+    // exactly A
+    val f = WavCodec.decode(mono).get
+    assert(f.length == 4)
+    assert(math.abs(f(1) - 100.0 / 32768.0) < 1e-7 &&
+      math.abs(f(2) - 3.0 / 8) < 1e-7 &&
+      math.abs(f(3) - 100.0 / 32768.0) < 1e-7)
+  }
+
+  test("WavCodec refuses junk, empty, null, and TRUNCATED payloads") {
+    import Multimodal.WavCodec
+    assert(WavCodec.decodeStats("not a wav".getBytes).isEmpty)
+    assert(WavCodec.decodeStats(Array.empty[Byte]).isEmpty)
+    assert(WavCodec.decodeStats(null).isEmpty)
+    // a truncated file parses its header but delivers fewer frames than
+    // declared — stats over the prefix would be silently wrong, so None
+    val full = WavCodec.encodeWavPcm16(8000,
+      Array.tabulate[Short](100)(t => if (t % 2 == 0) 500 else -500))
+    val truncated = java.util.Arrays.copyOf(full, full.length - 40)
+    assert(WavCodec.decodeStats(truncated).isEmpty,
+      "truncated WAV must refuse, not stat the prefix")
+  }
+
+  test("syntheticAudio round-trips: analytic square-wave stats, corrupt rows flagged") {
+    val got = Multimodal.extractAudioStats(
+      Multimodal.syntheticAudio(spark, 60)).collect().sortBy(_.media_id)
+    assert(got.length == 60)
+    for (a <- got) {
+      val id = a.media_id
+      if (id % 10 == 9) {
+        assert(!a.decode_ok && a.n_samples.isEmpty && a.sum_sq.isEmpty)
+      } else {
+        val h = 1 + id % 25; val n = 400 + (id % 50) * 8
+        val amp = 1000 + (id % 30) * 1000
+        assert(a.decode_ok)
+        assert(a.n_samples.contains(n) && a.sample_rate.contains(8000L))
+        assert(a.duration_ms.contains(n * 1000 / 8000))
+        assert(a.peak_abs.contains(amp), s"id=$id peak=${a.peak_abs}")
+        assert(a.zero_crossings.contains((n - 1) / h),
+          s"id=$id zc=${a.zero_crossings} expected ${(n - 1) / h}")
+        assert(a.sum_sq.contains(n * amp * amp))
+      }
+    }
+  }
 }

@@ -60,4 +60,30 @@ class ScaleCurveSpec extends SparkSpec {
       .groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
     assert(sg == bg.map { case (k, v) => k -> 2 * v })
   }
+
+  test("selectQueries picks the bench record's heaviest, skips exclusions and unknown names") {
+    val tmp = java.nio.file.Files.createTempFile("graft-scale-bench", ".json")
+    // s10 is heaviest but excluded (never scans sfDir); gone_query is
+    // heavy but no longer in the registry; the rest rank by seconds
+    // with a name tie-break. Real registry names keep the filter honest.
+    java.nio.file.Files.writeString(tmp,
+      """{"metric":"bench","value":9.9,"sf":"sf0.1","queries":{
+        |"s10_streaming_landing":9.0,"gone_query":8.0,
+        |"stat13_mad_outliers":6.0,"stat11_trimmed_mean":2.7,
+        |"ml15_conformal":2.4,"failed_one":-1.0}}""".stripMargin)
+    val got = ScaleCurve.selectQueries(spark, tmp.toString, topN = 2)
+    assert(got.contains(Seq("stat13_mad_outliers", "stat11_trimmed_mean")),
+      s"got $got")
+    // absent record → None (caller falls back to the frozen list)
+    assert(ScaleCurve.selectQueries(spark, "/nonexistent/bench.json").isEmpty)
+    java.nio.file.Files.deleteIfExists(tmp)
+    // the committed record, when present, must yield a full top-10 of
+    // registry queries — the 'provably includes the current top-10'
+    // contract the curve's JSON claims
+    if (new java.io.File("bench/bench.json").isFile) {
+      val live = ScaleCurve.selectQueries(spark, "bench/bench.json")
+      assert(live.exists(qs => qs.size == 10 &&
+        qs.forall(SparkEntry.queries.contains)), s"live selection: $live")
+    }
+  }
 }

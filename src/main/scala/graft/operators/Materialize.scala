@@ -94,6 +94,18 @@ object Materialize {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame, Pin]())
 
+  /** True when `df` IS a frame this object pinned (both modes) — the
+    * exact key identity the release path uses. Multi-pass operators
+    * (the [[Rank]] family) consult it to skip their own internal pin
+    * when the caller already pinned the input: re-materializing a
+    * pinned frame copies every block for zero benefit (measured on
+    * stat13: two redundant ~600k-row checkpoint copies per call chain).
+    * Under `off` nothing is ever pinned and this is always false, so
+    * the operator's own Materialize call (itself a no-op under `off`)
+    * still runs — behavior is identical across modes.
+    */
+  def isPinned(df: DataFrame): Boolean = pinned.containsKey(df)
+
   /** Release a materialization that is SAFE to re-evaluate afterwards:
     * frees the pin when lineage was kept (`persist` mode — a late
     * consumer recomputes from source) and is a deliberate no-op when the

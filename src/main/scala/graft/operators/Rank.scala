@@ -54,8 +54,10 @@ object Rank {
     // boundary sample, bucket-count collect, final ranked pass), so pin
     // it once — otherwise the caller's upstream lineage re-executes
     // three times. Governed by graft.materialize.mode like every other
-    // multi-consumer point; a one-shot use, safe under `off`.
-    val base = Materialize(df)
+    // multi-consumer point; a one-shot use, safe under `off`. A frame
+    // the CALLER already pinned is reused as-is — re-materializing it
+    // would copy every block for nothing (Materialize.isPinned).
+    val base = if (Materialize.isPinned(df)) df else Materialize(df)
     // A null order value must surface as a null bucket for the fail-fast
     // below. rangeGroup degenerates to a constant bucket when parts <= 1
     // or the boundary sample is empty (e.g. ALL order values null) — the
@@ -118,8 +120,9 @@ object Rank {
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
-    // Same multi-pass shape as globalRank — pin the input once.
-    val base = Materialize(df)
+    // Same multi-pass shape as globalRank — pin the input once,
+    // reusing a caller pin (see globalRank).
+    val base = if (Materialize.isPinned(df)) df else Materialize(df)
     val grouped = base.withColumn("__g",
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val keyCols = seriesCols :+ "__g"
@@ -230,8 +233,9 @@ object Rank {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
     // Multi-pass over the input (boundary sample, fused stats collect,
-    // final windowed pass) — pin once, like the siblings.
-    val base = Materialize(df)
+    // final windowed pass) — pin once, like the siblings, reusing a
+    // caller pin (see globalRank).
+    val base = if (Materialize.isPinned(df)) df else Materialize(df)
     val grouped = base.withColumn("__g",
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val stats = grouped.groupBy("__g").agg(
@@ -302,8 +306,9 @@ object Rank {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
     // Multi-pass over the input (boundary sample, bucket stats, final
-    // windowed pass) — pin once, like the siblings.
-    val base = Materialize(df)
+    // windowed pass) — pin once, like the siblings, reusing a caller
+    // pin (see globalRank).
+    val base = if (Materialize.isPinned(df)) df else Materialize(df)
     val grouped = base.withColumn("__g",
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val stats = grouped.groupBy("__g").agg(

@@ -185,11 +185,22 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
     import BenchKit.jn
 
-    val (names, selection) = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+    val (picked, selBase) = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(q => (q.split(",").toSeq, "env:SPARK_GRAFT_SCALE_QUERIES"))
       .orElse(selectQueries(spark, benchPath)
         .map(q => (q, s"top-10 of $benchPath")))
       .getOrElse((defaultQueries, "fallback: frozen r14 default list"))
+    // SPARK_GRAFT_SCALE_EXTRA appends named queries BEYOND the dynamic
+    // top-10 (e.g. newly-landed operators not yet heavy enough to rank
+    // but whose scale story should be measured at birth) — recorded in
+    // the selection string so the JSON stays honest about what was
+    // ranked vs added
+    val extras = sys.env.get("SPARK_GRAFT_SCALE_EXTRA")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .filterNot(picked.contains)
+    val names = picked ++ extras
+    val selection = selBase +
+      (if (extras.isEmpty) "" else s" + extras: ${extras.mkString(",")}")
     System.err.println(s"scale: query selection = $selection: " +
       names.mkString(", "))
 

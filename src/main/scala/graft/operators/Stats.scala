@@ -136,6 +136,79 @@ object Stats {
     * failure mode; consumers gate on `mad > 0` if that is not wanted.
     * Null values fail fast naming the column.
     */
+  /** Per-group Wilcoxon signed-rank statistic, EXACT: the PAIRED
+    * counterpart to stat6's Mann–Whitney (Wilcoxon 1945 — "Individual
+    * comparisons by ranking methods", the same paper), for "did the
+    * metric move within matched pairs" questions (same order's first vs
+    * second line item, same user's before/after, A/B on matched
+    * twins). Nonzero differences are ranked by |d| ascending with
+    * AVERAGE ranks at ties; W⁺ = Σ ranks of positive differences.
+    * Average ranks are half-integers, so everything is emitted ×2 and
+    * stays in integer arithmetic end-to-end: a tied |d| group occupying
+    * positions [lo, hi] has avg-rank×2 = lo + hi = 2·cum − c + 1 (cum =
+    * inclusive running count, c = group size) — engine- and
+    * partitioning-exact, bit-identical on any engine.
+    *
+    * Output per group: `n_pairs` (nonzero differences), `n_zero`
+    * (zero differences — DROPPED from the ranking, Wilcoxon's
+    * procedure, but counted so the drop is visible, never silent),
+    * `w_plus_x2`, `w_minus_x2` (invariant: w_plus_x2 + w_minus_x2 =
+    * n·(n+1) — spec-pinned), and `tie_term` = Σ(t³ − t) over tied |d|
+    * groups — the exact integer the normal-approximation variance
+    * correction needs (Var = [n(n+1)(2n+1) − tie_term/2] / 24);
+    * emitting the raw term keeps the operator integer-exact and leaves
+    * the float approximation to the consumer.
+    *
+    * Scale shape (the stat6/stat11 discipline): ONE partial-aggregated
+    * pass melts the pairs to the O(distinct (group, |d|)) count table
+    * (zero diffs ride the same table at |d| = 0 — they sort FIRST, so
+    * the nonzero rank is just cum − z, folded in by per-group algebra:
+    * Σp·(2cum − c + 1) − 2z·Σp, no second corpus scan, no join);
+    * per-group running counts ride ONE multi-series
+    * [[Rank.globalRunningSum]]; the rest is one ordinary aggregate.
+    * No per-group sort anywhere. Null differences fail fast naming the
+    * column.
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String,
+      diffCol: String): DataFrame = {
+    val d = when(col(diffCol).isNull, raise_error(lit(
+        s"wilcoxonSignedRank: null difference in '$diffCol' — filter or " +
+          "impute first; a null pair has no rank")))
+      .otherwise(col(diffCol).cast("long"))
+    val rows = df.select(col(groupCol).as("__grp"), d.as("__d"))
+    val cnt = rows.groupBy(col("__grp"), abs(col("__d")).as("__a"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__p"))
+    val rm = Rank.globalRunningSum(cnt, "__a", "__c", outCol = "__cum",
+      seriesCols = Seq("__grp"))
+    // per-group algebra instead of a z-join: for a > 0 rows the rank
+    // base 2·cum − c + 1 counts the zero block too, and every nonzero
+    // rank shifts down by exactly z — so subtract 2·z·(Σ signs) once
+    // after aggregating
+    rm.groupBy("__grp").agg(
+        sum(when(col("__a") > 0L, col("__c"))).as("__n"),
+        max(when(col("__a") === 0L, col("__c"))).as("__z"),
+        sum(when(col("__a") > 0L,
+          col("__p") * (lit(2L) * col("__cum") - col("__c") + 1L))).as("__sp"),
+        sum(when(col("__a") > 0L, col("__p"))).as("__pp"),
+        sum(when(col("__a") > 0L, (col("__c") - col("__p")) *
+          (lit(2L) * col("__cum") - col("__c") + 1L))).as("__sm"),
+        sum(when(col("__a") > 0L, col("__c") - col("__p"))).as("__qq"),
+        sum(when(col("__a") > 0L && col("__c") > 1L,
+          col("__c") * col("__c") * col("__c") - col("__c"))
+          .otherwise(0L)).as("__tie"))
+      .select(col("__grp").as(groupCol),
+        coalesce(col("__n"), lit(0L)).as("n_pairs"),
+        coalesce(col("__z"), lit(0L)).as("n_zero"),
+        (coalesce(col("__sp"), lit(0L)) -
+          lit(2L) * coalesce(col("__z"), lit(0L)) *
+            coalesce(col("__pp"), lit(0L))).as("w_plus_x2"),
+        (coalesce(col("__sm"), lit(0L)) -
+          lit(2L) * coalesce(col("__z"), lit(0L)) *
+            coalesce(col("__qq"), lit(0L))).as("w_minus_x2"),
+        coalesce(col("__tie"), lit(0L)).as("tie_term"))
+  }
+
   def madSummary(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"madSummary: k must be >= 1, got $k")

@@ -1184,6 +1184,57 @@ object ExtendedQueries {
              |LEFT JOIN o ON tot.g = o.g
              |ORDER BY tot.g""".stripMargin.replace("\n", " "))),
 
+    // Wilcoxon signed-rank per flag — the PAIRED counterpart to stat6's
+    // Mann-Whitney (same 1945 paper): pairs = each order's first vs
+    // second line item, difference in price cents, grouped by the first
+    // line's return flag. Average ranks at ties ride the ×2 integer
+    // trick (avg-rank×2 of a tied block = 2·cum − c + 1), zero diffs
+    // are dropped per Wilcoxon's procedure but COUNTED (n_zero), and
+    // tie_term = Σ(t³−t) is emitted raw for the consumer's variance
+    // correction — every column exact integer, engine-exact. One melt
+    // to the O(distinct (flag, |d|)) count table (zeros ride the same
+    // table at |d| = 0, folded out by per-group algebra — no second
+    // corpus scan), ONE multi-series running count, one aggregate.
+    QueryDef("stat14_wilcoxon_signed",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val a = li.filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), col("l_returnflag").as("g"),
+            col("cents").as("ca"))
+        val b = li.filter(col("l_linenumber") === 2)
+          .select(col("l_orderkey"), col("cents").as("cb"))
+        val pairs = a.join(b, "l_orderkey")
+          .select(col("g"), (col("ca") - col("cb")).as("d"))
+        graft.operators.Stats.wilcoxonSignedRank(pairs, "g", "d")
+          .orderBy("g")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem),
+             |pairs AS (SELECT a.l_returnflag AS g, a.cents - b.cents AS d
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_linenumber = 1 AND b.l_linenumber = 2),
+             |cnt AS (SELECT g, abs(d) AS ad, count(*) AS c,
+             |  sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS p
+             |  FROM pairs WHERE d <> 0 GROUP BY g, abs(d)),
+             |rm AS (SELECT g, ad, c, p, sum(c) OVER (PARTITION BY g ORDER BY ad
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cnt),
+             |agg AS (SELECT g, sum(c) AS n_pairs,
+             |  sum(p * (2*cum - c + 1)) AS w_plus_x2,
+             |  sum((c - p) * (2*cum - c + 1)) AS w_minus_x2,
+             |  sum(CASE WHEN c > 1 THEN c*c*c - c ELSE 0 END) AS tie_term
+             |  FROM rm GROUP BY g),
+             |z AS (SELECT g, count(*) AS n_zero FROM pairs WHERE d = 0 GROUP BY g),
+             |gs AS (SELECT DISTINCT g FROM pairs)
+             |SELECT gs.g AS g, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+             |  CAST(COALESCE(n_zero, 0) AS BIGINT) AS n_zero,
+             |  CAST(COALESCE(w_plus_x2, 0) AS BIGINT) AS w_plus_x2,
+             |  CAST(COALESCE(w_minus_x2, 0) AS BIGINT) AS w_minus_x2,
+             |  CAST(COALESCE(tie_term, 0) AS BIGINT) AS tie_term
+             |FROM gs LEFT JOIN agg ON gs.g = agg.g LEFT JOIN z ON gs.g = z.g
+             |ORDER BY g""".stripMargin.replace("\n", " "))),
+
     // Wald SPRT replay per arm (the sequential face of the exp family):
     // H1 p=0.55 vs H0 p=0.45 on "order value >= $50", walked in
     // event_id order; the observed ~0.37 success rate drives both arms

@@ -60,6 +60,66 @@ class StatsSpec extends SparkSpec {
     graft.operators.Materialize.sweep()
   }
 
+  test("wilcoxonSignedRank: hand-computed W+/W- with ties and zeros, invariants, partitioning invariance") {
+    // group x: diffs {0, 0, +1, -1, +2} — zeros dropped but counted;
+    // |d| ranks among nonzero: {1,1} tied at positions [1,2] (avg 1.5,
+    // x2 = 3), {2} at position 3 (x2 = 6). W+x2 = 3 + 6 = 9 (the +1 and
+    // +2), W-x2 = 3; tie_term = 2^3 - 2 = 6.
+    // group y: diffs {+5, +5, -5} — one tied block [1,3] (avg 2, x2 =
+    // 4): W+x2 = 2*4 = 8, W-x2 = 4, tie_term = 3^3 - 3 = 24.
+    // group w: all zero — n_pairs 0, everything else 0 except n_zero.
+    val df = (Seq(0L, 0L, 1L, -1L, 2L).map(("x", _)) ++
+      Seq(5L, 5L, -5L).map(("y", _)) ++ Seq(("w", 0L))).toDF("g", "d")
+    val got = Stats.wilcoxonSignedRank(df, "g", "d")
+      .orderBy("g").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("w", 0L, 1L, 0L, 0L, 0L),
+      ("x", 3L, 2L, 9L, 3L, 6L), ("y", 3L, 0L, 8L, 4L, 24L)), s"$got")
+    graft.operators.Materialize.sweep()
+    val got2 = Stats.wilcoxonSignedRank(df.repartition(7), "g", "d")
+      .orderBy("g").as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == got, "partitioning must not move the statistic")
+    graft.operators.Materialize.sweep()
+    // null difference fails fast
+    val nul = Seq(("a", Option(1L)), ("a", Option.empty[Long])).toDF("g", "d")
+    val e = intercept[Exception](
+      Stats.wilcoxonSignedRank(nul, "g", "d").collect())
+    assert(e.getMessage.contains("null difference"))
+    graft.operators.Materialize.sweep()
+  }
+
+  test("wilcoxonSignedRank matches a driver-side reference on random tied data; W+ + W- = n(n+1)") {
+    // small value domain forces heavy ties AND zero diffs — the two
+    // paths the x2 algebra has to get right
+    val rnd = new scala.util.Random(42)
+    val data = Seq.tabulate(300)(i =>
+      (s"g${i % 3}", (rnd.nextInt(9) - 4).toLong))
+    def ref(ds: Seq[Long]): (Long, Long, Long, Long, Long) = {
+      val nz = ds.filter(_ != 0L)
+      val sorted = nz.map(math.abs).sorted
+      // avg-rank x2 per distinct |d|: positions are 1-based
+      val rank2 = sorted.zipWithIndex.groupBy(_._1).map { case (a, ps) =>
+        a -> (ps.map(_._2 + 1).min + ps.map(_._2 + 1).max).toLong
+      }
+      val wp = nz.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+      val wm = nz.filter(_ < 0).map(d => rank2(math.abs(d))).sum
+      val tie = sorted.groupBy(identity).values
+        .collect { case g if g.size > 1 =>
+          g.size.toLong * g.size * g.size - g.size }.sum
+      (nz.size.toLong, ds.count(_ == 0L).toLong, wp, wm, tie)
+    }
+    val got = Stats.wilcoxonSignedRank(data.toDF("g", "d"), "g", "d")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val want = data.groupBy(_._1).map { case (g, rs) => g -> ref(rs.map(_._2)) }
+    assert(got == want, s"got $got\nwant $want")
+    // the closed-form invariant: ranks of the n nonzero diffs sum to
+    // n(n+1)/2, so the x2 statistics sum to exactly n(n+1)
+    got.values.foreach { case (n, _, wp, wm, _) =>
+      assert(wp + wm == n * (n + 1), s"W+x2 $wp + W-x2 $wm != n(n+1)")
+    }
+    graft.operators.Materialize.sweep()
+  }
+
   test("ksTwoSample fail-fasts: bad side code, null value, empty cohort") {
     val bad = Seq((2L, 1L), (0L, 2L)).toDF("side", "v")
     val e1 = intercept[Exception](

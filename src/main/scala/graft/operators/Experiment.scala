@@ -260,4 +260,56 @@ object Experiment {
           .otherwise("accept_h0").as("decision"),
         col("at_order"), col("llr_x1e9"))
   }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995,
+    * "Controlling the false discovery rate") over a battery of tests —
+    * the multiple-testing correction a drift-alarm pipeline needs when
+    * it runs thousands of per-metric/per-segment tests every hour and
+    * a per-test α would fire hundreds of false alarms by construction.
+    *
+    * Input: one row per test with a p-value QUANTIZED ×10⁹ (`pCol`,
+    * long in [0, 10⁹] — the same quantization the sprt constants use,
+    * so the decision below is pure integer arithmetic and engine-
+    * exact). The step-up rule: rank tests by p ascending, find the
+    * LARGEST k with p₍ₖ₎ ≤ k·q/m, and reject every test with
+    * p ≤ p₍ₖ₎. Both comparisons clear their denominators —
+    * p·m ≤ k·q_x1e9, all longs (p ≤ 10⁹, so overflow needs m > 9·10⁹
+    * tests; require()d) — and rejection is by the THRESHOLD p-value,
+    * not by rank, so tied p-values share their fate whatever order the
+    * ranking gave them.
+    *
+    * Scale shape: one [[Rank.globalRank]] over the battery (two-pass
+    * distributed prefix-sum, no single-reducer sort), the ranked table
+    * pinned once for its two consumers; the threshold is a one-row
+    * aggregate broadcast back. The only driver-side values are the
+    * test count and the threshold — two longs at any battery size.
+    *
+    * Output: (id, p_x1e9, p_rank, rejected) for EVERY test — the
+    * accepted rows are the evidence of what the correction suppressed.
+    * Null or out-of-domain p-values fail fast naming the column.
+    */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      qX1e9: Long = 50000000L): DataFrame = {
+    require(qX1e9 > 0L && qX1e9 <= 1000000000L,
+      s"bhFdr: q must be in (0, 1e9] x1e9 units, got $qX1e9")
+    val p = when(col(pCol).isNull ||
+        col(pCol) < 0L || col(pCol) > 1000000000L,
+      raise_error(concat(lit(s"bhFdr: p-value column '$pCol' must be a " +
+        "x1e9 long in [0, 1e9], got "),
+        coalesce(col(pCol).cast("string"), lit("NULL")))))
+      .otherwise(col(pCol).cast("long"))
+    val base = df.select(col(idCol).as("__id"), p.as("__p"))
+    val ranked = Materialize(
+      Rank.globalRank(base, "__p", Seq("__id"), outCol = "__r"))
+    val m = ranked.count()
+    require(m <= 9000000000L,
+      s"bhFdr: $m tests would overflow the cleared-denominator compare")
+    val thr = ranked
+      .filter(col("__p") * lit(m) <= col("__r") * lit(qX1e9))
+      .agg(max(col("__p")).as("__t"))
+    ranked.crossJoin(broadcast(thr))
+      .select(col("__id").as(idCol), col("__p").as("p_x1e9"),
+        col("__r").as("p_rank"),
+        (col("__t").isNotNull && col("__p") <= col("__t")).as("rejected"))
+  }
 }

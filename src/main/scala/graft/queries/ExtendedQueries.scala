@@ -1274,6 +1274,44 @@ object ExtendedQueries {
            |  xx.at_order, xx.llr_x1e9
            |FROM n LEFT JOIN xx ON n.arm = xx.arm
            |ORDER BY n.arm""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    // Benjamini–Hochberg FDR over a 256-test battery — the correction
+    // layer above the drift family: per user-bucket p-values (quantized
+    // ×10⁹; derived here from the bucket's cents sum by integer mod, so
+    // both engines build the identical battery) with a planted signal —
+    // buckets ≡ 0 (mod 16) get p < 0.0008 while every null bucket gets
+    // p ≥ 0.1, so step-up at q = 0.05 provably rejects exactly the
+    // planted 16 whatever the sums land on. The decision is pure
+    // integer (p·m ≤ k·q_x1e9, cleared denominators), rejection is by
+    // the threshold p (tie-safe), and the whole output — rank,
+    // threshold decision, every accepted row — is SQL-replayed
+    // verbatim.
+    QueryDef("exp5_bh_fdr",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy(pmod(col("user_id"), lit(256)).cast("long").as("tid"))
+          .agg(sum((dec(col("value")) * 100).cast("long")).as("s"))
+          .select(col("tid"),
+            when(col("tid") % 16 === 0L, pmod(col("s"), lit(800000L)))
+              .otherwise(lit(100000000L) + pmod(col("s"), lit(800000000L)))
+              .as("p"))
+        graft.operators.Experiment.bhFdr(b, "tid", "p", qX1e9 = 50000000L)
+          .orderBy("tid")
+      },
+      Some("""WITH b AS (SELECT user_id % 256 AS tid,
+             |  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY user_id % 256),
+             |p AS (SELECT tid, CAST(CASE WHEN tid % 16 = 0
+             |  THEN ((s % 800000) + 800000) % 800000
+             |  ELSE 100000000 + ((s % 800000000) + 800000000) % 800000000 END AS BIGINT) AS p FROM b),
+             |r AS (SELECT tid, p, row_number() OVER (ORDER BY p, tid) AS rk,
+             |  count(*) OVER () AS m FROM p),
+             |thr AS (SELECT max(p) AS t FROM r WHERE p * m <= rk * 50000000)
+             |SELECT tid, p AS p_x1e9, rk AS p_rank,
+             |  (t IS NOT NULL AND p <= t) AS rejected
+             |FROM r, thr ORDER BY tid""".stripMargin.replace("\n", " ")))
   )
 }

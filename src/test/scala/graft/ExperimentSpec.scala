@@ -178,4 +178,49 @@ class ExperimentSpec extends SparkSpec {
       Experiment.sprt(nulBig, "arm", "ord", col("big"), 0.25, 0.75).collect())
     assert(e3.getMessage.contains("null success"))
   }
+
+  test("bhFdr: hand-computed step-up boundary, tie-safe rejection, no-rejection case") {
+    // m = 4, q = 0.25: sorted p x1e9 [1e7, 6e7, 2e8, 9e8] vs k·q/m =
+    // k·6.25e7 — k=1 ok, k=2 ok, k=3 fails (2e8 > 1.875e8), k=4 fails
+    // → k* = 2, threshold 6e7, exactly the two smallest rejected
+    val df = Seq((10L, 200000000L), (11L, 10000000L),
+      (12L, 900000000L), (13L, 60000000L)).toDF("id", "p")
+    val got = Experiment.bhFdr(df, "id", "p", qX1e9 = 250000000L)
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((10L, 200000000L, 3L, false), (11L, 10000000L, 1L, true),
+      (12L, 900000000L, 4L, false), (13L, 60000000L, 2L, true)), s"$got")
+    graft.operators.Materialize.sweep()
+    // STEP-UP means a failing small k cannot veto: p = [5e7, 5e7, 5e7,
+    // 9e8] at q = 0.1 — k=1 fails (2.5e7 < 5e7) but k=3 holds (7.5e7 ≥
+    // 5e7) → all three tied values rejected TOGETHER (threshold
+    // rejection, not rank rejection)
+    val tied = Seq((1L, 50000000L), (2L, 50000000L), (3L, 50000000L),
+      (4L, 900000000L)).toDF("id", "p")
+    val got2 = Experiment.bhFdr(tied, "id", "p", qX1e9 = 100000000L)
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got2.map(_._4) == Seq(true, true, true, false), s"$got2")
+    graft.operators.Materialize.sweep()
+    // nothing satisfies the bound → zero rejections, every row present
+    val none = Seq((1L, 800000000L), (2L, 900000000L)).toDF("id", "p")
+    val got3 = Experiment.bhFdr(none, "id", "p", qX1e9 = 50000000L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got3.length == 2 && got3.forall(!_._4))
+    graft.operators.Materialize.sweep()
+    // partitioning invariance — the rank path is the distributed
+    // prefix-sum, not a single sort
+    val rnd = new scala.util.Random(7)
+    val big = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(1000000000).toLong))
+    val a = Experiment.bhFdr(big.toDF("id", "p"), "id", "p")
+      .orderBy("id").collect().toSeq
+    graft.operators.Materialize.sweep()
+    val b = Experiment.bhFdr(big.toDF("id", "p").repartition(13), "id", "p")
+      .orderBy("id").collect().toSeq
+    assert(a == b, "partitioning must not move the decision")
+    graft.operators.Materialize.sweep()
+    // out-of-domain p fails fast
+    val bad = Seq((1L, 2000000000L)).toDF("id", "p")
+    val e = intercept[Exception](Experiment.bhFdr(bad, "id", "p").collect())
+    assert(e.getMessage.contains("x1e9 long in [0, 1e9]"))
+    graft.operators.Materialize.sweep()
+  }
 }

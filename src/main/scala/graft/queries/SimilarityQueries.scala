@@ -67,21 +67,29 @@ object SimilarityQueries {
   }
 
   /** Planted well-separated cluster geometry over the embeddings ids —
-    * the corpus v2/v4 run on so their IVF oracles are VALUE-CARRYING:
-    * member i = e_c + δ_i·e_{(c+1)%8}, c = i % 8,
-    * δ_i = (1 + (i DIV 8) % 250)/1024. Every coordinate is a dyadic
-    * rational (k/2¹⁰), exact in float and double, so DuckDB can rebuild
-    * the identical vectors from vec_id alone and replay cosines
-    * bit-exactly. See v2's QueryDef for the separation argument.
+    * the corpus v2/v4 (and, at `deltas = 14`, pq1/pq2) run on so their
+    * ANN oracles are VALUE-CARRYING: member i = e_c + δ_i·e_{(c+1)%8},
+    * c = i % 8, δ_i = (1 + (i DIV 8) % deltas)/1024. Every coordinate
+    * is a dyadic rational (k/2¹⁰), exact in float and double, so DuckDB
+    * can rebuild the identical vectors from vec_id alone and replay
+    * cosines / squared-L2 distances bit-exactly. `deltas = 14` bounds
+    * every coordinate to 16 distinct values (0, 1, and 14 δs) — the
+    * PQ-codebook-saturating variant pq1/pq2 rely on. See v2's and pq1's
+    * QueryDefs for the separation arguments.
     */
   def plantedClusters(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String, deltas: Int = 250): org.apache.spark.sql.DataFrame =
+    // 1024.0D, not 1024.0: a bare decimal literal makes Spark do
+    // DECIMAL division (scale-limited — 3/1024 came out 0.00293, not
+    // 0.0029296875) and every "exact dyadic" claim above would be
+    // silently false; the D suffix forces true double division, which
+    // is exact for k/2^10 (caught by PqSpec's codebook-saturation test)
     t(s, dir, "embeddings").select(col("vec_id"),
-      expr("""transform(sequence(0, 7), j -> CAST(
-        CASE WHEN j = vec_id % 8 THEN 1.0
+      expr(s"""transform(sequence(0, 7), j -> CAST(
+        CASE WHEN j = vec_id % 8 THEN 1.0D
              WHEN j = (vec_id % 8 + 1) % 8
-               THEN (1 + (vec_id DIV 8) % 250) / 1024.0
-             ELSE 0.0 END AS FLOAT))""").as("embedding"))
+               THEN CAST(1 + (vec_id DIV 8) % $deltas AS DOUBLE) / 1024.0D
+             ELSE 0.0D END AS FLOAT))""").as("embedding"))
 
   /** The exact top-10 over [[plantedClusters]] in closed form: the same
     * (c, δ) reconstruction, the cosine as the same sequence of exact
@@ -103,6 +111,35 @@ object SimilarityQueries {
       |r AS (SELECT query_id, neighbor_id, cos,
       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
+  /** The exact ADC top-10 over `plantedClusters(deltas = 14)` in closed
+    * form — shared by pq1 and pq2, both of which provably return it:
+    * with exactly 16 distinct values per coordinate and the training
+    * sample covering the whole corpus (sampleN = 2048 ≥ corpus at both
+    * SFs), each per-coordinate codebook saturates to exactly those 16
+    * values (Lloyd's fixed point: every point IS a codeword, cells are
+    * zero-variance, the mean of n copies of v is bit-exactly v), so
+    * quantization error is ZERO and the asymmetric distance equals the
+    * true squared L2 — every term a dyadic rational both engines
+    * compute identically; in-cluster distances are ≤ (13/1024)² while
+    * any cross-cluster distance is ≥ 1, so the top-10 is all
+    * in-cluster and the 6-decimal round can never sit on a rounding
+    * boundary (it would need a numerator divisible by 2¹³·5⁶ ≫ 169).
+    */
+  private val duckPlantedAdcTop10: String =
+    """WITH v AS (SELECT vec_id, vec_id % 8 AS c,
+      |  CAST(1 + (vec_id // 8) % 14 AS DOUBLE)/1024.0 AS d FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, c AS qc, d AS qd FROM v WHERE vec_id < 5),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |  CASE WHEN qc = c THEN (qd-d)*(qd-d)
+      |       WHEN c = (qc+1)%8 THEN 1.0 + (qd-1.0)*(qd-1.0) + d*d
+      |       WHEN qc = (c+1)%8 THEN 1.0 + (1.0-d)*(1.0-d) + qd*qd
+      |       ELSE 2.0 + qd*qd + d*d END AS adc
+      |  FROM q, v WHERE query_id <> vec_id),
+      |r AS (SELECT query_id, neighbor_id, adc,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM s)
+      |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist FROM r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
   val all: Seq[QueryDef] = Seq(
@@ -332,68 +369,56 @@ object SimilarityQueries {
     // Product-quantization ANN (Jégou et al. 2011): embeddings compress
     // 32× into per-subspace codes, queries score by asymmetric distance
     // (m table lookups per row instead of d multiplies).
-    // PROPERTY-BOUND ORACLE (planted duplicate): the quantized distances
-    // are model-internal, but encode picks the per-block L2-argmin
-    // codeword, so an EXACT copy of a query vector gets the query's own
-    // codes and its ADC distance is Σ_b min_c ||q_b − c||² — the query's
-    // quantization error, which lower-bounds EVERY corpus row's ADC
-    // distance. Plant a copy of each query at vec_id + 100000 and state,
-    // per query, that the copy appears in the top-k AT the minimum
-    // distance (== tolerates exact code-collision ties, which would
-    // produce the identical ADC value — monotone round-6 keeps the
-    // equality exact). A copy evicted or beaten flips found to false.
-    // Natural-recall behavior stays pinned by PqSpec (ADC identity,
+    // VALUE-CARRYING ORACLE via the codebook-saturating planted lattice
+    // (round-15 upgrade from the planted-duplicate postcondition): on
+    // plantedClusters(deltas = 14) every coordinate takes exactly 16
+    // distinct dyadic values and the deterministic training sample
+    // covers the whole corpus, so each per-coordinate codebook is
+    // provably exactly those 16 values (Lloyd's fixed point — every
+    // point IS a codeword), quantization error is ZERO, and ADC equals
+    // the TRUE squared L2, which DuckDB recomputes in closed form from
+    // vec_id alone; the cluster separation (in-cluster ≤ (13/1024)²,
+    // cross-cluster ≥ 1) pins the top-10 in-cluster, ranked by exact
+    // distance with id tie-break on both sides. The full
+    // (query, rank, neighbor, adc) relation is the check — not a flag.
+    // Natural-corpus behavior stays pinned by PqSpec (ADC identity,
     // planted-cluster retrieval, determinism).
     QueryDef("pq1_adc_topk",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 5)
-        val corpus = e.select("vec_id", "embedding").unionByName(
-          q.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        val model = graft.operators.Pq.train(corpus, m = 8, k = 16)
+        val e = plantedClusters(s, dir, deltas = 14)
+        val model = graft.operators.Pq.train(e, m = 8, k = 16)
         graft.operators.Pq.query(
-          graft.operators.Pq.encode(corpus, model), q, model, topK = 10)
-          .groupBy("query_id")
-          .agg(min(col("adc_dist")).as("min_d"),
-            max(when(col("neighbor_id") === col("query_id") + 100000,
-              col("adc_dist"))).as("copy_d"))
-          .select(col("query_id"),
-            (col("copy_d").isNotNull && col("copy_d") === col("min_d")).as("found"))
-          .orderBy("query_id")
+          graft.operators.Pq.encode(e, model),
+          e.filter(col("vec_id") < 5), model, topK = 10)
+          .orderBy("query_id", "rank")
       },
-      Some("""SELECT vec_id AS query_id, TRUE AS found FROM embeddings
-             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
+      Some(duckPlantedAdcTop10)),
 
     // IVFPQ — the FAISS layout: coarse IVF routing composed with
     // PQ-compressed ADC scoring; the serving relation carries only
     // (id, cell, codes), ~(16+m) B/row at 10¹⁰ vectors, cell-prunable.
-    // PROPERTY-BOUND ORACLE extending pq1's planted duplicate: a copy of
-    // a query vector (a) lands in the query's own rank-1 routing cell —
-    // cell assignment and query routing share the cosine/tie rule — so
-    // it is scored at ANY nprobe ≥ 1, and (b) carries the query's codes,
-    // so its ADC distance is the global minimum (pq1's argument). Found
-    // = copy in the top-k at the minimum distance; a routing/assignment
-    // rule divergence or an ADC miscount flips it. Full-probe == plain
-    // PQ equivalence stays pinned by PqSpec.
+    // VALUE-CARRYING ORACLE — pq1's saturated-codebook lattice composed
+    // with v2's routing geometry: the same deltas=14 corpus makes ADC
+    // the true squared L2 (pq1's argument), and the one-hot cluster
+    // separation sends every member to an own-cluster cell and puts the
+    // query's 2 own-cluster cells atop the probe ranking (v2's
+    // argument, stronger here: δ ≤ 14/1024), so nprobe = 4 scores the
+    // whole cluster, where the exact global top-10 lives — IVFPQ
+    // provably returns the identical relation as plain PQ, and the
+    // oracle is the same closed-form top-10. A routing/assignment rule
+    // divergence surfaces as a missing neighbor, an ADC miscount as a
+    // wrong distance. Full-probe == plain PQ equivalence stays pinned
+    // by PqSpec.
     QueryDef("pq2_ivfpq",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 5)
-        val corpus = e.select("vec_id", "embedding").unionByName(
-          q.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        val model = graft.operators.Pq.train(corpus, m = 8, k = 16)
-        val index = Similarity.ivfIndex(corpus, numCentroids = 16)
-        graft.operators.Pq.ivfPqQuery(index, model, q, topK = 10, nprobe = 4)
-          .groupBy("query_id")
-          .agg(min(col("adc_dist")).as("min_d"),
-            max(when(col("neighbor_id") === col("query_id") + 100000,
-              col("adc_dist"))).as("copy_d"))
-          .select(col("query_id"),
-            (col("copy_d").isNotNull && col("copy_d") === col("min_d")).as("found"))
-          .orderBy("query_id")
+        val e = plantedClusters(s, dir, deltas = 14)
+        val model = graft.operators.Pq.train(e, m = 8, k = 16)
+        val index = Similarity.ivfIndex(e, numCentroids = 16)
+        graft.operators.Pq.ivfPqQuery(index, model,
+          e.filter(col("vec_id") < 5), topK = 10, nprobe = 4)
+          .orderBy("query_id", "rank")
       },
-      Some("""SELECT vec_id AS query_id, TRUE AS found FROM embeddings
-             |WHERE vec_id < 5 ORDER BY query_id""".stripMargin.replace("\n", " "))),
+      Some(duckPlantedAdcTop10)),
 
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic

@@ -120,4 +120,38 @@ class PqSpec extends SparkSpec {
       assert(Pq.query(enc, df.limit(8), model, topK = 1).count() == 8)
     } finally spark.conf.unset("graft.pq.maxQueryBatch")
   }
+
+  test("codebook saturation: 16 distinct values per coordinate train to ZERO quantization error") {
+    // the pq1/pq2 value-carrying-oracle claim: when each per-block
+    // domain has exactly k distinct values and the sample covers the
+    // corpus, Lloyd's fixed point is the domain itself — every point
+    // is a codeword, ADC is the TRUE squared L2
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.SimilarityQueries
+      .plantedClusters(spark, "/root/testdata/sf0.001", deltas = 14)
+    val model = Pq.train(e, m = 8, k = 16)
+    // every codebook is exactly the 16 planted values {0, 1, k/1024}
+    val want = (Set(0.0, 1.0) ++ (1 to 14).map(_ / 1024.0)).map(v => Seq(v))
+    for (b <- 0 until 8)
+      assert(model.codebooks(b).map(_.toSeq).toSet == want,
+        s"block $b codebook did not saturate to the planted domain")
+    // therefore encode-decode is the identity: reconstruction == input
+    val enc = Pq.encode(e, model)
+    val rows = enc.select(col("vec_id"), col("embedding"), col("codes"))
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble)
+      val rec = Pq.reconstruct(model, r.getSeq[Int](2))
+      assert(rec.toSeq == emb.toSeq, s"vec ${r.getLong(0)} not exact")
+    }
+    // and IVFPQ on the same lattice returns the identical relation as
+    // plain PQ (the pq2 == pq1 oracle-sharing claim)
+    val q = e.filter(col("vec_id") < 5)
+    val plain = Pq.query(enc, q, model, topK = 10)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val ivfpq = Pq.ivfPqQuery(graft.operators.Similarity.ivfIndex(e, 16),
+        model, q, topK = 10, nprobe = 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(ivfpq == plain, "IVFPQ diverged from plain PQ on the lattice")
+  }
 }

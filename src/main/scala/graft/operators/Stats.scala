@@ -92,6 +92,81 @@ object Stats {
         (-col("__m.__negv")).as("at_value"))
   }
 
+  /** Kendall rank correlation τ-b, EXACT pair counts (Kendall 1938;
+    * the τ-b tie correction is Kendall 1945): completes the rank-
+    * correlation family next to stat4's Spearman — τ counts pair
+    * AGREEMENTS (concordant minus discordant), so it is the statistic
+    * consumers reach for when the question is "how often does ranking
+    * by x agree with ranking by y", and it is robust to any monotone
+    * transform of either axis.
+    *
+    * Everything but the final ratio is integer arithmetic: concordant
+    * P, discordant Q, tie terms T_x/T_y, and n ride exact longs;
+    * τ_b = (P − Q) / √((n₀−T_x)(n₀−T_y)) is then three IEEE ops on
+    * exactly-representable integers (each ≤ n²/2 < 2⁵³ for any corpus
+    * a single statistic would be read over), so the emitted double is
+    * bit-identical on any engine that states the same op order — the
+    * oracle does.
+    *
+    * Scale shape (the stat5 bounded-grid discipline): ONE partial-
+    * aggregated pass melts the corpus to the O(distinct (x, y)) cell
+    * table, pinned once; P and Q come from a single broadcast
+    * cell×cell dominance join (x_b > x_a, strict y compare picks the
+    * side — each unordered pair counted exactly once), tie terms from
+    * the cell marginals. The join is O(cells²), so the operator
+    * REQUIRES a bounded domain — ≤ 4096 distinct cells, checked, the
+    * contract stat5's chi-square grid documents — quantize first
+    * (bucket continuous values) exactly as for a contingency table;
+    * the corpus itself is never self-joined. Nulls fail fast naming
+    * the column; a constant axis raises (τ undefined, n₀ = T).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def longOf(c: String): Column = when(col(c).isNull, raise_error(lit(
+        s"kendallTauB: null value in '$c' — filter or impute first")))
+      .otherwise(col(c).cast("long"))
+    val rows = df.select(longOf(xCol).as("__x"), longOf(yCol).as("__y"))
+    val cells = Materialize(
+      rows.groupBy("__x", "__y").agg(count(lit(1)).as("__c")))
+    val nCells = cells.count()
+    require(nCells <= 4096L,
+      s"kendallTauB: $nCells distinct (x, y) cells — the dominance join " +
+        "is O(cells²); quantize/bucket the axes first (the contingency-" +
+        "table contract)")
+    val a = cells.select(col("__x").as("__ax"), col("__y").as("__ay"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),
+      col("__c").as("__cb"))
+    val pq = a.join(broadcast(b), col("__bx") > col("__ax"))
+      .agg(
+        coalesce(sum(when(col("__by") > col("__ay"),
+          col("__ca") * col("__cb")).otherwise(0L)), lit(0L)).as("__p"),
+        coalesce(sum(when(col("__by") < col("__ay"),
+          col("__ca") * col("__cb")).otherwise(0L)), lit(0L)).as("__q"))
+    val tx = cells.groupBy("__x").agg(sum(col("__c")).as("__m"))
+      .agg(sum(expr("__m * (__m - 1) DIV 2")).as("__tx"))
+    val ty = cells.groupBy("__y").agg(sum(col("__c")).as("__m"))
+      .agg(sum(expr("__m * (__m - 1) DIV 2")).as("__ty"))
+    val n = rows.groupBy().agg(count(lit(1)).as("__n"))
+    pq.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(n))
+      .select(col("__n").as("n"), col("__p").as("concordant"),
+        col("__q").as("discordant"), col("__tx").as("ties_x"),
+        col("__ty").as("ties_y"),
+        expr("__n * (__n - 1) DIV 2").as("__n0"),
+        col("__p"), col("__q"), col("__tx"), col("__ty"))
+      .select(col("n"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        when(col("__n0") === col("__tx") || col("__n0") === col("__ty"),
+          raise_error(lit("kendallTauB: an axis is constant — every " +
+            "pair is tied and τ-b is undefined (n0 == T); feed two " +
+            "varying columns")))
+          .otherwise(round(
+            (col("__p") - col("__q")).cast("double") /
+              sqrt((col("__n0") - col("__tx")).cast("double") *
+                (col("__n0") - col("__ty")).cast("double")), 6))
+          .as("tau_b"))
+  }
+
   /** Per-group MEDIAN / MAD / robust-outlier summary, EXACT: the
     * median is the true ((n+1) DIV 2)-th order statistic (lower
     * median — a value FROM the data, no interpolation), the MAD is the

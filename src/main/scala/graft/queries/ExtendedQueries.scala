@@ -1235,6 +1235,37 @@ object ExtendedQueries {
              |FROM gs LEFT JOIN agg ON gs.g = agg.g LEFT JOIN z ON gs.g = z.g
              |ORDER BY g""".stripMargin.replace("\n", " "))),
 
+    // Kendall τ-b rank correlation (quantity vs discount cents) —
+    // Spearman's sibling, counting pair AGREEMENTS: concordant /
+    // discordant / tie counts are exact longs off ONE O(distinct-cell)
+    // table and a bounded cell×cell dominance join (50 quantities × 11
+    // discount levels ≈ 550 cells — the stat5 contingency-table
+    // contract); τ-b itself is three IEEE ops on exactly-representable
+    // integers, restated op-for-op by the oracle, so even the double is
+    // bit-exact.
+    QueryDef("stat15_kendall_tau",
+      (s, dir) => {
+        val b = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          (dec(col("l_discount")) * 100).cast("long").as("y"))
+        graft.operators.Stats.kendallTauB(b, "x", "y")
+      },
+      Some("""WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y FROM lineitem),
+             |cells AS (SELECT x, y, count(*) AS c FROM r GROUP BY x, y),
+             |pq AS (SELECT CAST(COALESCE(sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS p,
+             |  CAST(COALESCE(sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS q
+             |  FROM cells a JOIN cells b ON b.x > a.x),
+             |txx AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS tx
+             |  FROM (SELECT sum(c) AS m FROM cells GROUP BY x)),
+             |tyy AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS ty
+             |  FROM (SELECT sum(c) AS m FROM cells GROUP BY y)),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+             |nz AS (SELECT n, n * (n - 1) // 2 AS n0 FROM nn)
+             |SELECT n, p AS concordant, q AS discordant, tx AS ties_x, ty AS ties_y,
+             |  round(CAST(p - q AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6) AS tau_b
+             |FROM pq, txx, tyy, nz""".stripMargin.replace("\n", " "))),
+
     // Wald SPRT replay per arm (the sequential face of the exp family):
     // H1 p=0.55 vs H0 p=0.45 on "order value >= $50", walked in
     // event_id order; the observed ~0.37 success rate drives both arms

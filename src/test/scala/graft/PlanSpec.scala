@@ -51,10 +51,13 @@ class PlanSpec extends SparkSpec {
     // ivl2 the fused globalSweep — same claim, same pin
     // ml14/ml15/stat11 ride the MULTI-series globalRunningSum for their
     // per-group ranks / order statistics / trim boundaries — same claim
+    // stat12/stat13/stat14 melt to count tables and ride multi-series
+    // running counts; exp5's battery rank rides globalRank — same claim
     for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue",
         "stat10_gini", "w16_lorenz_deciles", "ml2_auc", "ml4_pr_curve",
         "ivl2_interval_coverage", "ml14_per_group_auc", "ml15_conformal",
-        "stat11_trimmed_mean")) {
+        "stat11_trimmed_mean", "stat12_ks_2samp", "stat13_mad_outliers",
+        "stat14_wilcoxon_signed", "exp5_bh_fdr")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p
@@ -66,6 +69,21 @@ class PlanSpec extends SparkSpec {
       assert(bad.isEmpty,
         s"$name plans an unpartitioned window (single-reducer sort):\n${bad.headOption}")
     }
+  }
+
+  test("kendall's dominance join broadcasts the bounded cell table — no cartesian, no SMJ") {
+    // the O(cells²) compare must run as a broadcast nested-loop over
+    // the ~550-cell table, never a corpus-sized cartesian or a
+    // sort-merge join of the melted corpus
+    val exec = q("stat15_kendall_tau").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val s = exec.toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"dominance join not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"sort-merge join in:\n$s")
   }
 
   test("projection prunes the scan schema to selected columns") {

@@ -120,6 +120,66 @@ class StatsSpec extends SparkSpec {
     graft.operators.Materialize.sweep()
   }
 
+  test("kendallTauB: hand-computed P/Q/ties, tie-corrected tau, invariance, fail-fasts") {
+    // perfect agreement: (1,1),(2,2),(3,3) → P=3, Q=0, no ties, τ=1
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r1 = Stats.kendallTauB(perfect, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r1 == ((3L, 3L, 0L, 0L, 0L, 1.0)), s"$r1")
+    graft.operators.Materialize.sweep()
+    // one discordant pair: (1,2),(2,1),(3,3) → P=2, Q=1, τ = 1/3
+    val mixed = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("x", "y")
+    val r2 = Stats.kendallTauB(mixed, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r2._2 == 2L && r2._3 == 1L && r2._6 == 0.333333, s"$r2")
+    graft.operators.Materialize.sweep()
+    // tie correction: (1,1),(1,2),(2,2) → P=1, Q=0, Tx=1, Ty=1,
+    // n0=3 → τ-b = 1/√((3−1)(3−1)) = 0.5
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val r3 = Stats.kendallTauB(tied, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r3 == ((3L, 1L, 0L, 1L, 1L, 0.5)), s"$r3")
+    graft.operators.Materialize.sweep()
+    // randomized reference cross-check over a heavily tied 5×5 domain
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(5).toLong))
+    def refPQ(ds: Seq[(Long, Long)]): (Long, Long) = {
+      var p = 0L; var q = 0L
+      for (i <- ds.indices; j <- ds.indices if i < j) {
+        val sx = (ds(j)._1 - ds(i)._1).sign
+        val sy = (ds(j)._2 - ds(i)._2).sign
+        if (sx * sy > 0) p += 1 else if (sx * sy < 0) q += 1
+      }
+      (p, q)
+    }
+    val (wp, wq) = refPQ(data)
+    val r4 = Stats.kendallTauB(data.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r4._2 == wp && r4._3 == wq, s"got $r4 want P=$wp Q=$wq")
+    graft.operators.Materialize.sweep()
+    val r5 = Stats.kendallTauB(data.toDF("x", "y").repartition(9), "x", "y")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r5 == r4, "partitioning must not move the statistic")
+    graft.operators.Materialize.sweep()
+    // constant axis → τ undefined → fail fast
+    val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    val e1 = intercept[Exception](Stats.kendallTauB(const, "x", "y").collect())
+    assert(e1.getMessage.contains("axis is constant"))
+    graft.operators.Materialize.sweep()
+    // null fails fast naming the column
+    val nul = Seq((Option(1L), Option(1L)), (Option.empty[Long], Option(2L)))
+      .toDF("x", "y")
+    val e2 = intercept[Exception](Stats.kendallTauB(nul, "x", "y").collect())
+    assert(e2.getMessage.contains("null value"))
+    graft.operators.Materialize.sweep()
+    // unbounded domain refused, not silently joined quadratically
+    val wide = spark.range(5000).select(col("id").as("x"), col("id").as("y"))
+    val e3 = intercept[IllegalArgumentException](
+      Stats.kendallTauB(wide, "x", "y").collect())
+    assert(e3.getMessage.contains("quantize"))
+    graft.operators.Materialize.sweep()
+  }
+
   test("ksTwoSample fail-fasts: bad side code, null value, empty cohort") {
     val bad = Seq((2L, 1L), (0L, 2L)).toDF("side", "v")
     val e1 = intercept[Exception](

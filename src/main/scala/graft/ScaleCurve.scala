@@ -57,7 +57,16 @@ object ScaleCurve {
 
   val excluded: Map[String, String] = Map(
     "s10_streaming_landing" ->
-      "fixed-size synthetic stream; never scans the sf directory")
+      "fixed-size synthetic stream; never scans the sf directory") ++
+    // the media queries generate fixed-size synthetic payloads (PNGs,
+    // WAVs, byte blobs) regardless of sfDir — a "10x" run would time
+    // the identical workload, so the dynamic selection must skip them
+    // just like s10 if they ever rank into the top-10
+    Seq("m1_media_features", "m2_media_phash_neardup",
+      "m3_imageio_features", "m4_imageio_phash_neardup",
+      "m5_imageio_resize", "m6_audio_features")
+      .map(_ -> "fixed-size synthetic media; never scans the sf directory")
+      .toMap
 
   /** The `topN` heaviest queries of the committed full-board bench
     * record, skipping [[excluded]] names (the next-ranked query takes

@@ -366,6 +366,66 @@ object Sampling {
       .drop("__k", "__g", "__grp", "__g2", "__off")
   }
 
+  /** Probability-proportional-to-size SYSTEMATIC sampling (Madow 1949
+    * — the πps design survey statisticians and data-curation pipelines
+    * use when big documents should be sampled proportionally more
+    * often, with the low variance of systematic spacing): arrange
+    * units in the id order, accumulate integer weights, and select the
+    * unit covering each skip point offset + i·step (step = W DIV k).
+    * A unit whose weight spans several points is drawn with
+    * MULTIPLICITY (`copies` — exactly the Madow design; weights larger
+    * than step make first-order inclusion probabilities cap at 1 with
+    * the remainder carried by copies). Every step is integer
+    * arithmetic — the skip-point count inside a unit's cumulative
+    * interval (lo, hi] is (hi−o+step) DIV step − (lo−o+step) DIV step,
+    * kept non-negative on both operands (offset ≤ step, enforced) so
+    * DIV == floor == an oracle's `//` — making the drawn sample
+    * engine- and partitioning-exact, not merely equal in expectation
+    * (the hash-Bernoulli samplers' weaker guarantee).
+    *
+    * Scale shape: ONE [[Rank.globalRunningSum]] over the id order (the
+    * two-pass distributed prefix sum — no single-reducer window), the
+    * (W, step) totals as a one-row broadcast, then a map-only select.
+    * Weights must be ≥ 1 (null/zero/negative fail fast — a zero-weight
+    * unit has no interval and a negative one corrupts every cumsum
+    * after it); W < k fails fast (step would be 0).
+    *
+    * Output: (id, weight, cum, copies) for selected units only;
+    * Σ copies == (W − offset) DIV step + 1 exactly (spec-pinned).
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, offset: Long = 1L): DataFrame = {
+    require(k >= 1, s"ppsSystematic: k must be >= 1, got $k")
+    require(offset >= 1L,
+      s"ppsSystematic: offset must be >= 1, got $offset")
+    val w = when(col(weightCol).isNull || col(weightCol) < 1L,
+      raise_error(concat(lit(s"ppsSystematic: weight '$weightCol' must " +
+        "be a positive integer, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")))))
+      .otherwise(col(weightCol).cast("long"))
+    val base = df.select(col(idCol).as("__id"), w.as("__w"))
+    val cum = Rank.globalRunningSum(base, "__id", "__w", outCol = "__cum")
+    val tot = base.groupBy().agg(sum(col("__w")).as("__tw"))
+      .select(col("__tw"),
+        when(col("__tw") < lit(k.toLong), raise_error(lit(
+          s"ppsSystematic: total weight below k = $k — step would be 0; " +
+            "fewer units than draws")))
+          .otherwise(expr(s"__tw DIV $k")).as("__step"))
+      .select(col("__tw"), col("__step"),
+        when(lit(offset) > col("__step"), raise_error(lit(
+          s"ppsSystematic: offset $offset exceeds step — the first " +
+            "skip point would fall outside the first interval; use " +
+            "offset in [1, step]")))
+          .otherwise(lit(offset)).as("__o"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("copies",
+        expr("(__cum - __o + __step) DIV __step - " +
+          "(__cum - __w - __o + __step) DIV __step"))
+      .filter(col("copies") > 0L)
+      .select(col("__id").as(idCol), col("__w").as("weight"),
+        col("__cum").as("cum"), col("copies"))
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String,
       salt: String = "graft", numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

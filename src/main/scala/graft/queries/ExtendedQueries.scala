@@ -256,6 +256,36 @@ object ExtendedQueries {
              |SELECT doc_id, lang, pos FROM r WHERE (pos - 1) % 20 = 0
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // PPS systematic sampling (Madow 1949): documents drawn
+    // proportionally to byte size with systematic spacing — the πps
+    // design for "big documents should be sampled more, with low
+    // variance". Weight = octet_length + 1 (both engines count UTF-8
+    // bytes), k = 100 skip points over the weight prefix sum; a
+    // document spanning several points is drawn with multiplicity.
+    // Pure integer arithmetic on non-negative operands (DIV == //), so
+    // the DRAWN SAMPLE is engine-exact, not merely equal in
+    // expectation. One distributed prefix sum, one broadcast totals
+    // row, map-only select.
+    QueryDef("samp12_pps_systematic",
+      (s, dir) => graft.operators.Sampling.ppsSystematic(
+          t(s, dir, "documents")
+            .select(col("doc_id"), (octet_length(col("text")) + 1)
+              .cast("long").as("wt")),
+          "doc_id", "wt", k = 100)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |  CAST(octet_length(encode(text)) + 1 AS BIGINT) AS wt FROM documents),
+             |c AS (SELECT doc_id, wt, sum(wt) OVER (ORDER BY doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w),
+             |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+             |st AS (SELECT tw, tw // 100 AS step FROM tot),
+             |sel AS (SELECT doc_id, wt, cum,
+             |  (cum - 1 + step) // step - (cum - wt - 1 + step) // step AS copies
+             |  FROM c, st)
+             |SELECT doc_id, wt AS weight, CAST(cum AS BIGINT) AS cum,
+             |  CAST(copies AS BIGINT) AS copies
+             |FROM sel WHERE copies > 0 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Per-document n-gram novelty (the curation signal behind "is this
     // doc mostly re-hashed earlier corpus?"): share of a doc's DISTINCT
     // word trigrams whose corpus-wide first occurrence (min doc_id) is

@@ -819,4 +819,51 @@ class PipelineOpsSpec extends SparkSpec {
       .select("id", "shuffle_pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("ppsSystematic: hand-computed draw with multiplicity, count identity, invariance, fail-fasts") {
+    import spark.implicits._
+    // weights [3, 1, 6], W = 10, k = 5 → step = 2, offset = 1: skip
+    // points 1,3,5,7,9. Unit a covers (0,3] → points {1,3} → 2 copies;
+    // b covers (3,4] → none; c covers (4,10] → {5,7,9} → 3 copies.
+    val df = Seq((1L, 3L), (2L, 1L), (3L, 6L)).toDF("id", "w")
+    val got = Sampling.ppsSystematic(df, "id", "w", k = 5)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 2L), (3L, 6L, 10L, 3L)), s"$got")
+    graft.operators.Materialize.sweep()
+    // the draw-count identity on random weights: Σ copies ==
+    // (W − offset) DIV step + 1 exactly; and the sample is invariant
+    // to input partitioning
+    val rnd = new scala.util.Random(3)
+    val big = Seq.tabulate(500)(i => (i.toLong, (1 + rnd.nextInt(40)).toLong))
+    val W = big.map(_._2).sum
+    val step = W / 37
+    val a = Sampling.ppsSystematic(big.toDF("id", "w"), "id", "w", k = 37)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a.map(_._4).sum == (W - 1) / step + 1,
+      s"draw count ${a.map(_._4).sum} != ${(W - 1) / step + 1}")
+    graft.operators.Materialize.sweep()
+    val b2 = Sampling.ppsSystematic(big.toDF("id", "w").repartition(11),
+        "id", "w", k = 37)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(b2 == a, "partitioning must not move the drawn sample")
+    graft.operators.Materialize.sweep()
+    // PPS property: a unit spanning more than one step is ALWAYS drawn
+    a.foreach { case (_, w, _, c) =>
+      assert(c >= w / step, s"unit weight $w drew $c < ${w / step}") }
+    // fail-fasts: zero weight, W < k, oversized offset
+    val zero = Seq((1L, 0L), (2L, 5L)).toDF("id", "w")
+    val e1 = intercept[Exception](
+      Sampling.ppsSystematic(zero, "id", "w", k = 2).collect())
+    assert(e1.getMessage.contains("positive integer"))
+    graft.operators.Materialize.sweep()
+    val tiny = Seq((1L, 1L), (2L, 1L)).toDF("id", "w")
+    val e2 = intercept[Exception](
+      Sampling.ppsSystematic(tiny, "id", "w", k = 5).collect())
+    assert(e2.getMessage.contains("step would be 0"))
+    graft.operators.Materialize.sweep()
+    val e3 = intercept[Exception](
+      Sampling.ppsSystematic(df, "id", "w", k = 5, offset = 99L).collect())
+    assert(e3.getMessage.contains("offset"))
+    graft.operators.Materialize.sweep()
+  }
 }

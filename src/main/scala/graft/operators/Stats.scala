@@ -92,6 +92,84 @@ object Stats {
         (-col("__m.__negv")).as("at_value"))
   }
 
+  /** Two-sample Cramér–von Mises criterion, EXACT (Anderson 1962, "On
+    * the distribution of the two-sample Cramér–von Mises criterion"):
+    * T = n_a·n_b/N² · Σ over ALL pooled observations of
+    * (F_a(x) − F_b(x))² — [[ksTwoSample]]'s body-sensitive sibling: KS
+    * reads only the single worst ECDF gap (tail-dominated), CvM
+    * integrates the squared gap over the whole distribution, catching
+    * a broad mid-distribution shift KS underweights.
+    *
+    * Exactness: at each distinct value the cross-multiplied gap
+    * D = cum_a·n_b − cum_b·n_a is an integer (stat12's device), so
+    * Σ c_v·D_v² is an exact integer in DECIMAL(38,0) (≤ N·(n_a·n_b)²
+    * ≈ 10²⁸ at 600k rows — 10 digits of headroom; DuckDB replays in
+    * HUGEINT), and T·10⁹ = Σ·10⁹ DIV (n_a·n_b·N²) is a truncating
+    * integer division both engines state identically (numerator
+    * non-negative, DIV == floor == //). Nothing float anywhere.
+    *
+    * Scale shape: IDENTICAL to stat12 — one partial-aggregated melt to
+    * the O(distinct value) per-value count table with BOTH cohorts'
+    * counts on the same row (zeros load-bearing), ONE multi-series
+    * [[Rank.globalRunningSum]], one final aggregate. Same fail-fasts:
+    * raw-value 0/1 side domain, null values, empty cohort.
+    *
+    * Output (one row): n_a, n_b, cvm_x1e9 (≤ N/4·10⁹ — fits a long at
+    * any feasible N).
+    */
+  def cvmTwoSample(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val side = when(col(sideCol).isNull ||
+        (col(sideCol) =!= lit(0) && col(sideCol) =!= lit(1)),
+      raise_error(concat(lit(s"cvmTwoSample: side column '$sideCol' must " +
+        "be 0/1, got "), coalesce(col(sideCol).cast("string"), lit("NULL")))))
+      .otherwise(col(sideCol).cast("long"))
+    val v = when(col(valueCol).isNull, raise_error(lit(
+        s"cvmTwoSample: null value in '$valueCol' — filter or impute first")))
+      .otherwise(col(valueCol).cast("long"))
+    val base = df.select(side.as("__s"), v.as("__v"))
+    val cnt = base.groupBy("__v").agg(
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__cb"))
+    val melted = cnt.select(col("__v"), explode(array(
+        struct(lit(0L).as("__series"), col("__ca").as("__c")),
+        struct(lit(1L).as("__series"), col("__cb").as("__c")))).as("__z"))
+      .select(col("__v"), col("__z.__series").as("__series"),
+        col("__z.__c").as("__c"))
+    val rm = Rank.globalRunningSum(melted, "__v", "__c", outCol = "__cum",
+      seriesCols = Seq("__series"))
+    val pairs = rm.groupBy("__v").agg(
+      max(when(col("__series") === 0L, col("__cum"))).as("__cuma"),
+      max(when(col("__series") === 1L, col("__cum"))).as("__cumb"),
+      // c_v = the pooled multiplicity at this value (both series' counts
+      // ride the same melted rows, so their sum is exactly ca + cb)
+      sum(col("__c")).as("__cv"))
+    val tot = base.groupBy().agg(
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__nb"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        // c_v · D_v² in DECIMAL(38,0): D ≤ n_a·n_b ≈ 10¹¹ at sf-scale,
+        // D² ≤ 10²², the weighted term ≤ 10²⁸ — exact, and a genuine
+        // overflow RAISES rather than rounds
+        expr("""CAST(__cv AS DECIMAL(38,0)) *
+          (CAST(__cuma AS DECIMAL(38,0)) * __nb - CAST(__cumb AS DECIMAL(38,0)) * __na) *
+          (CAST(__cuma AS DECIMAL(38,0)) * __nb - CAST(__cumb AS DECIMAL(38,0)) * __na)""")
+          .as("__w"))
+      .agg(sum(col("__w")).as("__sum"),
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+      .select(
+        when(col("__na").isNull || col("__na") === 0L ||
+            col("__nb") === 0L, raise_error(lit(
+          "cvmTwoSample: a cohort is empty — the criterion is " +
+            "degenerate; check the side predicate")))
+          .otherwise(col("__na")).as("n_a"),
+        col("__nb").as("n_b"),
+        expr("""CAST(__sum * 1000000000 DIV
+          (CAST(__na AS DECIMAL(38,0)) * __nb *
+           (CAST(__na AS DECIMAL(38,0)) + __nb) *
+           (CAST(__na AS DECIMAL(38,0)) + __nb)) AS BIGINT)""").as("cvm_x1e9"))
+  }
+
   /** Kendall rank correlation τ-b, EXACT pair counts (Kendall 1938;
     * the τ-b tie correction is Kendall 1945): completes the rank-
     * correlation family next to stat4's Spearman — τ counts pair

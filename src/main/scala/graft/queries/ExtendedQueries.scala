@@ -1175,6 +1175,41 @@ object ExtendedQueries {
              |  v AS at_value FROM num
              |ORDER BY num DESC, v ASC LIMIT 1""".stripMargin.replace("\n", " "))),
 
+    // Two-sample Cramér–von Mises criterion — stat12's body-sensitive
+    // sibling over the same cohorts: KS reads the single worst ECDF
+    // gap, CvM integrates the SQUARED gap over every pooled
+    // observation, catching mid-distribution shifts KS underweights.
+    // Same device: integer cross-multiplied gaps D = cum_a·n_b −
+    // cum_b·n_a, Σ c_v·D_v² exact in DECIMAL(38,0)/HUGEINT, ×10⁹
+    // truncating DIV — engine-exact end to end, one melt + ONE
+    // multi-series running-count pass.
+    QueryDef("stat16_cvm_2samp",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("side"),
+            (dec(col("value")) * 100).cast("long").as("cents"))
+        graft.operators.Stats.cvmTwoSample(b, "side", "cents")
+      },
+      Some("""WITH b AS (SELECT user_id % 2 AS s,
+             |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |cnt AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+             |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM b GROUP BY v),
+             |rm AS (SELECT v, ca, cb,
+             |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cua,
+             |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub FROM cnt),
+             |tot AS (SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+             |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb FROM b),
+             |w AS (SELECT CAST(ca + cb AS HUGEINT) *
+             |  (CAST(cua AS HUGEINT) * nb - CAST(cub AS HUGEINT) * na) *
+             |  (CAST(cua AS HUGEINT) * nb - CAST(cub AS HUGEINT) * na) AS w,
+             |  na, nb FROM rm, tot)
+             |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |  CAST(sum(w) * 1000000000 // (CAST(max(na) AS HUGEINT) * max(nb) *
+             |  (max(na) + max(nb)) * (max(na) + max(nb))) AS BIGINT) AS cvm_x1e9
+             |FROM w""".stripMargin.replace("\n", " "))),
+
     // Per-flag MEDIAN / MAD / Hampel-outlier summary — the robust
     // location/scale pair a curation pipeline uses where mean/stddev
     // would be owned by the very outliers it hunts. Both statistics

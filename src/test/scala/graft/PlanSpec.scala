@@ -57,7 +57,7 @@ class PlanSpec extends SparkSpec {
         "stat10_gini", "w16_lorenz_deciles", "ml2_auc", "ml4_pr_curve",
         "ivl2_interval_coverage", "ml14_per_group_auc", "ml15_conformal",
         "stat11_trimmed_mean", "stat12_ks_2samp", "stat13_mad_outliers",
-        "stat14_wilcoxon_signed", "exp5_bh_fdr")) {
+        "stat14_wilcoxon_signed", "exp5_bh_fdr", "stat16_cvm_2samp")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p

@@ -120,6 +120,45 @@ class StatsSpec extends SparkSpec {
     graft.operators.Materialize.sweep()
   }
 
+  test("cvmTwoSample: hand-computed criterion, zero for identical samples, invariance, fail-fasts") {
+    // a = {1,2,3}, b = {2,3,4,4}: cum_a = 1,2,3,3; cum_b = 0,1,2,4;
+    // D = cuma·4 − cumb·3 = 4,5,6,0; c_v = 1,2,2,2 →
+    // Σ c·D² = 16 + 50 + 72 + 0 = 138; T = 138/(3·4·7²) = 138/588 →
+    // ×1e9 truncating = 234693877
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 4L)).toDF("side", "v")
+    val r = Stats.cvmTwoSample(df, "side", "v")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 4L, 234693877L)), s"$r")
+    graft.operators.Materialize.sweep()
+    val r2 = Stats.cvmTwoSample(df.repartition(5), "side", "v")
+      .as[(Long, Long, Long)].head()
+    assert(r2 == r, "partitioning must not move the criterion")
+    graft.operators.Materialize.sweep()
+    // identical samples: every gap is 0 → criterion exactly 0
+    val same = Seq((0L, 7L), (0L, 9L), (1L, 7L), (1L, 9L)).toDF("side", "v")
+    assert(Stats.cvmTwoSample(same, "side", "v")
+      .as[(Long, Long, Long)].head()._3 == 0L)
+    graft.operators.Materialize.sweep()
+    // CvM sees what KS underweights: two equal-n samples interleaved
+    // with a small persistent shift have a modest max gap but a large
+    // integrated one — sanity: criterion strictly positive
+    val shift = (1L to 50L).map((0L, _)) ++ (1L to 50L).map(x => (1L, x + 1))
+    assert(Stats.cvmTwoSample(shift.toDF("side", "v"), "side", "v")
+      .as[(Long, Long, Long)].head()._3 > 0L)
+    graft.operators.Materialize.sweep()
+    // fail-fasts shared with ksTwoSample: raw-value side domain,
+    // null value, empty cohort
+    val bad = Seq((0.9, 1L), (0.0, 2L)).toDF("side", "v")
+    val e1 = intercept[Exception](Stats.cvmTwoSample(bad, "side", "v").collect())
+    assert(e1.getMessage.contains("must be 0/1"))
+    val oneSided = Seq((0L, 1L), (0L, 2L)).toDF("side", "v")
+    val e2 = intercept[Exception](
+      Stats.cvmTwoSample(oneSided, "side", "v").collect())
+    assert(e2.getMessage.contains("cohort is empty"))
+    graft.operators.Materialize.sweep()
+  }
+
   test("kendallTauB: hand-computed P/Q/ties, tie-corrected tau, invariance, fail-fasts") {
     // perfect agreement: (1,1),(2,2),(3,3) → P=3, Q=0, no ties, τ=1
     val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")

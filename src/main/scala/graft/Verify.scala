@@ -50,8 +50,13 @@ object Verify {
     // the s13 rename, round 14) survives otherwise and poisons ad-hoc
     // re-checks that glob the out dir instead of reading the oracle map.
     // Subset runs (SPARK_GRAFT_VERIFY_ONLY) skip the cleanup — they
-    // deliberately leave other queries' outputs in place.
-    if (only.isEmpty) {
+    // deliberately leave other queries' outputs in place. Guarded on a
+    // prior run's oracle_sql.json being present (round-15 advisory): a
+    // directory WITHOUT one was never a verify out-dir, so sweeping it
+    // would delete files this program does not own — first runs into a
+    // fresh/foreign directory clean nothing.
+    if (only.isEmpty &&
+        new java.io.File(outDir, "oracle_sql.json").exists()) {
       val keep = SparkEntry.queries.keySet + "oracle_sql.json"
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filterNot(f => keep.contains(f.getName))

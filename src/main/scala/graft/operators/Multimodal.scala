@@ -236,8 +236,15 @@ object Multimodal {
           val bytes = ais.readAllBytes()
           // a truncated file parses its header fine but delivers fewer
           // frames than declared — stats over the prefix would wear the
-          // full file's label, so refuse instead
-          if (ais.getFrameLength >= 0 &&
+          // full file's label, so refuse instead. A stream REPORTING no
+          // frame length (-1, legal for AudioInputStream; reachable via
+          // an AU header with the unknown-size sentinel 0xFFFFFFFF) is
+          // refused too: with no declared length the truncation check
+          // cannot run, and "probably complete" is not a contract this
+          // decoder sells (round-15 advisory — WAV always reports, so
+          // the WAV path never hits this arm; MultimodalSpec pins the
+          // AU case)
+          if (ais.getFrameLength < 0 ||
               bytes.length != ais.getFrameLength * fmt.getFrameSize)
             return None
           val ch = fmt.getChannels

@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Fail-fast long projection shared by every value/difference column
+    * here: nulls AND non-integral values raise naming the operator and
+    * column — a bare `cast("long")` silently truncates 3.5 → 3,
+    * misquantizing the statistic (the same hazard class the round-14
+    * side-column domain fix closed; callers pre-quantize, cents-style,
+    * exactly as the board queries do). The check is value-level, not
+    * type-level: an integral double/decimal (3.0) passes.
+    */
+  private def integralOf(op: String, c: String,
+      role: String = "value"): Column =
+    when(col(c).isNull, raise_error(lit(
+        s"$op: null $role in '$c' — filter or impute first")))
+      .when(col(c) =!= col(c).cast("long"), raise_error(concat(
+        lit(s"$op: non-integral $role in '$c' — quantize first " +
+          "(cents), got "), col(c).cast("string"))))
+      .otherwise(col(c).cast("long"))
+
   /** Two-sample Kolmogorov–Smirnov distance, EXACT: D = max over the
     * merged support of |F_a(v) − F_b(v)|, computed entirely in integer
     * arithmetic — the per-value statistic is |cum_a·n_b − cum_b·n_a|
@@ -37,10 +54,13 @@ object Stats {
     * overflow — the raw cross-multiplied max is deliberately NOT
     * emitted, it exceeds a long once n_a·n_b passes ~9·10¹⁸), and
     * at_value = the smallest value attaining the max.
-    * Fail-fasts: null/out-of-domain side codes and
-    * null values raise with the column named; an EMPTY cohort raises
-    * (one-sided data makes D degenerate 1.0 — a comparison that never
-    * compared would wear a statistic's label).
+    * Fail-fasts: null/out-of-domain side codes, null values, and
+    * NON-INTEGRAL values raise with the column named (a bare long cast
+    * would silently truncate 3.5 → 3 and misquantize the statistic —
+    * the same hazard class the side-column domain check closed;
+    * callers quantize first, cents-style, as the board queries do); an
+    * EMPTY cohort raises (one-sided data makes D degenerate 1.0 — a
+    * comparison that never compared would wear a statistic's label).
     */
   def ksTwoSample(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
     // domain check on the RAW value, before any cast: casting first would
@@ -51,9 +71,7 @@ object Stats {
       raise_error(concat(lit(s"ksTwoSample: side column '$sideCol' must " +
         "be 0/1, got "), coalesce(col(sideCol).cast("string"), lit("NULL")))))
       .otherwise(col(sideCol).cast("long"))
-    val v = when(col(valueCol).isNull, raise_error(lit(
-        s"ksTwoSample: null value in '$valueCol' — filter or impute first")))
-      .otherwise(col(valueCol).cast("long"))
+    val v = integralOf("ksTwoSample", valueCol)
     val base = df.select(side.as("__s"), v.as("__v"))
     val cnt = base.groupBy("__v").agg(
       sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__ca"),
@@ -103,10 +121,23 @@ object Stats {
     * Exactness: at each distinct value the cross-multiplied gap
     * D = cum_a·n_b − cum_b·n_a is an integer (stat12's device), so
     * Σ c_v·D_v² is an exact integer in DECIMAL(38,0) (≤ N·(n_a·n_b)²
-    * ≈ 10²⁸ at 600k rows — 10 digits of headroom; DuckDB replays in
-    * HUGEINT), and T·10⁹ = Σ·10⁹ DIV (n_a·n_b·N²) is a truncating
-    * integer division both engines state identically (numerator
-    * non-negative, DIV == floor == //). Nothing float anywhere.
+    * ≈ 10²⁸ at 600k rows; DuckDB replays in HUGEINT), and T·10⁹ =
+    * Σ·10⁹ DIV (n_a·n_b·N²) is a truncating integer division both
+    * engines state identically (numerator non-negative, DIV == floor
+    * == //). Nothing float anywhere.
+    *
+    * SCALE CEILING, stated honestly (round-15 advisory): the naive
+    * final step Σ·10⁹ would wrap DECIMAL(38,0) at only ~1.3M pooled
+    * rows (Σ grows ~N⁵/16, and ×10⁹ spends 9 of the 38 digits), so the
+    * division runs as the exact Euclidean split q·10⁹ + (r·10⁹) DIV d
+    * with q = Σ DIV d, r = Σ % d (identical value: Σ = q·d + r ⇒
+    * Σ·10⁹ DIV d = q·10⁹ + r·10⁹ DIV d, every term non-negative). Now
+    * q ≤ N/4 (the criterion's own bound) and r·10⁹ < d·10⁹ ≈ N⁴/4·10⁹,
+    * so the binding constraint is Σ itself: the operator is exact to
+    * ~4·10⁷ pooled rows — the inherent DECIMAL(38,0) price of an exact
+    * integer CvM — and a genuine overflow past that RAISES (ANSI)
+    * rather than rounding. The oracle needs no split: the value is
+    * identical and HUGEINT holds the naive form at oracle scales.
     *
     * Scale shape: IDENTICAL to stat12 — one partial-aggregated melt to
     * the O(distinct value) per-value count table with BOTH cohorts'
@@ -123,9 +154,7 @@ object Stats {
       raise_error(concat(lit(s"cvmTwoSample: side column '$sideCol' must " +
         "be 0/1, got "), coalesce(col(sideCol).cast("string"), lit("NULL")))))
       .otherwise(col(sideCol).cast("long"))
-    val v = when(col(valueCol).isNull, raise_error(lit(
-        s"cvmTwoSample: null value in '$valueCol' — filter or impute first")))
-      .otherwise(col(valueCol).cast("long"))
+    val v = integralOf("cvmTwoSample", valueCol)
     val base = df.select(side.as("__s"), v.as("__v"))
     val cnt = base.groupBy("__v").agg(
       sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__ca"),
@@ -157,6 +186,9 @@ object Stats {
           .as("__w"))
       .agg(sum(col("__w")).as("__sum"),
         max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+      .withColumn("__den", expr("""CAST(__na AS DECIMAL(38,0)) * __nb *
+        (CAST(__na AS DECIMAL(38,0)) + __nb) *
+        (CAST(__na AS DECIMAL(38,0)) + __nb)"""))
       .select(
         when(col("__na").isNull || col("__na") === 0L ||
             col("__nb") === 0L, raise_error(lit(
@@ -164,10 +196,13 @@ object Stats {
             "degenerate; check the side predicate")))
           .otherwise(col("__na")).as("n_a"),
         col("__nb").as("n_b"),
-        expr("""CAST(__sum * 1000000000 DIV
-          (CAST(__na AS DECIMAL(38,0)) * __nb *
-           (CAST(__na AS DECIMAL(38,0)) + __nb) *
-           (CAST(__na AS DECIMAL(38,0)) + __nb)) AS BIGINT)""").as("cvm_x1e9"))
+        // Euclidean split (see the SCALE CEILING doc note): q·10⁹ +
+        // (r·10⁹) DIV d == Σ·10⁹ DIV d exactly, but never materializes
+        // Σ·10⁹ — the ×10⁹ now touches only r < d, so the ceiling is
+        // Σ's own DECIMAL(38,0) bound (~4·10⁷ pooled rows), not ~1.3M
+        expr("""CAST((__sum DIV __den) * 1000000000 +
+          ((__sum % __den) * 1000000000) DIV __den AS BIGINT)""")
+          .as("cvm_x1e9"))
   }
 
   /** Kendall rank correlation τ-b, EXACT pair counts (Kendall 1938;
@@ -199,10 +234,8 @@ object Stats {
     * the column; a constant axis raises (τ undefined, n₀ = T).
     */
   def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    def longOf(c: String): Column = when(col(c).isNull, raise_error(lit(
-        s"kendallTauB: null value in '$c' — filter or impute first")))
-      .otherwise(col(c).cast("long"))
-    val rows = df.select(longOf(xCol).as("__x"), longOf(yCol).as("__y"))
+    val rows = df.select(integralOf("kendallTauB", xCol).as("__x"),
+      integralOf("kendallTauB", yCol).as("__y"))
     val cells = Materialize(
       rows.groupBy("__x", "__y").agg(count(lit(1)).as("__c")))
     val nCells = cells.count()
@@ -324,10 +357,7 @@ object Stats {
     */
   def wilcoxonSignedRank(df: DataFrame, groupCol: String,
       diffCol: String): DataFrame = {
-    val d = when(col(diffCol).isNull, raise_error(lit(
-        s"wilcoxonSignedRank: null difference in '$diffCol' — filter or " +
-          "impute first; a null pair has no rank")))
-      .otherwise(col(diffCol).cast("long"))
+    val d = integralOf("wilcoxonSignedRank", diffCol, role = "difference")
     val rows = df.select(col(groupCol).as("__grp"), d.as("__d"))
     val cnt = rows.groupBy(col("__grp"), abs(col("__d")).as("__a"))
       .agg(count(lit(1)).as("__c"),
@@ -365,9 +395,7 @@ object Stats {
   def madSummary(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"madSummary: k must be >= 1, got $k")
-    val v = when(col(valueCol).isNull, raise_error(lit(
-        s"madSummary: null value in '$valueCol' — filter or impute first")))
-      .otherwise(col(valueCol).cast("long"))
+    val v = integralOf("madSummary", valueCol)
     val rows = df.select(col(groupCol).as("__grp"), v.as("__v"))
     val cnt = Materialize(
       rows.groupBy("__grp", "__v").agg(count(lit(1)).as("__c")))

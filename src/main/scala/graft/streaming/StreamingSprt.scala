@@ -63,7 +63,13 @@ object StreamingSprt {
       stateTtl: Option[java.time.Duration])
       extends StatefulProcessor[Long, Obs, Status] {
     // (running llr, decided 0/1/2 = continue/h1/h0, crossing ord,
-    //  max ord processed — the order-contract enforcer below)
+    //  max ord processed — the order-contract enforcer below).
+    // STATE-SCHEMA NOTE (round-15 advisory): this tuple widened from
+    // (Long, Long, Long) in round 15 — a streaming query restarted from
+    // a checkpoint written by the 3-field version fails to decode its
+    // state (loudly, at restart). Restart such a query from a FRESH
+    // checkpoint dir; any future widening should version the state name
+    // ("sprt2") instead.
     @transient private var state: ValueState[(Long, Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

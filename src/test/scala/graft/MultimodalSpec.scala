@@ -255,6 +255,31 @@ class MultimodalSpec extends SparkSpec {
       "truncated WAV must refuse, not stat the prefix")
   }
 
+  test("WavCodec refuses a stream reporting NO frame length (AU unknown-size sentinel)") {
+    import Multimodal.WavCodec
+    // An AU header may declare the data size as 0xFFFFFFFF = unknown —
+    // the JDK then reports getFrameLength = -1 and the truncation check
+    // cannot run, so decodeStats must refuse rather than stat a stream
+    // it cannot prove complete (round-15 advisory: the <0 arm used to
+    // SKIP the check). Same bytes with the real size declared decode
+    // fine — the guard is about missing evidence, not the AU container.
+    def au(declaredSize: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put(".snd".getBytes("US-ASCII"))
+      bb.putInt(24).putInt(declaredSize).putInt(3) // offset, size, 16-bit PCM
+      bb.putInt(8000).putInt(1)                    // rate, channels
+      Seq(1000, -1000, 1000, -1000).foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    assert(WavCodec.decodeStats(au(0xFFFFFFFF)).isEmpty,
+      "unknown frame length must refuse — completeness is unprovable")
+    val known = WavCodec.decodeStats(au(8))
+    assert(known.exists(s => s.nSamples == 4 && s.peakAbs == 1000L &&
+      s.zeroCrossings == 3L && s.sumSq == 4L * 1000000L),
+      s"AU with a declared size must decode exactly: $known")
+  }
+
   test("syntheticAudio round-trips: analytic square-wave stats, corrupt rows flagged") {
     val got = Multimodal.extractAudioStats(
       Multimodal.syntheticAudio(spark, 60)).collect().sortBy(_.media_id)

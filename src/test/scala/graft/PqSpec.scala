@@ -128,7 +128,7 @@ class PqSpec extends SparkSpec {
     // is a codeword, ADC is the TRUE squared L2
     import org.apache.spark.sql.functions._
     val e = graft.queries.SimilarityQueries
-      .plantedClusters(spark, "/root/testdata/sf0.001", deltas = 14)
+      .plantedClusters(spark, SparkSpec.sfDir, deltas = 14)
     val model = Pq.train(e, m = 8, k = 16)
     // every codebook is exactly the 16 planted values {0, 1, k/1024}
     val want = (Set(0.0, 1.0) ++ (1 to 14).map(_ / 1024.0)).map(v => Seq(v))

@@ -13,6 +13,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+
+  /** Test-data root for suites that read the driver-generated parquet —
+    * env-overridable so a different machine/layout repoints the test
+    * tree in one place (round-15 advisory: no per-test hardcoded
+    * paths). Named on the companion, not the trait, so suites with a
+    * local `sfDir` val keep compiling unchanged.
+    */
+  def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -244,4 +244,36 @@ class StatsSpec extends SparkSpec {
     val okDouble = Seq((0.0, 1L), (1.0, 2L)).toDF("side", "v")
     assert(Stats.ksTwoSample(okDouble, "side", "v").count() == 1)
   }
+
+  test("non-integral values fail fast across the whole family (round-15 advisory)") {
+    // a bare cast("long") would truncate 3.5 → 3 and silently
+    // misquantize the statistic — every value/difference column now
+    // rides the shared integralOf fail-fast (the side-column hazard
+    // class, closed for values too)
+    val frac = Seq((0L, 1.5), (1L, 2.0)).toDF("side", "v")
+    Seq[(String, org.apache.spark.sql.DataFrame => Any)](
+      "ksTwoSample" -> (d => Stats.ksTwoSample(d, "side", "v").collect()),
+      "cvmTwoSample" -> (d => Stats.cvmTwoSample(d, "side", "v").collect())
+    ).foreach { case (name, run) =>
+      val e = intercept[Exception](run(frac))
+      assert(e.getMessage.contains("non-integral"), s"$name: ${e.getMessage}")
+    }
+    val fracPairs = Seq(("a", 1.5), ("a", 2.0)).toDF("g", "d")
+    val e3 = intercept[Exception](
+      Stats.wilcoxonSignedRank(fracPairs, "g", "d").collect())
+    assert(e3.getMessage.contains("non-integral"))
+    val e4 = intercept[Exception](
+      Stats.madSummary(fracPairs, "g", "d").collect())
+    assert(e4.getMessage.contains("non-integral"))
+    val fracXy = Seq((1.5, 1L), (2.0, 2L)).toDF("x", "y")
+    val e5 = intercept[Exception](
+      Stats.kendallTauB(fracXy, "x", "y").collect())
+    assert(e5.getMessage.contains("non-integral"))
+    graft.operators.Materialize.sweep()
+    // INTEGRAL doubles pass — the check is value-level, not type-level
+    val intDouble = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0))
+      .toDF("side", "v")
+    assert(Stats.ksTwoSample(intDouble, "side", "v").count() == 1)
+    graft.operators.Materialize.sweep()
+  }
 }

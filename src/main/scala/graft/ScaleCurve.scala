@@ -62,9 +62,9 @@ object ScaleCurve {
     // WAVs, byte blobs) regardless of sfDir — a "10x" run would time
     // the identical workload, so the dynamic selection must skip them
     // just like s10 if they ever rank into the top-10
-    Seq("m1_media_features", "m2_media_phash_neardup",
+    Seq("m1_media_features", "m2_video_phash_neardup",
       "m3_imageio_features", "m4_imageio_phash_neardup",
-      "m5_imageio_resize", "m6_audio_features")
+      "m5_imageio_resize", "m6_audio_features", "m7_video_features")
       .map(_ -> "fixed-size synthetic media; never scans the sf directory")
       .toMap
 

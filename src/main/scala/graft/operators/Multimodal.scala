@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   *    the stats face emits duration / RMS energy / zero-crossing count
   *    / peak amplitude — exact integers a planted square wave makes
   *    closed-form, so the board oracle is value-carrying.
-  *  - [[FakeCodec]] remains for the VIDEO face only: the JDK ships no
-  *    video demuxer (and no compressed-audio codecs or resampler), so
-  *    video derives deterministic pseudo-features from the payload
-  *    bytes. Everything around the stub — schema, batch shape,
-  *    partitioning, null/corrupt handling — is the real engine surface
-  *    either way.
+  *  - [[MjpegCodec]] decodes REAL video bytes (round 16 — the engine's
+  *    last stub deleted): MJPEG-in-AVI, demuxed by a pure-JDK RIFF
+  *    chunk walk (AVI is the same container family WavCodec's WAV
+  *    lives in) with each `00dc` frame decoded by the m3–m5
+  *    `javax.imageio` path. Modern inter-frame codecs (H.264/VP9/AV1)
+  *    have no JDK decoder and stay out of scope — a production build
+  *    swaps this object for a JavaCV-backed one; motion-JPEG is the
+  *    classic capture/test format and is fully decodable with what
+  *    the JDK ships.
   */
 object Multimodal {
 
@@ -50,33 +53,6 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       sha256: String, feature: Array[Float], decode_ok: Boolean)
 
-  /** ======== STUB ======== deterministic fake decoder — the remaining
-    * stand-in for the VIDEO face only (the JDK genuinely ships no video
-    * demuxer; images go through the REAL [[ImageIoCodec]] and PCM audio
-    * through the REAL [[WavCodec]] — compressed-audio codecs and
-    * resampling would still need an external lib). A production build
-    * replaces this object (and only this object) with e.g. JavaCV
-    * calls. Features are a stable function of the bytes so tests and
-    * re-runs are reproducible.
-    */
-  object FakeCodec extends MediaCodec {
-    val featureDim = 8
-
-    def decode(payload: Array[Byte]): Option[Array[Float]] = {
-      if (payload == null || payload.length < 4) return None // "corrupt"
-      val out = new Array[Float](featureDim)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) {
-        h = 31 * h + payload(i)
-        out(i % featureDim) += (payload(i) & 0xFF) / 255.0f
-        i += 1
-      }
-      var d = 0
-      while (d < featureDim) { out(d) = out(d) / math.max(1, payload.length / featureDim); d += 1 }
-      Some(out)
-    }
-  }
 
   /** REAL image codec on the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF
     * readers ship in every JRE — no external deps). Feature = the
@@ -150,6 +126,31 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Encode a BufferedImage as JPEG at an EXPLICIT quality (the
+      * static `ImageIO.write(im, "jpeg", …)` entry point hides the
+      * quality knob). quality = 1.0 sets all-ones quantization tables,
+      * under which a CONSTANT-gray frame round-trips EXACTLY: a flat
+      * 8×8 block has only its DC coefficient (an integer — quantizing
+      * by 1 is lossless), and the grayscale YCbCr conversion is the
+      * identity on r=g=b pixels — MultimodalSpec pins the exact
+      * round-trip for all 256 gray levels, the property
+      * [[MjpegCodec]]'s value-carrying luma oracle stands on.
+      */
+    def encodeJpeg(im: java.awt.image.BufferedImage,
+        quality: Float = 1.0f): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(im, null, null), p)
+      } finally { ios.close(); w.dispose() }
+      bos.toByteArray
+    }
+
     /** Real resample: decode, `Graphics2D` bilinear scale to w×h,
       * re-encode PNG. None when the payload does not decode.
       */
@@ -192,7 +193,7 @@ object Multimodal {
     * WAV/AIFF/AU containers the platform ships readers for. Compressed
     * codecs (MP3/AAC/Opus) and sample-rate conversion have no JDK
     * surface — those would need an external lib and stay out of scope;
-    * video has no JDK demuxer at all and stays behind [[FakeCodec]].
+    * video's MJPEG-in-AVI face is [[MjpegCodec]].
     *
     * The primary face is [[decodeStats]]: exact integer statistics of
     * the PCM stream (sample count, peak |amplitude|, zero crossings,
@@ -321,6 +322,255 @@ object Multimodal {
       }
   }
 
+  /** REAL video codec, pure JDK: MJPEG-in-AVI. AVI is a RIFF container
+    * (the family WavCodec's WAV lives in): a `hdrl` LIST carries the
+    * main (`avih`) and stream (`strh`) headers, a `movi` LIST carries
+    * the frames, and in motion-JPEG each `00dc`/`00db` chunk is a
+    * complete JPEG — so demuxing is a ~60-line chunk walk and frame
+    * decoding is the `javax.imageio` path m3–m5 already use. Reference
+    * format: Microsoft AVI RIFF spec (public); the writer below emits
+    * the canonical hdrl/movi/idx1 layout with little-endian sizes and
+    * even-byte chunk padding.
+    *
+    * REFUSAL CONTRACT (the WavCodec discipline — stats over a prefix
+    * must never wear the full file's label): decode returns None when
+    * the RIFF size overruns the payload (truncated tail), any chunk
+    * overruns its enclosing region, the header is missing, the header
+    * frame count differs from the `movi` chunks actually present (a
+    * lying/truncated index), any frame fails JPEG decode, or any
+    * frame's decoded dimensions differ from the header's. Corrupt rows
+    * are FLAGGED (decode_ok = false), never dropped.
+    *
+    * [[VideoStats]] is integer-exact: fps = rate DIV scale and
+    * duration_ms = frames·1000·scale DIV rate (truncating — the
+    * integer contract oracles replay); per-frame mean luma =
+    * Σ(299·R + 587·G + 114·B) DIV (1000·w·h) (truncating). On the
+    * planted CONSTANT-gray frames of [[syntheticVideos]] every one of
+    * these is closed-form in the id — quality-1.0 JPEG round-trips a
+    * flat frame exactly (see [[ImageIoCodec.encodeJpeg]]) — which is
+    * what makes the m7 board oracle value-carrying rather than a
+    * postcondition.
+    */
+  object MjpegCodec extends MediaCodec {
+
+    /** Exact integer statistics of a decoded MJPEG video. `lumaFirst` /
+      * `lumaSum` are the truncating per-frame mean lumas (first frame /
+      * summed over frames) documented on the object.
+      */
+    final case class VideoStats(nFrames: Long, width: Long, height: Long,
+        fps: Long, durationMs: Long, lumaFirst: Long, lumaSum: Long)
+
+    private[operators] final case class AviParsed(totalFrames: Int,
+        width: Int, height: Int, scale: Int, rate: Int,
+        frames: Vector[Array[Byte]])
+
+    private def fourcc(p: Array[Byte], off: Long): String =
+      new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def u32(p: Array[Byte], off: Long): Long =
+      (p(off.toInt) & 0xFFL) | ((p(off.toInt + 1) & 0xFFL) << 8) |
+        ((p(off.toInt + 2) & 0xFFL) << 16) | ((p(off.toInt + 3) & 0xFFL) << 24)
+
+    /** RIFF walk: headers + raw JPEG frame bytes, or None on any
+      * structural violation (see the refusal contract). Offsets ride
+      * Longs — chunk sizes are untrusted u32s, so arithmetic must not
+      * wrap before the bounds check.
+      */
+    private[operators] def parseAvi(payload: Array[Byte]): Option[AviParsed] = {
+      if (payload == null || payload.length < 12) return None
+      if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+        return None
+      val riffEnd = 8L + u32(payload, 4)
+      if (riffEnd > payload.length) return None // truncated container
+      var avih: Option[(Int, Int)] = None      // totalFrames, (w, h) below
+      var dims: Option[(Int, Int)] = None
+      var strh: Option[(Int, Int)] = None      // scale, rate of the vids stream
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Long, end: Long): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(payload, off)
+          val sz = u32(payload, off + 4)
+          val dataEnd = off + 8 + sz
+          if (dataEnd > end) return false // chunk overruns its region
+          id match {
+            case "LIST" =>
+              if (sz < 4) return false
+              val lt = fourcc(payload, off + 8)
+              if ((lt == "hdrl" || lt == "strl" || lt == "movi" ||
+                  lt == "rec ") && !walk(off + 12, dataEnd)) return false
+            case "avih" =>
+              if (sz < 56) return false
+              avih = Some((u32(payload, off + 8 + 16).toInt, 0))
+              dims = Some((u32(payload, off + 8 + 32).toInt,
+                u32(payload, off + 8 + 36).toInt))
+            case "strh" =>
+              if (sz < 56) return false
+              if (fourcc(payload, off + 8) == "vids")
+                strh = Some((u32(payload, off + 8 + 20).toInt,
+                  u32(payload, off + 8 + 24).toInt))
+            case "00dc" | "00db" =>
+              frames += java.util.Arrays.copyOfRange(
+                payload, (off + 8).toInt, dataEnd.toInt)
+            case _ => () // idx1, JUNK, vendor chunks: skipped, not errors
+          }
+          off = dataEnd + (sz & 1L) // chunks pad to even offsets
+        }
+        true
+      }
+      if (!walk(12L, riffEnd)) return None
+      val fs = frames.result()
+      for {
+        (total, _) <- avih
+        (w, h) <- dims
+        (scale, rate) <- strh
+        if total > 0 && fs.size == total && scale > 0 && rate > 0 &&
+          w > 0 && h > 0
+      } yield AviParsed(total, w, h, scale, rate, fs)
+    }
+
+    /** Raw per-frame JPEG bytes in stream order — the demux-only face
+      * [[sampleVideoFrames]] fans out on (each element decodes with the
+      * m3–m5 image path). None under the same refusal contract.
+      */
+    def decodeFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+      parseAvi(payload).map(_.frames)
+
+    def decodeStats(payload: Array[Byte]): Option[VideoStats] =
+      parseAvi(payload).flatMap { p =>
+        var lumaFirst = 0L
+        var lumaSum = 0L
+        var ok = true
+        var i = 0
+        while (ok && i < p.frames.size) {
+          val im = try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(p.frames(i))))
+            catch { case _: java.io.IOException => None }
+          im match {
+            case Some(f) if f.getWidth == p.width && f.getHeight == p.height =>
+              var s = 0L
+              var y = 0
+              while (y < p.height) {
+                var x = 0
+                while (x < p.width) {
+                  val rgb = f.getRGB(x, y)
+                  s += 299L * ((rgb >> 16) & 0xFF) +
+                    587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = s / (1000L * p.width * p.height)
+              if (i == 0) lumaFirst = mean
+              lumaSum += mean
+            case _ => ok = false // undecodable frame or dims lie
+          }
+          i += 1
+        }
+        if (!ok) None
+        else Some(VideoStats(p.totalFrames.toLong, p.width.toLong,
+          p.height.toLong, (p.rate / p.scale).toLong,
+          p.totalFrames.toLong * 1000L * p.scale / p.rate,
+          lumaFirst, lumaSum))
+      }
+
+    /** MJPEG-in-AVI writer: JPEG frame bytes in, a spec-shaped AVI out
+      * (RIFF / LIST hdrl [avih + LIST strl [strh + strf]] / LIST movi
+      * [00dc…] / idx1). `declaredFrames` deliberately mis-states the
+      * header frame count — the spec fixture for the lying-header
+      * refusal; production callers leave it None.
+      */
+    def encodeAvi(width: Int, height: Int, fps: Int,
+        frames: Seq[Array[Byte]],
+        declaredFrames: Option[Int] = None): Array[Byte] = {
+      require(fps > 0, s"encodeAvi: fps must be positive, got $fps")
+      require(frames.nonEmpty, "encodeAvi: no frames")
+      def pad(n: Int): Int = n + (n & 1)
+      val strlSize = 4 + (8 + 56) + (8 + 40)          // 'strl' + strh + strf
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // 'hdrl' + avih + LIST strl
+      val moviSize = 4 + frames.map(f => 8 + pad(f.length)).sum
+      val idx1Size = 16 * frames.length
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+      val maxBuf = frames.map(_.length).max + 8
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = { bb.put(s.getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII)); () }
+      fcc("RIFF"); bb.putInt(riffSize); fcc("AVI ")
+      fcc("LIST"); bb.putInt(hdrlSize); fcc("hdrl")
+      fcc("avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps)  // dwMicroSecPerFrame (informational)
+      bb.putInt(0); bb.putInt(0)
+      bb.putInt(0x10)           // AVIF_HASINDEX
+      bb.putInt(declaredFrames.getOrElse(frames.length))
+      bb.putInt(0); bb.putInt(1) // initial frames, stream count
+      bb.putInt(maxBuf)
+      bb.putInt(width); bb.putInt(height)
+      (0 until 4).foreach(_ => bb.putInt(0))
+      fcc("LIST"); bb.putInt(strlSize); fcc("strl")
+      fcc("strh"); bb.putInt(56)
+      fcc("vids"); fcc("MJPG")
+      bb.putInt(0); bb.putShort(0); bb.putShort(0)
+      bb.putInt(0)
+      bb.putInt(1); bb.putInt(fps) // dwScale, dwRate: fps = rate/scale
+      bb.putInt(0)
+      bb.putInt(frames.length)     // dwLength, in frames
+      bb.putInt(maxBuf)
+      bb.putInt(-1); bb.putInt(0)  // default quality, variable sample size
+      bb.putShort(0); bb.putShort(0)
+      bb.putShort(width.toShort); bb.putShort(height.toShort)
+      fcc("strf"); bb.putInt(40)
+      bb.putInt(40); bb.putInt(width); bb.putInt(height)
+      bb.putShort(1); bb.putShort(24)
+      fcc("MJPG")
+      bb.putInt(width * height * 3)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      fcc("LIST"); bb.putInt(moviSize); fcc("movi")
+      // idx1 offsets are relative to the 'movi' fourcc (the common
+      // convention): the first frame chunk header sits at offset 4
+      var off = 4
+      val offsets = frames.map { f =>
+        val o = off; off += 8 + pad(f.length); o
+      }
+      frames.foreach { f =>
+        fcc("00dc"); bb.putInt(f.length); bb.put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)
+      }
+      fcc("idx1"); bb.putInt(idx1Size)
+      frames.zip(offsets).foreach { case (f, o) =>
+        fcc("00dc"); bb.putInt(0x10) // AVIIF_KEYFRAME: every MJPEG frame
+        bb.putInt(o); bb.putInt(f.length)
+      }
+      bb.array()
+    }
+
+    /** One constant-gray JPEG frame — the planted-fixture primitive:
+      * quality 1.0 round-trips it exactly (see
+      * [[ImageIoCodec.encodeJpeg]]), so its decoded mean luma IS `gray`.
+      */
+    def flatGrayJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { im.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      ImageIoCodec.encodeJpeg(im)
+    }
+
+    /** [[MediaCodec]] face: the FIRST frame's 8×8 block-luma grid via
+      * the image codec — video rides the identical feature /
+      * pHash / near-dup machinery as still images.
+      */
+    val featureDim: Int = ImageIoCodec.featureDim
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      parseAvi(payload).flatMap(p => ImageIoCodec.decode(p.frames.head))
+  }
+
   /** Typed per-item audio statistics — None-valued fields on a payload
     * that does not decode (kept as one row with `decode_ok = false`,
     * never dropped: a corrupt item vanishing silently is how a pipeline
@@ -384,6 +634,133 @@ object Multimodal {
     }
   }
 
+  /** Typed per-item video statistics — the audio pattern: None-valued
+    * fields on a payload that fails [[MjpegCodec]]'s refusal contract,
+    * kept as one row with `decode_ok = false`, never dropped.
+    */
+  final case class VideoFeature(media_id: Long, decode_ok: Boolean,
+      n_frames: Option[Long], fps: Option[Long], width: Option[Long],
+      height: Option[Long], duration_ms: Option[Long],
+      luma_first: Option[Long], luma_sum: Option[Long])
+
+  /** Video stats extraction as partition-iterator batches — map-only,
+    * embarrassingly parallel, never shuffles; corrupt payloads flagged,
+    * not dropped (the [[extractAudioStats]] shape).
+    */
+  def extractVideoStats(media: Dataset[MediaItem]): Dataset[VideoFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      MjpegCodec.decodeStats(m.payload) match {
+        case Some(s) => VideoFeature(m.media_id, decode_ok = true,
+          Some(s.nFrames), Some(s.fps), Some(s.width), Some(s.height),
+          Some(s.durationMs), Some(s.lumaFirst), Some(s.lumaSum))
+        case None => VideoFeature(m.media_id, decode_ok = false,
+          None, None, None, None, None, None, None)
+      }
+    })
+  }
+
+  /** Synthetic REAL-video table: every decodable payload is a valid
+    * MJPEG-in-AVI ([[MjpegCodec.encodeAvi]]) of CONSTANT-gray 16×16
+    * frames with closed-form parameters — frames = 3 + id % 5, fps =
+    * 5 + id % 10, frame f's gray level = (id·37 + f·59) % 256 — and a
+    * quality-1.0 JPEG round-trips a flat frame EXACTLY (the pinned
+    * [[ImageIoCodec.encodeJpeg]] property), so every
+    * [[MjpegCodec.decodeStats]] column is analytic in the id:
+    * duration_ms = frames·1000 DIV fps, luma_first = (id·37) % 256,
+    * luma_sum = Σ_f (id·37 + f·59) % 256 — the m7 board oracle replays
+    * all of it in SQL. Ids ≡ 9 (mod 10) carry RIFF-less junk; ids ≡ 4
+    * (mod 10) carry a real AVI with the last 100 bytes CUT — the
+    * declared RIFF size then overruns the payload and the decoder must
+    * refuse (the truncation face). Generated distributed via
+    * spark.range (JPEG + AVI encoding runs on executors).
+    */
+  def syntheticVideos(spark: SparkSession, n: Long): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      if (id % 10 == 9) {
+        val rnd = new scala.util.Random(id)
+        val junk = new Array[Byte](32)
+        rnd.nextBytes(junk)
+        MediaItem(id, "video", "avi", 0, 0, 0L, junk)
+      } else {
+        val nFrames = 3 + (id % 5).toInt
+        val fps = 5 + (id % 10).toInt
+        val frames = (0 until nFrames).map(f =>
+          MjpegCodec.flatGrayJpeg(16, 16, ((id * 37 + f * 59) % 256).toInt))
+        val avi = MjpegCodec.encodeAvi(16, 16, fps, frames)
+        val payload = if (id % 10 == 4)
+          java.util.Arrays.copyOf(avi, avi.length - 100) else avi
+        MediaItem(id, "video", "avi", 16, 16,
+          nFrames.toLong * 1000L / fps, payload)
+      }
+    }
+  }
+
+  /** Synthetic PATTERNED videos for the near-dup face: frame pixels are
+    * the [[syntheticImages]] 4×4-block hash pattern with the frame
+    * index folded in, JPEG-encoded at quality 1.0 — content-distinct
+    * videos whose frame-0 feature grids differ in many pHash bits,
+    * while [[perturbVideos]]' one-pixel edit perturbs a single 8×8
+    * JPEG block (every other frame byte-identical).
+    */
+  def syntheticPatternedVideos(spark: SparkSession, n: Long,
+      width: Int = 32, height: Int = 32,
+      nFrames: Int = 2): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val frames = (0 until nFrames).map { f =>
+        val im = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            var h2 = id * 0x9E3779B97F4A7C15L +
+              (x / 4) * 0xC2B2AE3D27D4EB4FL +
+              (y / 4) * 0x165667B19E3779F9L + f * 0xD6E8FEB86659FD93L
+            h2 ^= h2 >>> 33; h2 *= 0xFF51AFD7ED558CCDL; h2 ^= h2 >>> 33
+            val g = (h2 & 0xFF).toInt
+            im.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        ImageIoCodec.encodeJpeg(im)
+      }
+      MediaItem(id, "video", "avi", width, height, nFrames * 100L,
+        MjpegCodec.encodeAvi(width, height, 10, frames))
+    }
+  }
+
+  /** Planted video near-duplicates: frame 0 re-encoded with pixel
+    * (0,0)'s red channel nudged ±16 IN PIXEL SPACE (the m4 edit — a
+    * payload-byte flip would corrupt a JPEG entropy stream rather than
+    * edit the picture), remaining frames byte-identical, ids offset.
+    * Undecodable originals are dropped rather than planted corrupt.
+    */
+  def perturbVideos(media: Dataset[MediaItem],
+      idOffset: Long): Dataset[MediaItem] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      MjpegCodec.parseAvi(m.payload).flatMap { p =>
+        val im0 = try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p.frames.head)))
+          catch { case _: java.io.IOException => None }
+        im0.map { im =>
+          val rgb = im.getRGB(0, 0)
+          val r0 = (rgb >> 16) & 0xFF
+          val r1 = if (r0 >= 240) r0 - 16 else r0 + 16
+          im.setRGB(0, 0, (rgb & 0x00FFFF) | (r1 << 16))
+          m.copy(media_id = m.media_id + idOffset,
+            payload = MjpegCodec.encodeAvi(p.width, p.height,
+              p.rate / p.scale,
+              ImageIoCodec.encodeJpeg(im) +: p.frames.tail))
+        }
+      }
+    }
+  }
+
   /** Synthetic media table: deterministic binary payloads + metadata.
     * Payload bytes derive from xxhash64 of the id — distributed generation
     * via spark.range, no driver loop.
@@ -401,14 +778,15 @@ object Multimodal {
   }
 
   /** Feature extraction as partition-iterator batches: one pass per
-    * partition, payload decoded by the pluggable codec ([[ImageIoCodec]]
-    * for real image bytes, [[FakeCodec]] for the stub faces), corrupt
-    * payloads flagged rather than dropped. This is the mapInPandas-shaped
-    * surface: batch in, batch out, schema fixed, embarrassingly parallel
-    * — the operator never shuffles.
+    * partition, payload decoded by the pluggable codec (all three REAL:
+    * [[ImageIoCodec]] for images, [[WavCodec]] for PCM audio,
+    * [[MjpegCodec]] for MJPEG video), corrupt payloads flagged rather
+    * than dropped. This is the mapInPandas-shaped surface: batch in,
+    * batch out, schema fixed, embarrassingly parallel — the operator
+    * never shuffles.
     */
   def extractFeatures(media: Dataset[MediaItem],
-      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
+      codec: MediaCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -477,33 +855,25 @@ object Multimodal {
     }
   }
 
-  /** Resize (STUB codec): metadata transform is real — width/height are
-    * recomputed and the payload passes through the fake resampler.
-    */
-  def resize(media: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
-    import media.sparkSession.implicits._
-    media.map(m => m.copy(width = w, height = h,
-      payload = if (m.payload == null) null
-        else java.util.Arrays.copyOf(m.payload, math.min(m.payload.length, w * h))))
-  }
-
   final case class MediaFrame(media_id: Long, frame_index: Int, frame: Array[Byte])
 
-  /** Frame sampling (STUB codec): every `stride`-th fixed-size chunk of
-    * the payload stands in for a decoded video frame. The real surface —
-    * one media row fanning out to N frame rows, batch-iterated per
-    * partition, order-stable — is exactly what a JavaCV-backed version
-    * would keep.
+  /** REAL frame sampling: demux the AVI and emit every `stride`-th
+    * frame's JPEG bytes as its own row — one media row fans out to
+    * ⌈frames/stride⌉ frame rows, batch-iterated per partition,
+    * order-stable, each frame decodable by [[ImageIoCodec]]. Videos
+    * failing the refusal contract fan out to ZERO rows here; the stats
+    * face ([[extractVideoStats]]) is where corrupt items surface
+    * flagged.
     */
-  def frameSample(media: Dataset[MediaItem], frameBytes: Int = 16,
-      stride: Int = 2): Dataset[MediaFrame] = {
+  def sampleVideoFrames(media: Dataset[MediaItem],
+      stride: Int = 1): Dataset[MediaFrame] = {
+    require(stride >= 1, s"sampleVideoFrames: stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val p = if (m.payload == null) Array.empty[Byte] else m.payload
-      val nFrames = p.length / frameBytes
-      (0 until nFrames by stride).map { i =>
-        MediaFrame(m.media_id, i,
-          java.util.Arrays.copyOfRange(p, i * frameBytes, (i + 1) * frameBytes))
+      MjpegCodec.decodeFrames(m.payload) match {
+        case Some(fs) =>
+          (0 until fs.size by stride).map(i => MediaFrame(m.media_id, i, fs(i)))
+        case None => Nil
       }
     }
   }
@@ -543,19 +913,6 @@ object Multimodal {
         .select(col("media_id"), perceptualHash(col("feature")).as("phash"))
         .filter(col("phash").isNotNull),
       "media_id", "phash", maxHamming)
-
-  /** Deterministically perturbed copies (one payload byte materially
-    * changed — a visible single-pixel edit, not a bit of noise) with
-    * offset ids — planted near-duplicates for dedup verification.
-    */
-  def perturb(media: Dataset[MediaItem], idOffset: Long): Dataset[MediaItem] = {
-    import media.sparkSession.implicits._
-    media.map { m =>
-      val p = if (m.payload == null) null else m.payload.clone()
-      if (p != null && p.nonEmpty) p(0) = (p(0) ^ 0x55).toByte
-      m.copy(media_id = m.media_id + idOffset, payload = p)
-    }
-  }
 
   /** Write the media table: binary payload column in parquet, partitioned
     * by kind — large blobs stay out of the dictionary-encoded path and

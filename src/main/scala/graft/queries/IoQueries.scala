@@ -357,22 +357,27 @@ object IoQueries {
              |FROM events GROUP BY event_type HAVING count(*) >= 100
              |ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
-    // Multimodal feature extraction. ORACLE ON THE METADATA COLUMNS: the
-    // payload bytes come from a JVM RNG and the features from the stub
-    // codec — neither is DuckDB-computable — but syntheticMedia's payload
-    // LENGTH is closed-form (64 + id % 64) and every generated payload is
-    // decodable, so n_bytes and decode_ok are SQL-stateable per media_id.
-    // That pins the real plumbing (distributed generation, partition-
-    // iterator extraction, metadata faithfulness); sha256/feature
-    // semantics stay spec-bound in MultimodalSpec.
+    // Multimodal feature extraction over REAL audio (round-16 repoint:
+    // the stub codec is gone — all three media codecs decode real
+    // bytes). VALUE-CARRYING on both columns: the JDK's PCM-WAV
+    // container is exactly 44 header bytes + 2 bytes/sample (mono
+    // 16-bit; pinned in MultimodalSpec), so n_bytes = 44 + 2·(400 +
+    // (id % 50)·8) is closed-form per id, junk rows (id ≡ 9 mod 10)
+    // are their planted 32 bytes with decode_ok = false. Pins the
+    // generic plumbing the codecs share: distributed generation,
+    // partition-iterator extraction, metadata faithfulness, corrupt
+    // flagged never dropped; sha256/feature semantics stay spec-bound.
     QueryDef("m1_media_features",
       (s, dir) => {
         import s.implicits._
-        Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+        Multimodal.extractFeatures(Multimodal.syntheticAudio(s, 200),
+            Multimodal.WavCodec)
           .select(col("media_id"), col("n_bytes"), col("decode_ok"))
           .orderBy("media_id")
       },
-      Some("""SELECT r AS media_id, 64 + (r % 64) AS n_bytes, TRUE AS decode_ok
+      Some("""SELECT r AS media_id,
+             |CAST(CASE WHEN r % 10 = 9 THEN 32 ELSE 44 + 2 * (400 + (r % 50) * 8) END AS BIGINT) AS n_bytes,
+             |(r % 10 <> 9) AS decode_ok
              |FROM range(0, 200) t(r)
              |ORDER BY media_id""".stripMargin.replace("\n", " "))),
 
@@ -421,19 +426,25 @@ object IoQueries {
              |     WHEN a.event_type IS DISTINCT FROM b.event_type OR a.value IS DISTINCT FROM b.value THEN 'update' END) IS NOT NULL
              |ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
-    QueryDef("m2_media_phash_neardup",
-      // PROPERTY-BOUND ORACLE (d6's planted-pair pattern): payloads and
-      // pHash bits are engine-internal, but the planting rule is closed-
-      // form — each media_id < 60 gets a one-byte-perturbed copy at
-      // media_id + 1000, and MultimodalSpec proves a one-byte edit
-      // stays within Hamming 5 — so "every planted pair is found" is
-      // SQL-stateable per pair. A missed pair flips found to false.
+    QueryDef("m2_video_phash_neardup",
+      // Perceptual near-dup over REAL videos (round-16 repoint from the
+      // stub codec): pHash on MjpegCodec's frame-0 block-luma features
+      // over patterned MJPEG-in-AVI payloads, planted copies with ONE
+      // PIXEL of frame 0 edited in pixel space (every other frame
+      // byte-identical — the video analog of m4's edit). PROPERTY-
+      // BOUND ORACLE like m2/m4 before it: the planting rule is
+      // closed-form — each media_id < 60 pairs with media_id + 1000 —
+      // and MultimodalSpec proves the one-pixel edit stays within
+      // Hamming 5 while unrelated videos do not; a missed pair flips
+      // found to false.
       (s, dir) => {
         import s.implicits._
-        val media = Multimodal.syntheticMedia(s, 300)
-        val dups = Multimodal.perturb(media.filter(col("media_id") < 60), 1000L)
+        val media = Multimodal.syntheticPatternedVideos(s, 300)
+        val dups = Multimodal.perturbVideos(
+          media.filter(col("media_id") < 60), 1000L)
         val pairs = Multimodal.mediaNearDups(
-          Multimodal.extractFeatures(media.union(dups)).toDF(), maxHamming = 5)
+          Multimodal.extractFeatures(media.union(dups),
+            Multimodal.MjpegCodec).toDF(), maxHamming = 5)
           .select(col("a_id"), col("b_id"), lit(true).as("found"))
         media.toDF().filter(col("media_id") < 60)
           .select(col("media_id").as("a_id"), (col("media_id") + 1000).as("b_id"))
@@ -540,6 +551,50 @@ object IoQueries {
              |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE 1000 + (r % 30) * 1000 END AS BIGINT) AS peak_abs,
              |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE (400 + (r % 50) * 8 - 1) // (1 + r % 25) END AS BIGINT) AS zero_crossings,
              |CAST(CASE WHEN r % 10 = 9 THEN NULL ELSE (400 + (r % 50) * 8) * (1000 + (r % 30) * 1000) * (1000 + (r % 30) * 1000) END AS BIGINT) AS sum_sq
-             |FROM range(0, 120) t(r) ORDER BY media_id""".stripMargin.replace("\n", " ")))
+             |FROM range(0, 120) t(r) ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    // REAL video decode (round 16 — the engine's last stub deleted):
+    // MJPEG-in-AVI demuxed by a pure-JDK RIFF chunk walk, each 00dc
+    // frame decoded by the m3–m5 javax.imageio path. VALUE-CARRYING
+    // ORACLE, not a postcondition: every decodable payload is a planted
+    // AVI of CONSTANT-gray frames whose parameters are closed-form in
+    // the id (frames = 3 + id%5, fps = 5 + id%10, frame f's gray =
+    // (id·37 + f·59) % 256), and a quality-1.0 JPEG round-trips a flat
+    // frame EXACTLY (spec-pinned for all 256 levels: a flat 8×8 block
+    // has only its integer DC coefficient and all-ones quant tables
+    // quantize it losslessly), so frame count, fps, dimensions,
+    // truncating duration, and the integer mean-luma columns are all
+    // SQL-recomputable. Ids ≡ 9 (mod 10) are RIFF-less junk; ids ≡ 4
+    // (mod 10) are real AVIs with the tail CUT — the declared RIFF
+    // size overruns the payload and the decoder must REFUSE (stats
+    // over a prefix never wear the full file's label). Both surface
+    // as decode_ok = false with null stats — flagged, never dropped.
+    // Byte-level demux fidelity (chunk bounds, lying headers, dims
+    // mismatch, frame sampling) is pinned in MultimodalSpec.
+    QueryDef("m7_video_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractVideoStats(Multimodal.syntheticVideos(s, 120))
+          .toDF()
+          .select(col("media_id"), col("decode_ok"), col("n_frames"),
+            col("fps"), col("width"), col("height"), col("duration_ms"),
+            col("luma_first"), col("luma_sum"))
+          .orderBy("media_id")
+      },
+      Some("""WITH lum AS (SELECT r, CAST(sum((r * 37 + f * 59) % 256) AS BIGINT) AS ls,
+             |CAST(min(CASE WHEN f = 0 THEN (r * 37) % 256 END) AS BIGINT) AS lf
+             |FROM range(0, 120) t(r) CROSS JOIN range(0, 7) u(f)
+             |WHERE f < 3 + r % 5 GROUP BY r)
+             |SELECT t.r AS media_id,
+             |(t.r % 10 <> 9 AND t.r % 10 <> 4) AS decode_ok,
+             |CAST(CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE 3 + t.r % 5 END AS BIGINT) AS n_frames,
+             |CAST(CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE 5 + t.r % 10 END AS BIGINT) AS fps,
+             |CAST(CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE 16 END AS BIGINT) AS width,
+             |CAST(CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE 16 END AS BIGINT) AS height,
+             |CAST(CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE (3 + t.r % 5) * 1000 // (5 + t.r % 10) END AS BIGINT) AS duration_ms,
+             |CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE lum.lf END AS luma_first,
+             |CASE WHEN t.r % 10 IN (4, 9) THEN NULL ELSE lum.ls END AS luma_sum
+             |FROM range(0, 120) t(r) LEFT JOIN lum ON lum.r = t.r
+             |ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

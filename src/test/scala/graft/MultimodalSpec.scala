@@ -24,44 +24,55 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction is deterministic, fixed-dim, and flags corrupt payloads") {
-    val media = Multimodal.syntheticMedia(spark, 10)
-    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val media = Multimodal.syntheticAudio(spark, 10)
+      .filter(col("media_id") % 10 =!= 9)
+    val f1 = Multimodal.extractFeatures(media, Multimodal.WavCodec)
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, Multimodal.WavCodec)
+      .collect().sortBy(_.media_id)
     assert(f1.map(_.sha256).sameElements(f2.map(_.sha256)))
-    assert(f1.forall(_.feature.length == Multimodal.FakeCodec.featureDim))
+    assert(f1.forall(_.feature.length == Multimodal.WavCodec.featureDim))
     assert(f1.forall(_.decode_ok))
-
+    // the m1 oracle's closed form: JDK PCM-WAV container = 44 header
+    // bytes + 2 bytes per mono 16-bit sample
+    f1.foreach { f =>
+      val n = 400 + (f.media_id % 50) * 8
+      assert(f.n_bytes == 44 + 2 * n, s"id ${f.media_id}: ${f.n_bytes}")
+    }
     val corrupt = Seq(Multimodal.MediaItem(99L, "image", "jpeg", 1, 1, 0, Array[Byte](1, 2)))
       .toDS()
-    val cf = Multimodal.extractFeatures(corrupt).collect().head
+    val cf = Multimodal.extractFeatures(corrupt, Multimodal.WavCodec)
+      .collect().head
     assert(!cf.decode_ok && cf.feature.isEmpty)
   }
 
-  test("resize updates metadata and payload passes through the stub") {
-    val media = Multimodal.syntheticMedia(spark, 5)
-    val out = Multimodal.resize(media, 8, 8).collect()
-    assert(out.forall(m => m.width == 8 && m.height == 8))
-    assert(out.forall(m => m.payload.length <= 64))
-  }
-
-  test("frame sampling fans one media row into ordered frame rows") {
-    val media = Multimodal.syntheticMedia(spark, 3)
-    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 2).collect()
+  test("video frame sampling fans one media row into ordered, decodable frame rows") {
+    val media = Multimodal.syntheticVideos(spark, 30)
+    val frames = Multimodal.sampleVideoFrames(media, stride = 2).collect()
     val byId = frames.groupBy(_.media_id)
+    // corrupt (9 mod 10) and truncated (4 mod 10) videos fan out to ZERO
+    // rows — the stats face is where they surface flagged
+    assert(byId.keySet == (0L until 30L).filter(i => i % 10 != 9 && i % 10 != 4).toSet)
     byId.foreach { case (id, fs) =>
-      val payloadLen = media.filter(col("media_id") === id)
-        .collect().head.payload.length
-      assert(fs.map(_.frame_index).sorted.toSeq ==
-        (0 until payloadLen / 16 by 2).toSeq)
-      assert(fs.forall(_.frame.length == 16))
+      val nFrames = 3 + (id % 5).toInt
+      assert(fs.map(_.frame_index).sorted.toSeq == (0 until nFrames by 2).toSeq)
+      // every sampled frame is a REAL JPEG the image codec decodes, and
+      // a flat-gray one: the constant-frame feature grid is exactly
+      // gray/255 in all 64 cells (quality-1.0 round-trip exactness)
+      fs.foreach { fr =>
+        val feat = Multimodal.ImageIoCodec.decode(fr.frame)
+        val g = ((id * 37 + fr.frame_index * 59) % 256).toInt
+        assert(feat.exists(_.forall(v => math.abs(v - g / 255.0f) < 1e-6f)),
+          s"id $id frame ${fr.frame_index}: expected flat $g")
+      }
     }
   }
 
-  test("perceptual hash separates perturbed copies from unrelated items") {
-    val media = Multimodal.syntheticMedia(spark, 120)
-    val dups = Multimodal.perturb(media.filter(col("media_id") < 30), 1000L)
+  test("perceptual hash separates perturbed video copies from unrelated videos") {
+    val media = Multimodal.syntheticPatternedVideos(spark, 120)
+    val dups = Multimodal.perturbVideos(media.filter(col("media_id") < 30), 1000L)
     val all = media.union(dups)
-    val feats = Multimodal.extractFeatures(all)
+    val feats = Multimodal.extractFeatures(all, Multimodal.MjpegCodec)
     val sigs = feats.select(col("media_id"),
       Multimodal.perceptualHash(col("feature")).as("phash"))
     val ham = sigs.as("a").join(sigs.as("b"),
@@ -72,19 +83,20 @@ class MultimodalSpec extends SparkSpec {
     val planted = ham.filter(p => p._2 == p._1 + 1000).map(_._3)
     val unrelated = ham.filterNot(p => p._2 == p._1 + 1000).map(_._3)
     assert(planted.length == 30)
-    // a one-byte edit flips at most a few bits (every planted pair stays
-    // under the threshold); unrelated items collide only rarely — like
-    // any LSH, false positives exist and are verified downstream, so the
-    // spec pins the RATE, not an impossible zero
+    // a one-pixel edit touches one 8×8 JPEG block = at most 4 feature
+    // cells (every other frame byte-identical), so planted pairs stay
+    // under the threshold; unrelated patterned videos collide only
+    // rarely — like any LSH, the spec pins the RATE, not an impossible
+    // zero
     assert(planted.max <= 5, s"planted max hamming ${planted.max}")
     val fpRate = unrelated.count(_ <= 5).toDouble / unrelated.length
     assert(fpRate < 0.02, s"false-positive rate $fpRate")
   }
 
-  test("mediaNearDups recovers every planted perturbed pair") {
-    val media = Multimodal.syntheticMedia(spark, 120)
-    val dups = Multimodal.perturb(media.filter(col("media_id") < 30), 1000L)
-    val feats = Multimodal.extractFeatures(media.union(dups))
+  test("mediaNearDups recovers every planted perturbed video pair") {
+    val media = Multimodal.syntheticPatternedVideos(spark, 120)
+    val dups = Multimodal.perturbVideos(media.filter(col("media_id") < 30), 1000L)
+    val feats = Multimodal.extractFeatures(media.union(dups), Multimodal.MjpegCodec)
     val pairs = Multimodal.mediaNearDups(feats.toDF(), maxHamming = 5)
       .as[(Long, Long, Int)].collect()
     val plantedFound = pairs.count(p => p._2 == p._1 + 1000)
@@ -298,6 +310,91 @@ class MultimodalSpec extends SparkSpec {
         assert(a.zero_crossings.contains((n - 1) / h),
           s"id=$id zc=${a.zero_crossings} expected ${(n - 1) / h}")
         assert(a.sum_sq.contains(n * amp * amp))
+      }
+    }
+  }
+
+  // ---- MjpegCodec: REAL video bytes (MJPEG-in-AVI) through the seam ----
+
+  test("quality-1.0 JPEG round-trips EVERY constant gray level exactly") {
+    // the property the m7 value-carrying luma oracle stands on: a flat
+    // 8×8 block has only its integer DC coefficient, all-ones quant
+    // tables quantize it losslessly, and grayscale YCbCr conversion is
+    // the identity on r=g=b — pinned for ALL 256 levels so any codec
+    // drift fails HERE, loudly, not in a silently-wrong oracle
+    for (g <- 0 until 256) {
+      val jpeg = Multimodal.MjpegCodec.flatGrayJpeg(16, 16, g)
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(im.getWidth == 16 && im.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val rgb = im.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) == g && ((rgb >> 8) & 0xFF) == g &&
+          (rgb & 0xFF) == g, s"gray $g at ($x,$y): ${rgb.toHexString}")
+      }
+    }
+  }
+
+  test("MjpegCodec decodes a hand-built AVI into exact stats") {
+    import Multimodal.MjpegCodec
+    // 2 frames of known flat grays at 10 fps: every stat closed-form
+    val avi = MjpegCodec.encodeAvi(16, 16, 10,
+      Seq(MjpegCodec.flatGrayJpeg(16, 16, 40), MjpegCodec.flatGrayJpeg(16, 16, 200)))
+    val s = MjpegCodec.decodeStats(avi)
+    assert(s.contains(MjpegCodec.VideoStats(nFrames = 2, width = 16,
+      height = 16, fps = 10, durationMs = 200, lumaFirst = 40,
+      lumaSum = 240)), s"$s")
+    // the demux-only face: 2 frames, each a valid JPEG
+    val frames = MjpegCodec.decodeFrames(avi)
+    assert(frames.exists(_.size == 2))
+    assert(frames.get.forall(f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) != null))
+  }
+
+  test("MjpegCodec refuses junk, truncation, lying headers, and dims mismatch") {
+    import Multimodal.MjpegCodec
+    def gray(g: Int) = MjpegCodec.flatGrayJpeg(16, 16, g)
+    val avi = MjpegCodec.encodeAvi(16, 16, 10, Seq(gray(10), gray(20), gray(30)))
+    assert(MjpegCodec.decodeStats(avi).isDefined)
+    // junk / empty / null
+    assert(MjpegCodec.decodeStats("not an avi".getBytes).isEmpty)
+    assert(MjpegCodec.decodeStats(Array.empty[Byte]).isEmpty)
+    assert(MjpegCodec.decodeStats(null).isEmpty)
+    // tail cut: declared RIFF size overruns the payload
+    assert(MjpegCodec.decodeStats(
+      java.util.Arrays.copyOf(avi, avi.length - 100)).isEmpty,
+      "truncated AVI must refuse, not stat the surviving frames")
+    // lying header: avih declares 4 frames, movi holds 3
+    assert(MjpegCodec.decodeStats(MjpegCodec.encodeAvi(16, 16, 10,
+      Seq(gray(10), gray(20), gray(30)), declaredFrames = Some(4))).isEmpty,
+      "header/movi frame-count mismatch must refuse")
+    // dims lie: header says 8x8, frames decode 16x16
+    assert(MjpegCodec.decodeStats(MjpegCodec.encodeAvi(8, 8, 10,
+      Seq(gray(10)))).isEmpty, "frame dims differing from header must refuse")
+    // a frame that is not a JPEG
+    assert(MjpegCodec.decodeStats(MjpegCodec.encodeAvi(16, 16, 10,
+      Seq(gray(10), Array[Byte](1, 2, 3, 4)))).isEmpty,
+      "an undecodable frame must refuse the whole item")
+  }
+
+  test("syntheticVideos: analytic stats replay, corrupt and truncated rows flagged") {
+    val got = Multimodal.extractVideoStats(
+      Multimodal.syntheticVideos(spark, 40)).collect().sortBy(_.media_id)
+    assert(got.length == 40)
+    for (v <- got) {
+      val id = v.media_id
+      if (id % 10 == 9 || id % 10 == 4) {
+        assert(!v.decode_ok && v.n_frames.isEmpty && v.luma_sum.isEmpty,
+          s"id=$id must be flagged corrupt")
+      } else {
+        val nf = 3 + id % 5; val fps = 5 + id % 10
+        assert(v.decode_ok)
+        assert(v.n_frames.contains(nf) && v.fps.contains(fps))
+        assert(v.width.contains(16L) && v.height.contains(16L))
+        assert(v.duration_ms.contains(nf * 1000 / fps))
+        assert(v.luma_first.contains((id * 37) % 256), s"id=$id ${v.luma_first}")
+        assert(v.luma_sum.contains(
+          (0L until nf).map(f => (id * 37 + f * 59) % 256).sum),
+          s"id=$id ${v.luma_sum}")
       }
     }
   }

@@ -422,28 +422,37 @@ object SimilarityQueries {
 
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // compare; connected components pick one representative per semantic
-    // group. FULL-OUTPUT ORACLE despite the engine-specific k-means
-    // model: plant an exact copy of every %4 vector at vec_id + 100000
-    // and dedup at threshold 0.99 — identical vectors always share a
-    // cell (identical argmax) and score cosine 1, while the corpus's
-    // strongest NATURAL pair is cosine ≈ 0.49 (DuckDB-measured at both
-    // SFs), so every component is exactly one planted pair and the
-    // entire (vec_id, rep_id, kept) output is closed-form. The 0.4-
-    // threshold behavior on natural data stays pinned by
+    // group. VALUE-CARRYING ORACLE via the planted cluster geometry
+    // (round-16 upgrade from the planted-copy postcondition — the old
+    // argument leaned on a DuckDB-MEASURED "strongest natural pair ≈
+    // 0.49"; this one is analytic end to end): on
+    // plantedClusters(deltas = 14) the 8 clusters separate provably —
+    // in-cluster cosine = (1 + δaδb)/(√(1+δa²)√(1+δb²)) ≥
+    // 1/(1 + (14/1024)²) > 0.9998 for ANY member pair, while the best
+    // cross-cluster cosine is ≤ 14/1024 < 0.014 (adjacent axes share
+    // one coordinate worth at most δmax) — so at threshold 0.99 the
+    // dedup graph is exactly 8 complete components. The k-means cells
+    // provably equal the planted clusters (v4's argument, stronger at
+    // deltas = 14): seeds are vec_ids 0..7 = ONE per cluster (id % 8
+    // covers all residues), every member's cosine to its own seed
+    // ≥ 0.9998 vs ≤ 0.014 to any foreign one, and each Lloyd round
+    // keeps refined centroids supported on the cluster's two axes
+    // (means of own-cluster unit members; the ×10⁹ fixed-point floor
+    // keeps the other six coordinates exactly zero), so assignments
+    // never leave and no cell empties. Components therefore ARE the
+    // clusters, the representative is the min id in cluster c — which
+    // is c itself (ids are contiguous from 0) — and the whole
+    // (vec_id, rep_id, kept) relation is closed-form: rep = vec_id %
+    // 8, kept = vec_id < 8. Natural-data behavior stays pinned by
     // DedupSimilaritySpec (collapse, no-false-dedup, invariance).
     QueryDef("sem1_semdedup",
       (s, dir) => {
-        val e = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
-          .select("vec_id", "embedding")
-        val corpus = e.unionByName(
-          e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        Similarity.semDedup(corpus, threshold = 0.99, numCentroids = 8, iters = 2)
+        val e = plantedClusters(s, dir, deltas = 14)
+        Similarity.semDedup(e, threshold = 0.99, numCentroids = 8, iters = 2)
           .orderBy("vec_id")
       },
-      Some("""SELECT vec_id, vec_id AS rep_id, TRUE AS kept FROM embeddings WHERE vec_id % 4 = 0
-             |UNION ALL
-             |SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, FALSE AS kept FROM embeddings WHERE vec_id % 4 = 0
-             |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+      Some("""SELECT vec_id, vec_id % 8 AS rep_id, vec_id < 8 AS kept
+             |FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
     // Scalar int8 min-max quantization (Quantize.int8Encode): the codes
     // are deterministic (min/max are reduction-order-exact; the affine

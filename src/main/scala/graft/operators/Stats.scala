@@ -429,4 +429,90 @@ object Stats {
         col("__med").as("median"), col("__mad").as("mad"),
         coalesce(col("__out"), lit(0L)).as("outliers_n"))
   }
+
+  /** Theil–Sen robust regression, engine-exact procedure (Theil 1950,
+    * Sen 1968): slope = the median of pairwise slopes
+    * (y_b − y_a)/(x_b − x_a) over all pairs with x_b > x_a, weighted
+    * by multiplicity; intercept = the weighted median of the per-row
+    * residuals y − slope·x — the robust-trend sibling of stat2's OLS
+    * (breakdown point ~29% vs OLS's 0: a third of the rows can be
+    * arbitrarily corrupt before the line moves), completing the robust
+    * family next to stat13's location/scale and stat15's rank
+    * agreement.
+    *
+    * Scale shape (the stat15 bounded-grid discipline): ONE partial-
+    * aggregated pass melts the corpus to the O(distinct (x, y)) cell
+    * table, pinned once; pairwise slopes come from a single broadcast
+    * cell×cell dominance join (x_b > x_a — O(cells²), so the operator
+    * REQUIRES a bounded domain, ≤ maxCells = 4096 distinct cells,
+    * checked: quantize/bucket the axes first, the contingency-table
+    * contract); both medians ride [[Rank.globalRunningSum]] weighted
+    * prefix sums — the corpus is never self-joined and never re-sorted
+    * through one task.
+    *
+    * EXACTNESS ARGUMENT, stated because medians of RATIONALS need one:
+    * each pairwise slope num/den (longs, den > 0) maps to its
+    * correctly-rounded IEEE double — one operation both engines state
+    * identically — and rounding is MONOTONE, so ordering by the double
+    * is order-faithful up to merging rationals within one ulp; merged
+    * neighbors are indistinguishable at the emitted 6-decimal
+    * precision, so the selected median value is engine-identical even
+    * when the true rational order interleaves inside a double tie.
+    * The weighted-median rank is the integer (W+1) DIV 2 over exact
+    * long weights (lower median, no interpolation). The intercept pass
+    * restates residuals as the same two IEEE ops (y − slope·x) on
+    * exactly-representable longs. Fail-fasts: null/non-integral
+    * coordinates ([[integralOf]]); a constant x axis raises (no pair
+    * has x_b > x_a — a slope that never saw two x values would wear
+    * the statistic's label).
+    *
+    * Output (one row): n, n_pairs, slope, intercept (both rounded to
+    * 6 decimals).
+    */
+  def theilSen(df: DataFrame, xCol: String, yCol: String,
+      maxCells: Int = 4096): DataFrame = {
+    val rows = df.select(integralOf("theilSen", xCol).as("__x"),
+      integralOf("theilSen", yCol).as("__y"))
+    val cells = Materialize(
+      rows.groupBy("__x", "__y").agg(count(lit(1)).as("__c")))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"theilSen: $nCells distinct (x, y) cells — the pairwise-slope " +
+        s"join is O(cells²); quantize/bucket the axes first (the " +
+        s"contingency-table contract, max $maxCells)")
+    // fail fast HERE, not through a downstream null-rank error: with a
+    // constant x no pair has x_b > x_a and the slope is undefined. One
+    // cheap action on the pinned ≤ maxCells-row table.
+    require(cells.select("__x").distinct().count() >= 2L,
+      "theilSen: x is constant — no pair has x_b > x_a and the slope " +
+        "is undefined; feed a varying x axis")
+    val a = cells.select(col("__x").as("__ax"), col("__y").as("__ay"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),
+      col("__c").as("__cb"))
+    val slopes = a.join(broadcast(b), col("__bx") > col("__ax"))
+      .select(((col("__by") - col("__ay")).cast("double") /
+        (col("__bx") - col("__ax")).cast("double")).as("__sd"),
+        (col("__ca") * col("__cb")).as("__w"))
+      .groupBy("__sd").agg(sum(col("__w")).as("__w"))
+    val wTot = slopes.groupBy().agg(sum(col("__w")).as("__wt"))
+    val rs = Rank.globalRunningSum(slopes, "__sd", "__w", outCol = "__cum")
+    val slope = rs.crossJoin(broadcast(wTot))
+      .filter(col("__cum") >= expr("(__wt + 1) DIV 2"))
+      .groupBy().agg(min(col("__sd")).as("__slope"),
+        max(col("__wt")).as("__np"))
+    val resid = cells.crossJoin(broadcast(slope))
+      .groupBy((col("__y").cast("double") -
+        col("__slope") * col("__x").cast("double")).as("__r"))
+      .agg(sum(col("__c")).as("__c"))
+    val nTot = cells.groupBy().agg(sum(col("__c")).as("__n"))
+    val rs2 = Rank.globalRunningSum(resid, "__r", "__c", outCol = "__cum")
+    val intercept = rs2.crossJoin(broadcast(nTot))
+      .filter(col("__cum") >= expr("(__n + 1) DIV 2"))
+      .groupBy().agg(min(col("__r")).as("__int"), max(col("__n")).as("__n"))
+    intercept.crossJoin(broadcast(slope))
+      .select(col("__n").as("n"), col("__np").as("n_pairs"),
+        round(col("__slope"), 6).as("slope"),
+        round(col("__int"), 6).as("intercept"))
+  }
 }

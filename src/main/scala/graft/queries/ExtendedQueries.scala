@@ -1331,6 +1331,51 @@ object ExtendedQueries {
              |  round(CAST(p - q AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6) AS tau_b
              |FROM pq, txx, tyy, nz""".stripMargin.replace("\n", " "))),
 
+    // Theil–Sen robust trend over the documents corpus: whitespace
+    // word count vs character count in 10-char buckets — the robust-
+    // regression slot next to stat2's OLS, on a pair with a REAL
+    // monotone relation (corr ≈ 0.98 measured at every SF; the slope
+    // ≈ 1.8 words per 10 chars robustly estimates mean word+space
+    // length ≈ 5.5 chars, the length-normalization constant a text-
+    // quality pipeline wants immune to a corrupt tail — Theil–Sen
+    // shrugs off ~29% gross corruption where OLS moves with one row).
+    // Slope = weighted median of pairwise slopes off ONE
+    // O(distinct-cell) table and a bounded cell×cell dominance join
+    // (the monotone band keeps the grid at ~260–480 cells across SFs —
+    // the stat15 contract; the operator RAISES past 4096), intercept =
+    // weighted median of residuals. Medians ride distributed weighted
+    // prefix sums at rank (W+1) DIV 2; each pairwise slope is ONE
+    // correctly-rounded IEEE division of exact longs, which both
+    // engines state identically and which orders the rationals
+    // faithfully (rounding is monotone), so the whole procedure is
+    // engine-exact — the oracle replays it op for op.
+    QueryDef("stat17_theil_sen",
+      (s, dir) => {
+        val b = t(s, dir, "documents").select(
+          expr("n_chars DIV 10").as("x"),
+          expr("length(text) - length(replace(text, ' ', '')) + 1").as("y"))
+        graft.operators.Stats.theilSen(b, "x", "y")
+      },
+      Some("""WITH r AS (SELECT n_chars // 10 AS x,
+             |  length(text) - length(replace(text, ' ', '')) + 1 AS y FROM documents),
+             |cells AS (SELECT x, y, count(*) AS c FROM r GROUP BY x, y),
+             |slopes AS (SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sd,
+             |  CAST(sum(a.c * b.c) AS BIGINT) AS w
+             |  FROM cells a JOIN cells b ON b.x > a.x GROUP BY sd),
+             |wt AS (SELECT sum(w) AS wt FROM slopes),
+             |cum AS (SELECT sd, sum(w) OVER (ORDER BY sd
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM slopes),
+             |sl AS (SELECT min(sd) AS slope FROM cum, wt WHERE cw >= (wt + 1) // 2),
+             |resid AS (SELECT CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS rr, sum(c) AS c
+             |  FROM cells, sl GROUP BY rr),
+             |nn AS (SELECT sum(c) AS n FROM resid),
+             |cum2 AS (SELECT rr, sum(c) OVER (ORDER BY rr
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM resid),
+             |ic AS (SELECT min(rr) AS intercept FROM cum2, nn WHERE cw >= (n + 1) // 2)
+             |SELECT CAST(nn.n AS BIGINT) AS n, CAST(wt.wt AS BIGINT) AS n_pairs,
+             |  round(sl.slope, 6) AS slope, round(ic.intercept, 6) AS intercept
+             |FROM nn, wt, sl, ic""".stripMargin.replace("\n", " "))),
+
     // Wald SPRT replay per arm (the sequential face of the exp family):
     // H1 p=0.55 vs H0 p=0.45 on "order value >= $50", walked in
     // event_id order; the observed ~0.37 success rate drives both arms

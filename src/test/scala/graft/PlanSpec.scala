@@ -53,11 +53,13 @@ class PlanSpec extends SparkSpec {
     // per-group ranks / order statistics / trim boundaries — same claim
     // stat12/stat13/stat14 melt to count tables and ride multi-series
     // running counts; exp5's battery rank rides globalRank — same claim
+    // stat17's two weighted medians ride globalRunningSum prefix sums
     for (name <- Seq("stat6_mannwhitney", "rank1_running_revenue",
         "stat10_gini", "w16_lorenz_deciles", "ml2_auc", "ml4_pr_curve",
         "ivl2_interval_coverage", "ml14_per_group_auc", "ml15_conformal",
         "stat11_trimmed_mean", "stat12_ks_2samp", "stat13_mad_outliers",
-        "stat14_wilcoxon_signed", "exp5_bh_fdr", "stat16_cvm_2samp")) {
+        "stat14_wilcoxon_signed", "exp5_bh_fdr", "stat16_cvm_2samp",
+        "stat17_theil_sen")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p
@@ -71,19 +73,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("kendall's dominance join broadcasts the bounded cell table — no cartesian, no SMJ") {
-    // the O(cells²) compare must run as a broadcast nested-loop over
-    // the ~550-cell table, never a corpus-sized cartesian or a
-    // sort-merge join of the melted corpus
-    val exec = q("stat15_kendall_tau").queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
-      case p => p
+  test("bounded dominance joins (kendall, theil-sen) broadcast the cell table — no cartesian, no SMJ") {
+    // the O(cells²) compares must run as a broadcast nested-loop over
+    // the bounded cell table (~550 / ~1.6k cells), never a corpus-sized
+    // cartesian or a sort-merge join of the melted corpus
+    for (name <- Seq("stat15_kendall_tau", "stat17_theil_sen")) {
+      val exec = q(name).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val s = exec.toString
+      assert(s.contains("BroadcastNestedLoopJoin"),
+        s"$name dominance join not broadcast:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$name cartesian in:\n$s")
+      assert(!s.contains("SortMergeJoin"), s"$name sort-merge join in:\n$s")
     }
-    val s = exec.toString
-    assert(s.contains("BroadcastNestedLoopJoin"),
-      s"dominance join not broadcast:\n$s")
-    assert(!s.contains("CartesianProduct"), s"cartesian in:\n$s")
-    assert(!s.contains("SortMergeJoin"), s"sort-merge join in:\n$s")
   }
 
   test("projection prunes the scan schema to selected columns") {

@@ -269,11 +269,53 @@ class StatsSpec extends SparkSpec {
     val e5 = intercept[Exception](
       Stats.kendallTauB(fracXy, "x", "y").collect())
     assert(e5.getMessage.contains("non-integral"))
+    val e6 = intercept[Exception](
+      Stats.theilSen(fracXy, "x", "y").collect())
+    assert(e6.getMessage.contains("non-integral"))
     graft.operators.Materialize.sweep()
     // INTEGRAL doubles pass — the check is value-level, not type-level
     val intDouble = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0))
       .toDF("side", "v")
     assert(Stats.ksTwoSample(intDouble, "side", "v").count() == 1)
+    graft.operators.Materialize.sweep()
+  }
+
+  test("theilSen: hand-computed weighted medians, noiseless line, invariance, fail-fasts") {
+    // cells (1,1)×1 (2,3)×2 (3,4)×1 (4,4)×1 → 9 weighted pairwise
+    // slopes sorted 0.0(w1) 0.5(w2) 1.0(w3) 1.5(w1) 2.0(w2); rank
+    // (9+1) DIV 2 = 5 lands in the 1.0 block → slope 1.0. Residuals
+    // y − x: 0(w2) 1(w3); rank (5+1) DIV 2 = 3 → intercept 1.0.
+    val df = Seq((1L, 1L), (2L, 3L), (2L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("x", "y")
+    val r = Stats.theilSen(df, "x", "y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((5L, 9L, 1.0, 1.0)), s"$r")
+    graft.operators.Materialize.sweep()
+    val r2 = Stats.theilSen(df.repartition(7), "x", "y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r2 == r, "partitioning must not move the medians")
+    graft.operators.Materialize.sweep()
+    // a noiseless planted line is recovered exactly: slope = median of
+    // all-equal pairwise slopes, intercept = median of all-equal
+    // residuals — and 29% gross corruption cannot move either median
+    val line = (1L to 20L).map(x => (x, 3 * x - 7)) ++
+      (1L to 5L).map(x => (x, 999L)) // 5/25 corrupt rows
+    val r3 = Stats.theilSen(line.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r3._3 == 3.0 && r3._4 == -7.0, s"robust line not recovered: $r3")
+    graft.operators.Materialize.sweep()
+    // fail-fasts: constant x, bounded-domain contract, null
+    val constX = Seq((2L, 1L), (2L, 5L), (2L, 9L)).toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException](
+      Stats.theilSen(constX, "x", "y").collect())
+    assert(e1.getMessage.contains("x is constant"))
+    val e2 = intercept[IllegalArgumentException](
+      Stats.theilSen(df, "x", "y", maxCells = 3).collect())
+    assert(e2.getMessage.contains("distinct (x, y) cells"))
+    val nul = Seq((Option(1L), Option.empty[Long]),
+      (Option(2L), Option(2L))).toDF("x", "y")
+    val e3 = intercept[Exception](Stats.theilSen(nul, "x", "y").collect())
+    assert(e3.getMessage.contains("null value"))
     graft.operators.Materialize.sweep()
   }
 }

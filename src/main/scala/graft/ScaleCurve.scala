@@ -299,8 +299,23 @@ object ScaleCurve {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench/scaling.json")
     val p = java.nio.file.Paths.get(outPath)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    // One JSON line PER FACTOR (round 16): a 30× deep-point run must not
+    // clobber the 10× full-selection record — the line with this run's
+    // factor is replaced, every other factor's line is kept, sorted by
+    // factor so the file reads as an ascending curve.
+    val factorRe = """"factor":(\d+)""".r
+    def factorOf(l: String): Int =
+      factorRe.findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    val kept =
+      if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+          .filter(l => l.trim.nonEmpty && factorOf(l) != factor)
+      else Seq.empty[String]
+    val merged = (kept :+ line).sortBy(factorOf)
     java.nio.file.Files.write(p,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (merged.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (!allPass) {
       val bad = perQuery.filterNot(_._5)

@@ -515,4 +515,72 @@ object Stats {
         round(col("__slope"), 6).as("slope"),
         round(col("__int"), 6).as("intercept"))
   }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test, EXACT counts
+    * (Terpstra 1952, Jonckheere 1954): for k groups with a natural
+    * ORDER (dose levels, size buckets, ordered cohorts), J* sums the
+    * Mann–Whitney "later group wins" counts over every ordered group
+    * pair — the trend TEST next to [[theilSen]]'s trend ESTIMATE, and
+    * strictly sharper than kruskal-style unordered tests when the
+    * alternative is monotone. Mid-rank tie convention, kept integer by
+    * the stat14 ×2 trick: J*×2 = 2·Σ#(v_a < v_b) + Σ#(v_a = v_b) over
+    * pairs with g_a < g_b.
+    *
+    * Everything emitted is an exact long: `j_x2`, `u_tie` (tied cross-
+    * group pairs — visible, not silently half-counted), `e_j_x4` =
+    * n² − Σ n_i² (so E[J*] = e_j_x4/4 exactly), and `trend_x4` =
+    * 2·j_x2 − e_j_x4 — an exact INTEGER whose sign is the trend
+    * direction and whose magnitude is 4·(J* − E[J*]), so "is there an
+    * increasing trend" needs no float anywhere. The null variance is
+    * the CONSUMER's (Lehmann's tie-corrected formula needs only these
+    * counts plus the marginals); exactness here means the counts are
+    * engine- and partitioning-identical. Long arithmetic is exact to
+    * n < ~3·10⁹ rows (j_x2, e_j_x4 ≤ n²) — raise past that, never
+    * round (ANSI).
+    *
+    * Scale shape: the stat15/theilSen bounded-grid discipline — ONE
+    * partial-aggregated pass to the O(distinct (group, value)) cell
+    * table, pinned; one broadcast cell×cell dominance join on
+    * g_b > g_a (REQUIRES ≤ maxCells = 4096 distinct cells, checked —
+    * quantize values first); marginals off the same pinned table.
+    * Fail-fasts: null/non-integral coordinates; a single group raises
+    * (no ordered pair exists — a trend over one group is not a
+    * statistic).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+      maxCells: Int = 4096): DataFrame = {
+    val rows = df.select(integralOf("jonckheereTerpstra", groupCol,
+        role = "group").as("__g2"),
+      integralOf("jonckheereTerpstra", valueCol).as("__v"))
+    val cells = Materialize(
+      rows.groupBy("__g2", "__v").agg(count(lit(1)).as("__c")))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"jonckheereTerpstra: $nCells distinct (group, value) cells — the " +
+        s"dominance join is O(cells²); quantize the values first (the " +
+        s"contingency-table contract, max $maxCells)")
+    require(cells.select("__g2").distinct().count() >= 2L,
+      "jonckheereTerpstra: a single group has no ordered pair — feed " +
+        "at least two ordered groups")
+    val a = cells.select(col("__g2").as("__ag"), col("__v").as("__av"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__g2").as("__bg"), col("__v").as("__bv"),
+      col("__c").as("__cb"))
+    val u = a.join(broadcast(b), col("__bg") > col("__ag"))
+      .agg(
+        coalesce(sum(when(col("__av") < col("__bv"),
+          col("__ca") * col("__cb")).otherwise(0L)), lit(0L)).as("__lt"),
+        coalesce(sum(when(col("__av") === col("__bv"),
+          col("__ca") * col("__cb")).otherwise(0L)), lit(0L)).as("__tie"))
+    val marg = cells.groupBy("__g2").agg(sum(col("__c")).as("__m"))
+      .agg(sum(col("__m")).as("__n"), count(lit(1)).as("__k"),
+        sum(col("__m") * col("__m")).as("__sq"))
+    u.crossJoin(broadcast(marg))
+      .select(col("__n").as("n"), col("__k").as("k"),
+        (lit(2L) * col("__lt") + col("__tie")).as("j_x2"),
+        col("__tie").as("u_tie"),
+        (col("__n") * col("__n") - col("__sq")).as("e_j_x4"),
+        (lit(2L) * (lit(2L) * col("__lt") + col("__tie")) -
+          (col("__n") * col("__n") - col("__sq"))).as("trend_x4"))
+  }
 }

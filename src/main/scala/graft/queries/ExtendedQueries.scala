@@ -1376,6 +1376,37 @@ object ExtendedQueries {
              |  round(sl.slope, 6) AS slope, round(ic.intercept, 6) AS intercept
              |FROM nn, wt, sl, ic""".stripMargin.replace("\n", " "))),
 
+    // Jonckheere–Terpstra ordered trend test — stat17's TEST sibling
+    // (estimate vs test, the stat12/stat16 shared-cohort pairing):
+    // ordered size cohorts (n_chars DIV 100) vs word count. Every
+    // emitted column is an exact long: J*×2 with the mid-rank ×2 tie
+    // trick, tied cross-pairs visible (u_tie), E[J*]×4 = n² − Σnᵢ²
+    // from the same pinned cell table's marginals, and trend_x4 =
+    // 2·j_x2 − e_j_x4 — the trend's sign/magnitude as a pure integer
+    // (decisively positive here: longer docs have more words). One
+    // bounded broadcast dominance join over the O(distinct cell)
+    // table, the stat15 contract; the oracle replays every count.
+    QueryDef("stat18_jonckheere",
+      (s, dir) => {
+        val b = t(s, dir, "documents").select(
+          expr("n_chars DIV 100").as("g"),
+          expr("length(text) - length(replace(text, ' ', '')) + 1").as("v"))
+        graft.operators.Stats.jonckheereTerpstra(b, "g", "v")
+      },
+      Some("""WITH r AS (SELECT n_chars // 100 AS g,
+             |  length(text) - length(replace(text, ' ', '')) + 1 AS v FROM documents),
+             |cells AS (SELECT g, v, count(*) AS c FROM r GROUP BY g, v),
+             |u AS (SELECT CAST(COALESCE(sum(CASE WHEN a.v < b.v THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS lt,
+             |  CAST(COALESCE(sum(CASE WHEN a.v = b.v THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS tie
+             |  FROM cells a JOIN cells b ON b.g > a.g),
+             |m AS (SELECT CAST(sum(mm) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             |  CAST(sum(mm * mm) AS BIGINT) AS sq
+             |  FROM (SELECT sum(c) AS mm FROM cells GROUP BY g))
+             |SELECT n, k, 2 * lt + tie AS j_x2, tie AS u_tie,
+             |  n * n - sq AS e_j_x4,
+             |  2 * (2 * lt + tie) - (n * n - sq) AS trend_x4
+             |FROM u, m""".stripMargin.replace("\n", " "))),
+
     // Wald SPRT replay per arm (the sequential face of the exp family):
     // H1 p=0.55 vs H0 p=0.45 on "order value >= $50", walked in
     // event_id order; the observed ~0.37 success rate drives both arms

@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
     // the O(cells²) compares must run as a broadcast nested-loop over
     // the bounded cell table (~550 / ~1.6k cells), never a corpus-sized
     // cartesian or a sort-merge join of the melted corpus
-    for (name <- Seq("stat15_kendall_tau", "stat17_theil_sen")) {
+    for (name <- Seq("stat15_kendall_tau", "stat17_theil_sen",
+        "stat18_jonckheere")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p

@@ -272,6 +272,9 @@ class StatsSpec extends SparkSpec {
     val e6 = intercept[Exception](
       Stats.theilSen(fracXy, "x", "y").collect())
     assert(e6.getMessage.contains("non-integral"))
+    val e7 = intercept[Exception](
+      Stats.jonckheereTerpstra(fracXy, "x", "y").collect())
+    assert(e7.getMessage.contains("non-integral"))
     graft.operators.Materialize.sweep()
     // INTEGRAL doubles pass — the check is value-level, not type-level
     val intDouble = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0))
@@ -316,6 +319,40 @@ class StatsSpec extends SparkSpec {
       (Option(2L), Option(2L))).toDF("x", "y")
     val e3 = intercept[Exception](Stats.theilSen(nul, "x", "y").collect())
     assert(e3.getMessage.contains("null value"))
+    graft.operators.Materialize.sweep()
+  }
+
+  test("jonckheereTerpstra: hand-computed counts, reversal antisymmetry, invariance, fail-fasts") {
+    // g1: {1,2}, g2: {2,3}, g3: {3,3} — ordered cross pairs: lt = 9,
+    // tie = 3 → J*×2 = 21; n = 6, Σnᵢ² = 12 → E[J*]×4 = 24;
+    // trend×4 = 42 − 24 = 18 (increasing, as planted)
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 3L))
+      .toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, "g", "v")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((6L, 3L, 21L, 3L, 24L, 18L)), s"$r")
+    graft.operators.Materialize.sweep()
+    val r2 = Stats.jonckheereTerpstra(df.repartition(5), "g", "v")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r2 == r, "partitioning must not move the counts")
+    graft.operators.Materialize.sweep()
+    // reversing the group order mirrors the trend exactly:
+    // j_x2' = 2·gt + tie = 3, trend' = 6 − 24 = −18
+    val rev = Stats.jonckheereTerpstra(
+      df.select((lit(4L) - col("g")).as("g"), col("v")), "g", "v")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // j_x2 + j_x2' = 2·(lt + gt + tie) = 2·cross-pairs = 24
+    assert(rev._6 == -r._6 && rev._3 + r._3 == 2L * 12L,
+      s"reversal not antisymmetric: $rev vs $r")
+    graft.operators.Materialize.sweep()
+    // fail-fasts: one group, bounded domain, null
+    val one = Seq((5L, 1L), (5L, 2L)).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException](
+      Stats.jonckheereTerpstra(one, "g", "v").collect())
+    assert(e1.getMessage.contains("single group"))
+    val e2 = intercept[IllegalArgumentException](
+      Stats.jonckheereTerpstra(df, "g", "v", maxCells = 3).collect())
+    assert(e2.getMessage.contains("distinct (group, value) cells"))
     graft.operators.Materialize.sweep()
   }
 }

@@ -66,7 +66,13 @@ object ScaleCurve {
       "m3_imageio_features", "m4_imageio_phash_neardup",
       "m5_imageio_resize", "m6_audio_features", "m7_video_features")
       .map(_ -> "fixed-size synthetic media; never scans the sf directory")
-      .toMap
+      .toMap +
+    ("sem1_semdedup" ->
+      ("fixed 2000-row planted-geometry fixture: the value-carrying " +
+        "oracle pins k = 8 cells, and SemDeDup's cost is ~n^2/k — " +
+        "production scale comes from k growing with n (operator " +
+        "parameter; spec-covered), which the k-frozen oracle query " +
+        "deliberately does not exercise"))
 
   /** The `topN` heaviest queries of the committed full-board bench
     * record, skipping [[excluded]] names (the next-ranked query takes

@@ -294,6 +294,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count(_._3) == 3)
   }
 
+  test("semDedup cost shape: k scaling with n keeps the within-cell compare near-linear") {
+    // The claim behind sem1's scale-curve exclusion (and the SemDeDup
+    // paper's tractability argument): cost = Σ cells², ~n²/k for
+    // balanced cells — so a FROZEN k is quadratic in n while k ∝ n
+    // holds the compare near-linear. Measured here on the real index,
+    // not argued: 1024 spread-direction vectors, Σ cells² under
+    // k = n/32 must land orders of magnitude below the frozen-k cost.
+    val n = 1024
+    val corpus = spark.range(n).map { id =>
+      val rnd = new scala.util.Random(id * 7919 + 17)
+      val raw = Array.fill(8)(rnd.nextGaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (id, raw.map(x => (x / norm).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def sumSq(k: Int): Long =
+      Similarity.ivfIndexKmeans(corpus, numCentroids = k, iters = 2)
+        .assigned.groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).as[Long].head()
+    val frozen = sumSq(8)       // the sem1-oracle shape: ~n²/8 ≈ 131k
+    val scaled = sumSq(n / 32)  // the production shape: ~n·32 ≈ 33k
+    assert(scaled * 3 < frozen,
+      s"k = n/32 gave $scaled pair-compares vs frozen-k $frozen — " +
+        "the k∝n tractability claim did not hold")
+    // and the scaled shape is within a small factor of balanced n·m
+    assert(scaled < 8L * n * 32,
+      s"k = n/32 cells too imbalanced: $scaled pair-compares")
+    graft.operators.Materialize.sweep()
+  }
+
   test("ivfIndexKmeans: refined cells recover planted clusters from a degenerate seed") {
     val corpus = clustered(40)
     val refined = Similarity.ivfIndexKmeans(corpus, numCentroids = 6, iters = 5)

@@ -205,6 +205,113 @@ object Stats {
           .as("cvm_x1e9"))
   }
 
+  /** Two-sample Anderson–Darling criterion, tie-adjusted
+    * (Scholz–Stephens 1987, "K-sample Anderson–Darling tests", k = 2),
+    * ENGINE-EXACT procedure: completes the ECDF-drift trio — KS reads
+    * the single worst gap (stat12), CvM integrates the squared gap
+    * uniformly (stat16), AD reweights it by 1/(H(1−H)) so TAIL
+    * deviations count — the detector that fires when two cohorts agree
+    * in the middle but one has grown a heavy tail.
+    *
+    * Integer device: the discrete-data statistic uses midranks, which
+    * are half-integers — so everything rides ×2 (stat14's trick):
+    * B2_j = 2·S_j − l_j (pooled), M2_ij = 2·cum_ij − l_ij (per side),
+    * and the ×4-cleared denominator D4_j = B2_j·(2N − B2_j) − N·l_j
+    * is a plain long (the /4s cancel against the squared /2s exactly).
+    * Per (side, value) the term l_j·u², u = N·M2_ij − n_i·B2_j, is an
+    * exact DECIMAL(38,0); each term is floor-quantized ONCE at ×10⁹
+    * via the cvm Euclidean split (q·10⁹ + r·10⁹ DIV d — never
+    * materializing term·10⁹, so the ceiling is the term's own bound,
+    * ~4·10⁷ pooled rows like stat16), then summed as exact integers —
+    * float summation order never exists, and DuckDB replays the
+    * identical floors. Output ad_x1e9 ≈ A²·10⁹ with
+    * A² = (N−1)/N² · Σ_i (1/n_i) Σ_j l_j·u²/D4_j; the deterministic
+    * per-term floor under-counts by < m·2/10⁹ of a unit (m = distinct
+    * values) — a stated quantization, not a float artifact.
+    *
+    * Scale shape: IDENTICAL to stat12/stat16 — one partial-aggregated
+    * melt to the O(distinct value) count table (both cohorts' counts
+    * and zeros on the same row), ONE multi-series
+    * [[Rank.globalRunningSum]], one final aggregate. Fail-fasts: side
+    * domain, null/non-integral values, empty cohort, and a CONSTANT
+    * pooled sample (one distinct value — D4 = 0 and the weight is
+    * undefined; a comparison over no variation would wear the
+    * statistic's label).
+    */
+  def adTwoSample(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val side = when(col(sideCol).isNull ||
+        (col(sideCol) =!= lit(0) && col(sideCol) =!= lit(1)),
+      raise_error(concat(lit(s"adTwoSample: side column '$sideCol' must " +
+        "be 0/1, got "), coalesce(col(sideCol).cast("string"), lit("NULL")))))
+      .otherwise(col(sideCol).cast("long"))
+    val v = integralOf("adTwoSample", valueCol)
+    val base = df.select(side.as("__s"), v.as("__v"))
+    val cnt = base.groupBy("__v").agg(
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__cb"))
+    val melted = cnt.select(col("__v"), explode(array(
+        struct(lit(0L).as("__series"), col("__ca").as("__c")),
+        struct(lit(1L).as("__series"), col("__cb").as("__c")))).as("__z"))
+      .select(col("__v"), col("__z.__series").as("__series"),
+        col("__z.__c").as("__c"))
+    val rm = Rank.globalRunningSum(melted, "__v", "__c", outCol = "__cum",
+      seriesCols = Seq("__series"))
+    val pairs = rm.groupBy("__v").agg(
+      max(when(col("__series") === 0L, col("__cum"))).as("__cuma"),
+      max(when(col("__series") === 1L, col("__cum"))).as("__cumb"),
+      max(when(col("__series") === 0L, col("__c"))).as("__la"),
+      max(when(col("__series") === 1L, col("__c"))).as("__lb"))
+    val tot = base.groupBy().agg(
+      sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__nb"),
+      count(lit(1)).as("__nn"))
+    // per-value ×2 midrank quantities, then one quantized term per side
+    val terms = pairs.crossJoin(broadcast(tot))
+      .withColumn("__l", col("__la") + col("__lb"))
+      .withColumn("__b2",
+        lit(2L) * (col("__cuma") + col("__cumb")) - col("__l"))
+      .withColumn("__d4",
+        col("__b2") * (lit(2L) * col("__nn") - col("__b2")) -
+          col("__nn") * col("__l"))
+      .withColumn("__m2a", lit(2L) * col("__cuma") - col("__la"))
+      .withColumn("__m2b", lit(2L) * col("__cumb") - col("__lb"))
+      .withColumn("__ua", expr(
+        "CAST(__nn AS DECIMAL(38,0)) * __m2a - CAST(__na AS DECIMAL(38,0)) * __b2"))
+      .withColumn("__ub", expr(
+        "CAST(__nn AS DECIMAL(38,0)) * __m2b - CAST(__nb AS DECIMAL(38,0)) * __b2"))
+      // Euclidean-split ×10⁹ floor per term (see scaladoc): exact, and
+      // never materializes term·10⁹. D4 = 0 only in the constant-
+      // pooled-sample degenerate (provable: D4 = x(2N−x) − N·l with
+      // x = 2S−l ∈ [l, 2N−l] is minimized at the endpoints where it
+      // equals l(N−l), zero only at l = N) — guarded here so the
+      // operator's OWN fail-fast below names the problem instead of a
+      // bare ANSI divide-by-zero
+      .withColumn("__ta", expr("""CASE WHEN __d4 > 0 AND __na > 0 AND __nb > 0 THEN
+        (CAST(__l AS DECIMAL(38,0)) * __ua * __ua DIV (CAST(__d4 AS DECIMAL(38,0)) * __na)) * 1000000000 +
+        ((CAST(__l AS DECIMAL(38,0)) * __ua * __ua % (CAST(__d4 AS DECIMAL(38,0)) * __na)) * 1000000000)
+          DIV (CAST(__d4 AS DECIMAL(38,0)) * __na) ELSE 0 END"""))
+      .withColumn("__tb", expr("""CASE WHEN __d4 > 0 AND __na > 0 AND __nb > 0 THEN
+        (CAST(__l AS DECIMAL(38,0)) * __ub * __ub DIV (CAST(__d4 AS DECIMAL(38,0)) * __nb)) * 1000000000 +
+        ((CAST(__l AS DECIMAL(38,0)) * __ub * __ub % (CAST(__d4 AS DECIMAL(38,0)) * __nb)) * 1000000000)
+          DIV (CAST(__d4 AS DECIMAL(38,0)) * __nb) ELSE 0 END"""))
+    terms
+      .agg(sum(expr("CAST(__ta AS DECIMAL(38,0)) + __tb")).as("__t"),
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        max(col("__nn")).as("__nn"), count(lit(1)).as("__m"))
+      .select(
+        when(col("__na").isNull || col("__na") === 0L ||
+            col("__nb") === 0L, raise_error(lit(
+          "adTwoSample: a cohort is empty — the criterion is " +
+            "degenerate; check the side predicate")))
+          .otherwise(col("__na")).as("n_a"),
+        when(col("__m") <= 1L, raise_error(lit(
+          "adTwoSample: the pooled sample is constant — the AD weight " +
+            "1/(H(1-H)) is undefined; feed a varying value column")))
+          .otherwise(col("__nb")).as("n_b"),
+        expr("""CAST((CAST(__nn AS DECIMAL(38,0)) - 1) * __t DIV
+          (CAST(__nn AS DECIMAL(38,0)) * __nn) AS BIGINT)""").as("ad_x1e9"))
+  }
+
   /** Kendall rank correlation τ-b, EXACT pair counts (Kendall 1938;
     * the τ-b tie correction is Kendall 1945): completes the rank-
     * correlation family next to stat4's Spearman — τ counts pair

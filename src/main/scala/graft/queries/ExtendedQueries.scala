@@ -1210,6 +1210,56 @@ object ExtendedQueries {
              |  (max(na) + max(nb)) * (max(na) + max(nb))) AS BIGINT) AS cvm_x1e9
              |FROM w""".stripMargin.replace("\n", " "))),
 
+    // Two-sample Anderson-Darling, tie-adjusted (Scholz-Stephens
+    // 1987) — the TAIL-weighted member completing the ECDF trio
+    // (stat12 sup-norm, stat16 uniform L2): the 1/(H(1-H)) weight
+    // makes tail disagreement count, the drift case the other two
+    // underweight. Midranks ride the ×2 integer trick, the ×4-cleared
+    // denominator D4 = B2(2N-B2) - N·l is a plain long, each
+    // per-(side, value) term floor-quantizes ONCE at ×10⁹ through the
+    // cvm Euclidean split, and the sum is exact integers — DuckDB
+    // replays every floor, so the statistic is engine-exact by
+    // construction, not by float luck. Same melt + ONE multi-series
+    // running count as stat12/16.
+    QueryDef("stat19_ad_2samp",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("side"),
+            (dec(col("value")) * 100).cast("long").as("cents"))
+        graft.operators.Stats.adTwoSample(b, "side", "cents")
+      },
+      Some("""WITH b AS (SELECT user_id % 2 AS s,
+             |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |cnt AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+             |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM b GROUP BY v),
+             |rm AS (SELECT v, ca, cb,
+             |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cua,
+             |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub FROM cnt),
+             |tot AS (SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+             |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb, count(*) AS nn FROM b),
+             |q AS (SELECT ca + cb AS l, 2*(cua + cub) - (ca + cb) AS b2,
+             |  2*cua - ca AS m2a, 2*cub - cb AS m2b, na, nb, nn FROM rm, tot),
+             |w AS (SELECT l, na, nb, nn,
+             |  b2 * (2*nn - b2) - nn * l AS d4,
+             |  CAST(nn AS HUGEINT) * m2a - CAST(na AS HUGEINT) * b2 AS ua,
+             |  CAST(nn AS HUGEINT) * m2b - CAST(nb AS HUGEINT) * b2 AS ub FROM q),
+             |tm AS (SELECT
+             |  CASE WHEN d4 > 0 THEN
+             |    (CAST(l AS HUGEINT) * ua * ua // (CAST(d4 AS HUGEINT) * na)) * 1000000000 +
+             |    ((CAST(l AS HUGEINT) * ua * ua % (CAST(d4 AS HUGEINT) * na)) * 1000000000)
+             |      // (CAST(d4 AS HUGEINT) * na) ELSE 0 END +
+             |  CASE WHEN d4 > 0 THEN
+             |    (CAST(l AS HUGEINT) * ub * ub // (CAST(d4 AS HUGEINT) * nb)) * 1000000000 +
+             |    ((CAST(l AS HUGEINT) * ub * ub % (CAST(d4 AS HUGEINT) * nb)) * 1000000000)
+             |      // (CAST(d4 AS HUGEINT) * nb) ELSE 0 END AS t,
+             |  na, nb, nn FROM w)
+             |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |  CAST((CAST(max(nn) AS HUGEINT) - 1) * sum(t) //
+             |  (CAST(max(nn) AS HUGEINT) * max(nn)) AS BIGINT) AS ad_x1e9
+             |FROM tm""".stripMargin.replace("\n", " "))),
+
     // Per-flag MEDIAN / MAD / Hampel-outlier summary — the robust
     // location/scale pair a curation pipeline uses where mean/stddev
     // would be owned by the very outliers it hunts. Both statistics

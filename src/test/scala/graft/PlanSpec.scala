@@ -59,7 +59,7 @@ class PlanSpec extends SparkSpec {
         "ivl2_interval_coverage", "ml14_per_group_auc", "ml15_conformal",
         "stat11_trimmed_mean", "stat12_ks_2samp", "stat13_mad_outliers",
         "stat14_wilcoxon_signed", "exp5_bh_fdr", "stat16_cvm_2samp",
-        "stat17_theil_sen")) {
+        "stat17_theil_sen", "stat19_ad_2samp")) {
       val exec = q(name).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
         case p => p

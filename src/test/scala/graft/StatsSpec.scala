@@ -253,7 +253,8 @@ class StatsSpec extends SparkSpec {
     val frac = Seq((0L, 1.5), (1L, 2.0)).toDF("side", "v")
     Seq[(String, org.apache.spark.sql.DataFrame => Any)](
       "ksTwoSample" -> (d => Stats.ksTwoSample(d, "side", "v").collect()),
-      "cvmTwoSample" -> (d => Stats.cvmTwoSample(d, "side", "v").collect())
+      "cvmTwoSample" -> (d => Stats.cvmTwoSample(d, "side", "v").collect()),
+      "adTwoSample" -> (d => Stats.adTwoSample(d, "side", "v").collect())
     ).foreach { case (name, run) =>
       val e = intercept[Exception](run(frac))
       assert(e.getMessage.contains("non-integral"), s"$name: ${e.getMessage}")
@@ -280,6 +281,50 @@ class StatsSpec extends SparkSpec {
     val intDouble = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0))
       .toDF("side", "v")
     assert(Stats.ksTwoSample(intDouble, "side", "v").count() == 1)
+    graft.operators.Materialize.sweep()
+  }
+
+  test("adTwoSample: hand-computed tie-adjusted criterion, zero for identical samples, invariance, fail-fasts") {
+    // a = {1,2,3}, b = {2,3,4,4} — the stat16 cohorts. Replaying the
+    // Scholz–Stephens midrank formula in exact integers (×2 midranks,
+    // ×4-cleared denominators, per-term ×10⁹ Euclidean-split floors)
+    // gives 1658220210; the plain-float formula gives 1.65822021116 —
+    // the two agree to the stated 1e-9 quantization, which pins BOTH
+    // the algebra (the /2²-vs-/4 cancellation) and the floor contract.
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 4L)).toDF("side", "v")
+    val r = Stats.adTwoSample(df, "side", "v")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 4L, 1658220210L)), s"$r")
+    graft.operators.Materialize.sweep()
+    val r2 = Stats.adTwoSample(df.repartition(5), "side", "v")
+      .as[(Long, Long, Long)].head()
+    assert(r2 == r, "partitioning must not move the criterion")
+    graft.operators.Materialize.sweep()
+    // identical cohorts: every u = N·M2 − n·B2 is exactly 0 → AD = 0
+    val same = Seq((0L, 7L), (0L, 9L), (1L, 7L), (1L, 9L)).toDF("side", "v")
+    assert(Stats.adTwoSample(same, "side", "v")
+      .as[(Long, Long, Long)].head()._3 == 0L)
+    graft.operators.Materialize.sweep()
+    // the tail-weighting claim: cohorts agreeing in the body where one
+    // grows a far tail must register (strictly positive criterion)
+    val tail = (1L to 40L).flatMap(x => Seq((0L, x), (1L, x))) ++
+      (1L to 5L).map(i => (1L, 1000L + i))
+    assert(Stats.adTwoSample(tail.toDF("side", "v"), "side", "v")
+      .as[(Long, Long, Long)].head()._3 > 0L)
+    graft.operators.Materialize.sweep()
+    // fail-fasts: side domain, empty cohort, constant pooled sample
+    val bad = Seq((2L, 1L), (0L, 2L)).toDF("side", "v")
+    val e1 = intercept[Exception](Stats.adTwoSample(bad, "side", "v").collect())
+    assert(e1.getMessage.contains("must be 0/1"))
+    val oneSided = Seq((0L, 1L), (0L, 2L)).toDF("side", "v")
+    val e2 = intercept[Exception](
+      Stats.adTwoSample(oneSided, "side", "v").collect())
+    assert(e2.getMessage.contains("cohort is empty"))
+    val const = Seq((0L, 5L), (0L, 5L), (1L, 5L)).toDF("side", "v")
+    val e3 = intercept[Exception](
+      Stats.adTwoSample(const, "side", "v").collect())
+    assert(e3.getMessage.contains("pooled sample is constant"))
     graft.operators.Materialize.sweep()
   }
 

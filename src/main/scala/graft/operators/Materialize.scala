@@ -81,6 +81,32 @@ object Materialize {
         s"$ConfKey must be one of localCheckpoint|persist|off, got '$other'")
     }
 
+  /** Collect a SMALL multi-consumer relation (O(groups) by the caller's
+    * contract) and re-inject it as a LocalRelation. Why: a lazily-built
+    * per-group aggregate consumed through several `broadcast(df)` joins
+    * re-executes its full upstream plan once per consumer (no
+    * cross-consumer subplan reuse — see the class doc), and for a
+    * per-group summary that upstream is a corpus-sized pass; measured on
+    * stat13_mad_outliers, the med/mad/tot re-evaluations were 6 of the
+    * query's 33 jobs and over a third of its task time. The collect is
+    * the SAME driver state the broadcast itself would have built
+    * (BroadcastExchange collects to the driver first), so this adds no
+    * new scale bottleneck — it just builds it once. `maxRows` fail-fast
+    * (never silent truncation) keeps the contract honest: callers pass
+    * their documented group-cardinality bound. The result needs no
+    * storage pin, plans as a LocalRelation, and broadcasts in
+    * microseconds.
+    */
+  def local(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"Materialize.local: relation has ${rows.length} rows, over the " +
+        s"caller's bound of $maxRows — the group-cardinality contract " +
+        "this collect rides on does not hold; aggregate further first")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Pinned-RDD bookkeeping for [[release]]: the flat DataFrame returned
     * under persist mode carries no cache entry of its own (the pin is
     * the underlying RDD), so release must find the RDD by the DataFrame

@@ -112,10 +112,24 @@ object Rank {
     * fail fast, as in [[globalRank]]; so do null SERIES values — the
     * per-series offset equi-join could not match them (null ≠ null) and
     * the rows would otherwise vanish silently.
+    *
+    * `distinctOrders = true` states that the caller's table is
+    * aggregated by exactly (series…, order) — a groupBy on those
+    * columns built it, so a duplicate order value within a series is
+    * structurally impossible. The flag skips the duplicate fail-fast's
+    * `count_distinct` — NOT a free assertion: distinct-counting inside
+    * a grouped aggregate plans as an Expand that doubles the rows into
+    * a full-input-cardinality first-phase aggregation, measured at
+    * ~0.85 s of a 594k-row pass's ~1.0 s (stat13 profile, sf0.1) —
+    * while the null order/series fail-fasts stay. Callers that merely
+    * BELIEVE their orders are unique (ids from upstream, file data)
+    * must keep the check; the flag is for tables whose groupBy is in
+    * the same expression.
     */
   def globalRunningSum(df: DataFrame, orderCol: String, sumCol: String,
       outCol: String = "run_sum", numPartitions: Int = 0,
-      seriesCols: Seq[String] = Nil): DataFrame = {
+      seriesCols: Seq[String] = Nil,
+      distinctOrders: Boolean = false): DataFrame = {
     requireNoBucketCol(df, "globalRunningSum")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
@@ -126,10 +140,12 @@ object Rank {
     val grouped = base.withColumn("__g",
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val keyCols = seriesCols :+ "__g"
+    val statAggs = Seq(sum(col(sumCol).cast("long")).as("s"),
+        count(lit(1)).as("n")) ++
+      (if (distinctOrders) Nil
+       else Seq(count_distinct(col(orderCol)).as("nd")))
     val sumRows = grouped.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(sumCol).cast("long")).as("s"),
-        count(lit(1)).as("n"),
-        count_distinct(col(orderCol)).as("nd")).collect()
+      .agg(statAggs.head, statAggs.tail: _*).collect()
     val gIdx = seriesCols.length
     require(sumRows.forall(!_.isNullAt(gIdx)),
       s"globalRunningSum: null values in order column '$orderCol' — filter " +
@@ -137,11 +153,12 @@ object Rank {
     // same duplicate-order fail-fast as globalLag/globalSweep, on the
     // same stats pass: ties make the per-row running sum depend on an
     // unspecified accumulation order — a silent partitioning dependence
-    require(sumRows.forall(r => r.getLong(gIdx + 2) == r.getLong(gIdx + 3)),
-      s"globalRunningSum: duplicate values in order column '$orderCol'" +
-        (if (seriesCols.isEmpty) "" else s" within a (${seriesCols.mkString(", ")}) series") +
-        " — the running sum at a tied row is ambiguous; aggregate to " +
-        "distinct order values first")
+    if (!distinctOrders)
+      require(sumRows.forall(r => r.getLong(gIdx + 2) == r.getLong(gIdx + 3)),
+        s"globalRunningSum: duplicate values in order column '$orderCol'" +
+          (if (seriesCols.isEmpty) "" else s" within a (${seriesCols.mkString(", ")}) series") +
+          " — the running sum at a tied row is ambiguous; aggregate to " +
+          "distinct order values first")
     // a null series key would silently VANISH at the offset equi-join
     // below (null never equals null) — fail fast like the null-order
     // case instead of returning a smaller relation
@@ -185,6 +202,114 @@ object Rank {
         .withColumn(outCol, col("__off") + inBucket)
         .drop("__g", "__off")
     }
+  }
+
+  /** Exact weighted LOWER MEDIAN per series — the `orderCol` value at
+    * weighted rank (W+1) DIV 2, W = Σ weights of the series — WITHOUT
+    * materializing the full running-sum map. The
+    * [[globalRunningSum]]-then-`filter(cum >= (W+1) DIV 2)` formulation
+    * pays a full-table window pass, a totals scan, and a join, all to
+    * keep ONE row per series; but the per-(series, bucket) weight sums
+    * the family's stats pass already collects locate the target rank's
+    * bucket on the driver, so the window only has to run over the rows
+    * of ONE bucket per series (~1/parts of the table), pruned by an
+    * inner broadcast join against the (series, target bucket,
+    * exclusive offset, rank, total) table. Exactness is the family
+    * invariant: buckets are range-disjoint, so exclusive offset +
+    * in-bucket inclusive running sum = the exact global running sum on
+    * every surviving row — the selected value is identical to the
+    * full-map formulation's, whatever the approximate boundaries were.
+    *
+    * Unlike the running-sum siblings, DUPLICATE order values need no
+    * fail-fast here: a tied row's own cum is accumulation-order-
+    * dependent, but the median only asks "is some row of value v at or
+    * past the rank" — the LAST tied row always carries the full
+    * (deterministic) group sum, so v's membership in the `cum >= rank`
+    * set, and therefore min(v), is partitioning-invariant. Null order
+    * values and null series values fail fast exactly as in
+    * [[globalRunningSum]]. Null weights contribute nothing (SUM
+    * semantics); callers feed count/multiplicity columns.
+    *
+    * Returns a COLLECTED LocalRelation ([[Materialize.local]]) of one
+    * row per series: (seriesCols…, totalOut = W, medianOut = median) —
+    * O(series) driver state, the same class as the offset table the
+    * stats pass already collected. Callers broadcast-join it; it plans
+    * as a LocalTableScan and broadcasts in microseconds.
+    *
+    * Consumers: [[graft.operators.Stats.madSummary]] (median and MAD —
+    * stat13), [[graft.operators.Stats.theilSen]] (slope and intercept
+    * weighted medians — stat17).
+    */
+  def globalWeightedMedian(df: DataFrame, orderCol: String,
+      weightCol: String, seriesCols: Seq[String] = Nil,
+      totalOut: String = "total", medianOut: String = "median",
+      numPartitions: Int = 0): DataFrame = {
+    requireNoBucketCol(df, "globalWeightedMedian")
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    // multi-pass over the input (boundary sample, stats collect, pruned
+    // windowed pass) — pin once, reusing a caller pin (see globalRank)
+    val base = if (Materialize.isPinned(df)) df else Materialize(df)
+    val grouped = base.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
+    val keyCols = seriesCols :+ "__g"
+    val gIdx = seriesCols.length
+    val sumRows = grouped.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("s")).collect()
+    require(sumRows.forall(!_.isNullAt(gIdx)),
+      s"globalWeightedMedian: null values in order column '$orderCol' — " +
+        "filter them explicitly first; a null has no position in the " +
+        "global order")
+    require(sumRows.forall(r => (0 until gIdx).forall(i => !r.isNullAt(i))),
+      s"globalWeightedMedian: null values in series column(s) " +
+        s"${seriesCols.mkString(", ")} — filter or coalesce them first; " +
+        "the target-bucket join would silently drop those rows")
+    // Driver-side target-bucket selection per series: walk the buckets
+    // in range order accumulating weight until the rank (W+1) DIV 2
+    // falls inside one; emit (series…, bucket, exclusive offset, rank,
+    // W). W = 0 degenerates to rank 0 and the FIRST bucket — the same
+    // "every row qualifies, min wins" semantics the full-map filter had.
+    val spark = df.sparkSession
+    val tgtRows = sumRows
+      .groupBy(r => (0 until gIdx).map(r.get).toSeq).iterator
+      .map { case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(gIdx))
+        def w(r: org.apache.spark.sql.Row): Long =
+          if (r.isNullAt(gIdx + 1)) 0L else r.getLong(gIdx + 1)
+        val total = sorted.map(w).sum
+        val rank = (total + 1L) / 2L
+        var off = 0L
+        var i = 0
+        while (i < sorted.length - 1 && off + w(sorted(i)) < rank) {
+          off += w(sorted(i)); i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until gIdx).map(sorted(i).get) ++
+            Seq[Any](sorted(i).getInt(gIdx), off, rank, total))
+      }.toSeq
+    val tgtSchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => base.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__g",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__tot",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val tgtDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(tgtRows).asJava, tgtSchema)
+    val local = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = grouped.join(broadcast(tgtDf), keyCols)
+      .withColumn("__cum",
+        col("__off") + sum(col(weightCol).cast("long")).over(local))
+      .filter(col("__cum") >= col("__rank"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(min(col(orderCol)).as(medianOut), first(col("__tot")).as(totalOut))
+      .select((seriesCols.map(col) :+ col(totalOut) :+ col(medianOut)): _*)
+    Materialize.local(med)
   }
 
   /** Previous row's `valueCol` under global ORDER BY `orderCol` —

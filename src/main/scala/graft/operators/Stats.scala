@@ -85,7 +85,7 @@ object Stats {
       .select(col("__v"), col("__z.__series").as("__series"),
         col("__z.__c").as("__c"))
     val rm = Rank.globalRunningSum(melted, "__v", "__c", outCol = "__cum",
-      seriesCols = Seq("__series"))
+      seriesCols = Seq("__series"), distinctOrders = true)
     val pairs = rm.groupBy("__v").agg(
       max(when(col("__series") === 0L, col("__cum"))).as("__cuma"),
       max(when(col("__series") === 1L, col("__cum"))).as("__cumb"))
@@ -165,7 +165,7 @@ object Stats {
       .select(col("__v"), col("__z.__series").as("__series"),
         col("__z.__c").as("__c"))
     val rm = Rank.globalRunningSum(melted, "__v", "__c", outCol = "__cum",
-      seriesCols = Seq("__series"))
+      seriesCols = Seq("__series"), distinctOrders = true)
     val pairs = rm.groupBy("__v").agg(
       max(when(col("__series") === 0L, col("__cum"))).as("__cuma"),
       max(when(col("__series") === 1L, col("__cum"))).as("__cumb"),
@@ -255,7 +255,7 @@ object Stats {
       .select(col("__v"), col("__z.__series").as("__series"),
         col("__z.__c").as("__c"))
     val rm = Rank.globalRunningSum(melted, "__v", "__c", outCol = "__cum",
-      seriesCols = Seq("__series"))
+      seriesCols = Seq("__series"), distinctOrders = true)
     val pairs = rm.groupBy("__v").agg(
       max(when(col("__series") === 0L, col("__cum"))).as("__cuma"),
       max(when(col("__series") === 1L, col("__cum"))).as("__cumb"),
@@ -398,30 +398,29 @@ object Stats {
     *
     * Scale shape (the stat11/trimmed-mean discipline): ONE
     * partial-aggregated pass melts the corpus to the O(distinct
-    * (group, value)) count table, PINNED once (four consumers read
-    * it); per-group running counts ride ONE multi-series
-    * [[Rank.globalRunningSum]] for the median, and a SECOND one over
-    * the deviation-count table (derived from the pinned counts by a
-    * broadcast join — the corpus is never rescanned, and the table is
-    * itself pinned for its two consumers) for the MAD;
-    * group totals come from their own 2-column corpus scan (the
-    * measured-cheaper pattern). No per-group sort anywhere.
+    * (group, value)) count table, PINNED once (three consumers read
+    * it); the median and the MAD are each ONE bucket-pruned
+    * [[Rank.globalWeightedMedian]] (boundary sample + per-(group,
+    * bucket) stats collect + a window over ONLY the target bucket —
+    * never a full-table window), the MAD's over the deviation-count
+    * table (derived from the pinned counts by a broadcast join — the
+    * corpus is never rescanned, and the table is itself pinned for its
+    * two consumers); group totals ride the medians' stats passes, so
+    * no separate totals scan survives. No per-group sort anywhere.
     *
-    * COST PROFILE, measured so the ~2.6× price over stat11 is a number
-    * and not a smell (sf0.1 lineitem, cents values): the count table is
+    * COST PROFILE, measured so the price over stat11 is a number and
+    * not a smell (sf0.1 lineitem, cents values): the count table is
     * ~594k rows for 600k corpus rows — cents are nearly unique — so
-    * BOTH prefix-sum passes are corpus-sized, and the MAD pass cannot
-    * reuse the median pass's prefix sums (its order key |v − median|
-    * depends on the median, which pass 1 produces; the two passes are
-    * sequential by data dependence, the melt trick that fuses stat12's
-    * independent series does not apply). Two structural copies were
-    * eliminated in round 15 (globalRunningSum now reuses a caller pin
-    * instead of re-checkpointing it, and the deviation table is built
-    * once, not once per consumer): 7.07 → 6.46 s at sf0.1. What
-    * remains is the honest price of TRUE order statistics twice over a
-    * near-distinct domain: 2 × (quantile sample + stats collect +
-    * windowed pass) ≈ 2 × stat11's single pass, plus the broadcast
-    * joins.
+    * both median passes read corpus-sized tables, and the MAD pass
+    * cannot reuse the median pass's work (its order key |v − median|
+    * depends on the median, which pass 1 produces; the passes are
+    * sequential by data dependence). Round-15 removed two structural
+    * copies (7.07 → 6.46 s); round-16's bucket-pruned medians removed
+    * the two full-table windows, the totals scan, and the per-consumer
+    * broadcast re-executions (6.9 → 3.2 s paired min-of-3 at sf0.1).
+    * What remains is the honest floor: building + pinning the two
+    * near-corpus-size count tables and the two boundary-sample/stats
+    * passes over them.
     *
     * DEGENERATE-SCALE CAVEAT, documented not hidden: when a strict
     * majority of a group shares one value, MAD = 0 and Hampel's rule
@@ -470,7 +469,7 @@ object Stats {
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__p"))
     val rm = Rank.globalRunningSum(cnt, "__a", "__c", outCol = "__cum",
-      seriesCols = Seq("__grp"))
+      seriesCols = Seq("__grp"), distinctOrders = true)
     // per-group algebra instead of a z-join: for a > 0 rows the rank
     // base 2·cum − c + 1 counts the zero block too, and every nonzero
     // rank shifts down by exactly z — so subtract 2·z·(Σ signs) once
@@ -506,31 +505,31 @@ object Stats {
     val rows = df.select(col(groupCol).as("__grp"), v.as("__v"))
     val cnt = Materialize(
       rows.groupBy("__grp", "__v").agg(count(lit(1)).as("__c")))
-    val tot = rows.groupBy("__grp").agg(count(lit(1)).as("n"))
-    val rm = Rank.globalRunningSum(cnt, "__v", "__c", outCol = "__cum",
-      seriesCols = Seq("__grp"))
-    val med = rm.join(broadcast(tot), "__grp")
-      .filter(col("__cum") >= expr("(n + 1) DIV 2"))
-      .groupBy("__grp").agg(min(col("__v")).as("__med"))
-    // pinned like cnt: TWO consumers (the MAD running-sum pass and the
+    // Both order statistics ride the bucket-pruned
+    // [[Rank.globalWeightedMedian]]: the old full-map formulation
+    // (globalRunningSum + cum >= (n+1) DIV 2 filter) paid a full-table
+    // window, a separate per-group totals corpus scan, and a join per
+    // median, all to keep O(groups) rows; the pruned form windows ONE
+    // target bucket per group and hands back a collected LocalRelation
+    // (the same O(groups) driver state the broadcasts built anyway —
+    // now built once, not once per consumer). Group totals n = Σ counts
+    // ride the same stats pass, so the separate `tot` scan is gone too.
+    // Measured on stat13 at sf0.1: 6.9 → 3.2 s (min-of-3, paired runs).
+    val med = Rank.globalWeightedMedian(cnt, "__v", "__c",
+      seriesCols = Seq("__grp"), totalOut = "n", medianOut = "__med")
+    // pinned like cnt: TWO consumers (the MAD median pass and the
     // outlier count) and O(distinct) rows near corpus size at cents
-    // granularity — unpinned, the groupBy re-ran once per consumer and
-    // globalRunningSum made its own redundant checkpoint copy on top
-    // (it now reuses a caller pin via Materialize.isPinned; measured
-    // together: stat13 7.1 → ~5.5 s at sf0.1)
-    val devCnt = Materialize(cnt.join(broadcast(med), "__grp")
+    // granularity — unpinned, the groupBy re-ran once per consumer
+    val devCnt = Materialize(cnt
+      .join(broadcast(med.select("__grp", "__med")), "__grp")
       .groupBy(col("__grp"), abs(col("__v") - col("__med")).as("__d"))
       .agg(sum(col("__c")).as("__c")))
-    val rm2 = Rank.globalRunningSum(devCnt, "__d", "__c", outCol = "__cum",
-      seriesCols = Seq("__grp"))
-    val mad = rm2.join(broadcast(tot), "__grp")
-      .filter(col("__cum") >= expr("(n + 1) DIV 2"))
-      .groupBy("__grp").agg(min(col("__d")).as("__mad"))
-    val outliers = devCnt.join(broadcast(mad), "__grp")
+    val mad = Rank.globalWeightedMedian(devCnt, "__d", "__c",
+      seriesCols = Seq("__grp"), totalOut = "__n2", medianOut = "__mad")
+    val outliers = devCnt.join(broadcast(mad.select("__grp", "__mad")), "__grp")
       .filter(col("__d") > lit(k.toLong) * col("__mad"))
       .groupBy("__grp").agg(sum(col("__c")).as("__out"))
-    tot.join(broadcast(med), "__grp")
-      .join(broadcast(mad), "__grp")
+    med.join(mad.select("__grp", "__mad"), "__grp")
       .join(broadcast(outliers), Seq("__grp"), "left")
       .select(col("__grp").as(groupCol), col("n"),
         col("__med").as("median"), col("__mad").as("mad"),
@@ -602,21 +601,21 @@ object Stats {
         (col("__bx") - col("__ax")).cast("double")).as("__sd"),
         (col("__ca") * col("__cb")).as("__w"))
       .groupBy("__sd").agg(sum(col("__w")).as("__w"))
-    val wTot = slopes.groupBy().agg(sum(col("__w")).as("__wt"))
-    val rs = Rank.globalRunningSum(slopes, "__sd", "__w", outCol = "__cum")
-    val slope = rs.crossJoin(broadcast(wTot))
-      .filter(col("__cum") >= expr("(__wt + 1) DIV 2"))
-      .groupBy().agg(min(col("__sd")).as("__slope"),
-        max(col("__wt")).as("__np"))
+    // Both weighted medians ride the bucket-pruned
+    // [[Rank.globalWeightedMedian]] (see madSummary): the totals W and
+    // n come off its stats pass, killing the separate wTot/nTot scans,
+    // and each full-map window + crossJoin + filter collapses to one
+    // target-bucket window returning a 1-row LocalRelation. The selected
+    // values are identical (family exactness invariant: offsets +
+    // in-bucket cum = exact global cum).
+    val slope = Rank.globalWeightedMedian(slopes, "__sd", "__w",
+      totalOut = "__np", medianOut = "__slope")
     val resid = cells.crossJoin(broadcast(slope))
       .groupBy((col("__y").cast("double") -
         col("__slope") * col("__x").cast("double")).as("__r"))
       .agg(sum(col("__c")).as("__c"))
-    val nTot = cells.groupBy().agg(sum(col("__c")).as("__n"))
-    val rs2 = Rank.globalRunningSum(resid, "__r", "__c", outCol = "__cum")
-    val intercept = rs2.crossJoin(broadcast(nTot))
-      .filter(col("__cum") >= expr("(__n + 1) DIV 2"))
-      .groupBy().agg(min(col("__r")).as("__int"), max(col("__n")).as("__n"))
+    val intercept = Rank.globalWeightedMedian(resid, "__r", "__c",
+      totalOut = "__n", medianOut = "__int")
     intercept.crossJoin(broadcast(slope))
       .select(col("__n").as("n"), col("__np").as("n_pairs"),
         round(col("__slope"), 6).as("slope"),

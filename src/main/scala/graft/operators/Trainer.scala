@@ -1223,7 +1223,7 @@ object Trainer {
       .groupBy("__grp", "__sc")
       .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__pos"))
     val rm = Rank.globalRunningSum(cnt, "__sc", "__c", outCol = "__cum",
-      seriesCols = Seq("__grp"))
+      seriesCols = Seq("__grp"), distinctOrders = true)
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     rm.select(col("__grp"), col("__pos"),
         (lit(2) * (col("__cum") - col("__c")) + col("__c") + lit(1)).as("__rv"),

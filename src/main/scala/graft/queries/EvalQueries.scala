@@ -188,7 +188,8 @@ object EvalQueries {
       (s, dir) => {
         val b = Materialize(scored(s, dir))
         val cnt = b.groupBy("sc").agg(count(lit(1)).as("c"))
-        val rm = Rank.globalRunningSum(cnt, "sc", "c", outCol = "__run")
+        val rm = Rank.globalRunningSum(cnt, "sc", "c", outCol = "__run",
+          distinctOrders = true)
           .select(col("sc"),
             (lit(2) * (col("__run") - col("c")) + col("c") + lit(1)).as("rv"))
         val d38 = (c: Column) => c.cast("decimal(38,0)")
@@ -236,7 +237,7 @@ object EvalQueries {
           explode(map(lit("n"), col("n"), lit("p"), col("npos")))
             .as(Seq("kind", "v")))
         val run = Rank.globalRunningSum(melted, "__negsc", "v",
-          outCol = "cum", seriesCols = Seq("kind"))
+          outCol = "cum", seriesCols = Seq("kind"), distinctOrders = true)
         val wide = run.groupBy("sc").agg(
           max(when(col("kind") === "n", col("cum"))).as("cum_n"),
           max(when(col("kind") === "p", col("cum"))).as("cum_pos"))
@@ -981,7 +982,7 @@ object EvalQueries {
         val nc = cal.groupBy("g").agg(count(lit(1)).as("n_cal"))
         val cnt = cal.groupBy("g", "r").agg(count(lit(1)).as("c"))
         val rm = Rank.globalRunningSum(cnt, "r", "c", outCol = "cum",
-          seriesCols = Seq("g"))
+          seriesCols = Seq("g"), distinctOrders = true)
         val q = rm.join(broadcast(nc), "g")
           .filter(col("cum") >=
             least(expr("((n_cal + 1) * 9 + 9) DIV 10"), col("n_cal")))

@@ -632,7 +632,8 @@ object ExtendedQueries {
             col("value").isNotNull)
           .select(col("event_type").as("g"), col("value").as("v"))
         val cnt = b.groupBy("v").agg(count(lit(1)).as("c"))
-        val rm = graft.operators.Rank.globalRunningSum(cnt, "v", "c", outCol = "__run")
+        val rm = graft.operators.Rank.globalRunningSum(cnt, "v", "c",
+          outCol = "__run", distinctOrders = true)
           .select(col("v"),
             (lit(2) * (col("__run") - col("c")) + col("c") + lit(1))
               .as("rv"))
@@ -1106,7 +1107,7 @@ object ExtendedQueries {
             (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
         val cnt = rows.groupBy("g", "cents").agg(count(lit(1)).as("c"))
         val rm = graft.operators.Rank.globalRunningSum(cnt, "cents", "c",
-          outCol = "cum", seriesCols = Seq("g"))
+          outCol = "cum", seriesCols = Seq("g"), distinctOrders = true)
         // per-flag totals from a second 2-column columnar corpus scan —
         // MEASURED cheaper at sf0.1 than reading max(cum) off the
         // running-sum table, which re-executes the (unpinned at this
@@ -1264,11 +1265,11 @@ object ExtendedQueries {
     // location/scale pair a curation pipeline uses where mean/stddev
     // would be owned by the very outliers it hunts. Both statistics
     // are TRUE order statistics ((n+1) DIV 2 rank, no interpolation)
-    // found via per-flag running counts on TWO multi-series
-    // Rank.globalRunningSum passes (values, then |value − median| —
-    // the deviation table derives from the pinned O(distinct) count
-    // table by broadcast join, never a corpus rescan); all integer
-    // cents, engine-exact. outliers_n counts |x − med| > 5·MAD.
+    // found via TWO bucket-pruned Rank.globalWeightedMedian passes
+    // (values, then |value − median| — the deviation table derives
+    // from the pinned O(distinct) count table by broadcast join, never
+    // a corpus rescan; each median windows only its target bucket);
+    // all integer cents, engine-exact. outliers_n counts |x − med| > 5·MAD.
     QueryDef("stat13_mad_outliers",
       (s, dir) => {
         val b = t(s, dir, "lineitem")

@@ -207,6 +207,89 @@ class RankSpec extends SparkSpec {
     assert(e.getMessage.contains("null"))
   }
 
+  test("globalWeightedMedian: hand-computed lower medians and totals") {
+    // W odd/even and weighted cases pin the (W+1) DIV 2 lower-median
+    // rank against hand arithmetic
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 1L), // W=4 r=2
+      ("b", 10L, 1L), ("b", 20L, 2L),                             // W=3 r=2
+      ("c", 7L, 5L)                                               // W=5 r=3
+    ).toDF("g", "v", "c")
+    val got = Rank.globalWeightedMedian(df, "v", "c",
+        seriesCols = Seq("g"), totalOut = "n", medianOut = "med")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L, 2L), ("b", 3L, 20L), ("c", 5L, 7L)))
+  }
+
+  test("globalWeightedMedian equals the full-map gRS+filter formulation, at any width") {
+    // the bucket-pruned select must reproduce the running-sum
+    // formulation's value exactly, whatever the boundary sample did
+    val df = spark.range(0, 3000).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("g"),
+      (col("id") / lit(3)).cast("long").as("v"),
+      (pmod(xxhash64(col("id")), lit(50)) + 1).as("c"))
+    val rm = Rank.globalRunningSum(df, "v", "c", outCol = "cum",
+      seriesCols = Seq("g"), distinctOrders = true)
+    val tot = df.groupBy("g").agg(sum("c").as("n"))
+    val ref = rm.join(broadcast(tot), "g")
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("g").agg(max(col("n")).as("n"), min(col("v")).as("med"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    for (parts <- Seq(1, 4, 23)) {
+      val got = Rank.globalWeightedMedian(df.repartition(7), "v", "c",
+          seriesCols = Seq("g"), totalOut = "n", medianOut = "med",
+          numPartitions = parts)
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(got == ref, s"numPartitions=$parts diverged from the full map")
+    }
+  }
+
+  test("globalWeightedMedian tolerates duplicate order values (median is tie-invariant)") {
+    // unlike the running-sum siblings, the median is well-defined under
+    // ties: the last tied row always carries the full group sum, so
+    // membership in the cum >= rank set is partitioning-invariant
+    val df = Seq(("a", 2L, 1L), ("a", 2L, 1L), ("a", 1L, 1L), ("a", 3L, 1L))
+      .toDF("g", "v", "c") // W=4, r=2 → values sorted 1,2,2,3 → median 2
+    for (parts <- Seq(1, 3)) {
+      val got = Rank.globalWeightedMedian(df.repartition(parts), "v", "c",
+          seriesCols = Seq("g"), totalOut = "n", medianOut = "med")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == Seq(("a", 4L, 2L)))
+    }
+  }
+
+  test("globalWeightedMedian null order and null series fail fast; empty-series select works") {
+    val nullOrd = Seq(("a", Some(1L), 1L), ("a", None, 1L)).toDF("g", "v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalWeightedMedian(nullOrd, "v", "c", seriesCols = Seq("g"))
+    }
+    assert(e.getMessage.contains("null"))
+    val nullSer = Seq((Some("a"), 1L, 1L), (None, 2L, 1L)).toDF("g", "v", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      Rank.globalWeightedMedian(nullSer, "v", "c", seriesCols = Seq("g"))
+    }
+    assert(e2.getMessage.contains("null"))
+    // no series: one global (total, median) row — theilSen's shape
+    val glob = Rank.globalWeightedMedian(
+        Seq((1.5, 1L), (2.5, 2L)).toDF("v", "c"), "v", "c")
+      .as[(Long, Double)].collect().toSeq
+    assert(glob == Seq((3L, 2.5)))
+  }
+
+  test("distinctOrders = true matches the checked path on an aggregated table") {
+    val df = spark.range(0, 1000).select(
+      concat(lit("s"), pmod(col("id"), lit(2))).as("axis"),
+      (col("id") / lit(2)).cast("double").as("v"),
+      (pmod(xxhash64(col("id")), lit(9)) + 1).as("c"))
+    val checked = Rank.globalRunningSum(df, "v", "c", "run",
+        seriesCols = Seq("axis")).select("axis", "v", "run")
+    val flagged = Rank.globalRunningSum(df, "v", "c", "run",
+        seriesCols = Seq("axis"), distinctOrders = true)
+      .select("axis", "v", "run")
+    assert(flagged.exceptAll(checked).count() == 0L &&
+      checked.exceptAll(flagged).count() == 0L)
+  }
+
   test("a caller '__g' column fails fast in ALL FOUR entry points (shared guard)") {
     // withColumn would silently overwrite the caller's column with the
     // internal range bucket — every sibling must refuse it, not just
@@ -218,5 +301,6 @@ class RankSpec extends SparkSpec {
     assert(msg(Rank.globalRunningSum(df, "v", "c")).contains("__g"))
     assert(msg(Rank.globalSweep(df, "v", "c")).contains("__g"))
     assert(msg(Rank.globalLag(df, "v", "c")).contains("__g"))
+    assert(msg(Rank.globalWeightedMedian(df, "v", "c")).contains("__g"))
   }
 }

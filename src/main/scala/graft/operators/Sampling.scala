@@ -253,7 +253,12 @@ object Sampling {
     val m = poissonCdf1.zipWithIndex.foldRight(lit(8): Column) { case ((c, i), acc) =>
       when(col("u") < lit(c), lit(i)).otherwise(acc)
     }
-    df.withColumn("replicate", explode(array((0 until reps).map(r => lit(r)): _*)))
+    // reps × (md5 + base-conv) per input row is the heaviest map in the
+    // sampling family — floor its parallelism at the core count when the
+    // input arrives as fewer splits (single-row-group files); a no-op,
+    // and no added exchange, on real multi-split inputs (Rounds.widen)
+    Rounds.widen(df)
+      .withColumn("replicate", explode(array((0 until reps).map(r => lit(r)): _*)))
       .withColumn("u", u)
       .withColumn("m", m)
       .filter(col("m") > 0)

@@ -46,8 +46,12 @@ object Selection {
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 65536, salt: String = "dsir"): DataFrame = {
     require(buckets > 0, s"dsirScore: buckets must be positive, got $buckets")
-    val tb = docs
-      .select(col(idCol).as("id"), isTarget.as("tgt"),
+    // widen the 3-column projection before the tokenize/md5 explode
+    // (heavy narrow map over a possibly single-split scan — see
+    // Rounds.widen; both consumers below share the one exchange)
+    val tb = Rounds.widen(docs
+      .select(col(idCol).as("id"), isTarget.as("tgt"), col(textCol)))
+      .select(col("id"), col("tgt"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("bucket",
         conv(substring(md5(concat(col("tok"), lit(salt))), 1, 8), 16, 10)

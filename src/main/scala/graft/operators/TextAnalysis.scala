@@ -76,7 +76,11 @@ object TextAnalysis {
   def hashedFeatureRows(docs: DataFrame, idCol: String, textCol: String,
       dims: Int): DataFrame = {
     require(dims >= 2, s"hashedFeatureRows: dims must be >= 2, got $dims")
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    // tokenize + per-token polynomial hash is a heavy narrow map —
+    // floor its parallelism at the core count (Rounds.widen; no-op on
+    // multi-split inputs), shipping only the two projected columns
+    Rounds.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       // a zero-length token (unreachable from tokens(), but cheap to
       // guard) would make sequence(1, 0) DESCEND in Spark while the
       // oracle's range(1, 1) is empty — exclude it from both sides
@@ -560,6 +564,10 @@ object TextAnalysis {
     */
   def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5,
       topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    // NOT widened (cf. hashedFeatureRows): both widen placements were
+    // measured SLOWER here at sf0.1 (0.66 → ~1.0 s) — the added
+    // exchange + per-branch fan-out costs more than the single-task
+    // tokenize it parallelizes on this op's two-branch shape
     val base = docs.select(tokens(col("text")).as("toks"))
     val uni = base.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))

@@ -108,6 +108,9 @@ object Trainer {
       // standardized feature columns; x(0) = 1 (intercept)
       val xs: Array[Column] = lit(1.0) +: Array.tabulate(d)(i =>
         (col(s"__x$i") - lit(mu(i))) / lit(sd(i)))
+      // single-model rounds: one global agg per round, O(m²) doubles out
+      // — the driver-bound shape Rounds.driverBound exists for
+      Rounds.driverBound(df.sparkSession, (m.toLong * m + m + 1) * 8) {
       while (it < iters && !converged) {
         val margin = (0 until m).map(a => lit(beta(a)) * xs(a))
           .reduce(_ + _)
@@ -149,6 +152,7 @@ object Trainer {
         }
         it += 1
         converged = maxG < tol || maxStep < tol
+      }
       }
       // Fold standardization back: β·(x−μ)/σ + b = (β/σ)·x + (b − Σ βμ/σ)
       val rawW = Array.tabulate(d)(i => beta(i + 1) / sd(i))
@@ -588,6 +592,10 @@ object Trainer {
       val gType = data.schema("__g").dataType
       val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
       var it = 0
+      // per-group rounds: one grouped agg per round, O(groups · m²)
+      // doubles out — size the reduce from the group count
+      Rounds.driverBound(spark,
+          stats.length.toLong * (m.toLong * m + m) * 8) {
       while (it < iters && active.nonEmpty) {
         // broadcast table: group key + per-group μ/σ/β flattened to columns
         val paramRows = active.map { g =>
@@ -650,6 +658,7 @@ object Trainer {
         }
         active = still.toSeq
         it += 1
+      }
       }
       // fold standardization back per group; emit the model table
       val modelRows = state.map { g =>
@@ -883,6 +892,8 @@ object Trainer {
       var converged = false
       val xs: Array[Column] = lit(1.0) +: Array.tabulate(d)(i =>
         (col(s"__x$i") - lit(mu(i))) / lit(sd(i)))
+      // single-model rounds (see logisticFit)
+      Rounds.driverBound(df.sparkSession, (m.toLong * m + m + 1) * 8) {
       while (it < iters && !converged) {
         val eta = (0 until m).map(a => lit(beta(a)) * xs(a)).reduce(_ + _)
         val muHat = exp(least(eta, lit(30.0)))
@@ -929,6 +940,7 @@ object Trainer {
         }
         it += 1
         converged = maxG < tol || maxStep < tol
+      }
       }
       val rawW = Array.tabulate(d)(i => beta(i + 1) / sd(i))
       val rawB = beta(0) - (0 until d).map(i => beta(i + 1) * mu(i) / sd(i)).sum
@@ -1052,6 +1064,8 @@ object Trainer {
           least(floor((col(s"__x$i") - lit(lo(i))) / lit(widths(i))),
             lit(bins - 1)).cast("int").as(s"__b$i"))): _*))
       try {
+      // per-round global agg of 2·d·bins doubles — driver-bound rounds
+      Rounds.driverBound(df.sparkSession, 2L * d * bins * 8) {
       // per-bin counts never change — they ride ALONG round 1's
       // aggregation instead of paying their own pass
       var cnt: Array[Array[Long]] = null
@@ -1114,6 +1128,7 @@ object Trainer {
         }
       }
       BoostModel(featCols, lo, widths, bins, base, stumps.toSeq, r)
+      }
       } finally Materialize.releaseSuperseded(binned)
     }
   }
@@ -1437,6 +1452,10 @@ object Trainer {
       var r = 0
       var lmPrev = 0.0 // avg log of the CURRENT pin (all-ones → 0)
       var converged = false
+      // per-round reduce state is O(items) strength rows: one count()
+      // on the already-pinned totals sizes the loop's shuffles
+      val nItems = totals.count()
+      Rounds.driverBound(comparisons.sparkSession, nItems * 24) {
       while (r < rounds && !converged) {
         val si = strengths.select(col("item").as("i"), col("s").as("s_i"))
         val sj = strengths.select(col("item").as("j"), col("s").as("s_j"))
@@ -1475,6 +1494,7 @@ object Trainer {
         strengths = next.select(col("item"),
           (col("s") / lit(math.exp(logMean))).as("s"))
         r += 1
+      }
       }
       btRoundsRun.set(r)
       prevPin.foreach(Materialize.releaseSuperseded)

@@ -240,10 +240,18 @@ object Rank {
     * stat13), [[graft.operators.Stats.theilSen]] (slope and intercept
     * weighted medians — stat17).
     */
+  /** `rankOf` generalizes the selected order statistic: given the
+    * series' total weight W it returns the 1-based target rank — the
+    * default (W+1) DIV 2 is the lower median; ml15's conformal quantile
+    * passes min(((W+1)·9+9) DIV 10, W) for the ceil(0.9·(n+1))-th
+    * residual. Everything else (bucket pruning, exactness, tie
+    * invariance) is rank-agnostic.
+    */
   def globalWeightedMedian(df: DataFrame, orderCol: String,
       weightCol: String, seriesCols: Seq[String] = Nil,
       totalOut: String = "total", medianOut: String = "median",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      rankOf: Long => Long = w => (w + 1L) / 2L): DataFrame = {
     requireNoBucketCol(df, "globalWeightedMedian")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
@@ -278,7 +286,7 @@ object Rank {
         def w(r: org.apache.spark.sql.Row): Long =
           if (r.isNullAt(gIdx + 1)) 0L else r.getLong(gIdx + 1)
         val total = sorted.map(w).sum
-        val rank = (total + 1L) / 2L
+        val rank = rankOf(total)
         var off = 0L
         var i = 0
         while (i < sorted.length - 1 && off + w(sorted(i)) < rank) {

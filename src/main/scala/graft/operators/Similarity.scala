@@ -211,7 +211,11 @@ object Similarity {
       .persist()
     var cents: Seq[(Long, Array[Double])] =
       init.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    val dims = init.headOption.map(_._2.length).getOrElse(0)
     try {
+      // per-round reduce state is k·d (sum, count) pairs — the
+      // driver-bound round shape (Rounds.driverBound scaladoc)
+      Rounds.driverBound(corpus.sparkSession, init.length.toLong * dims * 16) {
       for (_ <- 0 until iters) {
         val matrix = cents.map(_._2).toArray
         val agg = unit
@@ -233,6 +237,7 @@ object Similarity {
             case None => (id, old)
           }
         }
+      }
       }
     } finally unit.unpersist(blocking = false)
     cents.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }

@@ -976,18 +976,15 @@ object EvalQueries {
         val cal = base.filter(col("s").isin(6, 7))
           .join(broadcast(model), "g")
           .select(col("g"), abs(col("cents") - col("mu")).as("r"))
-        // n_cal from its own pass over the PINNED base — MEASURED
-        // cheaper at sf0.1 than reading max(cum) off the running-sum
-        // table, which re-executes that (unpinned) offset-join plan
-        val nc = cal.groupBy("g").agg(count(lit(1)).as("n_cal"))
+        // the ceil-rank order statistic rides the bucket-pruned
+        // Rank.globalWeightedMedian with the conformal rank function:
+        // n_cal comes off its stats pass (no separate totals pass), and
+        // the residual window runs over ONE target bucket per flag
+        // instead of the whole distinct-residual table
         val cnt = cal.groupBy("g", "r").agg(count(lit(1)).as("c"))
-        val rm = Rank.globalRunningSum(cnt, "r", "c", outCol = "cum",
-          seriesCols = Seq("g"), distinctOrders = true)
-        val q = rm.join(broadcast(nc), "g")
-          .filter(col("cum") >=
-            least(expr("((n_cal + 1) * 9 + 9) DIV 10"), col("n_cal")))
-          .groupBy("g").agg(min(col("r")).as("q_cents"),
-            max(col("n_cal")).as("n_cal"))
+        val q = Rank.globalWeightedMedian(cnt, "r", "c",
+          seriesCols = Seq("g"), totalOut = "n_cal", medianOut = "q_cents",
+          rankOf = w => math.min(((w + 1L) * 9L + 9L) / 10L, w))
         val cov = base.filter(col("s").isin(8, 9))
           .join(broadcast(model), "g")
           .join(broadcast(q), "g")

@@ -217,8 +217,10 @@ object ExtendedQueries {
     // pair aggregate, broadcast item counts.
     QueryDef("mba2_confidence",
       (s, dir) => {
-        val op = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        // PINNED like mba1: three consumers re-ran the scan + distinct
+        // (six lineitem scans in the executed plan, plan-audited)
+        val op = graft.operators.Materialize(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
         val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
         graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
           .groupBy("pa", "pb").agg(count(lit(1)).as("support"))

@@ -1502,8 +1502,12 @@ object RelationalQueries {
     // total ride broadcast joins, so no driver-side count action.
     QueryDef("mba1_lift",
       (s, dir) => {
-        val op = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        // PINNED: four consumers (n_orders, the two broadcast item-count
+        // sides, the basket explode) each re-ran the scan + distinct
+        // shuffle — the executed plan carried EIGHT lineitem scans
+        // (plan-audited); one pin makes it one scan + one distinct
+        val op = graft.operators.Materialize(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
         val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
         val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
         val pairs = graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")

@@ -244,6 +244,22 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("globalWeightedMedian rankOf selects arbitrary order statistics (ml15's ceil rank)") {
+    // residuals 1..10, weight 1 each: ceil(0.9·(n+1)) = ceil(9.9) = 10
+    // → the 10th smallest = 10; the median default would pick 5
+    val df = spark.range(1, 11).select(lit("a").as("g"), col("id").as("r"),
+      lit(1L).as("c"))
+    val got = Rank.globalWeightedMedian(df, "r", "c", seriesCols = Seq("g"),
+        totalOut = "n", medianOut = "q",
+        rankOf = w => math.min(((w + 1L) * 9L + 9L) / 10L, w))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 10L, 10L)))
+    val med = Rank.globalWeightedMedian(df, "r", "c", seriesCols = Seq("g"),
+        totalOut = "n", medianOut = "q")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(med == Seq(("a", 10L, 5L)))
+  }
+
   test("globalWeightedMedian tolerates duplicate order values (median is tie-invariant)") {
     // unlike the running-sum siblings, the median is well-defined under
     // ties: the last tied row always carries the full group sum, so

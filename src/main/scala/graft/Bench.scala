@@ -17,6 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same pass-through Verify has: SPARK_GRAFT_MATERIALIZE routes every
+    // Materialize point through the named mode for mode A/B runs; the
+    // driver never sets it, so the default methodology is unchanged.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(spark.conf.set(graft.operators.Materialize.ConfKey, _))
     // Warmup: JIT + codegen + parquet-reader init on the smallest SF, so
     // whichever query happens to run first isn't charged session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

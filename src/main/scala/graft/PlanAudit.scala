@@ -22,6 +22,24 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.queries
+    // compact sweep mode: one line per registry query — exchange and
+    // scan counts only, for finding repeated-subtree offenders cheaply
+    if (args.length > 1 && args(1) == "--all") {
+      qs.foreach { case (n, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.executedPlan.toString
+          def c(p: String) = p.r.findAllIn(plan).size
+          println(f"[sweep] $n%-34s exch=${c("Exchange")}%3d bcast=${c("BroadcastExchange")}%3d pq=${c("Scan parquet")}%3d rdd=${c("Scan ExistingRDD")}%3d local=${c("LocalTableScan")}%3d")
+        } catch { case e: Throwable =>
+          println(s"[sweep] $n FAILED ${e.getClass.getSimpleName}")
+        } finally {
+          spark.sharedState.cacheManager.clearCache()
+          graft.operators.Materialize.sweep()
+        }
+      }
+      spark.stop(); return
+    }
     names.foreach { n =>
       println(s"\n======== $n ========")
       val df = qs(n)(spark, sfDir)

@@ -222,9 +222,15 @@ object Dedup {
   def ppjoinPairs(docs: DataFrame, k: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val sh = docs.select(col("doc_id"),
+    // PINNED like hammingNearDups' signature snap: the shingle pass
+    // (tokenize + k-gram assembly per doc) feeds THREE consumers (the
+    // token explode and both sides of the final verification join) and
+    // its derived prefix relation feeds both sides of the candidate
+    // self-join — unpinned, the executed plan carried TWELVE corpus
+    // scans (plan-audited, sf0.001); pinned, the pass runs once
+    val sh = Materialize(docs.select(col("doc_id"),
       TextAnalysis.shingles(col("text"), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0))
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
     // rarest-first total order: (document frequency, token) ascending

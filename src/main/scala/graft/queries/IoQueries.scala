@@ -42,7 +42,12 @@ object IoQueries {
         val out = qtmp("s4")
         val events = t(s, dir, "events")
           .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-        IO.writeCuratedParquet(events, out)
+        // compact = true: repartition on date before the partitioned write —
+        // one file per date written by its own task, instead of ONE task
+        // (the single-row-group scan width) writing every partition's
+        // file serially; the operator's own doc calls this the
+        // production shape (see writeCuratedParquet)
+        IO.writeCuratedParquet(events, out, compact = true)
         s.read.parquet(out)
           .groupBy("date").agg(count(lit(1)).as("cnt"))
           .orderBy("date")
@@ -62,7 +67,12 @@ object IoQueries {
         val out = qtmp("dpp1")
         val events = t(s, dir, "events")
           .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-        IO.writeCuratedParquet(events, out)
+        // compact = true: repartition on date before the partitioned write —
+        // one file per date written by its own task, instead of ONE task
+        // (the single-row-group scan width) writing every partition's
+        // file serially; the operator's own doc calls this the
+        // production shape (see writeCuratedParquet)
+        IO.writeCuratedParquet(events, out, compact = true)
         val fact = s.read.parquet(out)
         // dim: per-date activity stats, filtered to a 3-date window — the
         // filter value is what the runtime subquery pushes into the scan
@@ -159,7 +169,12 @@ object IoQueries {
         val out = qtmp("s7")
         val events = t(s, dir, "events")
           .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-        IO.writeCuratedParquet(events, out)
+        // compact = true: repartition on date before the partitioned write —
+        // one file per date written by its own task, instead of ONE task
+        // (the single-row-group scan width) writing every partition's
+        // file serially; the operator's own doc calls this the
+        // production shape (see writeCuratedParquet)
+        IO.writeCuratedParquet(events, out, compact = true)
         IO.createExternalTable(s, "graft_events_cat", "PARQUET",
           events.schema, Seq("date"), out)
         s.table("graft_events_cat")
@@ -215,6 +230,11 @@ object IoQueries {
         val events = t(s, dir, "events")
           .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
           .select("event_id", "event_type", "value", "date")
+        // NOT compacted (unlike s4/s7/dpp1): measured twice paired at
+        // sf0.1, compact = true cost l4 ~0.1-0.4 s — the added shuffle
+        // buys nothing here because the merge step re-reads only the 9
+        // changed partitions and the uncompacted write already lands one
+        // file per date at this scan width
         IO.writeCuratedParquet(events, out)
         // change set confined to a few dates: the merge rewrites ONLY
         // those partitions (the partition-scoped path, not a full rewrite)

@@ -320,6 +320,142 @@ object Rank {
     Materialize.local(med)
   }
 
+  /** Exact BANDED weighted sum per series — Σ orderValue · keptWeight
+    * over the rows whose weighted-rank span intersects the inclusive
+    * rank band [loOf(W), hiOf(W)] (W = the series' total weight), with
+    * partial inclusion at the two band edges: a row of weight w whose
+    * inclusive cumulative rank is c spans ranks [c−w+1, c] and keeps
+    * max(0, min(c, hi) − max(c−w+1, lo) + 1) units. This is the trimmed
+    * mean's kept-sum (stat11: band [k+1, n−k]) generalized from the
+    * full-rank-map formulation to BUCKET PRUNING: a bucket whose rank
+    * span lies entirely inside the band contributes its per-bucket
+    * Σ value·weight — already collected on the stats pass as an exact
+    * DECIMAL(38,0) — with no window at all; only the ≤ 2 band-edge
+    * buckets per series are windowed. vs the full-map form (running sum
+    * over every row + totals join + corpus-sized keep aggregate) the
+    * windowed work drops from the whole table to ~2/parts of it.
+    *
+    * Exactness: the family invariant (range-disjoint buckets, exact
+    * exclusive offsets) plus integer band arithmetic — the kept sum is
+    * an exact integer in DECIMAL(38,0) end to end. Ties in the order
+    * column are fine for the SUM even though individual tied rows' cum
+    * values are accumulation-order-dependent: keep is rank-measure
+    * additive, so a tie group's total kept weight is the overlap of the
+    * GROUP's (deterministic) rank span with the band, and the payload
+    * multiplier (the shared order value) is constant across the group —
+    * RankSpec pins partitioning invariance under heavy ties. Null
+    * order/series values fail fast as in [[globalWeightedMedian]].
+    *
+    * Returns a COLLECTED LocalRelation of one row per series:
+    * (seriesCols…, totalOut = W (long), sumOut = kept sum
+    * (DECIMAL(38,0))) — O(series) driver state, like the median's.
+    */
+  def globalBandedSum(df: DataFrame, orderCol: String, weightCol: String,
+      loOf: Long => Long, hiOf: Long => Long,
+      seriesCols: Seq[String] = Nil,
+      totalOut: String = "total", sumOut: String = "kept_sum",
+      numPartitions: Int = 0): DataFrame = {
+    requireNoBucketCol(df, "globalBandedSum")
+    val parts = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism)
+    val base = if (Materialize.isPinned(df)) df else Materialize(df)
+    val grouped = base.withColumn("__g",
+      when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
+    val keyCols = seriesCols :+ "__g"
+    val gIdx = seriesCols.length
+    val sumRows = grouped.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("s"),
+        sum(col(orderCol).cast("decimal(38,0)") *
+          col(weightCol).cast("long")).as("sv")).collect()
+    require(sumRows.forall(!_.isNullAt(gIdx)),
+      s"globalBandedSum: null values in order column '$orderCol' — " +
+        "filter them explicitly first; a null has no position in the " +
+        "global order")
+    require(sumRows.forall(r => (0 until gIdx).forall(i => !r.isNullAt(i))),
+      s"globalBandedSum: null values in series column(s) " +
+        s"${seriesCols.mkString(", ")} — filter or coalesce them first; " +
+        "the edge-bucket join would silently drop those rows")
+    // Driver walk: full-band buckets sum exactly (BigDecimal of the
+    // collected DECIMAL sums); buckets straddling a band edge are
+    // emitted for the windowed pass with their offset and the band.
+    val spark = df.sparkSession
+    val fullRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val edgeRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    sumRows.groupBy(r => (0 until gIdx).map(r.get).toSeq).foreach {
+      case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(gIdx))
+        def w(r: org.apache.spark.sql.Row): Long =
+          if (r.isNullAt(gIdx + 1)) 0L else r.getLong(gIdx + 1)
+        val total = sorted.map(w).sum
+        val lo = loOf(total)
+        val hi = hiOf(total)
+        var off = 0L
+        var full = BigDecimal(0)
+        sorted.foreach { r =>
+          val s = w(r)
+          val first = off + 1
+          val last = off + s
+          if (s > 0 && lo <= first && last <= hi) {
+            if (!r.isNullAt(gIdx + 2))
+              full += BigDecimal(r.getDecimal(gIdx + 2))
+          } else if (s > 0 && first <= hi && last >= lo) {
+            edgeRows += org.apache.spark.sql.Row.fromSeq(
+              (0 until gIdx).map(r.get) ++
+                Seq[Any](r.getInt(gIdx), off, lo, hi))
+          }
+          off = last
+        }
+        fullRows += org.apache.spark.sql.Row.fromSeq(
+          (0 until gIdx).map(sorted.head.get) ++
+            Seq[Any](total, new java.math.BigDecimal(
+              full.underlying.stripTrailingZeros.toPlainString)))
+    }
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => base.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField(totalOut,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__full", dec38)))
+    val fullDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(fullRows.toSeq).asJava,
+      fullSchema)
+    val edgeSchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => base.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__g",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__lo",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__hi",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val edgeDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(edgeRows.toSeq).asJava,
+      edgeSchema)
+    val local = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLong = col(weightCol).cast("long")
+    val edgeSums = grouped.join(broadcast(edgeDf), keyCols)
+      .withColumn("__cum", col("__off") + sum(wLong).over(local))
+      .withColumn("__keep", greatest(
+        least(col("__cum"), col("__hi")) -
+          greatest(col("__cum") - wLong + 1L, col("__lo")) + 1L, lit(0L)))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(col(orderCol).cast("decimal(38,0)") * col("__keep"))
+        .as("__edge"))
+    val joined =
+      if (seriesCols.isEmpty) fullDf.crossJoin(edgeSums)
+      else fullDf.join(edgeSums, seriesCols, "left")
+    Materialize.local(joined.select(
+      (seriesCols.map(col) :+ col(totalOut) :+
+        (coalesce(col("__full"), lit(0).cast(dec38)) +
+          coalesce(col("__edge"), lit(0).cast(dec38)))
+          .cast(dec38).as(sumOut)): _*))
+  }
+
   /** Previous row's `valueCol` under global ORDER BY `orderCol` —
     * `lag(value, 1) OVER (ORDER BY order)` without the single-reducer
     * sort, completing the distributed prefix family ([[globalRank]],

@@ -1094,38 +1094,33 @@ object ExtendedQueries {
     // and p10's winsorize (which clips but keeps the tail rows' count).
     // Order-statistics-exact WITHOUT a per-flag single-task sort: one
     // partial-agg pass melts the corpus to the O(distinct (flag,
-    // cents)) count table; per-flag running counts ride ONE multi-series
-    // Rank.globalRunningSum; each distinct price's kept multiplicity is
-    // then CLOSED-FORM (its cumulative rank range [cum−c+1, cum]
-    // intersected with the kept band [k+1, n−k], k = n·5 DIV 100) — the
+    // cents)) count table; the kept sum is ONE bucket-pruned
+    // Rank.globalBandedSum over it — each distinct price's kept
+    // multiplicity is CLOSED-FORM (its cumulative rank range
+    // [cum−c+1, cum] intersected with the kept band [k+1, n−k],
+    // k = n·5 DIV 100), fully-in-band buckets contribute their
+    // stats-pass Σ cents·c with no window at all, and the
     // partial-inclusion arithmetic at the two trim boundaries lands on
     // integers, so the kept sum is exact cents in DECIMAL(38,0) and
     // mean_x1e6 one truncating division (kept sum ≥ 0: DIV == //).
     QueryDef("stat11_trimmed_mean",
       (s, dir) => {
-        val d38 = (c: Column) => c.cast("decimal(38,0)")
         val rows = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("g"),
             (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
         val cnt = rows.groupBy("g", "cents").agg(count(lit(1)).as("c"))
-        val rm = graft.operators.Rank.globalRunningSum(cnt, "cents", "c",
-          outCol = "cum", seriesCols = Seq("g"), distinctOrders = true)
-        // per-flag totals from a second 2-column columnar corpus scan —
-        // MEASURED cheaper at sf0.1 than reading max(cum) off the
-        // running-sum table, which re-executes the (unpinned at this
-        // level) offset-join plan a second time
-        val tot = rows.groupBy("g").agg(count(lit(1)).as("n"),
-          expr("count(*) * 5 DIV 100").as("k"))
-        rm.join(broadcast(tot), "g")
-          .select(col("g"), col("n"), col("k"), d38(col("cents")).as("cents"),
-            greatest(least(col("cum"), col("n") - col("k")) -
-              greatest(col("cum") - col("c") + 1, col("k") + 1) + 1,
-              lit(0L)).as("keep"))
-          .groupBy("g").agg(max(col("n")).as("n"), max(col("k")).as("__k"),
-            sum(col("cents") * col("keep")).as("__sum_kept"))
-          .select(col("g"), col("n"),
-            (col("n") - lit(2) * col("__k")).as("trimmed_n"),
-            expr("CAST(__sum_kept * 1000000 DIV (n - 2 * __k) AS BIGINT)")
+        // the kept sum rides the bucket-pruned Rank.globalBandedSum:
+        // fully-in-band buckets contribute their stats-pass Σ cents·c
+        // with no window, only the two band-edge buckets per flag are
+        // windowed, and the per-flag totals come off the same stats
+        // pass — replacing the full running-sum map + totals scan +
+        // corpus-sized keep aggregate of the old formulation
+        val ts = graft.operators.Rank.globalBandedSum(cnt, "cents", "c",
+          loOf = w => w * 5L / 100L + 1L, hiOf = w => w - w * 5L / 100L,
+          seriesCols = Seq("g"), totalOut = "n", sumOut = "__sum_kept")
+        ts.select(col("g"), col("n"),
+            (col("n") - lit(2) * expr("n * 5 DIV 100")).as("trimmed_n"),
+            expr("CAST(__sum_kept * 1000000 DIV (n - 2 * (n * 5 DIV 100)) AS BIGINT)")
               .as("trimmed_mean_x1e6"))
           .orderBy("g")
       },

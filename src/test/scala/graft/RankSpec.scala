@@ -306,6 +306,62 @@ class RankSpec extends SparkSpec {
       checked.exceptAll(flagged).count() == 0L)
   }
 
+  test("globalBandedSum equals the full-map keep formulation, with ties, at any width") {
+    // heavy ties (7 distinct order values per series) exercise both the
+    // tie-group sum invariance and the band-edge partial inclusion
+    val df = spark.range(0, 4000).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("g"),
+      pmod(xxhash64(col("id")), lit(7)).cast("long").as("v"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(5)) + 1).as("c"))
+    val cnt = df.groupBy("g", "v").agg(sum("c").as("c"))
+    // reference: full running-sum map + closed-form keep (stat11's old
+    // formulation), band = 5%-trim [k+1, n-k]
+    val rm = Rank.globalRunningSum(cnt, "v", "c", outCol = "cum",
+      seriesCols = Seq("g"), distinctOrders = true)
+    val tot = cnt.groupBy("g").agg(sum("c").as("n"),
+      expr("sum(c) * 5 DIV 100").as("k"))
+    val ref = rm.join(broadcast(tot), "g")
+      .select(col("g"), col("n"), col("v").cast("decimal(38,0)").as("v"),
+        greatest(least(col("cum"), col("n") - col("k")) -
+          greatest(col("cum") - col("c") + 1, col("k") + 1) + 1,
+          lit(0L)).as("keep"))
+      .groupBy("g").agg(max("n").as("n"), sum(col("v") * col("keep")).as("ks"))
+      .orderBy("g").as[(String, Long, java.math.BigDecimal)].collect()
+      .toSeq.map(t => (t._1, t._2, t._3.longValueExact))
+    for (parts <- Seq(1, 4, 23)) {
+      val got = Rank.globalBandedSum(cnt.repartition(7), "v", "c",
+          loOf = w => w * 5L / 100L + 1L, hiOf = w => w - w * 5L / 100L,
+          seriesCols = Seq("g"), totalOut = "n", sumOut = "ks",
+          numPartitions = parts)
+        .orderBy("g").as[(String, Long, java.math.BigDecimal)].collect()
+        .toSeq.map(t => (t._1, t._2, t._3.longValueExact))
+      assert(got == ref, s"numPartitions=$parts diverged from the full map")
+    }
+    // un-aggregated ties (same v repeated) must give the same sums
+    val got2 = Rank.globalBandedSum(df.repartition(5), "v", "c",
+        loOf = w => w * 5L / 100L + 1L, hiOf = w => w - w * 5L / 100L,
+        seriesCols = Seq("g"), totalOut = "n", sumOut = "ks")
+      .orderBy("g").as[(String, Long, java.math.BigDecimal)].collect()
+      .toSeq.map(t => (t._1, t._2, t._3.longValueExact))
+    assert(got2 == ref)
+  }
+
+  test("globalBandedSum: empty band and whole-domain band degenerate correctly") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L)).toDF("g", "v", "c")
+    // whole domain [1, W]: kept sum = plain weighted sum
+    val all = Rank.globalBandedSum(df, "v", "c", loOf = _ => 1L, hiOf = w => w,
+        seriesCols = Seq("g"), totalOut = "n", sumOut = "ks")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .map(t => (t._1, t._2, t._3.longValueExact))
+    assert(all == Seq(("a", 3L, 6L)))
+    // inverted band (lo > hi): nothing kept
+    val none = Rank.globalBandedSum(df, "v", "c", loOf = w => w + 1, hiOf = _ => 0L,
+        seriesCols = Seq("g"), totalOut = "n", sumOut = "ks")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSeq
+      .map(t => (t._1, t._2, t._3.longValueExact))
+    assert(none == Seq(("a", 3L, 0L)))
+  }
+
   test("a caller '__g' column fails fast in ALL FOUR entry points (shared guard)") {
     // withColumn would silently overwrite the caller's column with the
     // internal range bucket — every sibling must refuse it, not just

@@ -222,15 +222,18 @@ object Dedup {
   def ppjoinPairs(docs: DataFrame, k: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    // PINNED like hammingNearDups' signature snap: the shingle pass
-    // (tokenize + k-gram assembly per doc) feeds THREE consumers (the
-    // token explode and both sides of the final verification join) and
-    // its derived prefix relation feeds both sides of the candidate
-    // self-join — unpinned, the executed plan carried TWELVE corpus
-    // scans (plan-audited, sf0.001); pinned, the pass runs once
-    val sh = Materialize(docs.select(col("doc_id"),
+    // NOT pinned, decided by a 10× scale test: the executed plan does
+    // carry twelve corpus scans (the shingle pass re-executed per
+    // consumer), but a Materialize pin of the shingle table measured
+    // pinned 2.69 s vs unpinned 2.43 s at 10× data — the shingle arrays
+    // are LARGER than the text they derive from, so checkpointing them
+    // costs more than the shuffle-free scan+map recompute (contrast
+    // hammingNearDups' snap, which pins a 16-byte-per-row SIGNATURE —
+    // far smaller than its recompute input). Pin only relations smaller
+    // than their recompute, or whose recompute crosses a shuffle.
+    val sh = docs.select(col("doc_id"),
       TextAnalysis.shingles(col("text"), k).as("sh"))
-      .filter(size(col("sh")) > 0))
+      .filter(size(col("sh")) > 0)
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
     // rarest-first total order: (document frequency, token) ascending

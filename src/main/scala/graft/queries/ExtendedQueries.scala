@@ -217,10 +217,12 @@ object ExtendedQueries {
     // pair aggregate, broadcast item counts.
     QueryDef("mba2_confidence",
       (s, dir) => {
-        // PINNED like mba1: three consumers re-ran the scan + distinct
-        // (six lineitem scans in the executed plan, plan-audited)
-        val op = graft.operators.Materialize(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+        // NOT pinned — same 10× scale-gate decision as mba1 (pinned:
+        // scaled 17.2 s, unpinned: 6.9 s; the pin's sf0.1 win inverts
+        // at scale because the checkpoint of the near-corpus-size
+        // distinct outweighs the avoided 2-column re-scans)
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
         val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
         graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
           .groupBy("pa", "pb").agg(count(lit(1)).as("support"))

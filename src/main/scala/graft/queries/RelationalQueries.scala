@@ -1502,12 +1502,16 @@ object RelationalQueries {
     // total ride broadcast joins, so no driver-side count action.
     QueryDef("mba1_lift",
       (s, dir) => {
-        // PINNED: four consumers (n_orders, the two broadcast item-count
-        // sides, the basket explode) each re-ran the scan + distinct
-        // shuffle — the executed plan carried EIGHT lineitem scans
-        // (plan-audited); one pin makes it one scan + one distinct
-        val op = graft.operators.Materialize(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+        // NOT pinned, decided by the 10× scale gate: the plan does carry
+        // eight 2-column lineitem scans (one per consumer), but they are
+        // column-pruned page-cache reads — a Materialize pin was tried
+        // and measured FASTER at sf0.1 (~−0.3 s) yet 1.5× SLOWER at 10×
+        // data (scaled 10.0 → 6.8 s unpinned): localCheckpointing the
+        // near-corpus-size distinct costs more than the re-scans it
+        // saves. The local win did not survive the scale test, so the
+        // re-scan formulation stays.
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
         val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
         val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
         val pairs = graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")

@@ -31,7 +31,16 @@ import org.apache.spark.sql.SparkSession
   * override dies with the loop. Callers whose per-round relations are
   * CORPUS-sized (graph rounds over edge tables) must size
   * `reduceBytes` from the real per-round relation, not the collected
-  * state, or not use this at all. NOT thread-safe against concurrent
+  * state, or not use this at all. MEASURED HAZARD: do not wrap loops
+  * containing HINT-LESS joins — with AQE off their strategy falls back
+  * to the static planner, which cannot prove a pinned-RDD build side
+  * small (no statistics) and picks sort-merge; kCore under this helper
+  * went 1.5 → 8.2 s at sf0.1 before the revert. Of the wrapped loops,
+  * the Newton trainers broadcast-hint their only join and the boosters
+  * join nothing; bradleyTerryFit's strength joins are hint-less but
+  * both sides are the SAME O(items) cardinality, so sort-merge is the
+  * right strategy with or without AQE (measured neutral). NOT
+  * thread-safe against concurrent
   * queries on the same session (session-level conf) — the engine's
   * batch drivers run queries serially; the streaming path never calls
   * into these trainers.

@@ -152,8 +152,11 @@ object Bench {
         s"\"" + k + "\":" + (if (v < 0) "-1" else jn(v, 3)) }
         .mkString("{", ",", "}")
       // mode rides the record so an A/B run (SPARK_GRAFT_MATERIALIZE)
-      // is distinguishable from the default methodology in the history
-      val mode = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "localCheckpoint")
+      // is distinguishable from the default methodology in the history.
+      // Read the SESSION conf, not the env var (ADVICE r16): a mode set
+      // by any other path would otherwise be mislabeled here.
+      val mode = spark.conf.getOption(graft.operators.Materialize.ConfKey)
+        .getOrElse("localCheckpoint")
       val hist = s"""{"utc":"$ts","total":${jn(total, 1)},"failed":$failed,"n_queries":${results.size},"spread":${jn(spread, 3)},"runs":$runs,"cpus":$cpus,"sf":"$sfDir","subset":${only.isDefined},"mode":"$mode","queries":$qsHist}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench/history.jsonl"),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

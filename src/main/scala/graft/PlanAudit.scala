@@ -30,7 +30,9 @@ object PlanAudit {
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.executedPlan.toString
           def c(p: String) = p.r.findAllIn(plan).size
-          println(f"[sweep] $n%-34s exch=${c("Exchange")}%3d bcast=${c("BroadcastExchange")}%3d pq=${c("Scan parquet")}%3d rdd=${c("Scan ExistingRDD")}%3d local=${c("LocalTableScan")}%3d")
+          // "Exchange" alone also matches inside "BroadcastExchange"
+          // (ADVICE r16) — subtract so the column is SHUFFLE exchanges
+          println(f"[sweep] $n%-34s shuf=${c("Exchange") - c("BroadcastExchange")}%3d bcast=${c("BroadcastExchange")}%3d pq=${c("Scan parquet")}%3d rdd=${c("Scan ExistingRDD")}%3d local=${c("LocalTableScan")}%3d")
         } catch { case e: Throwable =>
           println(s"[sweep] $n FAILED ${e.getClass.getSimpleName}")
         } finally {

@@ -34,7 +34,22 @@ object Graph {
     * front — hash string item ids to long upstream (e.g. `xxhash64`) if
     * needed.
     */
-  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+  def cooccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    basketPairs(basketSets(df, groupCol, itemCol), "basket")
+
+  /** The basket half of [[cooccurrencePairs]]: one row per group with its
+    * sorted DISTINCT item array (collect_set dedups, so feeding the raw
+    * fact table is identical to pre-distincting (group, item) — and one
+    * shuffle cheaper; the old callers that did `.distinct()` first paid a
+    * full (group, item) exchange that this aggregation subsumes).
+    * Exposed separately (round-17) so market-basket consumers can pin
+    * THIS O(groups) relation once and derive singleton counts / basket
+    * totals from it instead of re-scanning the corpus per consumer —
+    * the basket array is strictly smaller than its source and its
+    * recompute crosses a shuffle, exactly the profile the mba/d11 pin
+    * rule says to pin.
+    */
+  def basketSets(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, DataType, ShortType, IntegerType, LongType}
     val dt = df.schema(itemCol).dataType
     require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
@@ -43,12 +58,18 @@ object Graph {
     df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("it"))
       .filter(col("it").isNotNull)
       .groupBy("g").agg(sort_array(collect_set(col("it"))).as("basket"))
+  }
+
+  /** The pair-explosion half of [[cooccurrencePairs]] over a prebuilt
+    * (sorted, distinct) basket-array relation — map-side, inside codegen.
+    */
+  def basketPairs(baskets: DataFrame, basketCol: String): DataFrame =
+    baskets
       .select(explode(expr(
-        """flatten(transform(basket,
-          |  (x, i) -> transform(slice(basket, i + 2, size(basket)),
+        s"""flatten(transform($basketCol,
+          |  (x, i) -> transform(slice($basketCol, i + 2, size($basketCol)),
           |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
       .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-  }
 
   /** Canonical undirected edge list: (u < v), loops dropped, duplicates
     * collapsed. Input columns may list either endpoint first.
@@ -307,12 +328,37 @@ object Graph {
     // graft.materialize.mode conf — see [[Materialize]].
     val oriented =
       if (materializeOriented) Materialize(orientedPlan) else orientedPlan
-    // wedges s→m→t closed by oriented edge s→t; each triangle has exactly
-    // one lowest-rank vertex, so it is counted exactly once
-    val wedges = oriented.as("o1").join(oriented.as("o2"), col("o1.d") === col("o2.s"))
-      .select(col("o1.s").as("a"), col("o1.d").as("b"), col("o2.d").as("c"))
-    wedges.join(oriented.as("o3"),
-        col("a") === col("o3.s") && col("c") === col("o3.d"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Packed wedge key (round-17, guide §2.3 — shuffle fewer bytes):
+    // the closing semi join is keyed on the wedge's TWO endpoint longs
+    // (start a, end c); when every vertex id fits an unsigned 32-bit
+    // slot the pair packs into ONE long (a << 32 | c) — injective in
+    // range, so the count is provably identical — halving the wedge
+    // shuffle's key bytes and making hash/compare single-word. The
+    // bounds check is one cheap scan of the PINNED oriented edges; on
+    // the unpinned path the check itself would re-run the whole
+    // canonicalize+degree+orient pipeline, costing more than the
+    // packing saves, so that path keeps the two-column join (GraphSpec
+    // pins count equality of both paths, wide ids included).
+    val packed = materializeOriented && {
+      val b = oriented.agg(min(least(col("s"), col("d"))).as("lo"),
+        max(greatest(col("s"), col("d"))).as("hi")).head()
+      !b.isNullAt(0) && b.getLong(0) >= 0L && b.getLong(1) < (1L << 32)
+    }
+    if (packed) {
+      val okeys = oriented.select(
+        shiftleft(col("s"), 32).bitwiseOR(col("d")).as("k"))
+      oriented.as("o1").join(oriented.as("o2"), col("o1.d") === col("o2.s"))
+        .select(shiftleft(col("o1.s"), 32).bitwiseOR(col("o2.d")).as("k"))
+        .join(okeys, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      // wedges s→m→t closed by oriented edge s→t; each triangle has
+      // exactly one lowest-rank vertex, so it is counted exactly once
+      val wedges = oriented.as("o1").join(oriented.as("o2"), col("o1.d") === col("o2.s"))
+        .select(col("o1.s").as("a"), col("o1.d").as("b"), col("o2.d").as("c"))
+      wedges.join(oriented.as("o3"),
+          col("a") === col("o3.s") && col("c") === col("o3.d"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }
   }
 }

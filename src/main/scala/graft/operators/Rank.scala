@@ -244,21 +244,35 @@ object Rank {
     * series' total weight W it returns the 1-based target rank — the
     * default (W+1) DIV 2 is the lower median; ml15's conformal quantile
     * passes min(((W+1)·9+9) DIV 10, W) for the ceil(0.9·(n+1))-th
-    * residual. Everything else (bucket pruning, exactness, tie
+    * residual. A rank past the series' total weight FAILS FAST on the
+    * driver walk (W > 0 only — W = 0 keeps the documented "rank 0,
+    * every row qualifies, min wins" degenerate): the cum >= rank filter
+    * would otherwise match nothing and the series would silently vanish
+    * from the output. Everything else (bucket pruning, exactness, tie
     * invariance) is rank-agnostic.
+    *
+    * `pinInput = false` skips the operator's own [[Materialize]] pin for
+    * callers whose input is a cheap SHUFFLE-FREE derivation of an
+    * already-pinned frame (madSummary's deviation projection: a
+    * broadcast join + abs() over the pinned count table) — the mba/d11
+    * scale rule: re-running a map-side projection per pass costs less
+    * than checkpointing a near-input-sized copy. The multi-pass
+    * re-execution is then the CALLER's stated bargain.
     */
   def globalWeightedMedian(df: DataFrame, orderCol: String,
       weightCol: String, seriesCols: Seq[String] = Nil,
       totalOut: String = "total", medianOut: String = "median",
       numPartitions: Int = 0,
-      rankOf: Long => Long = w => (w + 1L) / 2L): DataFrame = {
+      rankOf: Long => Long = w => (w + 1L) / 2L,
+      pinInput: Boolean = true): DataFrame = {
     requireNoBucketCol(df, "globalWeightedMedian")
     val parts = math.max(1,
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism)
     // multi-pass over the input (boundary sample, stats collect, pruned
     // windowed pass) — pin once, reusing a caller pin (see globalRank)
-    val base = if (Materialize.isPinned(df)) df else Materialize(df)
+    val base =
+      if (!pinInput || Materialize.isPinned(df)) df else Materialize(df)
     val grouped = base.withColumn("__g",
       when(col(orderCol).isNotNull, Packing.rangeGroup(base, orderCol, parts)))
     val keyCols = seriesCols :+ "__g"
@@ -287,6 +301,14 @@ object Rank {
           if (r.isNullAt(gIdx + 1)) 0L else r.getLong(gIdx + 1)
         val total = sorted.map(w).sum
         val rank = rankOf(total)
+        // a rank outside [1, W] would make the cum >= rank filter match
+        // nothing and the series vanish silently — fail fast here, where
+        // the caller's rankOf hook ran (W = 0 keeps the documented
+        // degenerate: rank 0, every row qualifies, min wins)
+        require(total == 0L || (rank >= 1L && rank <= total),
+          s"globalWeightedMedian: rankOf returned $rank for a series of " +
+            s"total weight $total — the target rank must be in [1, W]; " +
+            "fix the caller's rank function")
         var off = 0L
         var i = 0
         while (i < sorted.length - 1 && off + w(sorted(i)) < rank) {
@@ -310,9 +332,16 @@ object Rank {
       scala.jdk.CollectionConverters.SeqHasAsJava(tgtRows).asJava, tgtSchema)
     val local = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // coalesce(weight, 0), NOT bare SUM: an all-null-weight series has
+    // W = 0 and must hit the documented "every row qualifies, min wins"
+    // degenerate — but SUM over an all-null window is NULL, so the bare
+    // form made cum NULL and the filter silently dropped the series.
+    // For mixed null/non-null weights SUM already skips nulls, so the
+    // coalesce changes nothing there.
     val med = grouped.join(broadcast(tgtDf), keyCols)
       .withColumn("__cum",
-        col("__off") + sum(col(weightCol).cast("long")).over(local))
+        col("__off") +
+          sum(coalesce(col(weightCol).cast("long"), lit(0L))).over(local))
       .filter(col("__cum") >= col("__rank"))
       .groupBy(seriesCols.map(col): _*)
       .agg(min(col(orderCol)).as(medianOut), first(col("__tot")).as(totalOut))

@@ -517,16 +517,24 @@ object Stats {
     // Measured on stat13 at sf0.1: 6.9 → 3.2 s (min-of-3, paired runs).
     val med = Rank.globalWeightedMedian(cnt, "__v", "__c",
       seriesCols = Seq("__grp"), totalOut = "n", medianOut = "__med")
-    // pinned like cnt: TWO consumers (the MAD median pass and the
-    // outlier count) and O(distinct) rows near corpus size at cents
-    // granularity — unpinned, the groupBy re-ran once per consumer
-    val devCnt = Materialize(cnt
+    // The deviation table needs NO groupBy and NO pin (round-17, was a
+    // Materialize'd groupBy): globalWeightedMedian tolerates duplicate
+    // order values (a tie group's last row carries the full
+    // deterministic group sum — its scaladoc), so merging the ±d rows
+    // bought nothing the MAD median or the outlier sum needs, and that
+    // groupBy was the query's last corpus-sized shuffle + checkpoint.
+    // Recomputing this projection per pass is a shuffle-free columnar
+    // scan of the pinned `cnt` + one broadcast join — the mba/d11 pin
+    // rule (pin only when the recompute crosses a shuffle or shrinks
+    // the data) says re-scan, hence pinInput = false below.
+    val dev = cnt
       .join(broadcast(med.select("__grp", "__med")), "__grp")
-      .groupBy(col("__grp"), abs(col("__v") - col("__med")).as("__d"))
-      .agg(sum(col("__c")).as("__c")))
-    val mad = Rank.globalWeightedMedian(devCnt, "__d", "__c",
-      seriesCols = Seq("__grp"), totalOut = "__n2", medianOut = "__mad")
-    val outliers = devCnt.join(broadcast(mad.select("__grp", "__mad")), "__grp")
+      .select(col("__grp"), abs(col("__v") - col("__med")).as("__d"),
+        col("__c"))
+    val mad = Rank.globalWeightedMedian(dev, "__d", "__c",
+      seriesCols = Seq("__grp"), totalOut = "__n2", medianOut = "__mad",
+      pinInput = false)
+    val outliers = dev.join(broadcast(mad.select("__grp", "__mad")), "__grp")
       .filter(col("__d") > lit(k.toLong) * col("__mad"))
       .groupBy("__grp").agg(sum(col("__c")).as("__out"))
     med.join(mad.select("__grp", "__mad"), "__grp")

@@ -217,14 +217,23 @@ object ExtendedQueries {
     // pair aggregate, broadcast item counts.
     QueryDef("mba2_confidence",
       (s, dir) => {
-        // NOT pinned — same 10× scale-gate decision as mba1 (pinned:
-        // scaled 17.2 s, unpinned: 6.9 s; the pin's sf0.1 win inverts
-        // at scale because the checkpoint of the near-corpus-size
-        // distinct outweighs the avoided 2-column re-scans)
-        val op = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-        graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
+        // Round-17 shrink-then-pin — see mba1_lift for the full
+        // rationale: pin the O(orders) basket arrays (smaller than their
+        // recompute input, recompute crosses a shuffle — the rule's YES
+        // profile), derive singleton counts from the pin, and the old
+        // near-corpus (ok, pk) distinct exchange + its per-consumer
+        // lineitem re-scans are gone. Results identical: baskets ARE the
+        // distinct pk sets (collect_set), l_partkey is never null.
+        val bk = graft.operators.Materialize(graft.operators.Graph
+          .basketSets(t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+            "ok", "pk"))
+        val item = bk.select(explode(col("basket")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+        // widen: see mba1_lift — the pinned basket relation AQE-coalesces
+        // small, which would single-task the heavy pair explosion
+        graft.operators.Graph
+          .basketPairs(graft.operators.Rounds.widen(bk), "basket")
           .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
           .join(broadcast(item.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")

@@ -1502,19 +1502,34 @@ object RelationalQueries {
     // total ride broadcast joins, so no driver-side count action.
     QueryDef("mba1_lift",
       (s, dir) => {
-        // NOT pinned, decided by the 10× scale gate: the plan does carry
-        // eight 2-column lineitem scans (one per consumer), but they are
-        // column-pruned page-cache reads — a Materialize pin was tried
-        // and measured FASTER at sf0.1 (~−0.3 s) yet 1.5× SLOWER at 10×
-        // data (scaled 10.0 → 6.8 s unpinned): localCheckpointing the
-        // near-corpus-size distinct costs more than the re-scans it
-        // saves. The local win did not survive the scale test, so the
-        // re-scan formulation stays.
-        val op = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
-        val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-        val pairs = graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
+        // Round-17 shrink-then-pin (the VERDICT-prescribed successor to
+        // the round-16 revert): the OLD multi-consumer point was the
+        // near-corpus-size (ok, pk) distinct — pinning it inverted at
+        // 10× data, so it stayed unpinned and the plan carried eight
+        // 2-column lineitem re-scans. The basket aggregation subsumes
+        // that distinct (collect_set dedups), and the pinned relation is
+        // now O(orders) rows of a small sorted array — strictly smaller
+        // than its recompute input, recompute crosses a shuffle: the pin
+        // rule's YES profile. Every consumer (pair explosion, singleton
+        // counts, order total) derives from the pin, so lineitem is
+        // scanned ONCE and the (ok, pk) distinct exchange is gone.
+        // Equivalence: baskets hold the DISTINCT pk set per order, so
+        // exploding them = the old `op`; n_orders = basket count because
+        // l_partkey is never null (the cooccurrencePairs null filter
+        // drops no rows — oracle-pinned at both SFs).
+        val bk = graft.operators.Materialize(graft.operators.Graph
+          .basketSets(t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+            "ok", "pk"))
+        val nOrders = bk.agg(count(lit(1)).as("n_orders"))
+        val item = bk.select(explode(col("basket")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+        // widen: AQE coalesces the small pinned basket relation to ~1
+        // partition, which would serialize the heavy pair explosion +
+        // partial aggregation through one task (the samp8/t19 shape —
+        // Rounds.widen's guard adds no exchange on a real wide input)
+        val pairs = graft.operators.Graph
+          .basketPairs(graft.operators.Rounds.widen(bk), "basket")
           .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
         pairs
@@ -1569,8 +1584,11 @@ object RelationalQueries {
     // quadratic in max degree; counts are provably identical).
     QueryDef("graph1_triangles",
       (s, dir) => {
+        // No (ok, pk) pre-distinct (round-17): cooccurrencePairs'
+        // collect_set dedups per basket, so feeding the raw filtered
+        // fact rows yields identical edges one full exchange cheaper.
         val op = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         val edges = graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
           .select(col("pa").as("u"), col("pb").as("v")).distinct()
         // materialize: the oriented edges feed three differently-keyed

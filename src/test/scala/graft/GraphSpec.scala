@@ -51,6 +51,49 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == 0L)
   }
 
+  test("triangleCount: packed-key pinned path equals the two-column path (r17)") {
+    // materializeOriented = true + ids under 2^32 takes the packed
+    // (a << 32 | c) semi join; both paths must count identically
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val df = edges.toDF("u", "v")
+    val unpacked = Graph.triangleCount(df, "u", "v").collect().head.getLong(0)
+    val packed = Graph.triangleCount(df, "u", "v", materializeOriented = true)
+      .collect().head.getLong(0)
+    assert(packed == unpacked && unpacked == bruteTriangles(edges))
+  }
+
+  test("triangleCount: wide and negative ids take the guarded fallback, count still exact") {
+    // ids past 2^32 (and negatives) cannot pack — the pinned path must
+    // fall back to the two-column join, never a wrong count
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L)) // one triangle
+    val wide = base.map { case (a, b) => (a + (1L << 40), b + (1L << 40)) }
+    assert(Graph.triangleCount(wide.toDF("u", "v"), "u", "v",
+      materializeOriented = true).collect().head.getLong(0) == 1L)
+    val neg = base.map { case (a, b) => (-a, -b) }
+    assert(Graph.triangleCount(neg.toDF("u", "v"), "u", "v",
+      materializeOriented = true).collect().head.getLong(0) == 1L)
+  }
+
+  test("basketSets + basketPairs: raw fact rows equal the pre-distincted formulation") {
+    // collect_set dedups, so feeding duplicated (group, item) rows must
+    // yield identical pairs to distinct()-first (the mba/graph1 rewrite)
+    val rows = Seq((1L, 10L), (1L, 11L), (1L, 10L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 11L), (3L, 13L)).toDF("g", "item")
+    val viaRaw = Graph.cooccurrencePairs(rows, "g", "item")
+      .orderBy("pa", "pb").as[(Long, Long)].collect().toSeq
+    val viaDistinct = Graph.cooccurrencePairs(rows.distinct(), "g", "item")
+      .orderBy("pa", "pb").as[(Long, Long)].collect().toSeq
+    assert(viaRaw == viaDistinct)
+    assert(viaRaw == Seq((10L, 11L), (10L, 11L), (10L, 12L), (11L, 12L)).sorted)
+    // the split entry points compose to the same thing
+    val bk = Graph.basketSets(rows, "g", "item")
+    assert(bk.orderBy("g").select("basket").as[Seq[Long]].collect().toSeq ==
+      Seq(Seq(10L, 11L, 12L), Seq(10L, 11L), Seq(13L)))
+    assert(Graph.basketPairs(bk, "basket")
+      .orderBy("pa", "pb").as[(Long, Long)].collect().toSeq == viaRaw)
+  }
+
   test("cooccurrencePairs equals the self-join formulation") {
     val rnd = new scala.util.Random(17)
     val rows = Seq.fill(600)((rnd.nextInt(80).toLong, rnd.nextInt(25).toLong))

@@ -274,6 +274,47 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("globalWeightedMedian: out-of-range rankOf fails fast (r17 guard)") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("g", "v", "c") // W=2
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalWeightedMedian(df, "v", "c", seriesCols = Seq("g"),
+        rankOf = w => w + 1L) // rank 3 > W = 2 — would silently vanish
+    }
+    assert(e.getMessage.contains("rankOf"))
+    val e2 = intercept[IllegalArgumentException] {
+      Rank.globalWeightedMedian(df, "v", "c", seriesCols = Seq("g"),
+        rankOf = _ => 0L) // rank 0 with W > 0 — every row matches, not a rank
+    }
+    assert(e2.getMessage.contains("rankOf"))
+  }
+
+  test("globalWeightedMedian: an all-null-weight series degenerates to min-wins, not a dropped row") {
+    // W = 0 is documented as "rank 0, every row qualifies, min wins" —
+    // but before the r17 coalesce the all-NULL-weight window sum made
+    // cum NULL and the series silently vanished
+    val df = Seq(("a", 5L, Some(1L)), ("a", 7L, Some(1L)),
+      ("z", 3L, None), ("z", 9L, None)).toDF("g", "v", "c")
+    val got = Rank.globalWeightedMedian(df, "v", "c", seriesCols = Seq("g"),
+        totalOut = "n", medianOut = "med")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 5L), ("z", 0L, 3L)))
+  }
+
+  test("globalWeightedMedian: pinInput = false returns identical results (stat13's dev projection)") {
+    val df = spark.range(0, 2000).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("g"),
+      pmod(xxhash64(col("id")), lit(97)).as("v"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(5)) + 1).as("c"))
+    val pinned = Rank.globalWeightedMedian(df, "v", "c",
+        seriesCols = Seq("g"), totalOut = "n", medianOut = "med")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val unpinned = Rank.globalWeightedMedian(df, "v", "c",
+        seriesCols = Seq("g"), totalOut = "n", medianOut = "med",
+        pinInput = false)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(pinned == unpinned)
+  }
+
   test("globalWeightedMedian null order and null series fail fast; empty-series select works") {
     val nullOrd = Seq(("a", Some(1L), 1L), ("a", None, 1L)).toDF("g", "v", "c")
     val e = intercept[IllegalArgumentException] {

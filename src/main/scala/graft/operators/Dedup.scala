@@ -328,7 +328,8 @@ object Dedup {
   def winnowingNearDups(docs: DataFrame, k: Int = 5, w: Int = 4,
       minContainment: Double = 0.5, maxDocFreq: Int = 50,
       scratchDir: Option[String] = None,
-      selfJoinPairs: Boolean = false): DataFrame = {
+      selfJoinPairs: Boolean = false,
+      pinGrouped: Boolean = false): DataFrame = {
     if (selfJoinPairs)
       return winnowingNearDupsSelfJoin(docs, k, w, minContainment, maxDocFreq, scratchDir)
     val exploded = docs.select(col("doc_id"),
@@ -360,6 +361,16 @@ object Dedup {
       case Some(dir) =>
         groupedRaw.write.mode("overwrite").parquet(dir)
         docs.sparkSession.read.parquet(dir)
+      // pinGrouped: Materialize the grouped relation so the
+      // tokenize+fingerprint+groupBy pipeline runs ONCE instead of once
+      // per consumer (sizes + shared). Measured round-17 on the d7
+      // corpus with the noop sink (min-of-3, sf0.1): pinned 27.7 s vs
+      // unpinned 27.1 s — the checkpoint of the near-input-size
+      // (fp, ids) relation costs ≥ the one fingerprint recompute it
+      // saves (which rides the page cache), and the uncapped pair
+      // phase dominates either way. OFF stays the default; the knob
+      // records the measurement point.
+      case None if pinGrouped => Materialize(groupedRaw)
       case None => groupedRaw
     }
     // containment denominator: how many sub-cap fps each doc kept

@@ -67,6 +67,20 @@ object Rounds {
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 
+  /** Partition count for an RDD-native round loop, derived from the
+    * loop's OWN row count (guide §2: scale-adaptive, never a constant
+    * tuned to one box): the per-round fold does a handful of flops per
+    * row, so below ~2¹⁸ rows a task is pure scheduling overhead —
+    * clamp to [1, defaultParallelism]. Callers repartition UP to this
+    * when their scan came in narrower (the single-row-group fixture
+    * shape) and leave wider inputs alone.
+    */
+  def sizedParts(spark: SparkSession, rows: Long,
+      targetRowsPerTask: Long = 1L << 18): Int =
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (rows + targetRowsPerTask - 1) / targetRowsPerTask)).toInt
+
   def driverBound[T](spark: SparkSession, reduceBytes: Long)(body: => T): T = {
     val conf = spark.conf
     val aqeBefore = conf.get("spark.sql.adaptive.enabled")

@@ -67,6 +67,77 @@ object Trainer {
     * bitwise — consumers that need an exact oracle should state a
     * margin-robust property (see ml6), not weight values.
     */
+  /** The pinned (label, features…) rows of a Newton loop as a
+    * row-count-parallelized RDD — the round-17 RDD-native-rounds
+    * pattern (see boostStumps' rounds comment for the profile that
+    * motivates it: per-round catalyst analysis, not compute, dominated
+    * every SQL formulation of these driver-bound loops).
+    */
+  private def newtonRows(data: DataFrame, d: Int, n: Long)
+      : org.apache.spark.rdd.RDD[(Double, Array[Double])] = {
+    val raw = data.rdd.map(row =>
+      (row.getDouble(0), Array.tabulate(d)(i => row.getDouble(i + 1))))
+    val p = Rounds.sizedParts(data.sparkSession, n)
+    val pr = (if (raw.getNumPartitions < p) raw.repartition(p) else raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Materialize.registerPinned(pr)
+    pr
+  }
+
+  /** One Newton round over [[newtonRows]] output: per row, standardize
+    * (z = (x−μ)/σ), left-fold the margin ((β₀·1 + β₁·z₀) + …, the SQL
+    * expression's exact association), hand (margin, y) to `rowFn` for
+    * the loss-specific (weight, residual, extra) triple, and fold the
+    * upper-triangle Hessian (w·xa)·xb, gradient resid·xa, and Σ extra —
+    * bit-for-bit the per-row arithmetic the old SQL aggregation ran,
+    * with the same partial-per-partition + merge sum structure.
+    */
+  private def newtonAgg(rdd: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      m: Int, mu: Array[Double], sd: Array[Double], beta: Array[Double],
+      rowFn: (Double, Double) => (Double, Double, Double))
+      : (Array[Double], Array[Double], Double) = {
+    val d = m - 1
+    val nUpper = m * (m + 1) / 2
+    val betaSnap = beta.clone()
+    val zero = (new Array[Double](nUpper), new Array[Double](m),
+      new Array[Double](1))
+    val (h, g, e) = rdd.treeAggregate(zero)(
+      seqOp = { case (acc, (y, xsRaw)) =>
+        val z = new Array[Double](d)
+        var i = 0
+        while (i < d) { z(i) = (xsRaw(i) - mu(i)) / sd(i); i += 1 }
+        var mg = betaSnap(0) * 1.0
+        i = 0
+        while (i < d) { mg += betaSnap(i + 1) * z(i); i += 1 }
+        val (w, resid, extra) = rowFn(mg, y)
+        val (hA, gA, eA) = acc
+        var k = 0
+        var a = 0
+        while (a < m) {
+          val xa = if (a == 0) 1.0 else z(a - 1)
+          gA(a) += resid * xa
+          var b = a
+          while (b < m) {
+            val xb = if (b == 0) 1.0 else z(b - 1)
+            hA(k) += w * xa * xb
+            k += 1; b += 1
+          }
+          a += 1
+        }
+        eA(0) += extra
+        acc
+      },
+      combOp = { (x, yv) =>
+        var k = 0
+        while (k < x._1.length) { x._1(k) += yv._1(k); k += 1 }
+        k = 0
+        while (k < x._2.length) { x._2(k) += yv._2(k); k += 1 }
+        x._3(0) += yv._3(0)
+        x
+      })
+    (h, g, e(0))
+  }
+
   def logisticFit(df: DataFrame, featCols: Seq[String], labelCol: String,
       iters: Int = 25, l2: Double = 1e-4, tol: Double = 1e-8): LogisticModel = {
     require(featCols.nonEmpty, "logisticFit: no feature columns")
@@ -105,30 +176,23 @@ object Trainer {
       var loss = Double.NaN
       var it = 0
       var converged = false
-      // standardized feature columns; x(0) = 1 (intercept)
-      val xs: Array[Column] = lit(1.0) +: Array.tabulate(d)(i =>
-        (col(s"__x$i") - lit(mu(i))) / lit(sd(i)))
-      // single-model rounds: one global agg per round, O(m²) doubles out
-      // — the driver-bound shape Rounds.driverBound exists for
-      Rounds.driverBound(df.sparkSession, (m.toLong * m + m + 1) * 8) {
+      // RDD-native rounds (see [[newtonAgg]]): zero catalyst per round
+      val rdata = newtonRows(data, d, n)
+      try {
       while (it < iters && !converged) {
-        val margin = (0 until m).map(a => lit(beta(a)) * xs(a))
-          .reduce(_ + _)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin))
-        val wgt = p * (lit(1.0) - p)
-        val resid = col("__y") - p
-        // log-loss via the numerically-stable margin form:
-        // ln(1+e^m) − y·m  (never ln(0) for saturated p)
-        val ll = when(margin > 30, margin).when(margin < -30, lit(0.0))
-          .otherwise(log(lit(1.0) + exp(margin))) - col("__y") * margin
-        val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
-        val row = data.agg(
-          array(upper.map { case (a, b) => sum(wgt * xs(a) * xs(b)) }: _*).as("h"),
-          array((0 until m).map(a => sum(resid * xs(a))): _*).as("g"),
-          sum(ll).as("loss")).collect()(0)
-        val hFlat = row.getSeq[Double](0).toArray
-        val g = row.getSeq[Double](1).toArray.map(_ / n)
-        loss = row.getDouble(2) / n
+        // per-row loss terms, replicating the SQL expressions op for op:
+        // p = 1/(1+e^−m), w = p·(1−p), resid = y − p, and the stable
+        // log-loss ln(1+e^m) − y·m with the ±30 saturation branches
+        val (hFlat, gRaw, llSum) = newtonAgg(rdata, m, mu, sd, beta,
+          (mg, y) => {
+            val p = 1.0 / (1.0 + math.exp(-mg))
+            val ll = (if (mg > 30) mg
+              else if (mg < -30) 0.0
+              else math.log(1.0 + math.exp(mg))) - y * mg
+            (p * (1.0 - p), y - p, ll)
+          })
+        val g = gRaw.map(_ / n)
+        loss = llSum / n
         // penalized Newton system on the MEAN objective:
         //   (H/n + l2·I_feat) Δ = g − l2·β_feat    (intercept unpenalized)
         val h = Array.ofDim[Double](m, m)
@@ -153,7 +217,7 @@ object Trainer {
         it += 1
         converged = maxG < tol || maxStep < tol
       }
-      }
+      } finally rdata.unpersist(blocking = false)
       // Fold standardization back: β·(x−μ)/σ + b = (β/σ)·x + (b − Σ βμ/σ)
       val rawW = Array.tabulate(d)(i => beta(i + 1) / sd(i))
       val rawB = beta(0) - (0 until d).map(i => beta(i + 1) * mu(i) / sd(i)).sum
@@ -590,49 +654,91 @@ object Trainer {
         new Array[Double](m), 0, false)).toSeq
       var active = state
       val gType = data.schema("__g").dataType
-      val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
       var it = 0
-      // per-group rounds: one grouped agg per round, O(groups · m²)
-      // doubles out — size the reduce from the group count
-      Rounds.driverBound(spark,
-          stats.length.toLong * (m.toLong * m + m) * 8) {
-      while (it < iters && active.nonEmpty) {
-        // broadcast table: group key + per-group μ/σ/β flattened to columns
-        val paramRows = active.map { g =>
-          org.apache.spark.sql.Row.fromSeq(
-            g.key +: (g.mu.toSeq ++ g.sd.toSeq ++ g.beta.toSeq))
+      // RDD-NATIVE ROUNDS (round-17, same finding as boostStumps): the
+      // old per-round broadcast-join + m(m+1)/2-term grouped SQL agg
+      // paid ~0.4 s of catalyst analysis/planning per round regardless
+      // of expression arrangement (codegen caches; analysis does not) —
+      // 19 IRLS rounds made ml11 the board's #2 query on DRIVER time.
+      // The Newton accumulations are trivial folds, so the rounds run
+      // over the pinned (key, y, x…) RDD with a broadcast param map:
+      // zero catalyst per round. Per-row float ops replicate the SQL
+      // expressions' exact order (z = (x−μ)/σ; margin left-fold;
+      // (w·xa)·xb), and partial-sum/merge order is the partial-agg +
+      // exchange order class the operator already had — the documented
+      // FP-sum-noise tolerance, oracle-pinned at both SFs.
+      val rdata: org.apache.spark.rdd.RDD[(Any, Double, Array[Double])] = {
+        val dd = d
+        val raw = data.rdd.map { row =>
+          (row.get(0), row.getDouble(1),
+            Array.tabulate(dd)(i => row.getDouble(i + 2)))
         }
-        val paramSchema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("__g", gType) +:
-            ((0 until d).map(i => s"__m$i") ++ (0 until d).map(i => s"__s$i") ++
-              (0 until m).map(i => s"__b$i")).map(nm =>
-              org.apache.spark.sql.types.StructField(nm,
-                org.apache.spark.sql.types.DoubleType, nullable = false)))
-        val params = spark.createDataFrame(
-          scala.jdk.CollectionConverters.SeqHasAsJava(paramRows).asJava, paramSchema)
-        // inner join: converged groups have left `params`, so their rows
-        // drop out here and later rounds shrink
-        val joined = data.join(broadcast(params), "__g")
-        // per-row, per-GROUP standardized features and margin — all from
-        // the joined broadcast columns, so one expression serves every group
-        val z = Array.tabulate(d)(i =>
-          (col(s"__x$i") - col(s"__m$i")) / col(s"__s$i"))
-        val margin = (0 until d).map(i => col(s"__b${i + 1}") * z(i))
-          .foldLeft(col("__b0"): Column)(_ + _)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin))
-        val wgt = p * (lit(1.0) - p)
-        val resid = col("__y") - p
-        val xsM: Array[Column] = lit(1.0) +: z
-        val row = joined.groupBy("__g").agg(
-          array(upper.map { case (a, b) => sum(wgt * xsM(a) * xsM(b)) }: _*).as("h"),
-          array((0 until m).map(a => sum(resid * xsM(a))): _*).as("g"))
-          .collect()
-        val byKey = row.map(r => r.get(0) -> r).toMap
+        // row-count-derived round parallelism — see boostStumps
+        val p = Rounds.sizedParts(spark, stats.map(_.getLong(1)).sum)
+        (if (raw.getNumPartitions < p) raw.repartition(p) else raw)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      Materialize.registerPinned(rdata)
+      try {
+      while (it < iters && active.nonEmpty) {
+        // broadcast map: group key → (μ, σ, β); converged groups are
+        // absent, so their rows drop out here and later rounds shrink
+        val bc = spark.sparkContext.broadcast(
+          active.map(g => g.key -> ((g.mu, g.sd, g.beta))).toMap)
+        val mm = m; val dd = d; val nUpper = m * (m + 1) / 2
+        type AccMap = scala.collection.mutable.HashMap[Any, (Array[Double], Array[Double])]
+        val agg = rdata.treeAggregate(new AccMap)(
+          seqOp = { case (acc, (key, y, xs)) =>
+            bc.value.get(key) match {
+              case Some((mu, sd, beta)) =>
+                val z = new Array[Double](dd)
+                var i = 0
+                while (i < dd) { z(i) = (xs(i) - mu(i)) / sd(i); i += 1 }
+                // margin left-fold: ((b0 + b1·z0) + b2·z1)… — the SQL
+                // expression's exact association
+                var mg = beta(0)
+                i = 0
+                while (i < dd) { mg += beta(i + 1) * z(i); i += 1 }
+                val p = 1.0 / (1.0 + math.exp(-mg))
+                val w = p * (1.0 - p)
+                val resid = y - p
+                val (h, gr) = acc.getOrElseUpdate(key,
+                  (new Array[Double](nUpper), new Array[Double](mm)))
+                var k = 0
+                var a = 0
+                while (a < mm) {
+                  val xa = if (a == 0) 1.0 else z(a - 1)
+                  gr(a) += resid * xa
+                  var b = a
+                  while (b < mm) {
+                    val xb = if (b == 0) 1.0 else z(b - 1)
+                    h(k) += w * xa * xb
+                    k += 1; b += 1
+                  }
+                  a += 1
+                }
+              case None => ()
+            }
+            acc
+          },
+          combOp = { (x, yv) =>
+            yv.foreach { case (key, (h2, g2)) =>
+              x.get(key) match {
+                case Some((h1, g1)) =>
+                  var k = 0
+                  while (k < h1.length) { h1(k) += h2(k); k += 1 }
+                  k = 0
+                  while (k < g1.length) { g1(k) += g2(k); k += 1 }
+                case None => x.put(key, (h2, g2))
+              }
+            }
+            x
+          })
+        bc.destroy()
         val still = scala.collection.mutable.ArrayBuffer.empty[G]
         for (g <- active) {
-          val r = byKey(g.key)
-          val hFlat = r.getSeq[Double](1).toArray
-          val grad = r.getSeq[Double](2).toArray.map(_ / g.n)
+          val (hFlat, gradRaw) = agg(g.key)
+          val grad = gradRaw.map(_ / g.n)
           val h = Array.ofDim[Double](m, m)
           var k = 0
           for { a <- 0 until m; b <- a until m } {
@@ -659,7 +765,7 @@ object Trainer {
         active = still.toSeq
         it += 1
       }
-      }
+      } finally rdata.unpersist(blocking = false)
       // fold standardization back per group; emit the model table
       val modelRows = state.map { g =>
         val rawW = Array.tabulate(d)(i => g.beta(i + 1) / g.sd(i))
@@ -890,26 +996,24 @@ object Trainer {
       var dev = Double.NaN
       var it = 0
       var converged = false
-      val xs: Array[Column] = lit(1.0) +: Array.tabulate(d)(i =>
-        (col(s"__x$i") - lit(mu(i))) / lit(sd(i)))
-      // single-model rounds (see logisticFit)
-      Rounds.driverBound(df.sparkSession, (m.toLong * m + m + 1) * 8) {
+      // RDD-native rounds (see [[newtonAgg]]): zero catalyst per round
+      val rdata = newtonRows(data, d, n)
+      try {
       while (it < iters && !converged) {
-        val eta = (0 until m).map(a => lit(beta(a)) * xs(a)).reduce(_ + _)
-        val muHat = exp(least(eta, lit(30.0)))
-        val resid = col("__y") - muHat
-        // unit deviance 2·(y·ln(y/μ) − (y−μ)), y=0 term → 2μ
-        val devRow = when(col("__y") > 0,
-          col("__y") * (log(col("__y")) - least(eta, lit(30.0))) - resid)
-          .otherwise(muHat) * 2.0
-        val upper = for { a <- 0 until m; b <- a until m } yield (a, b)
-        val row = data.agg(
-          array(upper.map { case (a, b) => sum(muHat * xs(a) * xs(b)) }: _*).as("h"),
-          array((0 until m).map(a => sum(resid * xs(a))): _*).as("g"),
-          sum(devRow).as("dev")).collect()(0)
-        val hFlat = row.getSeq[Double](0).toArray
-        val g = row.getSeq[Double](1).toArray.map(_ / n)
-        dev = row.getDouble(2) / n
+        // per-row terms, replicating the SQL expressions op for op:
+        // μ̂ = e^min(η,30), resid = y − μ̂, and the unit deviance
+        // 2·(y·(ln y − min(η,30)) − resid), y = 0 term → 2μ̂
+        val (hFlat, gRaw, devSum) = newtonAgg(rdata, m, mu, sd, beta,
+          (eta, y) => {
+            val etaC = if (eta < 30.0) eta else 30.0
+            val muHat = math.exp(etaC)
+            val resid = y - muHat
+            val devRow = (if (y > 0) y * (math.log(y) - etaC) - resid
+              else muHat) * 2.0
+            (muHat, resid, devRow)
+          })
+        val g = gRaw.map(_ / n)
+        dev = devSum / n
         val h = Array.ofDim[Double](m, m)
         var k = 0
         for { a <- 0 until m; b <- a until m } {
@@ -941,7 +1045,7 @@ object Trainer {
         it += 1
         converged = maxG < tol || maxStep < tol
       }
-      }
+      } finally rdata.unpersist(blocking = false)
       val rawW = Array.tabulate(d)(i => beta(i + 1) / sd(i))
       val rawB = beta(0) - (0 until d).map(i => beta(i + 1) * mu(i) / sd(i)).sum
       PoissonModel(featCols, rawW, rawB, it, dev)
@@ -1003,11 +1107,12 @@ object Trainer {
     * DETERMINISTIC tie-break (lowest feature index, then lowest bin) so
     * training is reproducible across partitionings up to FP-sum noise.
     * Leaf values are the residual means scaled by `lr`; the evolving
-    * prediction stays an EXPRESSION over the bin columns
-    * (base + Σ when(__b ≤ s, …)), computed once per row in a single
-    * projected residual column — keeping every aggregation term a
-    * trivial `when(__b = b, __r)`, so codegen size is O(d·bins +
-    * stumps), not O(d·bins·stumps).
+    * RESIDUAL lives in DATA (each round subtracts its one new stump's
+    * delta and re-pins the narrow (residual, bins) projection), so the
+    * d·bins aggregation plan is bit-identical every round — analyzed
+    * and codegen-compiled once, not once per round — and per-row work
+    * is one subtract per round instead of re-evaluating the whole
+    * k-stump prediction (O(rounds·n) total, was O(rounds²·n)).
     *
     * Early-stops when the best achievable SSE REDUCTION falls under
     * `tol` — `tol` is a minimum-gain threshold in squared-label units
@@ -1051,45 +1156,82 @@ object Trainer {
           "drop constants before fitting")
       val base = stats.getDouble(4)
       val widths = Array.tabulate(d)(i => (hi(i) - lo(i)) / bins)
-      // Rounds read ONLY (label, bin indices): pin that narrow binned
-      // projection once. Keeping the prediction a function of the BIN
-      // columns (stumps split on bins) and computing the residual as a
-      // single projected column per round keeps every aggregation term
-      // a trivial `when(__bi = b, __r)` — with the raw form, each of
-      // the d·bins conditional sums re-embedded the full k-stump
-      // prediction expression, and codegen compile time grew with
-      // d·bins·rounds (measured: 5.5 s → 1.3 s on the ml13 board query).
-      val binned = Materialize(data.select(
-        (col("__y") +: (0 until d).map(i =>
+      // RDD-NATIVE ROUNDS (round-17 rewrite, profiled): the loop's cost
+      // was never compute — a bare, bit-identical 2·d·bins aggregate
+      // over an unchanged 5000-row pin still cost ~0.43 s per
+      // repetition (codegen CACHES after round 1; catalyst
+      // analysis/optimization of the 128-term sum(when) plan does not),
+      // so every SQL formulation pays ~0.4 s of driver work per round
+      // no matter how the expressions are arranged. The histogram
+      // aggregation is a trivial fold — per row: d array increments —
+      // so the rounds run on the materialized (residual, bins) RDD
+      // directly: zero catalyst, zero codegen, per-row work O(d)
+      // instead of O(d·bins) predicate evals, and the residual lives in
+      // DATA (each round maps one subtract and re-persists; the old
+      // growing y − (base + Σ deltas) expression made round k's per-row
+      // work O(k), O(rounds²·n) total). FP note: the per-partition
+      // accumulation order equals the old partial-aggregate's row
+      // order; partial-merge order is task-arrival like the old
+      // exchange — the documented "reproducible up to FP-sum noise"
+      // contract, spec-pinned on exact-dyadic fixtures.
+      val binned = data.select(
+        ((col("__y") - lit(base)).as("__r") +: (0 until d).map(i =>
           least(floor((col(s"__x$i") - lit(lo(i))) / lit(widths(i))),
-            lit(bins - 1)).cast("int").as(s"__b$i"))): _*))
+            lit(bins - 1)).cast("int").as(s"__b$i"))): _*)
+      var cur: org.apache.spark.rdd.RDD[(Double, Array[Int])] = {
+        val dd = d
+        val raw = binned.rdd.map { row =>
+          (row.getDouble(0), Array.tabulate(dd)(i => row.getInt(i + 1)))
+        }
+        // row-count-derived round parallelism (Rounds.sizedParts): a
+        // blanket widen-to-defaultParallelism measured WORSE here — at
+        // sf0.1 the rounds are 32 scheduling-overhead tasks over 5000
+        // rows; a single-row-group scan still widens once n warrants it
+        val p = Rounds.sizedParts(df.sparkSession, n)
+        (if (raw.getNumPartitions < p) raw.repartition(p) else raw)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      Materialize.registerPinned(cur)
       try {
-      // per-round global agg of 2·d·bins doubles — driver-bound rounds
-      Rounds.driverBound(df.sparkSession, 2L * d * bins * 8) {
       // per-bin counts never change — they ride ALONG round 1's
       // aggregation instead of paying their own pass
       var cnt: Array[Array[Long]] = null
 
       val stumps = scala.collection.mutable.ArrayBuffer.empty[Stump]
-      var fExpr: Column = lit(base)
+      var pendingRelease: Option[org.apache.spark.rdd.RDD[_]] = None
       var r = 0
       var done = false
       while (r < rounds && !done) {
-        val projected = binned.select(
-          ((0 until d).map(i => col(s"__b$i")) :+
-            (col("__y") - fExpr).as("__r")): _*)
-        val sumArr = array((for (i <- 0 until d; b <- 0 until bins) yield
-          sum(when(col(s"__b$i") === b, col("__r")).otherwise(0.0))): _*).as("s")
-        val row = (if (cnt == null)
-          projected.agg(sumArr,
-            array((for (i <- 0 until d; b <- 0 until bins) yield
-              sum(when(col(s"__b$i") === b, 1L).otherwise(0L))): _*).as("c"))
-        else projected.agg(sumArr)).collect()(0)
-        if (cnt == null) {
-          val cs = row.getSeq[Long](1)
-          cnt = Array.tabulate(d, bins)((i, b) => cs(i * bins + b))
-        }
-        val rs = row.getSeq[Double](0)
+        val nBins = bins; val dd = d; val withCnt = cnt == null
+        val zero = (new Array[Double](d * bins),
+          if (withCnt) new Array[Long](d * bins) else null)
+        val (rsArr, csArr) = cur.treeAggregate(zero)(
+          seqOp = { case (acc, (res, bs)) =>
+            var i = 0
+            while (i < dd) {
+              val k = i * nBins + bs(i)
+              acc._1(k) += res
+              if (withCnt) acc._2(k) += 1L
+              i += 1
+            }
+            acc
+          },
+          combOp = { case (a, b) =>
+            var k = 0
+            while (k < a._1.length) {
+              a._1(k) += b._1(k)
+              if (withCnt) a._2(k) += b._2(k)
+              k += 1
+            }
+            a
+          })
+        // the aggregate materialized cur's persist — the previous
+        // round's blocks are now safe to drop
+        pendingRelease.foreach(_.unpersist(blocking = false))
+        pendingRelease = None
+        if (withCnt)
+          cnt = Array.tabulate(d, bins)((i, b) => csArr(i * bins + b))
+        val rs: IndexedSeq[Double] = rsArr
         // driver sweep: best (gain, feature, splitBin), deterministic order
         var bestGain = 0.0
         var bestF = -1
@@ -1123,13 +1265,25 @@ object Trainer {
         else {
           val thr = lo(bestF) + widths(bestF) * (bestB + 1)
           stumps += Stump(bestF, bestB, thr, bestL, bestR)
-          fExpr = fExpr + when(col(s"__b$bestF") <= bestB, bestL).otherwise(bestR)
           r += 1
+          // fold the new stump's delta into the residual DATA (see the
+          // rounds comment above) — skipped when no further round will
+          // read it (last round). The previous round's blocks are
+          // released only AFTER the next aggregate materializes this
+          // map (pendingRelease), so nothing recomputes from source.
+          if (r < rounds) {
+            val prev = cur
+            val (f, b, l, rv) = (bestF, bestB, bestL, bestR)
+            cur = prev.map { case (res, bs) =>
+              (res - (if (bs(f) <= b) l else rv), bs)
+            }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            Materialize.registerPinned(cur)
+            pendingRelease = Some(prev)
+          }
         }
       }
       BoostModel(featCols, lo, widths, bins, base, stumps.toSeq, r)
-      }
-      } finally Materialize.releaseSuperseded(binned)
+      } finally cur.unpersist(blocking = false)
     }
   }
 

@@ -1131,7 +1131,14 @@ object TextQueries {
           .select(col("p.a").as("a"), col("p.b").as("b"))
         val edges = adj.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(adj.select(col("b").as("src"), col("a").as("dst")))
-        graft.operators.Graph.pageRankKeyed(edges, "src", "dst", iterations = 3)
+        // materializeEvery = 2 (round-17, paired A/B min-of-3: 3.25 s
+        // lazy / 2.45 s every-1 / 2.38 s every-2 at sf0.1): one mid-loop
+        // rank pin truncates the otherwise 116-exchange 3-iteration
+        // lazy plan that per-action analysis kept re-walking, without
+        // every-1's pin-churn (the r16 revert). Semantics-neutral —
+        // fixed-point integer ranks, GraphSpec pins bit-equality.
+        graft.operators.Graph.pageRankKeyed(edges, "src", "dst",
+            iterations = 3, materializeEvery = 2)
           .select(col("id").as("word"), col("rank_scaled"))
           .orderBy(col("rank_scaled").desc, col("word"))
           .limit(15)

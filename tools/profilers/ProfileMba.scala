@@ -73,6 +73,41 @@ object ProfileMba {
     // E: no pin, no distinct — straight pipeline
     time("E nopin-nodistinct  ", () =>
       pairsAgg(graft.operators.Graph.cooccurrencePairs(li, "ok", "pk")))
+
+    // FULL-QUERY paired A/B (the VERDICT #6 done-criterion needs a
+    // same-window old-vs-new comparison at 10×): the r16 unpinned mba2
+    // formulation vs the round-17 shrink-then-pin one
+    def fullOld(): DataFrame = {
+      val op = li.distinct()
+      val item = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Graph.cooccurrencePairs(op, "ok", "pk")
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .join(broadcast(item.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+        .join(broadcast(item.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+        .select(col("pa"), col("pb"), col("support"),
+          expr("CAST((support * 1000000) div ca AS BIGINT)").as("conf_ab_micro"),
+          expr("CAST((support * 1000000) div cb AS BIGINT)").as("conf_ba_micro"))
+        .orderBy("pa", "pb")
+    }
+    def fullNew(): DataFrame = {
+      val bk = graft.operators.Materialize(
+        graft.operators.Graph.basketSets(li, "ok", "pk"))
+      val item = bk.select(explode(col("basket")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Graph
+        .basketPairs(graft.operators.Rounds.widen(bk), "basket")
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .join(broadcast(item.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+        .join(broadcast(item.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+        .select(col("pa"), col("pb"), col("support"),
+          expr("CAST((support * 1000000) div ca AS BIGINT)").as("conf_ab_micro"),
+          expr("CAST((support * 1000000) div cb AS BIGINT)").as("conf_ba_micro"))
+        .orderBy("pa", "pb")
+    }
+    time("F full-mba2-OLD     ", fullOld _)
+    time("G full-mba2-NEW     ", fullNew _)
     spark.stop()
   }
 }

@@ -24,6 +24,10 @@ object ProfileQuery {
     var shuffleWrite = 0L
     case class St(name: String, var ms: Long = 0L, var n: Int = 0)
     val stageAgg = new scala.collection.mutable.LinkedHashMap[String, St]()
+    // per-stage summed TASK time (executorRunTime) — wall-based stage
+    // aggregation hides where CPU goes when stages overlap
+    val stageTaskMs = new scala.collection.mutable.HashMap[Int, Long]()
+    val stageName = new scala.collection.mutable.HashMap[Int, String]()
     private val byId = new scala.collection.mutable.HashMap[Int, J]()
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
       val i = e.stageInfo
@@ -34,6 +38,7 @@ object ProfileQuery {
       val key = s"${i.name} | $graftLine"
       val s = stageAgg.getOrElseUpdate(key, St(key))
       s.ms += ms; s.n += 1
+      stageName(i.stageId) = key
     }
     override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
       val d = e.stageInfos.lastOption.map(_.name).getOrElse("")
@@ -51,12 +56,14 @@ object ProfileQuery {
         taskTimeMs += m.executorRunTime
         shuffleRead += m.shuffleReadMetrics.totalBytesRead
         shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        stageTaskMs(e.stageId) = stageTaskMs.getOrElse(e.stageId, 0L) +
+          m.executorRunTime
       }
     }
     def reset(): Unit = synchronized {
       jobs.clear(); byId.clear(); stages = 0; tasks = 0L
       taskTimeMs = 0L; shuffleRead = 0L; shuffleWrite = 0L
-      stageAgg.clear()
+      stageAgg.clear(); stageTaskMs.clear(); stageName.clear()
     }
   }
 
@@ -96,8 +103,9 @@ object ProfileQuery {
           f"taskTime=${acc.taskTimeMs / 1e3}%.2f s " +
           f"shufR=${acc.shuffleRead / 1e6}%.1f MB shufW=${acc.shuffleWrite / 1e6}%.1f MB")
         if (r == runs) {
-          acc.stageAgg.values.toSeq.sortBy(-_.ms).take(16).foreach { s =>
-            println(f"    stage ${s.ms}%7d ms x${s.n}%-3d ${s.name}")
+          acc.stageTaskMs.toSeq.sortBy(-_._2).take(16).foreach { case (sid, ms) =>
+            val nm = acc.stageName.getOrElse(sid, s"stage $sid")
+            println(f"    taskTime ${ms}%7d ms  [sid $sid%4d] ${nm.take(160)}")
           }
         }
       }
